@@ -1,0 +1,77 @@
+"""Table catalog: sf_dir of parquet files -> named DataFrames.
+
+Mirrors the reference's entity registry (containers + entity paths in
+dwh_lab/dwh/general_lib.py:118-174) as a thin declarative loader; the
+parquet scans stay lazy so Catalyst prunes columns and pushes filters
+into the file source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any scale factor we target.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong) and we convert to microsecond
+# timestamps here — truncation matches DuckDB's nanos→micros behavior.
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided session (e.g. the driver's) behave like
+    ours: nano-timestamp parquet readable, UTC event-time semantics.
+    Both are runtime-settable SQL confs; idempotent and cheap."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every table lazily; optionally register temp views for spark.sql."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,34 @@
+"""Vector helpers over `array<float>` embedding columns.
+
+All math is expressed with higher-order SQL functions (`zip_with` +
+`aggregate`), which execute inside the JVM — no Python/Arrow round trip
+— and mirror exactly the sequential-sum semantics of the DuckDB oracle
+(`list_dot_product`), so cosine values match bit-for-bit before
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot/(|a|*|b|) — computed as dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))
+    to match the oracle formula exactly."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")

@@ -1,0 +1,140 @@
+"""Sessionization family: session ids, per-session stats, time-on-page.
+
+Reference: assign_session_ids / merge_sessions /
+calculate_raw_time_on_page / calculate_capped_time_on_page
+(dwh_lab/dwh/preprocessing_streaming_incremental_load.py:317-392) —
+single-threaded loops over a globally time-sorted list. The reference's
+global ordering is a single-node artifact (and conflates users); the
+scalable, semantically-correct form partitions by ``user_id``:
+
+- state per window partition is bounded by one user's history,
+- the only shuffle is the hash partition on user_id, which AQE can
+  coalesce, and which is reused by all three window computations
+  (Catalyst collapses same-partitioning windows into one sort).
+
+All gap math is integer microseconds (unix_micros ⟷ epoch_us), so the
+DuckDB oracle is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+SESSION_GAP_S = 1800  # 30 min inactivity → new session (reference line 317)
+DEFAULT_LAST_PAGE_S = 1800.0  # reference line 377
+MAX_TIME_PER_PAGE_S = 3600.0  # reference line 380
+
+_USER_ORDER = ["ts", "event_id"]  # deterministic within-user ordering
+
+
+def with_session_id(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """session_id = 1 + count of >gap inactivity gaps before this event."""
+    w = Window.partitionBy(user_col).orderBy(*_USER_ORDER)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_s * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+
+
+def with_time_on_page(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    default_last_s: float = DEFAULT_LAST_PAGE_S,
+    cap_s: float = MAX_TIME_PER_PAGE_S,
+) -> DataFrame:
+    """raw = next_event.ts − ts (seconds, µs-exact); last event gets the
+    default; capped = min(raw, cap)."""
+    w = Window.partitionBy(user_col).orderBy(*_USER_ORDER)
+    us = F.unix_micros(F.col(ts_col))
+    next_us = F.lead(us).over(w)
+    raw = F.when(next_us.isNull(), F.lit(default_last_s)).otherwise(
+        (next_us - us) / F.lit(1_000_000.0)
+    )
+    return events.withColumn("raw_time_on_page", raw).withColumn(
+        "capped_time_on_page", F.least(F.col("raw_time_on_page"), F.lit(cap_s))
+    )
+
+
+_SESSIONIZED_CTE = f"""
+WITH ordered AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM flagged
+"""
+
+
+@query("sessionize", oracle=_SESSIONIZED_CTE)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return with_session_id(events)
+
+
+@query(
+    "session_stats",
+    oracle=f"""
+WITH sess AS ({_SESSIONIZED_CTE}), joined AS (
+  SELECT s.user_id, s.session_id, s.ts, e.value
+  FROM sess s JOIN events e ON s.event_id = e.event_id
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+FROM joined
+GROUP BY user_id, session_id
+""",
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_sessions re-expressed: one groupBy over the sessionized
+    stream (map-side partial agg; same shuffle key as sessionize)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    sess = with_session_id(events)
+    us = F.unix_micros
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        ((us(F.max("ts")) - us(F.min("ts"))) / F.lit(1_000_000.0)).alias("duration_s"),
+    )
+
+
+@query(
+    "time_on_page",
+    oracle=f"""
+SELECT event_id, user_id, ts,
+       coalesce((lead(epoch_us(ts)) OVER w - epoch_us(ts)) / 1000000.0, {DEFAULT_LAST_PAGE_S}) AS raw_time_on_page,
+       least(coalesce((lead(epoch_us(ts)) OVER w - epoch_us(ts)) / 1000000.0, {DEFAULT_LAST_PAGE_S}),
+             {MAX_TIME_PER_PAGE_S}) AS capped_time_on_page
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def time_on_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return with_time_on_page(events)

@@ -1,0 +1,401 @@
+"""Near-duplicate detection and similarity search.
+
+Extends the reference's exact dedup
+(dwh_lab/dwh/preprocessing_streaming_incremental_load.py:103-116) with
+the operator family a 100 TB training-data pipeline needs:
+
+- ``dedup_minhash_lsh`` — word-shingle MinHash signatures + banded LSH
+  self-join + exact-Jaccard verification. Never O(n²): candidate pairs
+  come only from equal band-key buckets, which is a hash-partitioned
+  equi-join.
+- ``dedup_ngram_jaccard`` — inverted-index candidate generation (pairs
+  sharing a *rare* shingle; document-frequency cutoff bounds bucket
+  size) + exact Jaccard.
+- ``dedup_simhash`` — 32-bit SimHash signatures from md5 nibble votes.
+- ``dedup_embedding_cosine`` / ``ann_topk_cosine`` — cosine near-dup
+  pairs and brute-force top-k (the correctness baseline); the broadcast
+  side is the small query set, so the big side streams.
+- ``ann_lsh_topk`` — sign-bucket LSH variant: the scale path (local
+  top-k inside hash buckets; rows-only check, recall asserted in tests).
+
+Portability: every hash is md5-hex (identical in Spark and DuckDB);
+"min over md5(seed:shingle)" is the MinHash primitive, so oracles match
+byte-for-byte. Cosines are rounded before ranking/threshold so float
+associativity can't flip results between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.vectors import as_double_array, cosine
+from etl_jlp_spark.registry import query
+
+MINHASH_K = 8  # signature length
+MINHASH_BANDS = 4  # bands of r = K/BANDS rows
+MINHASH_TAU = 0.5  # verified-Jaccard keep threshold
+NGRAM_TAU = 0.3
+NGRAM_DF_CUTOFF = 200  # ignore shingles appearing in more docs than this
+COSINE_TAU = 0.4
+ANN_TOP_K = 5
+ANN_QUERY_MOD = 50  # query set = vec_id % 50 == 0
+
+
+def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle strings per doc (JVM array ops)."""
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    return (
+        docs.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {n}), j -> concat_ws(' ', slice(arr, j + 1, {n})))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+# Shared SQL CTE: distinct word 3-gram shingles per doc (token-position
+# self-join form — portable ANSI SQL).
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+    FROM documents
+  )
+), shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+
+def _jaccard_on_candidates(shingles: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs from the shingle set."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT s.doc_id, h.h, min(md5(CAST(h.h AS VARCHAR) || ':' || s.sh)) AS sig
+  FROM shingles s CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS h) h
+  GROUP BY s.doc_id, h.h
+), sigs AS (
+  SELECT doc_id,
+         min(CASE WHEN h = 0 THEN sig END) AS s0, min(CASE WHEN h = 1 THEN sig END) AS s1,
+         min(CASE WHEN h = 2 THEN sig END) AS s2, min(CASE WHEN h = 3 THEN sig END) AS s3,
+         min(CASE WHEN h = 4 THEN sig END) AS s4, min(CASE WHEN h = 5 THEN sig END) AS s5,
+         min(CASE WHEN h = 6 THEN sig END) AS s6, min(CASE WHEN h = 7 THEN sig END) AS s7
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(s0 || s1) AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, md5(s2 || s3) FROM sigs UNION ALL
+  SELECT doc_id, 2, md5(s4 || s5) FROM sigs UNION ALL
+  SELECT doc_id, 3, md5(s6 || s7) FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {MINHASH_TAU}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _word_shingles(docs)
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    hash_ids = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h")
+    hashed = (
+        shingles.select("doc_id", "sh", hash_ids)
+        .select(
+            "doc_id",
+            "h",
+            F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("sh"))).alias("hv"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("sig"))
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("h") == i, F.col("sig"))).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    band_rows = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    band_df = band_rows[0]
+    for extra in band_rows[1:]:
+        band_df = band_df.unionAll(extra)
+    a = band_df.alias("a")
+    b_ = band_df.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_on_candidates(shingles, cand, MINHASH_TAU)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+df AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS doc_freq FROM shingles GROUP BY sh
+), rare AS (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN df ON s.sh = df.sh
+  WHERE df.doc_freq <= {NGRAM_DF_CUTOFF}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {NGRAM_TAU}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _word_shingles(docs)
+    doc_freq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
+    rare = shingles.join(
+        doc_freq.filter(F.col("doc_freq") <= NGRAM_DF_CUTOFF).select("sh"), "sh"
+    )
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        ra.join(rb, (ra.sh == rb.sh) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_on_candidates(shingles, cand, NGRAM_TAU)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY doc_id, tok
+), bits AS (
+  SELECT t.doc_id, i.i,
+         sum(CASE WHEN substr(md5(t.tok), CAST(i.i + 1 AS INTEGER), 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN t.cnt ELSE -t.cnt END) AS vote
+  FROM toks t CROSS JOIN (SELECT unnest(range(32)) AS i) i
+  GROUP BY t.doc_id, i.i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(round(pow(2, i)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: bit i = majority vote (weighted by term count) of
+    the high bit of md5 hex digit i. Hamming-close signatures ⇒
+    near-duplicate docs; signatures are join/bucket-able at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bits = (
+        toks.select(
+            "doc_id",
+            "cnt",
+            F.md5("tok").alias("hx"),
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.when(
+                F.expr("substr(hx, i + 1, 1)").isin(*"89abcdef"), F.col("cnt")
+            )
+            .otherwise(-F.col("cnt"))
+            .alias("vote_part"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("vote_part").alias("vote"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.round(F.pow(2, F.col("i"))).cast("long")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def _pairwise_cosine(emb: DataFrame) -> DataFrame:
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), as_double_array(F.col("embedding")).alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), as_double_array(F.col("embedding")).alias("vb")
+    )
+    return a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_TAU}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cos ≥ τ). Brute-force pairs here (the
+    verification baseline); the scale path is ``ann_lsh_topk``-style
+    sign-bucketing so candidate pairs come from an equi-join, not a
+    cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pairwise_cosine(emb).filter(F.col("cos_sim") >= COSINE_TAU)
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS c6
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, round(c6, 4) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c6 DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_TOP_K}
+""",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the query set is broadcast; the corpus
+    streams through one narrow stage + a per-query top-k window. This is
+    the exact baseline ANN variants are measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    queries = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).withColumnsRenamed(
+        {"vec_id": "query_id", "v": "qv"}
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("c6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
+    )
+
+
+@query("ann_lsh_topk")  # rows-only: float hyperplane math isn't portable SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH ANN: bucket = sign bits of the first 8
+    components; top-k searched only within the query's bucket (an
+    equi-join on bucket id — the 100 TB path). Recall vs the brute-force
+    baseline is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    bucket = F.expr(
+        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc * 2 + CASE WHEN v[j] >= 0 THEN 1 ELSE 0 END)"
+    )
+    bucketed = corpus.withColumn("bucket", bucket)
+    queries = bucketed.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).withColumnsRenamed(
+        {"vec_id": "query_id", "v": "qv"}
+    )
+    scored = (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("c6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+These extend the reference's text processing (clean_text / keyword
+pipeline, dwh_lab/dwh/preprocessing_streaming_incremental_load.py:188-315)
+into the operators a 100 TB LLM-data pipeline needs. All are
+narrow-map + single-agg shapes; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    sql_stopword_list,
+    tokens_df,
+)
+from etl_jlp_spark.registry import query
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+FINGERPRINT_K = 8  # char-shingle width for the rolling-hash fingerprint
+
+
+@query(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN tok IN {sql_stopword_list()} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         round(avg(length(tok)), 4) AS avg_token_len
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, p.n_tokens, p.n_stop,
+       round(p.n_stop * 1.0 / p.n_tokens, 4) AS stop_ratio,
+       round(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(d.text), 4) AS alpha_ratio,
+       p.avg_token_len,
+       round(0.5 * (length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(d.text))
+           + 0.3 * least(p.n_stop * 1.0 / p.n_tokens, 0.5) / 0.5
+           + 0.2 * least(p.n_tokens, 100) / 100.0, 4) AS quality_score
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc quality: alpha ratio + stopword density + length —
+    the standard cheap pre-filter before expensive dedup/training."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_token_len"),
+    )
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * 1.0 / F.length("text")
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    return (
+        docs.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_stop",
+            F.round(stop_ratio, 4).alias("stop_ratio"),
+            F.round(alpha_ratio, 4).alias("alpha_ratio"),
+            "avg_token_len",
+            F.round(
+                0.5 * alpha_ratio
+                + 0.3 * F.least(stop_ratio, F.lit(0.5)) / 0.5
+                + 0.2 * F.least(F.col("n_tokens"), F.lit(100)) / 100.0,
+                4,
+            ).alias("quality_score"),
+        )
+    )
+
+
+def _lang_marker_rows() -> list[tuple[str, str]]:
+    return [(lang, w) for lang, words in LANG_MARKERS.items() for w in words]
+
+
+def _lang_marker_values_sql() -> str:
+    return ",".join(f"('{lang}','{w}')" for lang, w in _lang_marker_rows())
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+WITH markers(lang, word) AS (VALUES {_lang_marker_values_sql()}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), hits AS (
+  SELECT t.doc_id, m.lang, CAST(count(*) AS BIGINT) AS hits
+  FROM toks t JOIN markers m ON t.tok = m.word
+  GROUP BY t.doc_id, m.lang
+), best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'unknown') AS lang_pred,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID — the classic cheap n-gram heuristic.
+    The marker table is a broadcast VALUES relation (~40 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = docs.filter(F.length(F.trim("text")) > 0)
+    toks = nonempty.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    markers = docs.sparkSession.createDataFrame(_lang_marker_rows(), "lang string, word string")
+    hits = (
+        toks.join(F.broadcast(markers), toks.tok == markers.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "hits")
+    )
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred", F.lit("unknown")).alias("lang_pred"),
+        F.coalesce("hits", F.lit(0)).cast("long").alias("marker_hits"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, lower(text) AS t,
+         unnest(range(1, greatest(length(text) - {FINGERPRINT_K} + 1, 1) + 1)) AS i
+  FROM documents
+)
+SELECT doc_id, min(md5(substr(t, CAST(i AS INTEGER), {FINGERPRINT_K}))) AS fingerprint
+FROM pos GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over all k-char
+    shingles (winnowing with one global window). The md5-min is our
+    portable minhash primitive; identical in the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = FINGERPRINT_K
+    return (
+        docs.select(
+            "doc_id",
+            F.lower("text").alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+            ).alias("i"),
+        )
+        .select("doc_id", F.md5(F.expr(f"substr(t, i, {k})")).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min("sh").alias("fingerprint"))
+    )

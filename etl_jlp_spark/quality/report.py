@@ -1,0 +1,218 @@
+"""Spark-native data-quality reporting.
+
+Reference: QualityReport (dwh_lab/dwh/quality_report.py) — pandas
+per-column loops (``df[col].isnull().sum()``, ``df.duplicated()``,
+``df[col].apply(valid_fn)``). Re-expressed as *one* conditional
+aggregation per table: every null-count / default-violation /
+clean-rate predicate becomes a ``sum(CASE WHEN …)`` column in a single
+``agg``, so the whole report is ONE scan + ONE map-side-combined
+reduction regardless of how many checks you add. The duplicate check is
+the only extra shuffle (distinct on the key subset).
+
+``QualityReport`` is the programmatic API (mirrors the reference class
+surface); the registered queries below are fixed instantiations used
+for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+
+class QualityReport:
+    """Accumulates checks, evaluates them in a single pass.
+
+    Usage mirrors dwh_lab/dwh/quality_report.py:6-160::
+
+        qr = QualityReport(df, "events")
+        qr.check_nulls(["user_id", "ts"])
+        qr.check_default_values({"source_id": 1})
+        qr.track_clean_success_rate("value", F.col("value") >= 0)
+        row = qr.generate()          # dict (collects the single agg)
+    """
+
+    def __init__(self, df: DataFrame, entity_name: str):
+        self.df = df
+        self.entity_name = entity_name
+        self._aggs: list[Column] = [
+            F.count(F.lit(1)).alias("num_rows"),
+        ]
+        self._dedup_cols: list[str] | None = None
+        self._notes: list[str] = []
+
+    @staticmethod
+    def _count_if(pred: Column, name: str) -> Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+
+    def check_nulls(self, required_columns: list[str]) -> "QualityReport":
+        for c in required_columns:
+            if c in self.df.columns:
+                self._aggs.append(self._count_if(F.col(c).isNull(), f"nulls_{c}"))
+            else:
+                self._notes.append(f"column missing: {c}")
+        return self
+
+    def check_default_values(self, defaults: Mapping[str, object]) -> "QualityReport":
+        for c, v in defaults.items():
+            if c in self.df.columns:
+                self._aggs.append(
+                    self._count_if(~F.col(c).eqNullSafe(F.lit(v)), f"bad_default_{c}")
+                )
+            else:
+                self._notes.append(f"column missing: {c}")
+        return self
+
+    def track_clean_success_rate(self, col: str, valid: Column) -> "QualityReport":
+        self._aggs.append(
+            F.round(
+                100.0
+                * F.sum(F.when(valid, 1).otherwise(0))
+                / F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0)),
+                2,
+            ).alias(f"clean_rate_{col}")
+        )
+        return self
+
+    def check_duplicates(self, dedup_columns: list[str]) -> "QualityReport":
+        self._dedup_cols = list(dedup_columns)
+        return self
+
+    def check_formats(self, expected_dtypes: Mapping[str, str]) -> dict[str, dict]:
+        """Schema check is metadata-only (no job)."""
+        actual = dict(self.df.dtypes)
+        return {
+            c: {"expected": t, "actual": actual.get(c), "match": actual.get(c) == t}
+            for c, t in expected_dtypes.items()
+        }
+
+    def summary_df(self) -> DataFrame:
+        out = self.df.agg(*self._aggs)
+        if self._dedup_cols:
+            total = self.df.count()
+            distinct = self.df.select(*self._dedup_cols).distinct().count()
+            out = out.withColumn("duplicate_rows", F.lit(total - distinct).cast("long"))
+        return out
+
+    def generate(self) -> dict:
+        row = self.summary_df().collect()[0].asDict()
+        row["entity"] = self.entity_name
+        if self._notes:
+            row["notes"] = list(self._notes)
+        return row
+
+
+@query(
+    "quality_report",
+    oracle="""
+SELECT CAST(a.num_rows AS BIGINT) AS num_rows,
+       CAST(a.nulls_user_id AS BIGINT) AS nulls_user_id,
+       CAST(a.nulls_ts AS BIGINT) AS nulls_ts,
+       CAST(a.nulls_event_type AS BIGINT) AS nulls_event_type,
+       CAST(a.nulls_value AS BIGINT) AS nulls_value,
+       CAST(a.nulls_props AS BIGINT) AS nulls_props,
+       CAST(a.distinct_users AS BIGINT) AS distinct_users,
+       a.min_ts, a.max_ts,
+       CAST(a.num_rows - d.distinct_keys AS BIGINT) AS duplicate_rows
+FROM (
+  SELECT count(*) AS num_rows,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props,
+         count(DISTINCT user_id) AS distinct_users,
+         min(ts) AS min_ts, max(ts) AS max_ts
+  FROM events
+) a CROSS JOIN (
+  SELECT count(*) AS distinct_keys FROM (SELECT DISTINCT user_id, event_type, props FROM events)
+) d
+""",
+)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.agg(
+        F.count(F.lit(1)).cast("long").alias("num_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nulls_{c}")
+            for c in ("user_id", "ts", "event_type", "value", "props")
+        ],
+        F.countDistinct("user_id").cast("long").alias("distinct_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    distinct_keys = (
+        events.select("user_id", "event_type", "props")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("distinct_keys"))
+    )
+    return agg.crossJoin(distinct_keys).select(
+        "num_rows",
+        *[f"nulls_{c}" for c in ("user_id", "ts", "event_type", "value", "props")],
+        "distinct_users",
+        "min_ts",
+        "max_ts",
+        (F.col("num_rows") - F.col("distinct_keys")).cast("long").alias("duplicate_rows"),
+    )
+
+
+@query(
+    "quality_clean_rate",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN 1 ELSE 0 END) / count(*), 2) AS rate_text_nonempty,
+       round(100.0 * sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) / count(*), 2) AS rate_nchars_consistent,
+       round(100.0 * sum(CASE WHEN lang IN ('en','es','fr','de','zh','ja') THEN 1 ELSE 0 END) / count(*), 2) AS rate_lang_known,
+       round(100.0 * sum(CASE WHEN source LIKE 'src%' THEN 1 ELSE 0 END) / count(*), 2) AS rate_source_valid
+FROM documents
+""",
+)
+def quality_clean_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rate(pred: Column, name: str) -> Column:
+        return F.round(
+            100.0 * F.sum(F.when(pred, 1).otherwise(0)) / F.count(F.lit(1)), 2
+        ).alias(name)
+
+    return docs.agg(
+        rate(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0), "rate_text_nonempty"),
+        rate(F.col("n_chars") == F.length("text"), "rate_nchars_consistent"),
+        rate(F.col("lang").isin("en", "es", "fr", "de", "zh", "ja"), "rate_lang_known"),
+        rate(F.col("source").like("src%"), "rate_source_valid"),
+    )
+
+
+@query(
+    "quality_format_check",
+    oracle="""
+SELECT CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations_value_negative,
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS violations_event_type,
+       CAST(sum(CASE WHEN props NOT LIKE '{%' THEN 1 ELSE 0 END) AS BIGINT) AS violations_props_json,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00' OR ts >= TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS violations_ts_range
+FROM events
+""",
+)
+def quality_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def viol(pred: Column, name: str) -> Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+
+    return events.agg(
+        viol(F.col("value") < 0, "violations_value_negative"),
+        viol(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+            "violations_event_type",
+        ),
+        viol(~F.col("props").like("{%"), "violations_props_json"),
+        viol(
+            (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2025-01-01 00:00:00").cast("timestamp")),
+            "violations_ts_range",
+        ),
+    )

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (dwh_lab/dwh/general_lib.py) hand-rolls IO and transforms
+in pandas on one node; here a single tuned SparkSession is the engine.
+Settings chosen for a 1000-executor / 100 TB deployment but harmless on
+local[*]:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- session timezone pinned to UTC so event-time semantics are
+  deployment-independent (and match the DuckDB oracles),
+- Arrow enabled for the few Pandas-UDF paths (vector ops, multimodal),
+- shuffle partitions sized by env (32 for local tests; a real cluster
+  sets this to ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "etl_jlp_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet stores TIMESTAMP(NANOS); read as long, the
+        # catalog converts to microsecond timestamps (matching DuckDB).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    return builder.getOrCreate()
