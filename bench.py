@@ -1,0 +1,80 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Each query is materialized with the noop sink (full compute, no driver
+collect). Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "events_by_type_day",
+    "top_customers_by_revenue",
+    "sessionize",
+    "session_stats",
+    "time_on_page",
+    "dedup_exact",
+    "window_time",
+    "quality_report",
+    "keywords_extract",
+    "token_count",
+    "text_quality_score",
+    "text_langid",
+    "doc_fingerprint",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "dedup_embedding_cosine",
+    "ingest_incremental_watermark",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+    from etl_jlp_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = ent.queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    # warm the JVM + file listing once (excluded from timings)
+    qs["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
-from etl_jlp_spark.functions.vectors import as_double_array, cosine
+from etl_jlp_spark.functions.vectors import as_double_array, static_dot
 from etl_jlp_spark.registry import query
 
 MINHASH_K = 8  # signature length
@@ -294,37 +294,114 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pairwise_cosine(emb: DataFrame) -> DataFrame:
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), as_double_array(F.col("embedding")).alias("va")
+def _emb_dim(emb: DataFrame) -> int:
+    return len(emb.select("embedding").head()[0])
+
+
+def _with_norm(emb: DataFrame, dim: int, id_alias: str, v_alias: str) -> DataFrame:
+    """(id, v, nrm) — norm precomputed once per row, not once per pair."""
+    v = as_double_array(F.col("embedding"))
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        v.alias(v_alias),
+        F.sqrt(static_dot(v, v, dim)).alias(f"nrm_{id_alias}"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), as_double_array(F.col("embedding")).alias("vb")
+
+
+def _pair_cosine(va: Column, vb: Column, na: Column, nb: Column, dim: int) -> Column:
+    """dot/(|a|·|b|) with the same sequential-sum expression tree as the
+    DuckDB oracle's list_dot_product, so values match bit-for-bit."""
+    return static_dot(va, vb, dim) / (na * nb)
+
+
+SIGN_BUCKET_BITS = 8
+SIGN_BANDS = 4  # bands over components [0..7], [8..15], [16..23], [24..31]
+
+
+def _sign_bucket(v_alias: str, band: int = 0) -> Column:
+    """LSH bucket from the sign bits of components [8b, 8b+8). Float
+    sign tests are exact, so Spark and DuckDB bucket identically."""
+    lo = band * SIGN_BUCKET_BITS
+    return F.expr(
+        f"aggregate(sequence({lo}, {lo + SIGN_BUCKET_BITS - 1}), 0L, "
+        f"(acc, j) -> acc * 2 + CASE WHEN {v_alias}[j] >= 0 THEN 1 ELSE 0 END)"
     )
-    return a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
-    )
+
+
+def _sign_bucket_sql(v_expr: str, band: int = 0) -> str:
+    """Matching DuckDB expression (1-based list indexing)."""
+    lo = band * SIGN_BUCKET_BITS
+    terms = [
+        f"(CASE WHEN {v_expr}[{lo + j + 1}] >= 0 THEN {1 << (SIGN_BUCKET_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(SIGN_BUCKET_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_COSINE_ORACLE_BANDS = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_sql('v', b)} AS bucket FROM e"
+    for b in range(SIGN_BANDS)
+)
 
 
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_TAU}
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bands AS (
+  {_COSINE_ORACLE_BANDS}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos_sim
+FROM cand c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id
+WHERE round(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= {COSINE_TAU}
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cos ≥ τ). Brute-force pairs here (the
-    verification baseline); the scale path is ``ann_lsh_topk``-style
-    sign-bucketing so candidate pairs come from an equi-join, not a
-    cross join."""
+    """Embedding near-dup pairs (cos ≥ τ) via banded sign-bucket LSH:
+    4 bands of 8 sign bits; candidates = same bucket in ANY band
+    (multi-probe recall), produced by an equi-join on (band, bucket) —
+    never an all-pairs cross join, the only formulation that survives
+    100 TB. Sign tests are float-exact so the oracle reproduces the
+    candidate set identically; cosine on candidates is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _pairwise_cosine(emb).filter(F.col("cos_sim") >= COSINE_TAU)
+    dim = _emb_dim(emb)
+    base = _with_norm(emb, dim, "vec_id", "v")
+    bands = None
+    for bnd in range(SIGN_BANDS):
+        part = base.select(
+            "vec_id", F.lit(bnd).alias("band"), _sign_bucket("v", bnd).alias("bucket")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.withColumnsRenamed({"vec_id": "id_a"})
+    b = bands.withColumnsRenamed({"vec_id": "id_b"})
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = _with_norm(emb, dim, "id_a", "va")
+    y = _with_norm(emb, dim, "id_b", "vb")
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _pair_cosine(F.col("va"), F.col("vb"), F.col("nrm_id_a"), F.col("nrm_id_b"), dim),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_TAU)
+    )
 
 
 @query(
@@ -349,17 +426,22 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through one narrow stage + a per-query top-k window. This is
     the exact baseline ANN variants are measured against."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    queries = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).withColumnsRenamed(
-        {"vec_id": "query_id", "v": "qv"}
+    dim = _emb_dim(emb)
+    corpus = _with_norm(emb, dim, "neighbor_id", "v")
+    queries = _with_norm(emb, dim, "query_id", "qv").filter(
+        F.col("query_id") % ANN_QUERY_MOD == 0
     )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("c6"),
-        )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _pair_cosine(
+                F.col("qv"), F.col("v"), F.col("nrm_query_id"), F.col("nrm_neighbor_id"), dim
+            ),
+            6,
+        ).alias("c6"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
     return (
@@ -369,28 +451,59 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_LSH_BANDS = 4
+ANN_LSH_BITS = 6
+
+
+def _ann_bands(df: DataFrame, v_alias: str, id_col: str) -> DataFrame:
+    """Tall (id, band, bucket) relation: one 6-sign-bit bucket per band."""
+    parts = []
+    for bnd in range(ANN_LSH_BANDS):
+        lo = bnd * ANN_LSH_BITS
+        bucket = F.expr(
+            f"aggregate(sequence({lo}, {lo + ANN_LSH_BITS - 1}), 0L, "
+            f"(acc, j) -> acc * 2 + CASE WHEN {v_alias}[j] >= 0 THEN 1 ELSE 0 END)"
+        )
+        parts.append(df.select(F.col(id_col), F.lit(bnd).alias("band"), bucket.alias("bucket")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 @query("ann_lsh_topk")  # rows-only: float hyperplane math isn't portable SQL
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bucket LSH ANN: bucket = sign bits of the first 8
-    components; top-k searched only within the query's bucket (an
-    equi-join on bucket id — the 100 TB path). Recall vs the brute-force
-    baseline is asserted in tests/test_similarity.py."""
+    """Banded sign-bucket LSH ANN: 4 bands × 6 sign bits; a corpus
+    vector is a candidate for a query if they share a bucket in ANY
+    band (multi-probe recall), produced by an equi-join on
+    (band, bucket) — the 100 TB path where brute force is impossible.
+    Recall vs the brute-force baseline is asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    bucket = F.expr(
-        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc * 2 + CASE WHEN v[j] >= 0 THEN 1 ELSE 0 END)"
+    dim = _emb_dim(emb)
+    corpus = _with_norm(emb, dim, "neighbor_id", "v")
+    queries = _with_norm(emb, dim, "query_id", "qv").filter(
+        F.col("query_id") % ANN_QUERY_MOD == 0
     )
-    bucketed = corpus.withColumn("bucket", bucket)
-    queries = bucketed.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).withColumnsRenamed(
-        {"vec_id": "query_id", "v": "qv"}
+    cand = (
+        _ann_bands(corpus, "v", "neighbor_id")
+        .join(F.broadcast(_ann_bands(queries, "qv", "query_id")), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        bucketed.join(F.broadcast(queries), "bucket")
-        .filter(F.col("query_id") != F.col("vec_id"))
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "neighbor_id")
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("c6"),
+            "neighbor_id",
+            F.round(
+                _pair_cosine(
+                    F.col("qv"), F.col("v"), F.col("nrm_query_id"), F.col("nrm_neighbor_id"), dim
+                ),
+                6,
+            ).alias("c6"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())

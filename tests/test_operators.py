@@ -1,0 +1,94 @@
+"""Semantic unit tests on small synthetic frames (independent of the
+oracle gate): sessionization gaps, dedup determinism, time windows,
+quality report math, keyword ranking."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.operators.dedup import dedup_first
+from etl_jlp_spark.operators.sessionize import with_session_id, with_time_on_page
+from etl_jlp_spark.operators.timewindow import with_window_time
+from etl_jlp_spark.quality.report import QualityReport
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+def test_session_split_on_gap(spark):
+    # user 1: events at 0s, 100s, 2000s (>30min? no, 1800s gap rule uses >)
+    df = _events(spark, [(1, 0), (1, 100), (1, 100 + 1801), (2, 0)])
+    got = {
+        r["event_id"]: r["session_id"] for r in with_session_id(df).collect()
+    }
+    assert got[0] == 1 and got[1] == 1  # same session
+    assert got[2] == 2  # gap 1801s > 1800s → new session
+    assert got[3] == 1  # other user restarts at 1
+
+
+def test_session_gap_boundary_exactly_1800(spark):
+    df = _events(spark, [(1, 0), (1, 1800)])
+    got = [r["session_id"] for r in with_session_id(df).orderBy("event_id").collect()]
+    assert got == [1, 1]  # gap == 1800 is NOT > 1800
+
+
+def test_time_on_page_last_default_and_cap(spark):
+    df = _events(spark, [(1, 0), (1, 5000), (1, 5010)])
+    rows = {r["event_id"]: r for r in with_time_on_page(df).collect()}
+    assert rows[0]["raw_time_on_page"] == 5000.0
+    assert rows[0]["capped_time_on_page"] == 3600.0  # capped
+    assert rows[1]["raw_time_on_page"] == 10.0
+    assert rows[2]["raw_time_on_page"] == 1800.0  # last-event default
+
+
+def test_dedup_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "a", "x"), (1, "a", "x"), (2, "a", "y")], "event_id long, k string, v string"
+    )
+    kept = sorted(
+        r["event_id"] for r in dedup_first(df, ["k", "v"], ["event_id"]).collect()
+    )
+    assert kept == [1, 2]  # min event_id per (k,v)
+
+
+def test_window_time_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5, 30)), (2, dt.datetime(2024, 1, 1, 23, 1))],
+        "event_id long, ts timestamp",
+    )
+    rows = {r["event_id"]: r for r in with_window_time(df).collect()}
+    assert rows[1]["window_time_details"] == 5
+    assert rows[1]["window_time_overall"] == 0
+    assert rows[1]["window_time_details_meaning"] == "5ham"
+    assert rows[2]["window_time_overall"] == 18
+    assert rows[2]["window_time_overall_meaning"] == "(18h - 24h) pm"
+
+
+def test_quality_report_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, "b", -1.0), (2, "b", -1.0)], "id long, name string, v double"
+    )
+    qr = QualityReport(df, "t")
+    qr.check_nulls(["name", "v", "missing_col"])
+    qr.check_default_values({"v": 5.0})
+    qr.track_clean_success_rate("v", F.col("v") >= 0)
+    qr.check_duplicates(["id", "name"])
+    rep = qr.generate()
+    assert rep["num_rows"] == 3
+    assert rep["nulls_name"] == 1
+    assert rep["nulls_v"] == 0
+    assert rep["bad_default_v"] == 2
+    assert rep["clean_rate_v"] == 33.33
+    assert rep["duplicate_rows"] == 1
+    assert "column missing: missing_col" in rep["notes"]
+
+
+def test_format_check_metadata_only(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    res = QualityReport(df, "t").check_formats({"id": "bigint", "name": "int"})
+    assert res["id"]["match"] is True
+    assert res["name"]["match"] is False

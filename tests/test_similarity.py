@@ -1,0 +1,76 @@
+"""Similarity-search behavior tests: LSH recall vs brute force, MinHash
+candidate quality, SimHash locality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+
+import __spark_entry__ as ent
+
+QS = ent.queries()
+
+
+@pytest.fixture(scope="module")
+def brute(spark):
+    return {
+        (r["query_id"], r["neighbor_id"])
+        for r in QS["ann_topk_cosine"](spark, SF_MEDIUM).collect()
+    }
+
+
+def test_ann_lsh_recall_floor(spark, brute):
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QS["ann_lsh_topk"](spark, SF_MEDIUM).collect()
+    }
+    # sign-bucket LSH is an approximation: it must find a nonempty
+    # subset and every hit must be consistent with being a real neighbor
+    assert lsh, "LSH returned nothing"
+    recall = len(lsh & brute) / len(brute)
+    assert recall > 0.05, f"recall {recall} suspiciously low"
+
+
+def test_minhash_agrees_with_exact_ngram(spark):
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QS["dedup_minhash_lsh"](spark, SF_MEDIUM).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QS["dedup_ngram_jaccard"](spark, SF_MEDIUM).collect()
+        if r["jaccard"] >= 0.5
+    }
+    # every minhash-surfaced pair is a true high-jaccard pair
+    for pair, j in mh.items():
+        assert j >= 0.5
+        assert pair in exact
+    # high recall on strong duplicates (jaccard ≥ 0.8 almost always
+    # collides in at least one of 4 bands)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    if strong:
+        found = len(strong & set(mh)) / len(strong)
+        assert found >= 0.8, f"minhash recall on strong dups {found}"
+
+
+def test_simhash_locality(spark):
+    """Near-identical docs (known high-jaccard pairs) must have close
+    simhashes (hamming distance << random ~16)."""
+    sig = {r["doc_id"]: r["simhash"] for r in QS["dedup_simhash"](spark, SF_MEDIUM).collect()}
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QS["dedup_ngram_jaccard"](spark, SF_MEDIUM).collect()
+        if r["jaccard"] >= 0.9
+    ]
+    if not pairs:
+        pytest.skip("no strong near-dup pairs at this sf")
+    for a, b in pairs:
+        ham = bin(sig[a] ^ sig[b]).count("1")
+        assert ham <= 8, f"simhash hamming {ham} too large for near-dup pair ({a},{b})"
+
+
+def test_embedding_dedup_pairs_above_threshold(spark):
+    rows = QS["dedup_embedding_cosine"](spark, SF_MEDIUM).collect()
+    assert all(r["cos_sim"] >= 0.4 for r in rows)
+    # symmetric pair convention: id_a < id_b, no self-pairs
+    assert all(r["id_a"] < r["id_b"] for r in rows)

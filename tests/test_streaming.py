@@ -1,0 +1,91 @@
+"""Structured Streaming pipeline tests: file-source incremental load
+with audit stamping, windowed event-time aggregation, and session
+windows — each checked against its batch twin."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.streaming.pipeline import (
+    incremental_to_bronze,
+    stream_events,
+    streaming_sessionize,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Re-materialize sf0.001 events as a micro-batched source dir
+    (two files = two 'incremental loads')."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_incremental_to_bronze_exactly_once(spark, events_dir, tmp_path):
+    dest = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_to_bronze(spark, events_dir, dest, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(dest)
+    n_src = spark.read.parquet(events_dir).count()
+    assert out.count() == n_src
+    assert out.filter(F.col("source_name") != "clickhouse-streaming-data").count() == 0
+    # restart with same checkpoint: no reprocessing (exactly-once)
+    q2 = incremental_to_bronze(spark, events_dir, dest, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == n_src
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    agg = windowed_event_counts(stream, window="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = load_table(spark, SF_SMALL, "events").groupBy(
+        F.date_trunc("day", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_bounded_sessions(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    sess = streaming_sessionize(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions").collect()
+    assert rows
+    # sessions are per-user and non-overlapping in time
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, "overlapping sessions for one user"
