@@ -33,6 +33,27 @@ SAMPLE_PREFIX_BOUND = "1a"
 DEFAULT_WATERMARK = "2024-01-20 00:00:00"
 
 
+def _events_after_watermark(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
+    """events rows with ts > watermark, with the predicate applied to the
+    RAW int64 nano column so it pushes into the parquet scan
+    (PushedFilters / row-group stats skipping). The converted-timestamp
+    column can't push down (it's a computed expression); at 100 TB the
+    difference is reading only new row groups vs the whole table."""
+    from datetime import datetime, timezone
+
+    from etl_jlp_spark.catalog import _ensure_session_confs, table_path
+
+    _ensure_session_confs(spark)
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        wm_dt = datetime.strptime(watermark, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+        wm_nanos = int(wm_dt.timestamp()) * 1_000_000_000
+        return raw.filter(F.col("ts") > wm_nanos).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return raw.filter(F.col("ts") > F.lit(watermark).cast("timestamp"))
+
+
 def hash_sample_predicate(id_col: Column, bound: str = SAMPLE_PREFIX_BOUND) -> Column:
     return F.substring(F.md5(id_col.cast("string")), 1, 2) < bound
 
@@ -67,8 +88,7 @@ WHERE ts > TIMESTAMP '{DEFAULT_WATERMARK}'
 """,
 )
 def ingest_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.filter(F.col("ts") > F.lit(DEFAULT_WATERMARK).cast("timestamp")).select(
+    return _events_after_watermark(spark, sf_dir, DEFAULT_WATERMARK).select(
         "event_id", "user_id", "ts", "event_type", "value", "props"
     )
 
@@ -87,10 +107,9 @@ WHERE ts > TIMESTAMP '{DEFAULT_WATERMARK}'
 def watermark_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New watermark value after an incremental extract (reference
     ingest_click_house_incremental_load_browsinghistory.py:37-44)."""
-    events = load_table(spark, sf_dir, "events")
     wm = F.lit(DEFAULT_WATERMARK).cast("timestamp")
     return (
-        events.filter(F.col("ts") > wm)
+        _events_after_watermark(spark, sf_dir, DEFAULT_WATERMARK)
         .agg(
             F.max("ts").alias("new_watermark"),
             F.count("*").cast("long").alias("rows_extracted"),

@@ -148,20 +148,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _word_shingles(docs)
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
-    hash_ids = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h")
-    hashed = (
-        shingles.select("doc_id", "sh", hash_ids)
-        .select(
-            "doc_id",
-            "h",
-            F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("sh"))).alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("sig"))
-    )
-    sigs = hashed.groupBy("doc_id").agg(
+    # k conditional mins in ONE aggregation: k md5s are computed per
+    # shingle row map-side, but the shuffle carries only one row per
+    # (doc, k-signature) — no k× row explode.
+    sigs = shingles.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("h") == i, F.col("sig"))).alias(f"s{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"s{i}")
             for i in range(k)
         ]
     )
@@ -265,33 +257,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("hx", F.md5("tok"))
     )
-    bits = (
-        toks.select(
-            "doc_id",
-            "cnt",
-            F.md5("tok").alias("hx"),
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.when(
-                F.expr("substr(hx, i + 1, 1)").isin(*"89abcdef"), F.col("cnt")
-            )
-            .otherwise(-F.col("cnt"))
-            .alias("vote_part"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.sum("vote_part").alias("vote"))
+    # 32 conditional-sum vote columns in ONE aggregation (no 32× row
+    # explode: shuffle volume is #(doc,token) rows, not 32× that).
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("hx", i + 1, 1).isin(*"89abcdef"), F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.round(F.pow(2, F.col("i"))).cast("long")).otherwise(0)
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    simhash = None
+    for i in range(32):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 def _emb_dim(emb: DataFrame) -> int:

@@ -184,15 +184,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable minhash primitive; identical in the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     k = FINGERPRINT_K
-    return (
-        docs.select(
-            "doc_id",
-            F.lower("text").alias("t"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
-            ).alias("i"),
-        )
-        .select("doc_id", F.md5(F.expr(f"substr(t, i, {k})")).alias("sh"))
-        .groupBy("doc_id")
-        .agg(F.min("sh").alias("fingerprint"))
+    # min-over-shingles evaluated inside one array expression per row:
+    # a narrow projection — no explode, no shuffle, nothing to spill.
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+            f"i -> md5(substr(lower(text), i, {k}))))"
+        ).alias("fingerprint"),
     )

@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in `.explain` output — pushed filters, broadcast joins, no cartesian
+products in the LSH ops."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+import __spark_entry__ as ent
+
+QS = ent.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_watermark_filter_pushed_to_scan(spark):
+    df = QS["ingest_incremental_watermark"](spark, SF_SMALL)
+    plan = _optimized(df)
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan, plan[-2000:]
+
+
+def test_q1_scan_prunes_columns(spark):
+    df = QS["q1_pricing_summary"](spark, SF_SMALL)
+    plan = _optimized(df)
+    # ReadSchema must not include unused columns like l_orderkey/l_partkey
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # shipdate filter pushed
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(QS["q5_local_supplier"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_ops_avoid_cartesian(spark):
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine"):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_fingerprint_has_no_shuffle(spark):
+    plan = _plan(QS["doc_fingerprint"](spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(QS["sessionize"](spark, SF_SMALL))
+    # one hash partitioning on user_id, reused by both window functions
+    assert plan.count("Exchange hashpartitioning") == 1
