@@ -25,13 +25,14 @@ from etl_jlp_spark.ingest import loaders  # noqa: E402, F401
 from etl_jlp_spark.operators import (  # noqa: E402, F401
     audit,
     dedup,
+    joins,
     keywords,
     sessionize,
     similarity,
     textstats,
     timewindow,
 )
-from etl_jlp_spark.plans import analytics  # noqa: E402, F401
+from etl_jlp_spark.plans import analytics, enrich  # noqa: E402, F401
 from etl_jlp_spark.quality import report  # noqa: E402, F401
 
 

@@ -149,6 +149,34 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_revenue_change",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-agg: every predicate is pushdown-eligible; the
+    result is a single row, so the shuffle is one partial-agg exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        )
+    )
+
+
+@query(
     "events_by_type_day",
     oracle="""
 SELECT event_type,

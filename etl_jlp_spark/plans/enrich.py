@@ -1,0 +1,128 @@
+"""Enrichment / windowed-analytics queries: JSON property extraction,
+rolling and cumulative windows, pivoted counts.
+
+The reference stores semi-structured payloads as JSON strings
+(browsinghistory props; general_lib.py JSON read paths) and computes
+per-entity rollups driver-side; these are the Spark-native shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "props_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS VARCHAR) AS k_bucket
+FROM events
+""",
+)
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction stays JVM-side (get_json_object) — the
+    semi-structured column never round-trips through Python."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "rolling_user_stats",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER w, 4) AS rolling_avg_5,
+       round(sum(value) OVER w, 2) AS rolling_sum_5,
+       CAST(count(*) OVER w AS BIGINT) AS window_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-event stats per user — bounded-frame window, one
+    shuffle on user_id (same key as sessionize, so in a composed
+    pipeline Catalyst reuses the partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_5"),
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum_5"),
+        F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
+    )
+
+
+@query(
+    "cumulative_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, day_revenue,
+       round(sum(day_revenue) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cumulative_revenue
+FROM daily
+""",
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total over the (small) per-day aggregate. The global
+    window runs on the already-reduced daily table (#days rows), so the
+    single-partition sort is trivially cheap at any fact-table scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.round(F.sum("day_revenue").over(w), 2).alias("cumulative_revenue"),
+    )
+
+
+_PIVOT_SQL_COLS = ",\n       ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in EVENT_TYPES
+)
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+SELECT user_id,
+       {_PIVOT_SQL_COLS},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior vector (counts pivoted by event type) — with
+    the pivot values declared, this is one groupBy with conditional
+    aggregates: a single map-side-combined shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
