@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
-from etl_jlp_spark.functions.text import filtered_tokens_df, sql_stopword_list
+from etl_jlp_spark.functions.text import STOPWORDS, filtered_tokens_df, sql_stopword_list
 from etl_jlp_spark.registry import query
 
 TOP_N = 5
@@ -33,6 +33,82 @@ def top_keywords(docs: DataFrame, n: int = TOP_N) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= n)
         .select("doc_id", F.col("tok").alias("keyword"), "cnt", "rank")
+    )
+
+
+def ngram_col(n: int) -> str:
+    """SQL fragment: word n-grams from the filtered token array."""
+    return (
+        f"transform(sequence(0, size(toks) - {n}), j -> concat_ws(' ', slice(toks, j + 1, {n})))"
+    )
+
+
+@query(
+    "keywords_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-zA-Z0-9_ -]', '', 'g')), '\\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-zA-Z0-9_ -]', '', 'g')), '\\s+'), 1) AS pos
+    FROM documents
+  )
+  WHERE length(tok) > 1 AND tok NOT IN {sql_stopword_list()}
+), grams AS (
+  SELECT doc_id, tok AS gram, 1 AS n FROM toks
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok, 2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok, 3
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), counts AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id, gram AS keyword, cnt,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC, gram ASC) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= {TOP_N * 2}
+""",
+)
+def keywords_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference semantics: uni + bi + tri-gram keywords ranked by
+    (freq desc, length desc) — reference
+    extract_keywords_from_visible_content (preprocessing_streaming_
+    incremental_load.py:193-222) including its n-gram Counter ranking,
+    with a deterministic final tie-break (gram asc) replacing Counter
+    insertion order. The n-gram generation happens inside one array
+    expression per doc (filter → sequential-position slices): a narrow
+    map, then one (doc, gram) count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    # filtered token array per doc, order preserved (reference filters
+    # stopwords BEFORE forming n-grams)
+    toks_arr = F.expr(
+        "filter(split(trim(regexp_replace(lower(text), '[^a-zA-Z0-9_ -]', '')), '\\\\s+'), "
+        "t -> length(t) > 1 AND NOT array_contains(__stops, t))"
+    )
+    base = docs.withColumn("__stops", F.lit(list(STOPWORDS)).cast("array<string>")).select(
+        "doc_id", toks_arr.alias("toks")
+    )
+    grams = None
+    for n in (1, 2, 3):
+        part = base.filter(F.size("toks") >= n).select(
+            "doc_id",
+            F.explode(F.expr(ngram_col(n)) if n > 1 else F.col("toks")).alias("gram"),
+        )
+        grams = part if grams is None else grams.unionAll(part)
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.length("gram").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_N * 2)
+        .select("doc_id", F.col("gram").alias("keyword"), "cnt", "rank")
     )
 
 

@@ -125,6 +125,90 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_merge_records",
+    oracle=f"""
+WITH sess AS ({_SESSIONIZED_CTE}), joined AS (
+  SELECT s.user_id, s.session_id, s.ts, s.event_id, e.event_type, e.value, e.props
+  FROM sess s JOIN events e ON s.event_id = e.event_id
+)
+SELECT user_id, session_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(ts) AS first_ts,
+       CAST(arg_min(event_id, ts) AS BIGINT) AS first_event_id,
+       arg_min(props, ts) AS first_props
+FROM joined
+GROUP BY user_id, session_id, event_type
+""",
+)
+def session_merge_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference merge_sessions semantics (preprocessing_streaming_
+    incremental_load.py:339-367): within (user, session, page-key),
+    sum the counts and take the earliest record's identifying fields.
+    'Earliest' is expressed with ``min_by`` (Spark) / ``arg_min``
+    (DuckDB) — a single-pass aggregation, not a sort + first."""
+    events = load_table(spark, sf_dir, "events")
+    sess = with_session_id(events)
+    return sess.groupBy("user_id", "session_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_id", "ts").cast("long").alias("first_event_id"),
+        F.min_by("props", "ts").alias("first_props"),
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+), flagged AS (
+  -- Spark session_window: session END is exclusive (start + gap), so a
+  -- gap EQUAL to the timeout starts a new session (>=, not >)
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= {SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` operator —
+    the same logical op as ``sessionize`` but using the built-in
+    merging session-window aggregation, which also runs unchanged under
+    Structured Streaming with state eviction (streaming/pipeline.py).
+    The oracle reproduces the exact gap semantics (end-exclusive)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "time_on_page",
     oracle=f"""
 SELECT event_id, user_id, ts,

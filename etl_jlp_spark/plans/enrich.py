@@ -40,6 +40,37 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_enrichment",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(e.event_id) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       round(sum(e.value), 2) AS sum_value,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral stream enriched with the customer dimension
+    (user_id = c_custkey): broadcast dim join + one agg shuffle — the
+    standard star-schema enrichment the reference does by merging
+    pandas frames driver-side."""
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("event_id").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
     "rolling_user_stats",
     oracle="""
 SELECT event_id, user_id, ts,
