@@ -29,6 +29,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     keywords,
     sessionize,
     similarity,
+    skew,
     textstats,
     timewindow,
 )

@@ -39,6 +39,15 @@ HEADLINE = [
     "ann_topk_cosine",
     "dedup_embedding_cosine",
     "ingest_incremental_watermark",
+    "q6_revenue_change",
+    "asof_join",
+    "range_band_join",
+    "rolling_user_stats",
+    "pivot_event_counts",
+    "user_enrichment",
+    "keywords_ngrams",
+    "session_window_stats",
+    "events_by_type_day_salted",
 ]
 
 

@@ -9,7 +9,7 @@ narrow-map + single-agg shapes; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -24,6 +24,7 @@ from etl_jlp_spark.registry import query
 # BPE-ish pre-tokenizer: letter runs | single digits | single punctuation.
 BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
 FINGERPRINT_K = 8  # char-shingle width for the rolling-hash fingerprint
+FINGERPRINT_STRIDE = 4  # sample every 4th shingle (winnowing stride)
 
 
 @query(
@@ -109,60 +110,74 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_marker_rows() -> list[tuple[str, str]]:
-    return [(lang, w) for lang, words in LANG_MARKERS.items() for w in words]
+def _langid_case_sql() -> tuple[str, str]:
+    """(hits CTE columns, CASE expression) for the oracle — alphabetical
+    language order wins ties, mirroring the Spark CASE chain."""
+    langs = sorted(LANG_MARKERS)
+    cols = ",\n       ".join(
+        "len(list_filter(toks, t -> t IN ("
+        + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"))) AS h_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        later = [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join([f"h_{lang} > 0", *later])
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    return cols, case
 
 
-def _lang_marker_values_sql() -> str:
-    return ",".join(f"('{lang}','{w}')" for lang, w in _lang_marker_rows())
+_LANGID_HITS_SQL, _LANGID_CASE_SQL = _langid_case_sql()
+_LANGID_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(LANG_MARKERS)) + ", 0)"
 
 
 @query(
     "text_langid",
     oracle=f"""
-WITH markers(lang, word) AS (VALUES {_lang_marker_values_sql()}),
-toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-  FROM documents WHERE length(trim(text)) > 0
-), hits AS (
-  SELECT t.doc_id, m.lang, CAST(count(*) AS BIGINT) AS hits
-  FROM toks t JOIN markers m ON t.tok = m.word
-  GROUP BY t.doc_id, m.lang
-), best AS (
-  SELECT doc_id, lang, hits,
-         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
-  FROM hits
+WITH scored AS (
+  SELECT doc_id,
+       {_LANGID_HITS_SQL}
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)
 )
-SELECT d.doc_id,
-       coalesce(b.lang, 'unknown') AS lang_pred,
-       CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits
-FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+SELECT doc_id,
+       {_LANGID_CASE_SQL} AS lang_pred,
+       CAST({_LANGID_GREATEST} AS BIGINT) AS marker_hits
+FROM scored
 """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID — the classic cheap n-gram heuristic.
-    The marker table is a broadcast VALUES relation (~40 rows)."""
+    """Stopword-marker language ID. Marker-hit counts are
+    ``size(filter(tokens, …))`` array expressions — the whole operator
+    is a narrow projection: no explode, no join, no shuffle. Ties go to
+    the alphabetically-first language (deterministic in both engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    nonempty = docs.filter(F.length(F.trim("text")) > 0)
-    toks = nonempty.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
-    )
-    markers = docs.sparkSession.createDataFrame(_lang_marker_rows(), "lang string, word string")
-    hits = (
-        toks.join(F.broadcast(markers), toks.tok == markers.word)
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred"), "hits")
-    )
-    return docs.join(best, "doc_id", "left").select(
+    langs = sorted(LANG_MARKERS)
+    scored = docs.select(
         "doc_id",
-        F.coalesce("pred", F.lit("unknown")).alias("lang_pred"),
-        F.coalesce("hits", F.lit(0)).cast("long").alias("marker_hits"),
+        *[
+            F.expr(
+                "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ("
+                + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+                + ")))"
+            ).alias(f"h_{lang}")
+            for lang in langs
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"h_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{other}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise("unknown")
+    return scored.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.greatest(*[F.col(f"h_{lang}") for lang in langs], F.lit(0))
+        .cast("long")
+        .alias("marker_hits"),
     )
 
 
@@ -171,7 +186,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH pos AS (
   SELECT doc_id, lower(text) AS t,
-         unnest(range(1, greatest(length(text) - {FINGERPRINT_K} + 1, 1) + 1)) AS i
+         unnest(range(1, greatest(length(text) - {FINGERPRINT_K} + 1, 1) + 1, {FINGERPRINT_STRIDE})) AS i
   FROM documents
 )
 SELECT doc_id, min(md5(substr(t, CAST(i AS INTEGER), {FINGERPRINT_K}))) AS fingerprint
@@ -189,7 +204,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(
-            f"array_min(transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+            f"array_min(transform(sequence(1, greatest(length(text) - {k - 1}, 1), {FINGERPRINT_STRIDE}), "
             f"i -> md5(substr(lower(text), i, {k}))))"
         ).alias("fingerprint"),
     )
