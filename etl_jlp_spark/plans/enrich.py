@@ -127,6 +127,35 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "percentile_stats",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       round(avg(value), 4) AS mean_value,
+       round(stddev_samp(value), 4) AS std_value
+FROM events
+GROUP BY event_type
+""",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition — verified bit-exact. At 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable partials) — same query
+    shape, bounded memory; the exact form is the correctness anchor."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.9D)").alias("p90"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+    )
+
+
 _PIVOT_SQL_COLS = ",\n       ".join(
     f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
     for t in EVENT_TYPES

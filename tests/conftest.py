@@ -5,14 +5,18 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# must precede any etl_jlp_spark.session import (defaults are read at
+# module import); keeps stateful-streaming tests from paying 32-way
+# python-worker fan-out on a 4-core test session
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
 def spark():
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
     from etl_jlp_spark.session import get_spark
 
     s = get_spark("tests", master="local[4]")
