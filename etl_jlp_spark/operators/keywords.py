@@ -91,16 +91,27 @@ def keywords_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter(split(trim(regexp_replace(lower(text), '[^a-zA-Z0-9_ -]', '')), '\\\\s+'), "
         "t -> length(t) > 1 AND NOT array_contains(__stops, t))"
     )
-    base = docs.withColumn("__stops", F.lit(list(STOPWORDS)).cast("array<string>")).select(
-        "doc_id", toks_arr.alias("toks")
+    base = (
+        docs.withColumn("__stops", F.lit(list(STOPWORDS)).cast("array<string>"))
+        .select("doc_id", toks_arr.alias("toks"))
+        # exchange = optimization barrier: the (expensive) token-filter
+        # array is materialized ONCE per row before the gram expressions
+        # reference it 5× (projection collapse would otherwise inline and
+        # re-evaluate it); also balances the explode fan-out across the
+        # cluster when the source is a single file/partition
+        .repartition("doc_id")
     )
-    grams = None
-    for n in (1, 2, 3):
-        part = base.filter(F.size("toks") >= n).select(
-            "doc_id",
-            F.explode(F.expr(ngram_col(n)) if n > 1 else F.col("toks")).alias("gram"),
-        )
-        grams = part if grams is None else grams.unionAll(part)
+    # all three gram orders concatenated into ONE array → one scan, one
+    # explode (a union of per-n branches would re-scan the table 3×)
+    def guarded(n: int) -> str:
+        return f"CASE WHEN size(toks) >= {n} THEN {ngram_col(n)} ELSE array() END"
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"concat(toks, {guarded(2)}, {guarded(3)})")
+        ).alias("gram"),
+    )
     counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("cnt").desc(), F.length("gram").desc(), F.col("gram").asc()

@@ -145,7 +145,11 @@ WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {MINHASH_TAU}
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingles = _word_shingles(docs)
+    # shingles feed 4 downstream consumers (sigs, sizes, 2× jaccard);
+    # persist so the scan+distinct runs once. At 100 TB this persist is
+    # MEMORY_AND_DISK and ∝ corpus tokens — the alternative (4 rescans
+    # of the raw table) is strictly worse.
+    shingles = _word_shingles(docs).persist()
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
     # k conditional mins in ONE aggregation: k md5s are computed per
@@ -157,17 +161,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(k)
         ]
     )
-    band_rows = [
-        sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    band_df = band_rows[0]
-    for extra in band_rows[1:]:
-        band_df = band_df.unionAll(extra)
+    # band keys as ONE posexplode over an array literal — a single
+    # evaluation of sigs, not a 4-branch union re-running the agg
+    band_df = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a = band_df.alias("a")
     b_ = band_df.alias("b")
     cand = (
@@ -212,7 +218,7 @@ WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {NGRAM_TAU}
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingles = _word_shingles(docs)
+    shingles = _word_shingles(docs).persist()
     doc_freq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
     rare = shingles.join(
         doc_freq.filter(F.col("doc_freq") <= NGRAM_DF_CUTOFF).select("sh"), "sh"
@@ -356,13 +362,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set identically; cosine on candidates is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    base = _with_norm(emb, dim, "vec_id", "v")
-    bands = None
-    for bnd in range(SIGN_BANDS):
-        part = base.select(
-            "vec_id", F.lit(bnd).alias("band"), _sign_bucket("v", bnd).alias("bucket")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # normalized vectors feed the band projection and both sides of the
+    # verify join — persist the small (one row per vector) relation
+    base = _with_norm(emb, dim, "vec_id", "v").persist()
+    bands = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_sign_bucket("v", bnd) for bnd in range(SIGN_BANDS)])
+        ).alias("band", "bucket"),
+    )
     a = bands.withColumnsRenamed({"vec_id": "id_a"})
     b = bands.withColumnsRenamed({"vec_id": "id_b"})
     cand = (
@@ -371,8 +379,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    x = _with_norm(emb, dim, "id_a", "va")
-    y = _with_norm(emb, dim, "id_b", "vb")
+    x = base.withColumnsRenamed({"vec_id": "id_a", "v": "va", "nrm_vec_id": "nrm_id_a"})
+    y = base.withColumnsRenamed({"vec_id": "id_b", "v": "vb", "nrm_vec_id": "nrm_id_b"})
     return (
         cand.join(x, "id_a")
         .join(y, "id_b")
@@ -440,19 +448,21 @@ ANN_LSH_BITS = 6
 
 
 def _ann_bands(df: DataFrame, v_alias: str, id_col: str) -> DataFrame:
-    """Tall (id, band, bucket) relation: one 6-sign-bit bucket per band."""
-    parts = []
+    """Tall (id, band, bucket) relation: one 6-sign-bit bucket per band,
+    via a single posexplode (one evaluation of the input, not a
+    per-band union re-running it)."""
+    buckets = []
     for bnd in range(ANN_LSH_BANDS):
         lo = bnd * ANN_LSH_BITS
-        bucket = F.expr(
-            f"aggregate(sequence({lo}, {lo + ANN_LSH_BITS - 1}), 0L, "
-            f"(acc, j) -> acc * 2 + CASE WHEN {v_alias}[j] >= 0 THEN 1 ELSE 0 END)"
+        buckets.append(
+            F.expr(
+                f"aggregate(sequence({lo}, {lo + ANN_LSH_BITS - 1}), 0L, "
+                f"(acc, j) -> acc * 2 + CASE WHEN {v_alias}[j] >= 0 THEN 1 ELSE 0 END)"
+            )
         )
-        parts.append(df.select(F.col(id_col), F.lit(bnd).alias("band"), bucket.alias("bucket")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
 
 
 @query("ann_lsh_topk")  # rows-only: float hyperplane math isn't portable SQL
