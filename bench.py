@@ -48,6 +48,10 @@ HEADLINE = [
     "keywords_ngrams",
     "session_window_stats",
     "events_by_type_day_salted",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_brand_discounts",
+    "percentile_stats",
 ]
 
 
