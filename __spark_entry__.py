@@ -33,13 +33,14 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     textstats,
     timewindow,
 )
-from etl_jlp_spark.plans import analytics, enrich  # noqa: E402, F401
+from etl_jlp_spark.plans import analytics, enrich, pipeline  # noqa: E402, F401
 from etl_jlp_spark.quality import report  # noqa: E402, F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's full preprocessing chain (dedup →
+    window-time → sessionize → time-on-page → audit) as one plan."""
+    return pipeline.preprocess_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -52,6 +52,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "q19_brand_discounts",
     "percentile_stats",
+    "quality_report_lineitem",
+    "preprocess_pipeline",
 ]
 
 

@@ -26,7 +26,9 @@ TOP_N = 5
 
 
 def top_keywords(docs: DataFrame, n: int = TOP_N) -> DataFrame:
-    toks = filtered_tokens_df(docs)
+    # spread before the explode: a single-file source otherwise serializes
+    # the tokenize+explode fan-out on one task
+    toks = filtered_tokens_df(docs.repartition("doc_id"))
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
     return (

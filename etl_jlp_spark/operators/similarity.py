@@ -443,6 +443,106 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_N_CENTROIDS = 16
+IVF_ITERATIONS = 1
+IVF_N_PROBE = 2
+
+
+@query("ann_ivf_topk")  # rows-only: iterative float centroid math isn't portable SQL
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer built with
+    IVF_ITERATIONS Lloyd steps expressed as DataFrame joins/aggs
+    (assign = broadcast-centroid argmin, update = groupBy mean), then
+    each query probes its IVF_N_PROBE nearest cells and ranks
+    candidates within them. The iterative step demonstrates driver-side
+    loop + lazy-plan iteration (each iteration materializes only the
+    k×dim centroid table — collect of 16 rows, never the corpus).
+
+    At 100 TB: corpus is assigned once and written bucketed by cell
+    (cluster-pruned scans); probes read only matching buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    corpus = _with_norm(emb, dim, "vec_id", "v").persist()
+
+    # deterministic seeds: every (n/k)-th vector by id rank
+    seeds = (
+        corpus.withColumn(
+            "rn", F.row_number().over(Window.orderBy("vec_id"))
+        )
+        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(((F.col("rn") - 1) % F.floor(F.col("total") / IVF_N_CENTROIDS) == 0))
+        .limit(IVF_N_CENTROIDS)
+        .select(F.col("rn").alias("cell"), F.col("v").alias("cv"))
+    )
+    centroids = [(int(r["cell"]), list(r["cv"])) for r in seeds.collect()]
+
+    def assign(cent_rows) -> DataFrame:
+        """Nearest centroid: broadcast the k×dim centroid table, score
+        each (vector, centroid) pair, keep the argmax row per vector.
+        Ties go to the lowest cell id deterministically."""
+        cent_df = spark.createDataFrame(
+            [(i, vec) for i, (_, vec) in enumerate(cent_rows)], "cell int, cv array<double>"
+        )
+        scored = corpus.join(F.broadcast(cent_df), F.lit(True)).select(
+            "vec_id", "v", "cell", static_dot(F.col("v"), F.col("cv"), dim).alias("sim")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cell")
+        )
+
+    for _ in range(IVF_ITERATIONS):
+        assigned = assign(centroids)
+        new_cent = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("v").getItem(i)).alias(f"c{i}") for i in range(dim)]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        centroids = [(int(r["cell"]), list(r["cv"])) for r in new_cent]
+
+    assigned = assign(centroids).select("vec_id", "v", "cell").persist()
+    cent_df = spark.createDataFrame(
+        [(i, vec) for i, (_, vec) in enumerate(centroids)], "cell int, cv array<double>"
+    )
+    queries = assigned.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe the n nearest cells per query
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
+    probes = (
+        queries.join(F.broadcast(cent_df), F.lit(True))
+        .select(
+            "query_id", "qv", "cell", static_dot(F.col("qv"), F.col("cv"), dim).alias("psim")
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= IVF_N_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    # vectors are pre-normalized? no — compute full cosine
+    nq = F.sqrt(static_dot(F.col("qv"), F.col("qv"), dim))
+    nv = F.sqrt(static_dot(F.col("v"), F.col("v"), dim))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(static_dot(F.col("qv"), F.col("v"), dim) / (nq * nv), 6).alias("c6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
+    )
+
+
 ANN_LSH_BANDS = 4
 ANN_LSH_BITS = 6
 

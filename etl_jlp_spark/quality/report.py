@@ -162,6 +162,41 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_report_lineitem",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS num_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+       CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate
+FROM lineitem
+""",
+)
+def quality_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-report shape on the biggest fact table — still ONE
+    scan + one partial-agg reduction regardless of check count."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(pred: Column, name: str) -> Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("num_rows"),
+        viol(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), "bad_quantity"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1), "bad_discount"),
+        viol(F.col("l_tax") < 0, "bad_tax"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R"), "bad_returnflag"),
+        F.countDistinct("l_orderkey").cast("long").alias("distinct_orders"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@query(
     "quality_clean_rate",
     oracle="""
 SELECT round(100.0 * sum(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN 1 ELSE 0 END) / count(*), 2) AS rate_text_nonempty,

@@ -31,6 +31,23 @@ def test_ann_lsh_recall_floor(spark, brute):
     assert recall > 0.05, f"recall {recall} suspiciously low"
 
 
+def test_ann_ivf_recall(spark, brute):
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QS["ann_ivf_topk"](spark, SF_MEDIUM).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    recall = len(ivf & brute) / len(brute)
+    # 2-probe IVF over 16 cells should recover a sizable share of the
+    # true top-k (random near-orthogonal data bounds this well below 1)
+    assert recall >= 0.2, f"IVF recall {recall} too low"
+    # every query produced exactly top-k ranked 1..k
+    by_q = {}
+    for r in QS["ann_ivf_topk"](spark, SF_MEDIUM).collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
 def test_minhash_agrees_with_exact_ngram(spark):
     mh = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
