@@ -1,0 +1,106 @@
+"""Minimal DAG orchestration for the medallion pipeline.
+
+Reference: the Airflow deployment (dwh_lab/airflow.cfg, dwh_dag in
+logs/scheduler/) chains ingest → preprocess → quality jobs. Spark
+doesn't need an external scheduler for the intra-job graph — Catalyst
+already executes the widest correct plan — so this orchestrator covers
+the *inter*-job layer only: ordered steps with dependencies, per-step
+timing/row-count metrics, and fail-fast with a job report (the
+reference's quality-report JSON, generalized).
+
+Steps are plain callables returning a DataFrame (materialized with a
+count) or None (side-effecting writers). This is deliberately thin:
+on a real deployment each `Step` maps 1:1 onto an Airflow/dbt task
+invoking `spark-submit`; nothing here assumes a scheduler.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Step:
+    name: str
+    fn: Callable[..., DataFrame | None]
+    depends_on: tuple[str, ...] = ()
+
+
+@dataclass
+class StepResult:
+    name: str
+    status: str
+    seconds: float
+    rows: int | None = None
+    error: str | None = None
+
+
+@dataclass
+class Pipeline:
+    name: str
+    steps: list[Step] = field(default_factory=list)
+
+    def step(self, name: str, depends_on: tuple[str, ...] = ()):
+        def deco(fn):
+            self.steps.append(Step(name, fn, depends_on))
+            return fn
+
+        return deco
+
+    def _ordered(self) -> list[Step]:
+        done: list[Step] = []
+        names: set[str] = set()
+        pending = list(self.steps)
+        while pending:
+            progressed = False
+            for s in list(pending):
+                if all(d in names for d in s.depends_on):
+                    done.append(s)
+                    names.add(s.name)
+                    pending.remove(s)
+                    progressed = True
+            if not progressed:
+                cycle = [s.name for s in pending]
+                raise ValueError(f"dependency cycle or missing dep among {cycle}")
+        return done
+
+    def run(self, **context) -> dict:
+        """Execute in dependency order; fail-fast; return a job report."""
+        results: list[StepResult] = []
+        outputs: dict[str, DataFrame | None] = {}
+        ok = True
+        for s in self._ordered():
+            if not ok:
+                results.append(StepResult(s.name, "skipped", 0.0))
+                continue
+            t0 = time.perf_counter()
+            try:
+                out = s.fn(**context, upstream=outputs)
+                rows = out.count() if isinstance(out, DataFrame) else None
+                outputs[s.name] = out
+                results.append(
+                    StepResult(s.name, "success", round(time.perf_counter() - t0, 3), rows)
+                )
+            except Exception as e:  # fail-fast, but report every step
+                ok = False
+                results.append(
+                    StepResult(
+                        s.name, "failed", round(time.perf_counter() - t0, 3), None, str(e)[:500]
+                    )
+                )
+        return {
+            "pipeline": self.name,
+            "status": "success" if ok else "failed",
+            "steps": [vars(r) for r in results],
+        }
+
+    def run_and_save(self, report_path: str, **context) -> dict:
+        report = self.run(**context)
+        with open(report_path, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2)
+        return report

@@ -127,6 +127,22 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_sketch_stats")  # rows-only: sketches are engine-specific by design
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based twins of the exact aggregates — what actually
+    runs at 100 TB: HLL++ distinct counts and t-digest percentiles are
+    mergeable partial aggregates (no exact-distinct shuffle, bounded
+    memory). Accuracy vs the exact ops is asserted in tests, not the
+    oracle (sketches are engine-specific by design)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).cast("long").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("approx_p99"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 @query(
     "percentile_stats",
     oracle="""

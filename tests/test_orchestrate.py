@@ -1,0 +1,92 @@
+"""End-to-end medallion job through the orchestrator: ingest →
+preprocess → quality, mirroring the reference's Airflow DAG."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.ingest.writers import write_entity
+from etl_jlp_spark.orchestrate import Pipeline
+from etl_jlp_spark.plans.pipeline import preprocess_events
+from etl_jlp_spark.quality.report import QualityReport
+
+
+def _build(spark, out_dir):
+    p = Pipeline("events_medallion")
+
+    @p.step("ingest")
+    def ingest(upstream, **_):
+        return load_table(spark, SF_SMALL, "events")
+
+    @p.step("preprocess", depends_on=("ingest",))
+    def preprocess(upstream, **_):
+        return preprocess_events(upstream["ingest"])
+
+    @p.step("load_bronze", depends_on=("preprocess",))
+    def load_bronze(upstream, **_):
+        write_entity(
+            upstream["preprocess"], out_dir, "streaming-sources", "events", "parquet", "20240201"
+        )
+        return None
+
+    @p.step("quality", depends_on=("preprocess",))
+    def quality(upstream, **_):
+        qr = QualityReport(upstream["preprocess"], "events")
+        qr.check_nulls(["user_id", "ts", "session_id"])
+        qr.check_default_values({"source_id": 1})
+        rep = qr.generate()
+        assert rep["nulls_session_id"] == 0
+        return None
+
+    return p
+
+
+def test_pipeline_runs_in_order(spark, tmp_path):
+    p = _build(spark, str(tmp_path))
+    report = p.run_and_save(str(tmp_path / "report.json"))
+    assert report["status"] == "success"
+    names = [s["name"] for s in report["steps"]]
+    assert names.index("ingest") < names.index("preprocess") < names.index("load_bronze")
+    assert all(s["status"] == "success" for s in report["steps"])
+    saved = json.loads((tmp_path / "report.json").read_text())
+    assert saved["pipeline"] == "events_medallion"
+    # bronze output readable and audit-stamped
+    bronze = spark.read.parquet(
+        str(tmp_path / "streaming-sources/events/parquet/20240201")
+    )
+    assert bronze.filter(F.col("source_id") != 1).count() == 0
+
+
+def test_pipeline_fail_fast_marks_downstream_skipped(spark, tmp_path):
+    p = Pipeline("failing")
+
+    @p.step("a")
+    def a(upstream, **_):
+        raise RuntimeError("boom")
+
+    @p.step("b", depends_on=("a",))
+    def b(upstream, **_):
+        return None
+
+    report = p.run()
+    assert report["status"] == "failed"
+    assert report["steps"][0]["status"] == "failed"
+    assert report["steps"][1]["status"] == "skipped"
+
+
+def test_cycle_detection(spark):
+    p = Pipeline("cyclic")
+
+    @p.step("x", depends_on=("y",))
+    def x(**_):
+        return None
+
+    @p.step("y", depends_on=("x",))
+    def y(**_):
+        return None
+
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
