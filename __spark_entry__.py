@@ -24,6 +24,7 @@ from etl_jlp_spark import registry  # noqa: E402
 from etl_jlp_spark.ingest import loaders  # noqa: E402, F401
 from etl_jlp_spark.operators import (  # noqa: E402, F401
     audit,
+    cdc,
     dedup,
     joins,
     keywords,

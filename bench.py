@@ -54,6 +54,8 @@ HEADLINE = [
     "percentile_stats",
     "quality_report_lineitem",
     "preprocess_pipeline",
+    "cdc_merge",
+    "exact_keywords_set",
 ]
 
 

@@ -126,6 +126,49 @@ def keywords_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_keywords_set",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-zA-Z0-9_ -]', '', 'g')), '\\s+')) AS tok
+  FROM documents
+), filtered AS (
+  SELECT DISTINCT doc_id, tok FROM toks
+  WHERE length(tok) > 1 AND tok NOT IN {sql_stopword_list()}
+)
+SELECT d.doc_id,
+       coalesce(f.kw, '') AS exact_keywords,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS n_keywords
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(tok, '|' ORDER BY tok) AS kw, count(*) AS n
+  FROM filtered GROUP BY doc_id
+) f ON d.doc_id = f.doc_id
+""",
+)
+def exact_keywords_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference add_exact_keywords_column output shape
+    (preprocessing_streaming_incremental_load.py:230-315): the DISTINCT
+    keyword set per row. Serialized as a '|'-joined sorted string so the
+    set compares engine-independently (array value formatting differs
+    between engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kw = (
+        filtered_tokens_df(docs.repartition("doc_id"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("tok"))).alias("kw"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return docs.join(kw, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("kw", F.lit("")).alias("exact_keywords"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_keywords"),
+    )
+
+
+@query(
     "keywords_extract",
     oracle=f"""
 WITH toks AS (
