@@ -37,7 +37,8 @@ MINHASH_K = 8  # signature length
 MINHASH_BANDS = 4  # bands of r = K/BANDS rows
 MINHASH_TAU = 0.5  # verified-Jaccard keep threshold
 NGRAM_TAU = 0.3
-NGRAM_DF_CUTOFF = 200  # ignore shingles appearing in more docs than this
+NGRAM_DF_CUTOFF = 50  # candidate-gen ignores shingles in more docs than this
+NGRAM_MIN_SHARED = 2  # candidates must share >= this many rare shingles
 COSINE_TAU = 0.4
 ANN_TOP_K = 5
 ANN_QUERY_MOD = 50  # query set = vec_id % 50 == 0
@@ -199,8 +200,10 @@ df AS (
   SELECT s.doc_id, s.sh FROM shingles s JOIN df ON s.sh = df.sh
   WHERE df.doc_freq <= {NGRAM_DF_CUTOFF}
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {NGRAM_MIN_SHARED}
 ), sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
 ), inter AS (
@@ -225,10 +228,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ra = rare.select(F.col("doc_id").alias("doc_a"), "sh")
     rb = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    # min-co-occurrence prune: a pair is a candidate only if it shares
+    # >= NGRAM_MIN_SHARED rare shingles — one groupBy replaces
+    # distinct AND cuts the noise pairs that share a single shingle
     cand = (
         ra.join(rb, (ra.sh == rb.sh) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= NGRAM_MIN_SHARED)
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return _jaccard_on_candidates(shingles, cand, NGRAM_TAU)
 
