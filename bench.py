@@ -56,6 +56,7 @@ HEADLINE = [
     "preprocess_pipeline",
     "cdc_merge",
     "exact_keywords_set",
+    "curate_documents",
 ]
 
 
