@@ -57,6 +57,7 @@ HEADLINE = [
     "cdc_merge",
     "exact_keywords_set",
     "curate_documents",
+    "sliding_weekly_revenue",
 ]
 
 

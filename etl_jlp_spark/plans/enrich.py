@@ -127,6 +127,44 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sliding_weekly_revenue",
+    oracle="""
+WITH starts AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE) AS window_start,
+         event_id, value
+  FROM events CROSS JOIN (SELECT unnest(range(7)) AS k)
+)
+SELECT window_start,
+       CAST(window_start + INTERVAL 7 DAY AS DATE) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM starts
+GROUP BY window_start
+""",
+)
+def sliding_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day window sliding by 1 day (each event lands in 7 windows).
+    Spark's ``window()`` produces the slide replication natively; the
+    shuffle carries (window × day-grain partials) thanks to map-side
+    combine — NOT 7× the raw rows. Streaming-ready shape (add a
+    watermark and it runs incrementally)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            F.col("w.end").cast("date").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 @query("approx_sketch_stats")  # rows-only: sketches are engine-specific by design
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based twins of the exact aggregates — what actually
