@@ -28,6 +28,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     dedup,
     joins,
     keywords,
+    sampling,
     sessionize,
     similarity,
     skew,

@@ -58,6 +58,8 @@ HEADLINE = [
     "exact_keywords_set",
     "curate_documents",
     "sliding_weekly_revenue",
+    "stratified_sample",
+    "sequence_packing",
 ]
 
 

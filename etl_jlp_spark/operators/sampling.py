@@ -1,0 +1,116 @@
+"""Deterministic sampling and sequence-packing operators.
+
+``stratified_sample`` — per-stratum rates like ``DataFrame.sampleBy``,
+but via the md5-prefix threshold trick so the sample is reproducible
+across engines, partitionings and cluster sizes (seed-based Bernoulli
+is none of those). This generalizes the reference's
+``df.sample(frac=0.1, random_state=42)`` ingest sampling
+(ingest_batch_sources_full_load_ProblemLog_original.py:63-64).
+
+``sequence_packing`` — packs documents into fixed token-budget bins
+(the batching step of an LLM pre-training pipeline). Greedy global
+packing is inherently sequential, so the scalable form packs WITHIN a
+partition key (here ``source``): a running token-count window over a
+deterministic order, bin = cumsum div budget. One shuffle, bounded
+per-key state, and bins never cross source shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+# event_type → md5-prefix bound ('33' ≈ 20%, '80' = 50%, 'ff'+1 = 100%)
+STRATA_BOUNDS = {"click": "33", "view": "33", "purchase": "ff", "signup": "ff", "error": "80"}
+
+TOKEN_BUDGET = 512  # tokens per packed sequence bin
+
+
+_STRATA_SQL = " ".join(
+    f"WHEN event_type = '{t}' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '{b}'"
+    for t, b in STRATA_BOUNDS.items()
+)
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE CASE {_STRATA_SQL} ELSE FALSE END
+GROUP BY event_type
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep rare strata (purchase/signup) fully, downsample the common
+    ones — the class-rebalancing sample of a training pipeline, fully
+    deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    pred = None
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    for t, b in STRATA_BOUNDS.items():
+        cond = (F.col("event_type") == t) & (h < b)
+        pred = cond if pred is None else pred | cond
+    return (
+        events.filter(pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // {TOKEN_BUDGET} AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY source, bin_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim("text")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin_id", ((F.sum("n_tokens").over(w) - 1) / TOKEN_BUDGET).cast("long")
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

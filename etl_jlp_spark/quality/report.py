@@ -197,6 +197,39 @@ def quality_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_array_fields",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS num_rows,
+       CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_embeddings,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) != 64 THEN 1 ELSE 0 END) AS BIGINT) AS wrong_dim,
+       CAST(count(DISTINCT len(embedding)) AS BIGINT) AS distinct_dims,
+       CAST(sum(CASE WHEN label IS NULL OR label < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_labels
+FROM embeddings
+""",
+)
+def quality_array_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column validity (reference check_array_fields,
+    quality_report.py:97-103): null / wrong-dimension / label checks on
+    the embeddings table, one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count(F.lit(1)).cast("long").alias("num_rows"),
+        F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_embeddings"),
+        F.sum(
+            F.when(F.col("embedding").isNotNull() & (F.size("embedding") != 64), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("wrong_dim"),
+        F.countDistinct(F.size("embedding")).cast("long").alias("distinct_dims"),
+        F.sum(F.when(F.col("label").isNull() | (F.col("label") < 0), 1).otherwise(0))
+        .cast("long")
+        .alias("bad_labels"),
+    )
+
+
+@query(
     "quality_clean_rate",
     oracle="""
 SELECT round(100.0 * sum(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN 1 ELSE 0 END) / count(*), 2) AS rate_text_nonempty,
