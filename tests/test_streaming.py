@@ -2,9 +2,6 @@
 with audit stamping, windowed event-time aggregation, and session
 windows — each checked against its batch twin."""
 
-import os
-import shutil
-
 import pytest
 from pyspark.sql import functions as F
 
