@@ -60,6 +60,10 @@ HEADLINE = [
     "sliding_weekly_revenue",
     "stratified_sample",
     "sequence_packing",
+    "q7_nation_volume",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "quality_array_fields",
 ]
 
 
