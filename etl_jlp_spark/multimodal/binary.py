@@ -9,17 +9,20 @@ Design for a 100 TB media pipeline:
   payload bytes cross to Python once per batch, vectorized, and the
   UDF's output schema is declared so downstream stays relational.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` when asked for a real
-decode; ``fake_decode=True`` (default) derives deterministic
-pseudo-features from the bytes — the Spark-side plumbing (schema,
-batching, partitioning) is identical either way and is what the tests
-exercise.
+Codec support: uncompressed 24-bit BMP is decoded FOR REAL (pure
+``struct`` parsing — no external libraries), covering the full
+decode path: header validation, dimension extraction, pixel-plane
+statistics. Formats that need real codecs (JPEG/PNG/ffmpeg/librosa —
+not in this container) raise ``NotImplementedError`` explicitly;
+``fake_decode=True`` (default for non-BMP) derives deterministic
+pseudo-features so the Spark-side plumbing (schema, batching,
+partitioning) is exercised identically either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,10 +35,54 @@ MEDIA_SCHEMA = (
 )
 
 DECODED_SCHEMA = (
-    "media_id long, kind string, width int, height int, n_bytes long, checksum string"
+    "media_id long, kind string, width int, height int, n_bytes long, checksum string, "
+    "mean_r double, mean_g double, mean_b double"
 )
 
 FEATURES_SCHEMA = "media_id long, feature array<double>"
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER).
+    ``pixel_fn(x, y) -> (r, g, b)``. Rows bottom-up, 4-byte padded."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    image_size = (row_bytes + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            rows += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR order
+        rows += b"\x00" * pad
+    return header + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse an uncompressed 24-bit BMP: (width, height, mean_r, mean_g,
+    mean_b). Raises ValueError on anything that isn't one."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    sums = [0, 0, 0]
+    n = width * abs(height)
+    off = data_offset
+    for _ in range(abs(height)):
+        row = payload[off : off + row_bytes]
+        sums[2] += sum(row[0::3])  # B
+        sums[1] += sum(row[1::3])  # G
+        sums[0] += sum(row[2::3])  # R
+        off += row_bytes + pad
+    return width, abs(height), sums[0] / n, sums[1] / n, sums[2] / n
 
 
 def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> DataFrame:
@@ -43,38 +90,61 @@ def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> Dat
     Stands in for a parquet/lakehouse media table in tests."""
     rows = []
     for i in range(n):
-        digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
-        payload = (digest * ((i % 7) + 1))[: 16 * ((i % 7) + 1)]
-        rows.append(
-            (i, kind, bytearray(payload), (f"src{i % 3}", len(payload), (i % 16) + 1, (i % 9) + 1))
-        )
+        if kind == "bmp":
+            w, h = (i % 16) + 1, (i % 9) + 1
+            payload = encode_bmp(w, h, lambda x, y, i=i: ((x * 7 + i) % 256, (y * 13) % 256, (x + y + i) % 256))
+            rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), w, h)))
+        else:
+            digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
+            payload = (digest * ((i % 7) + 1))[: 16 * ((i % 7) + 1)]
+            rows.append(
+                (i, kind, bytearray(payload), (f"src{i % 3}", len(payload), (i % 16) + 1, (i % 9) + 1))
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_image(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """Decode payloads to (width, height, checksum) rows via an
-    Arrow-batched ``mapInPandas``. Real decoding requires an image
-    codec not present in this environment."""
+    """Decode payloads via an Arrow-batched ``mapInPandas``.
+
+    ``kind == 'bmp'`` rows are REALLY decoded (pure-python BMP parser:
+    dimensions from the header, per-channel means from the pixel
+    plane). Other kinds need codecs this container lacks: with
+    ``fake_decode`` they get deterministic metadata-derived pseudo
+    dimensions and null channel means; without it, they raise."""
     if not fake_decode:
-        raise NotImplementedError(
-            "real image decode needs PIL/libjpeg — not available in this "
-            "container; run with fake_decode=True for the plumbing path"
-        )
+        kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
+        if any(k != "bmp" for k in kinds):
+            raise NotImplementedError(
+                f"real decode of {kinds} needs PIL/libjpeg/ffmpeg — not in "
+                "this container; only 'bmp' decodes natively"
+            )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    # deterministic pseudo-dimensions from metadata
-                    "width": pdf["meta"].map(lambda m: m["declared_w"]).astype("int32"),
-                    "height": pdf["meta"].map(lambda m: m["declared_h"]).astype("int32"),
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                }
-            )
+            out = {
+                "media_id": [], "kind": [], "width": [], "height": [],
+                "n_bytes": [], "checksum": [], "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["n_bytes"].append(len(payload))
+                out["checksum"].append(hashlib.md5(payload).hexdigest())
+                if row["kind"] == "bmp":
+                    w, h, mr, mg, mb = decode_bmp(payload)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(mr)
+                    out["mean_g"].append(mg)
+                    out["mean_b"].append(mb)
+                else:  # pseudo-decode from declared metadata
+                    out["width"].append(row["meta"]["declared_w"])
+                    out["height"].append(row["meta"]["declared_h"])
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
