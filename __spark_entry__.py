@@ -25,6 +25,7 @@ from etl_jlp_spark.ingest import loaders  # noqa: E402, F401
 from etl_jlp_spark.operators import (  # noqa: E402, F401
     audit,
     cdc,
+    components,
     dedup,
     joins,
     keywords,

@@ -64,6 +64,7 @@ HEADLINE = [
     "q13_order_distribution",
     "q18_large_orders",
     "quality_array_fields",
+    "dedup_connected_components",
 ]
 
 

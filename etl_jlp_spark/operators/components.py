@@ -1,0 +1,143 @@
+"""Connected components over the near-duplicate pair graph.
+
+The missing last step of every dedup pipeline: pairwise matches
+(dedup_minhash_lsh output) → clusters → one canonical doc per cluster.
+Implemented as iterative min-label propagation entirely in DataFrame
+ops: each round, every node takes the min label among itself and its
+neighbors; convergence when no label changes (checked driver-side with
+a count — the canonical Spark iterative-algorithm shape, same loop
+structure as PageRank/CC in GraphX but with no extra library).
+
+Rounds needed = graph diameter (near-dup clusters are tiny, so 2-4);
+each round is one join + one aggregation on the (small) edge list —
+at 100 TB the edge list is ≪ corpus size, so iteration cost is
+bounded by matches, not documents.
+
+Oracle: DuckDB recursive CTE computes the transitive closure and takes
+the min reachable id — same fixpoint, declarative form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
+from etl_jlp_spark.registry import query
+
+MAX_ROUNDS = 10  # safety bound ≥ any plausible cluster diameter
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(node, component) for every node in `pairs`; component = min
+    node id in the connected component."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(MAX_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # localCheckpoint truncates the lineage: without it each round's
+        # plan nests the previous one and the driver OOMs on deep
+        # graphs (the classic iterative-Spark pitfall)
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+    FROM documents
+  )
+), shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), hashed AS (
+  SELECT s.doc_id, h.h, min(md5(CAST(h.h AS VARCHAR) || ':' || s.sh)) AS sig
+  FROM shingles s CROSS JOIN (SELECT unnest(range(8)) AS h) h
+  GROUP BY s.doc_id, h.h
+), sigs AS (
+  SELECT doc_id,
+         min(CASE WHEN h = 0 THEN sig END) AS s0, min(CASE WHEN h = 1 THEN sig END) AS s1,
+         min(CASE WHEN h = 2 THEN sig END) AS s2, min(CASE WHEN h = 3 THEN sig END) AS s3,
+         min(CASE WHEN h = 4 THEN sig END) AS s4, min(CASE WHEN h = 5 THEN sig END) AS s5,
+         min(CASE WHEN h = 6 THEN sig END) AS s6, min(CASE WHEN h = 7 THEN sig END) AS s7
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(s0 || s1) AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, md5(s2 || s3) FROM sigs UNION ALL
+  SELECT doc_id, 2, md5(s4 || s5) FROM sigs UNION ALL
+  SELECT doc_id, 3, md5(s6 || s7) FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+), pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT n.a AS node,
+       CAST(least(n.a, min(r.b)) AS BIGINT) AS component
+FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
+GROUP BY n.a
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters from minhash-LSH verified pairs (Jaccard ≥ 0.5):
+    component id = min doc_id in the cluster; keep that doc, drop the
+    rest — the canonical dedup decision."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )

@@ -1,0 +1,23 @@
+"""Connected-components semantics on known graph topologies."""
+
+from etl_jlp_spark.operators.components import connected_components
+
+
+def test_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    # diameter 8 chain — needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 9
