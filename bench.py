@@ -65,6 +65,8 @@ HEADLINE = [
     "q18_large_orders",
     "quality_array_fields",
     "dedup_connected_components",
+    "value_histogram",
+    "session_funnel",
 ]
 
 

@@ -127,6 +127,106 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_LO, HIST_W, HIST_BINS = 0.0, 25.0, 20
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+SELECT CAST(least(greatest(floor((value - {HIST_LO}) / {HIST_W}), 0), {HIST_BINS - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS bin_min,
+       round(max(value), 2) AS bin_max
+FROM events
+GROUP BY 1
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin assignment is a projection, so the
+    whole histogram is one map-side-combined aggregation with ≤ #bins
+    groups — constant-size shuffle at any data scale."""
+    events = load_table(spark, sf_dir, "events")
+    bin_col = (
+        F.least(
+            F.greatest(F.floor((F.col("value") - HIST_LO) / HIST_W), F.lit(0)),
+            F.lit(HIST_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return events.groupBy(bin_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+@query(
+    "session_funnel",
+    oracle="""
+WITH sess AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+  )
+), stages AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM stages
+""",
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (view → click → purchase, ordered, within one
+    session): sessionize, one conditional-min agg per stage, one final
+    rollup. Two shuffles total regardless of funnel depth."""
+    from etl_jlp_spark.operators.sessionize import with_session_id
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = with_session_id(events)
+    us = F.unix_micros(F.col("ts"))
+    stages = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_view_then_click"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
 @query(
     "sliding_weekly_revenue",
     oracle="""
