@@ -53,13 +53,13 @@ GROUP BY c.c_mktsegment
 )
 def user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral stream enriched with the customer dimension
-    (user_id = c_custkey): broadcast dim join + one agg shuffle — the
-    standard star-schema enrichment the reference does by merging
-    pandas frames driver-side."""
+    (user_id = c_custkey): dim join (AQE broadcasts while the dim fits,
+    shuffle-joins beyond) + one agg shuffle — the standard star-schema
+    enrichment the reference does by merging pandas frames driver-side."""
     events = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        events.join(cust, events.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("event_id").cast("long").alias("n_events"),
