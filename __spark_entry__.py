@@ -36,7 +36,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     textstats,
     timewindow,
 )
-from etl_jlp_spark.plans import analytics, curate, enrich, pipeline  # noqa: E402, F401
+from etl_jlp_spark.plans import analytics, curate, enrich, pipeline, tpch_extra  # noqa: E402, F401
 from etl_jlp_spark.quality import report  # noqa: E402, F401
 
 

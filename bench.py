@@ -67,6 +67,16 @@ HEADLINE = [
     "dedup_connected_components",
     "value_histogram",
     "session_funnel",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_quantity",
+    "q20_excess_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
 ]
 
 

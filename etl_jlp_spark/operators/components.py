@@ -37,11 +37,19 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         .distinct()
         .persist()
     )
+    # Size the iteration's shuffle width from the MEASURED edge count:
+    # near-dup edge lists are ≪ the corpus (thousands at sf0.1, still
+    # only millions at 100 TB), so fixed 32-wide shuffles waste a full
+    # task wave per round on scheduler overhead. ~100k edges/partition.
+    n_edges = edges.count()
+    n_part = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(n_part, "dst").persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
     )
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
@@ -51,23 +59,20 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         )
         # localCheckpoint truncates the lineage: without it each round's
         # plan nests the previous one and the driver OOMs on deep
-        # graphs (the classic iterative-Spark pitfall)
+        # graphs (the classic iterative-Spark pitfall). The changed
+        # flag rides along so convergence needs no second join.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.select("node", "label")
+        if not changed:
             break
     return labels.select("node", F.col("label").alias("component"))
 

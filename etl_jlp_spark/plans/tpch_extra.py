@@ -1,0 +1,465 @@
+"""TPC-H adaptations, second tranche: q4/q8/q9/q11/q15/q16/q17/q20/q21/q22.
+
+The testdata schema is a reduced TPC-H (no partsupp, no
+commit/receipt dates, no phone), so partsupp-shaped queries are
+re-keyed onto lineitem-as-the-part-supplier-relation and "late" is
+defined against o_orderdate. What each one exercises:
+
+- q4:  EXISTS → left-semi join with a mixed equi + range condition.
+- q8:  market share — 7-relation join, conditional-vs-total ratio agg.
+- q9:  profit by (nation, year) — LIKE-filtered part join.
+- q11: group-HAVING against a global scalar — computed as an
+  unbounded-window total over the (already tiny) per-group aggregate,
+  so the base relation is scanned ONCE (no self-join recompute).
+- q15: top-revenue supplier via window max on the pre-reduced agg.
+- q16: distinct-count with a NOT-IN anti-join supplier blacklist.
+- q17: correlated per-part average — window avg over l_partkey, one
+  shuffle, instead of the naive agg + self-join double scan.
+- q20: semi-join against an agg-HAVING derived supplier list.
+- q21: EXISTS + NOT-EXISTS self-joins collapsed into ONE per-order
+  aggregate (distinct suppliers vs distinct late suppliers) — the
+  100 TB shape: two window-free passes instead of two self-joins.
+- q22: anti-join against orders + scalar-average gate.
+
+Scale notes: constant-size dims (nation/region) get explicit
+broadcast(); SF-scaling relations (part, supplier, filtered aggs) are
+left to AQE so the plan stays valid when they are multi-GB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped >90 days after order
+    (the late-shipment EXISTS), counted by priority."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # left-semi keeps each order once no matter how many late lines;
+    # Catalyst extracts the equi part for the hash join and applies the
+    # range predicate as a join filter.
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH all_sales AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM all_sales GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of ECONOMY-part revenue sold into ASIA, by
+    order year."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nk = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("cust_nk")
+        )
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        asia_nk, F.col("c_nationkey") == F.col("cust_nk")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        supp_nation, F.col("s_nationkey") == F.col("supp_nk")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on red parts by supplier nation and order year (retail
+    price at 60% stands in for the missing ps_supplycost)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("p"), 2).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice) AS raw_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT l_partkey, round(raw_value, 2) AS value
+FROM (SELECT l_partkey, raw_value,
+             sum(raw_value) OVER () AS total FROM per_part)
+WHERE raw_value > total * 0.001
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts representing >0.1% of NATION_3's total traded value.
+    The global total is an unbounded window over the per-part
+    aggregate: the fact table is scanned once, the window shuffles
+    only #distinct-parts pre-reduced rows."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    total = F.sum("raw_value").over(Window.partitionBy())
+    return (
+        per_part.withColumn("total", total)
+        .filter(F.col("raw_value") > F.col("total") * 0.001)
+        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the max quarterly revenue. Revenue is rounded
+    BEFORE the max-equality so both engines compare identical values;
+    the scalar max is a window over the tiny per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(top, supp.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "q16_part_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+  AND p_size IN (5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size), excluding
+    negative-balance suppliers (the complaints stand-in) via
+    anti-join. lineitem is the part↔supplier relation (no partsupp)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to small-quantity orders of Brand#23 parts. The
+    correlated per-part average is a window over l_partkey: one
+    shuffle of only the brand's lineitems, no agg+self-join double
+    scan of the fact table."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+    lim = 0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    return (
+        brand_li.withColumn("lim", lim)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%blue%'
+      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 300)
+""",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3 suppliers who moved >300 units of blue parts in 1998
+    (q20's excess-stock semi-join, re-keyed onto shipped quantity)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_suppliers_waiting",
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late suppliers on multi-supplier finished orders ("late" =
+    shipped >60 days after order date). The EXISTS / NOT-EXISTS pair
+    collapses into ONE per-order aggregate — distinct suppliers ≥ 2
+    and distinct LATE suppliers == 1 — replacing two fact-table
+    self-joins with a single pre-reduced join."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_order = lo.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(per_order, "o_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+avg_bal AS (SELECT avg(c_acctbal) AS ab FROM pool WHERE c_acctbal > 0.0)
+SELECT c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM pool, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-but-dormant customers per nation: above-average balance,
+    no order since 2000 (every customer has SOME order in this data,
+    so dormancy replaces never-ordered). Anti-join against the
+    date-pruned orders scan; the scalar average rides in via a
+    broadcast cross-join of a 1-row aggregate."""
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, pool.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
