@@ -29,6 +29,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     dedup,
     joins,
     keywords,
+    quality_rules,
     sampling,
     sessionize,
     similarity,

@@ -77,6 +77,10 @@ HEADLINE = [
     "q20_excess_shippers",
     "q21_suppliers_waiting",
     "q22_global_sales_opportunity",
+    "text_repetition",
+    "gopher_quality_filter",
+    "pii_scrub",
+    "domain_mix_report",
 ]
 
 

@@ -1,0 +1,280 @@
+"""Rule-based corpus curation: repetition, quality gates, PII, mixing.
+
+The standard pre-training data-quality stack (the public Gopher /
+C4-style heuristics) expressed Spark-first:
+
+- ``text_repetition`` — repeated-content signals: distinct-word ratio,
+  most-common-word coverage, most-common-bigram character coverage.
+  One explode → one (doc, gram) aggregation; tops picked with a
+  row_number window over the PRE-REDUCED counts, never the raw tokens.
+- ``gopher_quality_filter`` — keep/drop + reason per document from
+  scalar rules (word count bounds, mean word length, stopword
+  presence). Pure projection: zero shuffles, whole-stage codegen.
+- ``pii_scrub`` — regex detect + redact. Digit runs stand in for the
+  numeric-identifier class (emails/phones don't occur in this corpus
+  but the same regexp_replace plumbing applies); counts + redacted
+  payload hash so the oracle proves both engines redact identically.
+- ``domain_mix_report`` — per-source document/token counts and corpus
+  token share (the mixing-weights input of a training-data pipeline).
+  Token share = window total over the tiny per-source aggregate.
+
+Reference parity: extends dwh/quality_report.py's per-column predicate
+checks (track_clean_success_rate, reference quality_report.py) to the
+document-corpus domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS g,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id, 'u' AS t, g FROM toks
+  UNION ALL
+  SELECT a.doc_id, 'b', a.g || ' ' || b.g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), counts AS (
+  SELECT doc_id, t, g, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, t, g
+), ranked AS (
+  SELECT doc_id, t, g, cnt,
+         row_number() OVER (PARTITION BY doc_id, t ORDER BY cnt DESC, g) AS rn
+  FROM counts
+), tops AS (
+  SELECT doc_id,
+         min(CASE WHEN t = 'u' THEN g END) AS top_word,
+         min(CASE WHEN t = 'u' THEN cnt END) AS top_word_cnt,
+         min(CASE WHEN t = 'b' THEN g END) AS top_bigram,
+         min(CASE WHEN t = 'b' THEN cnt END) AS top_bigram_cnt
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), ndist AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts WHERE t = 'u' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       round(n.n_distinct * 1.0 / len(string_split(d.text, ' ')), 4) AS distinct_ratio,
+       t.top_word,
+       round(t.top_word_cnt * 1.0 / len(string_split(d.text, ' ')), 4) AS top_word_frac,
+       t.top_bigram,
+       round(t.top_bigram_cnt * length(t.top_bigram) * 1.0 / length(d.text), 4)
+         AS top_bigram_frac
+FROM documents d JOIN tops t ON d.doc_id = t.doc_id
+JOIN ndist n ON d.doc_id = n.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 heuristics, re-expressed as one gram-count aggregation)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.col("text"),
+        words.alias("w"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    # unigrams and bigrams tagged into ONE array → ONE explode → ONE
+    # (doc, t, gram) aggregation; grams never leave their partition
+    # before the count reduction.
+    tagged = F.concat(
+        F.transform(F.col("w"), lambda x: F.struct(F.lit("u").alias("t"), x.alias("g"))),
+        F.transform(
+            F.slice(F.col("w"), 1, F.size(F.col("w")) - 1),
+            lambda x, i: F.struct(
+                F.lit("b").alias("t"),
+                F.concat_ws(" ", x, F.element_at(F.col("w"), i + 2)).alias("g"),
+            ),
+        ),
+    )
+    grams = base.select("doc_id", F.explode(tagged).alias("tg")).select(
+        "doc_id", F.col("tg.t").alias("t"), F.col("tg.g").alias("g")
+    )
+    counts = grams.groupBy("doc_id", "t", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "t").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    )
+    ranked = counts.withColumn("rn", rn).filter(F.col("rn") == 1)
+    tops = ranked.groupBy("doc_id").agg(
+        F.min(F.when(F.col("t") == "u", F.col("g"))).alias("top_word"),
+        F.min(F.when(F.col("t") == "u", F.col("cnt"))).alias("top_word_cnt"),
+        F.min(F.when(F.col("t") == "b", F.col("g"))).alias("top_bigram"),
+        F.min(F.when(F.col("t") == "b", F.col("cnt"))).alias("top_bigram_cnt"),
+    )
+    ndist = (
+        counts.filter(F.col("t") == "u")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+    return (
+        base.join(tops, "doc_id")
+        .join(ndist, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias("distinct_ratio"),
+            "top_word",
+            F.round(F.col("top_word_cnt") / F.col("n_words"), 4).alias("top_word_frac"),
+            "top_bigram",
+            F.round(
+                F.col("top_bigram_cnt") * F.length("top_bigram") / F.col("n_chars"), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def _stop_hits_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+        for w in STOPWORDS
+    )
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')), 4) AS mean_word_len,
+         CAST({_stop_hits_sql()} AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words, mean_word_len, n_stop,
+       (n_words >= 30 AND n_words <= 10000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 8.0
+        AND n_stop >= 2) AS keep,
+       concat_ws(',',
+         CASE WHEN n_words < 30 THEN 'too_short' END,
+         CASE WHEN n_words > 10000 THEN 'too_long' END,
+         CASE WHEN mean_word_len < 2.0 OR mean_word_len > 8.0
+              THEN 'word_len' END,
+         CASE WHEN n_stop < 2 THEN 'no_stopwords' END) AS reasons
+FROM sig
+""",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based keep/drop per document (Gopher §A1.1-style gates:
+    word-count bounds, mean word length, stopword presence). Pure
+    scalar projection — no shuffle, whole-stage codegen end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    mean_wl = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4
+    )
+    n_stop = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS
+    ).cast("long")
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+    )
+    keep = (
+        (F.col("n_words") >= 30)
+        & (F.col("n_words") <= 10000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 8.0)
+        & (F.col("n_stop") >= 2)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stop",
+        keep.alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_words") < 30, "too_short"),
+            F.when(F.col("n_words") > 10000, "too_long"),
+            F.when(
+                (F.col("mean_word_len") < 2.0) | (F.col("mean_word_len") > 8.0), "word_len"
+            ),
+            F.when(F.col("n_stop") < 2, "no_stopwords"),
+        ).alias("reasons"),
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(CASE WHEN regexp_matches(props,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END
+            AS BIGINT) AS has_email,
+       md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+FROM events
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII pass over the event payload: count numeric-identifier
+    runs, flag emails, and hash the redacted payload (both engines
+    must redact byte-identically for the hash to match). At 100 TB
+    this is the same zero-shuffle projection."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    return ev.select(
+        "event_id",
+        F.regexp_count("props", F.lit("[0-9]+")).cast("long").alias("n_digit_runs"),
+        F.when(
+            F.col("props").rlike("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("has_email"),
+        F.md5(F.regexp_replace("props", "[0-9]+", "<NUM>").cast("binary")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+@query(
+    "domain_mix_report",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 4) AS token_share
+FROM per_src
+""",
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/token counts and corpus token share — the
+    mixing-weights table of a pre-training pipeline. One map-side
+    partial agg; the share window runs over #sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 4).alias("token_share"),
+    )
