@@ -64,6 +64,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _scan_partitions(spark: SparkSession, path: str) -> int:
+    """Estimated #input partitions for a parquet path: bytes on disk /
+    maxPartitionBytes (how Spark splits files). Pure os.stat — no plan
+    analysis. Unstat-able paths (object stores) estimate wide, which
+    correctly disables widening."""
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+    except OSError:
+        return 1 << 30
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    mpb = int("".join(c for c in str(raw) if c.isdigit()) or "134217728")
+    return max(1, (size + mpb - 1) // mpb)
+
+
+def widen(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin repartition ONLY if the table scans into fewer
+    partitions than cores. A single small parquet file is one input
+    partition on local[*], serializing any downstream fan-out
+    (explode, cross product); at cluster scale the table spans ≥ cores
+    split-points already and this is a no-op — the full-data shuffle
+    is only ever paid where it buys parallelism."""
+    p = spark.sparkContext.defaultParallelism
+    if _scan_partitions(spark, table_path(sf_dir, name)) < p:
+        return df.repartition(p)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
 ) -> dict[str, DataFrame]:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.catalog import load_table, widen
 from etl_jlp_spark.functions.vectors import as_double_array, static_dot
 from etl_jlp_spark.registry import query
 
@@ -50,6 +50,8 @@ def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return (
         docs.select("doc_id", arr.alias("arr"))
         .filter(F.size("arr") >= n)
+        # parallelize the shingle fan-out off a 1-partition file scan
+        .repartition("doc_id")
         .select(
             "doc_id",
             F.explode(
@@ -266,7 +268,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: bit i = majority vote (weighted by term count) of
     the high bit of md5 hex digit i. Hamming-close signatures ⇒
     near-duplicate docs; signatures are join/bucket-able at any scale."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .repartition("doc_id")
+    )
     toks = (
         docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -427,12 +433,26 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline ANN variants are measured against."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    corpus = _with_norm(emb, dim, "neighbor_id", "v")
+    # widen the streamed side — a single-file scan is one input
+    # partition, which would serialize the whole cross product
+    corpus = widen(spark, _with_norm(emb, dim, "neighbor_id", "v"), sf_dir, "embeddings")
     queries = _with_norm(emb, dim, "query_id", "qv").filter(
         F.col("query_id") % ANN_QUERY_MOD == 0
     )
-    scored = corpus.join(
-        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    # constant-key equi join instead of a `!=` theta join: a theta join
+    # plans as BroadcastNestedLoopJoin, which is excluded from
+    # whole-stage codegen, so the expanded dot product would run
+    # interpreted (~50× slower). The key must be column-derived
+    # (pmod(id,1) ≡ 0) — a literal key gets constant-folded and the
+    # plan falls back to the nested loop. The BroadcastHashJoin emits
+    # the same cross product and codegens; the self-pair filter runs
+    # inside the generated stage.
+    scored = (
+        corpus.withColumn("bk", F.pmod(F.col("neighbor_id"), F.lit(1)))
+        .join(
+            F.broadcast(queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))), "bk"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     ).select(
         "query_id",
         "neighbor_id",
@@ -583,7 +603,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    corpus = _with_norm(emb, dim, "neighbor_id", "v")
+    corpus = widen(spark, _with_norm(emb, dim, "neighbor_id", "v"), sf_dir, "embeddings")
     queries = _with_norm(emb, dim, "query_id", "qv").filter(
         F.col("query_id") % ANN_QUERY_MOD == 0
     )

@@ -78,7 +78,14 @@ FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic doc quality: alpha ratio + stopword density + length —
     the standard cheap pre-filter before expensive dedup/training."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # repartition by doc_id before the explode fan-out: a single-file
+    # scan is 1 input partition on local[*], and both the agg and the
+    # final join reuse the doc_id hash partitioning.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .repartition("doc_id")
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )

@@ -72,7 +72,11 @@ WHERE s.quality_score >= {MIN_QUALITY} AND dd.rn = 1
 """,
 )
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .repartition("doc_id")
+    )
 
     # quality score (one explode-agg, same definition as text_quality_score)
     toks = docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
