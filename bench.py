@@ -81,6 +81,8 @@ HEADLINE = [
     "gopher_quality_filter",
     "pii_scrub",
     "domain_mix_report",
+    "q2_min_cost_supplier",
+    "q12_ship_speed",
 ]
 
 

@@ -463,3 +463,92 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offer AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size = 15 AND r_name = 'EUROPE'
+  GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM (SELECT *, min(unit_cost) OVER (PARTITION BY p_partkey) AS mn FROM offer)
+WHERE unit_cost = mn
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest EUROPE supplier per STANDARD/size-15 part — q2's
+    correlated min re-keyed onto observed unit sell price (no
+    partsupp). unit_cost is rounded BEFORE the min-equality so both
+    engines compare identical values; the min is a window over the
+    tiny per-(part,supplier) aggregate."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    offer = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    )
+    mn = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        offer.withColumn("mn", mn)
+        .filter(F.col("unit_cost") == F.col("mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+    )
+
+
+@query(
+    "q12_ship_speed",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'NORMAL'
+            ELSE 'SLOW' END AS ship_speed,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY ship_speed
+""",
+)
+def q12_ship_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12's priority-by-shipmode conditional agg, re-keyed onto a
+    derived ship-latency class (no l_shipmode column). Integer-day
+    difference on micros-backed timestamps is exact in both engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = (
+        F.when(days < 30, "FAST").when(days < 90, "NORMAL").otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
