@@ -27,6 +27,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     cdc,
     components,
     dedup,
+    embeddings,
     joins,
     keywords,
     quality_rules,

@@ -83,6 +83,9 @@ HEADLINE = [
     "domain_mix_report",
     "q2_min_cost_supplier",
     "q12_ship_speed",
+    "embedding_norm_stats",
+    "embedding_label_centroids",
+    "nearest_centroid_assign",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Embedding-column analytics: norm stats, label centroids, nearest-
+centroid assignment.
+
+The evaluation layer of an embedding pipeline (complementing the
+dedup/ANN operators in operators/similarity.py): per-class geometry
+stats and a centroid-purity confusion table. All vector math stays
+JVM-side; the only Python-lambda expressions (zip_with/aggregate dots
+against runtime centroid arrays) run over #vectors × #labels rows —
+the pre-reduced small side — never over raw × raw pairs.
+
+Float parity: dots are sequential-sum expressions matching DuckDB's
+list_dot_product bit-for-bit; centroid components are rounded to 6 dp
+before distances so both engines rank identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table, widen
+from etl_jlp_spark.functions.vectors import as_double_array, static_dot
+from etl_jlp_spark.registry import query
+
+
+def _emb_dim(emb: DataFrame) -> int:
+    return len(emb.select("embedding").head()[0])
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+WITH e AS (
+  SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(nrm), 4) AS avg_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM e GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution — the first sanity check on any
+    embedding table (collapsed or exploding norms ⇒ upstream bug).
+    One narrow projection + one tiny groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    v = as_double_array(F.col("embedding"))
+    nrm = F.sqrt(static_dot(v, v, dim))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+WITH x AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       round(avg(CAST(x AS DOUBLE)), 4) + 0.0 AS centroid
+FROM x GROUP BY label, dim
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension). posexplode
+    fans each vector into #dim rows; the aggregate reduces map-side so
+    the shuffle carries ≤ #labels × #dim groups per partition."""
+    emb = widen(
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
+    return (
+        emb.select("label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        # + 0.0 normalizes IEEE -0.0 (round can emit it and the two
+        # engines disagree on the sign of a zero mean)
+        .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("centroid"))
+    )
+
+
+@query(
+    "nearest_centroid_assign",
+    oracle="""
+WITH x AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), comps AS (
+  SELECT label, CAST(dim AS INTEGER) AS dim,
+         round(avg(CAST(x AS DOUBLE)), 6) AS m
+  FROM x GROUP BY label, dim
+), cent AS (
+  SELECT label AS cent_label, list(m ORDER BY dim) AS c FROM comps GROUP BY cent_label
+), e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT e.vec_id, e.label, cent.cent_label,
+         round(list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c), 6) AS d2
+  FROM e CROSS JOIN cent
+), best AS (
+  SELECT vec_id, label, cent_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_label) AS rn
+  FROM scored)
+SELECT label, cent_label, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY label, cent_label
+""",
+)
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-purity confusion table: each vector is assigned to its
+    nearest label centroid (squared euclidean, d² = v·v − 2·v·c + c·c
+    so both engines sum in the same order); output counts of
+    (true label, assigned centroid). The centroid table is #labels
+    rows — broadcast; the corpus streams through one stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    v = as_double_array(F.col("embedding"))
+    comps = (
+        widen(spark, emb, sf_dir, "embeddings")
+        .select("label", F.posexplode(v).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    cent = comps.groupBy(F.col("label").alias("cent_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    e = widen(
+        spark,
+        emb.select("vec_id", "label", v.alias("v"), static_dot(v, v, dim).alias("vv")),
+        sf_dir,
+        "embeddings",
+    )
+    vc = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cc = F.aggregate(
+        F.transform("c", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cent_label",
+        F.round(F.col("vv") - 2 * vc + cc, 6).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cent_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", "cent_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
