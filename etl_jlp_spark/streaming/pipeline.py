@@ -128,3 +128,57 @@ def incremental_to_bronze(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type", "value"),
+    delay: str = DEFAULT_WATERMARK_DELAY,
+) -> DataFrame:
+    """Streaming twin of operators.dedup.dedup_exact: keep the first
+    event per key, with state bounded by the watermark —
+    ``dropDuplicatesWithinWatermark`` evicts a key's dedup state once
+    the watermark passes it, so memory is O(keys-per-delay-window),
+    not O(all history). (Exact global dedup at 100 TB is the batch
+    operator; this is the ingest-time guard.)"""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def click_attribution_join(
+    spark: SparkSession,
+    src_dir: str,
+    gap_minutes: int = 30,
+    delay: str = DEFAULT_WATERMARK_DELAY,
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to the view
+    events of the same user in the preceding ``gap_minutes``. Both
+    sides carry watermarks and the join condition bounds the time
+    range, so Spark can evict buffered state — the canonical bounded
+    stream-stream join. Inner join ⇒ results identical to the batch
+    twin once all data is processed."""
+    views = (
+        stream_events(spark, src_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", delay)
+    )
+    clicks = (
+        stream_events(spark, src_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+    ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
