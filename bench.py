@@ -86,6 +86,7 @@ HEADLINE = [
     "embedding_norm_stats",
     "embedding_label_centroids",
     "nearest_centroid_assign",
+    "events_rollup_report",
 ]
 
 

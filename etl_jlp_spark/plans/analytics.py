@@ -458,3 +458,33 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "events_rollup_report",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(event_type) + 2 * grouping(date_trunc('day', ts)) AS BIGINT)
+         AS gid
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""",
+)
+def events_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity volume report in ONE pass: (type, day) →
+    (type) → grand total via ROLLUP — the reference runs its volume
+    summary per entity and per run separately (quality_report.py
+    volume checks); rollup computes every level from a single scan
+    with partial aggregation. gid disambiguates NULL-as-total from a
+    genuine NULL group value."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.grouping("event_type") + 2 * F.grouping("day")).cast("long").alias("gid"),
+    )
