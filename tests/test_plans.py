@@ -58,3 +58,28 @@ def test_sessionize_single_shuffle(spark):
     plan = _plan(QS["sessionize"](spark, SF_SMALL))
     # one hash partitioning on user_id, reused by both window functions
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q4_plans_a_semi_join(spark):
+    plan = _plan(QS["q4_order_priority"](spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan[-2000:]
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_prunes_orders_scan_by_date(spark):
+    plan = _optimized(QS["q22_global_sales_opportunity"](spark, SF_SMALL))
+    # the anti-join side must push the dormancy cutoff into the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan[-3000:]
+
+
+def test_ann_cosine_join_codegens(spark):
+    plan = _plan(QS["ann_topk_cosine"](spark, SF_SMALL))
+    # the pmod-key trick must yield a hash join, not a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_is_single_scan(spark):
+    plan = _plan(QS["events_rollup_report"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # rollup levels from one pass, not a union of scans
