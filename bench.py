@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "nearest_centroid_assign",
     "events_rollup_report",
+    "source_keep_rate",
 ]
 
 

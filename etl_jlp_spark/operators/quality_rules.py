@@ -278,3 +278,58 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / total, 4).alias("token_share"),
     )
+
+
+@query(
+    "source_keep_rate",
+    oracle=f"""
+WITH sig AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')), 4) AS mean_word_len,
+         CAST({_stop_hits_sql()} AS BIGINT) AS n_stop
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_words >= 30 AND n_words <= 10000
+                      AND mean_word_len >= 2.0 AND mean_word_len <= 8.0
+                      AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN n_words >= 30 AND n_words <= 10000
+                      AND mean_word_len >= 2.0 AND mean_word_len <= 8.0
+                      AND n_stop >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS keep_rate
+FROM sig GROUP BY source
+""",
+)
+def source_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard: per-source document counts and the fraction
+    surviving the gopher gates — the number that tells you which
+    crawl/source to drop before spending dedup compute on it. Same
+    scalar rules as gopher_quality_filter, reduced map-side to one
+    row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    mean_wl = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4
+    )
+    n_stop = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS
+    ).cast("long")
+    keep = (
+        (n_words >= 30)
+        & (n_words <= 10000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 8.0)
+        & (n_stop >= 2)
+    ).cast("int")
+    return (
+        docs.select("source", keep.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_keep"),
+            F.round(F.sum("k") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+    )
