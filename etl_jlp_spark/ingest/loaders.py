@@ -21,6 +21,8 @@ Spark-first re-expression:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,6 +122,44 @@ def watermark_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_watermark",
             "rows_extracted",
         )
+    )
+
+
+@query(
+    "ingest_full_load_jsonl",
+    oracle=f"""
+SELECT event_id, user_id, ts, event_type, value, props,
+       'batch-full-load' AS source_name,
+       CAST(1 AS BIGINT) AS source_id,
+       FALSE AS is_update, FALSE AS is_delete,
+       TIMESTAMP '2024-02-01 00:00:00' AS created_time,
+       DATE '2024-02-01' AS created_date
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '{SAMPLE_PREFIX_BOUND}'
+""",
+)
+def ingest_full_load_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's landzone round trip (every ingest job writes
+    jsonline and reads it back — general_lib.py:325-398 write_dls +
+    general_lib.py:104-175 read_json_lines_in_chunks): full-load sample
+    → JSONL landzone → sniffed read-back. The oracle compares the
+    ROUND-TRIPPED rows against the parquet source, so any type/precision
+    loss in the jsonline path (timestamps, dates, doubles, booleans)
+    fails the hash."""
+    import tempfile
+
+    from etl_jlp_spark.ingest.readers import read_entity
+    from etl_jlp_spark.ingest.writers import write_entity
+
+    df = ingest_full_load(spark, sf_dir)
+    container = os.path.join(
+        tempfile.gettempdir(),
+        "etl_jlp_medallion",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    write_entity(df, container, "01landzone", "events_sample", "jsonline", "20240201")
+    return read_entity(
+        spark, container, "01landzone", "events_sample", "20240201", schema=df.schema
     )
 
 

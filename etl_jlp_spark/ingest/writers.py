@@ -20,7 +20,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "jsonline")
+
+# microsecond-precision timestamps for text formats (JSON/CSV default to
+# millis, which silently truncates parquet-sourced micros)
+TIMESTAMP_FORMAT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 def medallion_path(container: str, base: str, entity: str, fmt: str, job_date: str) -> str:
@@ -48,7 +52,14 @@ def write_entity(
         writer = writer.partitionBy(*partition_cols)
     if fmt == "csv":
         writer = writer.option("header", "true")
-    writer.format(fmt).save(path)
+    if fmt in ("json", "jsonline"):
+        # default JSON timestampFormat is millisecond-only — micros
+        # would be silently truncated on the landzone round trip
+        writer = writer.option("timestampFormat", TIMESTAMP_FORMAT_US)
+    # the reference's "jsonline" (one object per line, general_lib.py:
+    # 361-379 write_dls jsonline branch) IS Spark's native json sink —
+    # line-delimited, split-able, written in parallel per partition
+    writer.format("json" if fmt == "jsonline" else fmt).save(path)
     return path
 
 
@@ -59,24 +70,31 @@ def archive_parquet(df: DataFrame, container: str, base: str, entity: str, job_d
     return write_entity(df, container, os.path.join("archives", base), entity, "parquet", job_date)
 
 
-def normalize_bool_strings(df: DataFrame, sample_rows: int = 10_000) -> DataFrame:
+def normalize_bool_strings(df: DataFrame) -> DataFrame:
     """Reference convert_str_bool_columns (general_lib.py:176-185):
     string columns whose non-null values are all 'true'/'false' become
-    booleans. The scan to decide is a bounded sample + distinct on each
-    candidate column (cheap); the cast itself is a projection."""
-    out = df
+    booleans.
+
+    The decision scans the FULL column (one aggregate job covering every
+    candidate column at once, map-side combined) — a sampled decision
+    would silently coerce later non-boolean values and be partition-
+    order dependent, i.e. nondeterministic across runs. The cast itself
+    is a projection."""
     string_cols = [c for c, t in df.dtypes if t == "string"]
     if not string_cols:
-        return out
-    sample = df.select(string_cols).limit(sample_rows)
+        return df
+    aggs = []
     for c in string_cols:
-        distinct_vals = {
-            r[0]
-            for r in sample.select(F.lower(F.col(c)).alias("v"))
-            .filter(F.col("v").isNotNull())
-            .distinct()
-            .collect()
-        }
-        if distinct_vals and distinct_vals <= {"true", "false"}:
+        low = F.lower(F.col(c))
+        aggs.append(
+            F.sum(
+                (low.isNotNull() & ~low.isin("true", "false")).cast("long")
+            ).alias(f"bad__{c}")
+        )
+        aggs.append(F.sum(low.isNotNull().cast("long")).alias(f"nonnull__{c}"))
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in string_cols:
+        if stats[f"nonnull__{c}"] and not stats[f"bad__{c}"]:
             out = out.withColumn(c, F.lower(F.col(c)) == "true")
     return out

@@ -25,6 +25,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,16 +74,14 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     row_bytes = width * 3
     pad = (4 - row_bytes % 4) % 4
-    sums = [0, 0, 0]
-    n = width * abs(height)
-    off = data_offset
-    for _ in range(abs(height)):
-        row = payload[off : off + row_bytes]
-        sums[2] += sum(row[0::3])  # B
-        sums[1] += sum(row[1::3])  # G
-        sums[0] += sum(row[2::3])  # R
-        off += row_bytes + pad
-    return width, abs(height), sums[0] / n, sums[1] / n, sums[2] / n
+    h = abs(height)
+    stride = row_bytes + pad
+    # whole pixel plane as one numpy view: (h, stride) → strip padding →
+    # per-channel means without any python-level byte loop
+    plane = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = plane.reshape(h, stride)[:, :row_bytes].reshape(h * width, 3)
+    means = rows.mean(axis=0, dtype=np.float64)  # BGR order on disk
+    return width, h, float(means[2]), float(means[1]), float(means[0])
 
 
 def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> DataFrame:
@@ -121,30 +120,32 @@ def decode_image(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                "media_id": [], "kind": [], "width": [], "height": [],
-                "n_bytes": [], "checksum": [], "mean_r": [], "mean_g": [], "mean_b": [],
-            }
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                out["media_id"].append(row["media_id"])
-                out["kind"].append(row["kind"])
-                out["n_bytes"].append(len(payload))
-                out["checksum"].append(hashlib.md5(payload).hexdigest())
-                if row["kind"] == "bmp":
-                    w, h, mr, mg, mb = decode_bmp(payload)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["mean_r"].append(mr)
-                    out["mean_g"].append(mg)
-                    out["mean_b"].append(mb)
-                else:  # pseudo-decode from declared metadata
-                    out["width"].append(row["meta"]["declared_w"])
-                    out["height"].append(row["meta"]["declared_h"])
-                    out["mean_r"].append(None)
-                    out["mean_g"].append(None)
-                    out["mean_b"].append(None)
-            yield pd.DataFrame(out)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            is_bmp = (pdf["kind"] == "bmp").to_numpy()
+            # metadata-derived columns are vectorized over the whole
+            # Arrow batch; only the codec itself runs per payload
+            width = np.array([m["declared_w"] for m in pdf["meta"]], dtype=np.int32)
+            height = np.array([m["declared_h"] for m in pdf["meta"]], dtype=np.int32)
+            mean_r = np.full(len(pdf), np.nan)
+            mean_g = np.full(len(pdf), np.nan)
+            mean_b = np.full(len(pdf), np.nan)
+            for i in np.flatnonzero(is_bmp):
+                w, h, mr, mg, mb = decode_bmp(payloads[i])
+                width[i], height[i] = w, h
+                mean_r[i], mean_g[i], mean_b[i] = mr, mg, mb
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads)),
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "mean_r": mean_r,
+                    "mean_g": mean_g,
+                    "mean_b": mean_b,
+                }
+            )
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
@@ -158,12 +159,10 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in it:
             feats = []
             for b in pdf["payload"]:
-                raw = bytes(b)
-                hist = [0.0] * dim
-                for byte in raw:
-                    hist[byte % dim] += 1.0
-                total = sum(hist) or 1.0
-                feats.append([h / total for h in hist])
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(raw % dim, minlength=dim).astype(np.float64)
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.mapInPandas(batches, FEATURES_SCHEMA)

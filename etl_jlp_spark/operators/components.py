@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
 from etl_jlp_spark.registry import query
 
-MAX_ROUNDS = 10  # safety bound ≥ any plausible cluster diameter
+MAX_ROUNDS = 64  # hard safety cap only; the loop exits on convergence
 
 
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
@@ -51,6 +51,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         .repartition(n_part, "node")
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -74,6 +75,13 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         labels = new_labels.select("node", "label")
         if not changed:
             break
+    if changed:
+        # a silent early exit would return WRONG (unconverged) component
+        # ids on long chain-shaped clusters — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {MAX_ROUNDS} rounds "
+            f"({changed} labels still changing); graph diameter exceeds the cap"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

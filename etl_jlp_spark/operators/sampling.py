@@ -105,8 +105,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # floor division (not truncate-toward-zero) so a leading zero-token
+    # doc (cumsum-1 = -1) bins identically to DuckDB's `//`
     packed = sized.withColumn(
-        "bin_id", ((F.sum("n_tokens").over(w) - 1) / TOKEN_BUDGET).cast("long")
+        "bin_id", F.floor((F.sum("n_tokens").over(w) - 1) / TOKEN_BUDGET).cast("long")
     )
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

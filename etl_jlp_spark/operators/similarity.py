@@ -332,12 +332,12 @@ def _sign_bucket(v_alias: str, band: int = 0) -> Column:
     )
 
 
-def _sign_bucket_sql(v_expr: str, band: int = 0) -> str:
+def _sign_bucket_sql(v_expr: str, band: int = 0, bits: int = SIGN_BUCKET_BITS) -> str:
     """Matching DuckDB expression (1-based list indexing)."""
-    lo = band * SIGN_BUCKET_BITS
+    lo = band * bits
     terms = [
-        f"(CASE WHEN {v_expr}[{lo + j + 1}] >= 0 THEN {1 << (SIGN_BUCKET_BITS - 1 - j)} ELSE 0 END)"
-        for j in range(SIGN_BUCKET_BITS)
+        f"(CASE WHEN {v_expr}[{lo + j + 1}] >= 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        for j in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -474,77 +474,156 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_N_CENTROIDS = 16
 IVF_ITERATIONS = 1
 IVF_N_PROBE = 2
+IVF_SAMPLE_HEX = "8"  # md5(vec_id)[0] < '8' → deterministic ~50% training sample
+IVF_CENT_ROUND = 6  # centroid components rounded → bit-identical across engines
 
 
-@query("ann_ivf_topk")  # rows-only: iterative float centroid math isn't portable SQL
+def _ivf_assign(
+    spark: SparkSession, df: DataFrame, cent_rows: list[tuple[int, list[float]]], dim: int
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k×dim centroid table,
+    score every (vector, centroid) pair, keep the argmax row per vector
+    (ties → lowest cell id). The pmod constant key forces a codegen
+    BroadcastHashJoin — a `lit(True)` cross join would plan as an
+    interpreted BroadcastNestedLoopJoin (~50× slower dot products)."""
+    cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
+    scored = (
+        df.withColumn("bk", F.pmod(F.col("vec_id"), F.lit(1)))
+        .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
+        .select("vec_id", "v", "cell", static_dot(F.col("v"), F.col("cv"), dim).alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+
+_IVF_STEP_SQL = f"greatest(total // {IVF_N_CENTROIDS}, 1)"
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (
+  SELECT vec_id, v FROM e
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '{IVF_SAMPLE_HEX}'
+), numbered AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn, count(*) OVER () AS total
+  FROM samp
+), seeds AS (
+  SELECT CAST((rn - 1) // {_IVF_STEP_SQL} AS INTEGER) AS cell, v AS cv
+  FROM numbered
+  WHERE (rn - 1) % {_IVF_STEP_SQL} = 0
+    AND (rn - 1) // {_IVF_STEP_SQL} < {IVF_N_CENTROIDS}
+), a0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.v, c.cv) DESC, c.cell ASC) AS rnk
+    FROM samp s CROSS JOIN seeds c
+  ) WHERE rnk = 1
+), comp AS (
+  SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS idx FROM a0
+), cent AS (
+  SELECT cell, list(av ORDER BY idx) AS cv FROM (
+    SELECT cell, idx, round(avg(val), {IVF_CENT_ROUND}) AS av FROM comp GROUP BY cell, idx
+  ) GROUP BY cell
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS rnk
+    FROM e CROSS JOIN cent c
+  ) WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell ASC) AS prn
+    FROM q CROSS JOIN cent c
+  ) WHERE prn <= {IVF_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, a.v) /
+               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS c6
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, round(c6, 4) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c6 DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_TOP_K}
+""",
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer built with
-    IVF_ITERATIONS Lloyd steps expressed as DataFrame joins/aggs
-    (assign = broadcast-centroid argmin, update = groupBy mean), then
-    each query probes its IVF_N_PROBE nearest cells and ranks
-    candidates within them. The iterative step demonstrates driver-side
-    loop + lazy-plan iteration (each iteration materializes only the
-    k×dim centroid table — collect of 16 rows, never the corpus).
+    """IVF (inverted-file) ANN: a k-means coarse quantizer TRAINED ON A
+    DETERMINISTIC HASH-SAMPLE (the 100 TB rule — Lloyd steps never see
+    the full corpus; only assignment does), then each query probes its
+    IVF_N_PROBE nearest cells and ranks candidates within them.
+
+    Lloyd steps are DataFrame joins/aggs (assign = broadcast-centroid
+    argmax, update = groupBy per-component mean); each iteration
+    materializes only the k×dim centroid table — a 16-row collect,
+    never the corpus. Trained centroid components are rounded to
+    IVF_CENT_ROUND decimals so both engines quantize over bit-identical
+    centroids (float-sum order across partitions differs below 1e-12;
+    rounding absorbs it) — that is what makes the full IVF pipeline
+    portable SQL and hash-checkable.
 
     At 100 TB: corpus is assigned once and written bucketed by cell
-    (cluster-pruned scans); probes read only matching buckets."""
+    (tests/test_similarity.py asserts the bucket-pruned probe read);
+    probes scan only matching buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    corpus = _with_norm(emb, dim, "vec_id", "v").persist()
+    corpus = widen(spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings").persist()
 
-    # deterministic seeds: every (n/k)-th vector by id rank
+    samp = corpus.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX
+    ).persist()
+    # deterministic seeds: every step-th sample vector by id rank
+    rn = F.col("rn")
+    step = F.greatest(F.floor(F.col("total") / IVF_N_CENTROIDS), F.lit(1))
     seeds = (
-        corpus.withColumn(
-            "rn", F.row_number().over(Window.orderBy("vec_id"))
-        )
+        samp.withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
         .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
-        .filter(((F.col("rn") - 1) % F.floor(F.col("total") / IVF_N_CENTROIDS) == 0))
-        .limit(IVF_N_CENTROIDS)
-        .select(F.col("rn").alias("cell"), F.col("v").alias("cv"))
+        .withColumn("step", step)
+        .filter(((rn - 1) % F.col("step") == 0) & ((rn - 1) / F.col("step") < IVF_N_CENTROIDS))
+        .select(F.floor((rn - 1) / F.col("step")).cast("int").alias("cell"), F.col("v").alias("cv"))
     )
-    centroids = [(int(r["cell"]), list(r["cv"])) for r in seeds.collect()]
-
-    def assign(cent_rows) -> DataFrame:
-        """Nearest centroid: broadcast the k×dim centroid table, score
-        each (vector, centroid) pair, keep the argmax row per vector.
-        Ties go to the lowest cell id deterministically."""
-        cent_df = spark.createDataFrame(
-            [(i, vec) for i, (_, vec) in enumerate(cent_rows)], "cell int, cv array<double>"
-        )
-        scored = corpus.join(F.broadcast(cent_df), F.lit(True)).select(
-            "vec_id", "v", "cell", static_dot(F.col("v"), F.col("cv"), dim).alias("sim")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cell")
-        )
+    centroids = sorted(
+        [(int(r["cell"]), list(r["cv"])) for r in seeds.collect()], key=lambda t: t[0]
+    )
 
     for _ in range(IVF_ITERATIONS):
-        assigned = assign(centroids)
-        new_cent = (
-            assigned.groupBy("cell")
+        trained = (
+            _ivf_assign(spark, samp, centroids, dim)
+            .groupBy("cell")
             .agg(
                 F.array(
-                    *[F.avg(F.col("v").getItem(i)).alias(f"c{i}") for i in range(dim)]
+                    *[
+                        F.round(F.avg(F.col("v").getItem(i)), IVF_CENT_ROUND).alias(f"c{i}")
+                        for i in range(dim)
+                    ]
                 ).alias("cv")
             )
             .collect()
         )
-        centroids = [(int(r["cell"]), list(r["cv"])) for r in new_cent]
+        centroids = sorted([(int(r["cell"]), list(r["cv"])) for r in trained], key=lambda t: t[0])
 
-    assigned = assign(centroids).select("vec_id", "v", "cell").persist()
-    cent_df = spark.createDataFrame(
-        [(i, vec) for i, (_, vec) in enumerate(centroids)], "cell int, cv array<double>"
-    )
-    queries = assigned.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+    assigned = _ivf_assign(spark, corpus, centroids, dim).persist()
+    cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
+    queries = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    # probe the n nearest cells per query
+    # probe the n nearest cells per query (broadcast 16-row centroids)
     probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
     probes = (
-        queries.join(F.broadcast(cent_df), F.lit(True))
+        queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
+        .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
         .select(
             "query_id", "qv", "cell", static_dot(F.col("qv"), F.col("cv"), dim).alias("psim")
         )
@@ -555,7 +634,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
-    # vectors are pre-normalized? no — compute full cosine
     nq = F.sqrt(static_dot(F.col("qv"), F.col("qv"), dim))
     nv = F.sqrt(static_dot(F.col("v"), F.col("v"), dim))
     scored = cand.select(
@@ -593,13 +671,42 @@ def _ann_bands(df: DataFrame, v_alias: str, id_col: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # rows-only: float hyperplane math isn't portable SQL
+_ANN_LSH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_sql('v', b, ANN_LSH_BITS)} AS bucket FROM {{src}}"
+    for b in range(ANN_LSH_BANDS)
+)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+cb AS ({_ANN_LSH_BANDS_SQL.format(src='e')}),
+qb AS ({_ANN_LSH_BANDS_SQL.format(src='q')}),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.band = cb.band AND qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(y.v, x.v) /
+               (sqrt(list_dot_product(y.v, y.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS c6
+  FROM cand c JOIN e y ON c.query_id = y.vec_id JOIN e x ON c.neighbor_id = x.vec_id
+)
+SELECT query_id, neighbor_id, round(c6, 4) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c6 DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_TOP_K}
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-bucket LSH ANN: 4 bands × 6 sign bits; a corpus
     vector is a candidate for a query if they share a bucket in ANY
     band (multi-probe recall), produced by an equi-join on
     (band, bucket) — the 100 TB path where brute force is impossible.
-    Recall vs the brute-force baseline is asserted in
+    Sign tests are float-exact, so the DuckDB oracle reproduces the
+    candidate set (and hence the ranked top-k) bit-identically; recall
+    vs the brute-force baseline is additionally asserted in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)

@@ -33,3 +33,21 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def reorder(priority: list[str]) -> None:
+    """Rebuild the registries with ``priority`` names first (remaining
+    entries keep their registration order).
+
+    The driver's correctness gate records a bounded window of queries in
+    dict-iteration order, so the window must be steerable: each round the
+    names that most need a fresh driver row go first (see SURVEY.md §8
+    "correctness-window rotation")."""
+    missing = [n for n in priority if n not in QUERIES]
+    if missing:
+        raise KeyError(f"reorder: unknown query names {missing}")
+    ordered = list(dict.fromkeys(priority)) + [n for n in QUERIES if n not in set(priority)]
+    for d in (QUERIES, ORACLES):
+        tail = {n: d[n] for n in ordered if n in d}
+        d.clear()
+        d.update(tail)

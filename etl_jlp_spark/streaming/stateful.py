@@ -35,29 +35,40 @@ def _assign_sessions(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle-user eviction: drop state, do NOT re-arm the timer
+        state.remove()
+        return
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    # One user's micro-batch may span several Arrow chunks with no
+    # cross-chunk ordering guarantee — concatenate and sort ONCE so
+    # session ordinals match the batch with_session_id semantics.
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+
     last_ts_us, session_ord = state.get if state.exists else (None, 0)
     gap_us = SESSION_GAP_S * 1_000_000
 
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts_us = pdf["ts"].astype("int64")  # pandas datetime64[us/ns] → int
-        # pandas stores ns; normalize to µs to match unix_micros
-        if str(pdf["ts"].dtype).endswith("[ns]"):
-            ts_us = ts_us // 1_000
-        sids = []
-        for t in ts_us:
-            if last_ts_us is None or (t - last_ts_us) > gap_us:
-                session_ord += 1
-            sids.append(session_ord)
-            last_ts_us = int(t)
-        yield pd.DataFrame(
-            {
-                "user_id": key[0],
-                "event_id": pdf["event_id"].values,
-                "ts": pdf["ts"].values,
-                "session_id": sids,
-            }
-        )
+    ts_us = pdf["ts"].astype("int64")  # pandas datetime64[us/ns] → int
+    # pandas stores ns; normalize to µs to match unix_micros
+    if str(pdf["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1_000
+    sids = []
+    for t in ts_us:
+        if last_ts_us is None or (t - last_ts_us) > gap_us:
+            session_ord += 1
+        sids.append(session_ord)
+        last_ts_us = int(t)
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": pdf["event_id"].values,
+            "ts": pdf["ts"].values,
+            "session_id": sids,
+        }
+    )
 
     state.update((last_ts_us, session_ord))
     # evict idle users once no new event can extend their session
