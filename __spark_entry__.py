@@ -92,6 +92,8 @@ _R2_PRIORITY = [
     "ann_ivf_topk",
     # NEW in round 2
     "ingest_full_load_jsonl",
+    "time_on_page_incremental",
+    "quality_report_flat",
 ]
 
 

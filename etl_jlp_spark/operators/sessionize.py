@@ -222,3 +222,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 def time_on_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return with_time_on_page(events)
+
+
+# incremental-batch boundary for time_on_page_incremental (inside the
+# testdata event range so many users straddle it)
+BATCH_BOUNDARY = "2024-01-25 00:00:00"
+
+
+def patch_time_on_page(
+    batch: DataFrame,
+    next_head: DataFrame,
+    default_last_s: float = DEFAULT_LAST_PAGE_S,
+    cap_s: float = MAX_TIME_PER_PAGE_S,
+) -> DataFrame:
+    """Cross-batch boundary fix (reference update_last_record_time,
+    preprocessing_streaming_incremental_load.py:380-387): the last
+    record per user in batch N defaulted to ``default_last_s`` because
+    its next event wasn't known yet; once batch N+1 arrives, patch it
+    with the user's first N+1 event time.
+
+    ``next_head`` is (user_id, next_ts) — one row per user active in
+    batch N+1, tiny relative to the batch. The join key equals the
+    window partition key (user_id), so the patch rides the hash
+    partitioning the time-on-page window already established — no
+    second shuffle of the batch side."""
+    w = Window.partitionBy("user_id").orderBy(*_USER_ORDER)
+    us = F.unix_micros(F.col("ts"))
+    next_us = F.lead(us).over(w)
+    topg = batch.withColumn("next_us", next_us)
+    raw = (
+        F.when(F.col("next_us").isNotNull(), (F.col("next_us") - us) / F.lit(1_000_000.0))
+        .when(
+            F.col("next_ts").isNotNull(),
+            (F.unix_micros(F.col("next_ts")) - us) / F.lit(1_000_000.0),
+        )
+        .otherwise(F.lit(default_last_s))
+    )
+    return (
+        topg.join(next_head, "user_id", "left")
+        .withColumn("raw_time_on_page", raw)
+        .withColumn("capped_time_on_page", F.least(F.col("raw_time_on_page"), F.lit(cap_s)))
+        .drop("next_us", "next_ts")
+    )
+
+
+@query(
+    "time_on_page_incremental",
+    oracle=f"""
+WITH batch AS (
+  SELECT event_id, user_id, ts FROM events WHERE ts < TIMESTAMP '{BATCH_BOUNDARY}'
+), head AS (
+  SELECT user_id, min(ts) AS next_ts FROM events
+  WHERE ts >= TIMESTAMP '{BATCH_BOUNDARY}' GROUP BY user_id
+), topg AS (
+  SELECT event_id, user_id, ts,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+  FROM batch
+)
+SELECT t.event_id, t.user_id, t.ts,
+       CASE WHEN t.next_us IS NOT NULL THEN (t.next_us - epoch_us(t.ts)) / 1000000.0
+            WHEN h.next_ts IS NOT NULL THEN (epoch_us(h.next_ts) - epoch_us(t.ts)) / 1000000.0
+            ELSE {DEFAULT_LAST_PAGE_S} END AS raw_time_on_page,
+       least(CASE WHEN t.next_us IS NOT NULL THEN (t.next_us - epoch_us(t.ts)) / 1000000.0
+                  WHEN h.next_ts IS NOT NULL THEN (epoch_us(h.next_ts) - epoch_us(t.ts)) / 1000000.0
+                  ELSE {DEFAULT_LAST_PAGE_S} END, {MAX_TIME_PER_PAGE_S}) AS capped_time_on_page
+FROM topg t LEFT JOIN head h ON t.user_id = h.user_id
+""",
+)
+def time_on_page_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-incremental time_on_page: batch N = events before the
+    boundary, batch N+1's head = each user's first event after it. Every
+    user active across the boundary gets a REAL boundary time instead of
+    the {DEFAULT_LAST_PAGE_S:.0f} s default (the reference fixes this on
+    every nightly run; round 1 always fell back to the default)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    boundary = F.lit(BATCH_BOUNDARY).cast("timestamp")
+    batch = events.filter(F.col("ts") < boundary)
+    next_head = (
+        events.filter(F.col("ts") >= boundary)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("next_ts"))
+    )
+    return patch_time_on_page(batch, next_head)

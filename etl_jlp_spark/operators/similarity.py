@@ -500,6 +500,58 @@ def _ivf_assign(
     )
 
 
+def ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]], int]:
+    """Build the IVF index: (corpus, assigned, centroids, dim).
+
+    The coarse quantizer trains on a deterministic md5 hash-sample of
+    the corpus (Lloyd steps never see full data — the 100 TB rule);
+    the FULL corpus is then assigned once. ``assigned`` is the
+    (vec_id, v, cell) relation a production deployment writes bucketed
+    by ``cell`` so probe reads scan only matching buckets
+    (tests/test_similarity.py asserts the bucket-pruned plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    corpus = widen(spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings").persist()
+
+    samp = corpus.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX
+    ).persist()
+    # deterministic seeds: every step-th sample vector by id rank
+    rn = F.col("rn")
+    step = F.greatest(F.floor(F.col("total") / IVF_N_CENTROIDS), F.lit(1))
+    seeds = (
+        samp.withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("step", step)
+        .filter(((rn - 1) % F.col("step") == 0) & ((rn - 1) / F.col("step") < IVF_N_CENTROIDS))
+        .select(F.floor((rn - 1) / F.col("step")).cast("int").alias("cell"), F.col("v").alias("cv"))
+    )
+    centroids = sorted(
+        [(int(r["cell"]), list(r["cv"])) for r in seeds.collect()], key=lambda t: t[0]
+    )
+
+    for _ in range(IVF_ITERATIONS):
+        trained = (
+            _ivf_assign(spark, samp, centroids, dim)
+            .groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.col("v").getItem(i)), IVF_CENT_ROUND).alias(f"c{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        centroids = sorted([(int(r["cell"]), list(r["cv"])) for r in trained], key=lambda t: t[0])
+
+    assigned = _ivf_assign(spark, corpus, centroids, dim).persist()
+    return corpus, assigned, centroids, dim
+
+
 _IVF_STEP_SQL = f"greatest(total // {IVF_N_CENTROIDS}, 1)"
 
 
@@ -577,44 +629,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: corpus is assigned once and written bucketed by cell
     (tests/test_similarity.py asserts the bucket-pruned probe read);
     probes scan only matching buckets."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = _emb_dim(emb)
-    corpus = widen(spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings").persist()
-
-    samp = corpus.filter(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX
-    ).persist()
-    # deterministic seeds: every step-th sample vector by id rank
-    rn = F.col("rn")
-    step = F.greatest(F.floor(F.col("total") / IVF_N_CENTROIDS), F.lit(1))
-    seeds = (
-        samp.withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
-        .withColumn("step", step)
-        .filter(((rn - 1) % F.col("step") == 0) & ((rn - 1) / F.col("step") < IVF_N_CENTROIDS))
-        .select(F.floor((rn - 1) / F.col("step")).cast("int").alias("cell"), F.col("v").alias("cv"))
-    )
-    centroids = sorted(
-        [(int(r["cell"]), list(r["cv"])) for r in seeds.collect()], key=lambda t: t[0]
-    )
-
-    for _ in range(IVF_ITERATIONS):
-        trained = (
-            _ivf_assign(spark, samp, centroids, dim)
-            .groupBy("cell")
-            .agg(
-                F.array(
-                    *[
-                        F.round(F.avg(F.col("v").getItem(i)), IVF_CENT_ROUND).alias(f"c{i}")
-                        for i in range(dim)
-                    ]
-                ).alias("cv")
-            )
-            .collect()
-        )
-        centroids = sorted([(int(r["cell"]), list(r["cv"])) for r in trained], key=lambda t: t[0])
-
-    assigned = _ivf_assign(spark, corpus, centroids, dim).persist()
+    corpus, assigned, centroids, dim = ivf_index(spark, sf_dir)
     cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
     queries = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

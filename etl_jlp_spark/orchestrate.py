@@ -69,10 +69,19 @@ class Pipeline:
                 raise ValueError(f"dependency cycle or missing dep among {cycle}")
         return done
 
-    def run(self, **context) -> dict:
-        """Execute in dependency order; fail-fast; return a job report."""
+    def run(self, on_error: Callable[[str, str], None] | None = None, **context) -> dict:
+        """Execute in dependency order; fail-fast; return a job report.
+
+        ``on_error(step_name, message)`` is the alert channel — the
+        analog of the reference's send_email (general_lib.py:187-222) +
+        log_etl_errors (quality_report.py:155-157). It fires once per
+        failed step; the report carries the same messages under
+        ``errors`` so a scheduler can route them without re-parsing
+        step results. Alert failures are swallowed (an unreachable
+        mail relay must not mask the real failure)."""
         results: list[StepResult] = []
         outputs: dict[str, DataFrame | None] = {}
+        errors: list[dict] = []
         ok = True
         for s in self._ordered():
             if not ok:
@@ -88,15 +97,21 @@ class Pipeline:
                 )
             except Exception as e:  # fail-fast, but report every step
                 ok = False
+                msg = str(e)[:500]
                 results.append(
-                    StepResult(
-                        s.name, "failed", round(time.perf_counter() - t0, 3), None, str(e)[:500]
-                    )
+                    StepResult(s.name, "failed", round(time.perf_counter() - t0, 3), None, msg)
                 )
+                errors.append({"step": s.name, "error": msg})
+                if on_error is not None:
+                    try:
+                        on_error(s.name, msg)
+                    except Exception:
+                        pass
         return {
             "pipeline": self.name,
             "status": "success" if ok else "failed",
             "steps": [vars(r) for r in results],
+            "errors": errors,
         }
 
     def run_and_save(self, report_path: str, **context) -> dict:

@@ -16,6 +16,7 @@ for the correctness gate.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -91,13 +92,65 @@ class QualityReport:
             for c, t in expected_dtypes.items()
         }
 
-    def summary_df(self) -> DataFrame:
-        out = self.df.agg(*self._aggs)
-        if self._dedup_cols:
-            total = self.df.count()
-            distinct = self.df.select(*self._dedup_cols).distinct().count()
-            out = out.withColumn("duplicate_rows", F.lit(total - distinct).cast("long"))
+    def check_column_mapping(self, mapping: Mapping[str, str]) -> dict[str, dict]:
+        """Renamed-column verification (reference check_column_mapping,
+        quality_report.py:105-107): for each ``source → target`` rename,
+        the target must exist and the stale source name must be gone.
+        Metadata-only — no job."""
+        cols = set(self.df.columns)
+        out = {}
+        for src, dst in mapping.items():
+            ok = dst in cols and (src == dst or src not in cols)
+            out[src] = {"target": dst, "ok": ok}
+            if not ok:
+                self._notes.append(f"column mapping failed: {src} -> {dst}")
         return out
+
+    def flatten_if_json(self, col: str, keys: list[str] | None = None) -> "QualityReport":
+        """Reference flatten_if_json (quality_report.py:33-48): a JSON
+        string column is flattened to ``{col}_{key}`` columns before
+        checks run. Keys are sniffed from one non-null value (a bounded
+        1-row driver action, like the reference's json_normalize probe);
+        the flatten itself is a JVM-side projection (get_json_object) —
+        the JSON never round-trips through Python."""
+        if keys is None:
+            head = self.df.select(col).filter(F.col(col).isNotNull()).head(1)
+            if not head:
+                self._notes.append(f"flatten_if_json: no non-null {col} values")
+                return self
+            try:
+                parsed = json.loads(head[0][0])
+            except (TypeError, ValueError):
+                self._notes.append(f"flatten_if_json: {col} is not JSON")
+                return self
+            keys = sorted(parsed) if isinstance(parsed, dict) else []
+        for k in keys:
+            self.df = self.df.withColumn(
+                f"{col}_{k}", F.get_json_object(F.col(col), f"$.{k}")
+            )
+        return self
+
+    def add_metrics(self, *aggs: Column) -> "QualityReport":
+        """Append caller-supplied aggregate columns to the single pass."""
+        self._aggs.extend(aggs)
+        return self
+
+    def summary_df(self) -> DataFrame:
+        """The whole report is ONE aggregation job: the duplicate check
+        rides the same pass as ``count(DISTINCT struct(keys))`` (struct,
+        not bare columns — SQL count-distinct drops null-containing
+        tuples, the reference's ``df.duplicated()`` does not)."""
+        aggs = list(self._aggs)
+        if self._dedup_cols:
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(F.struct(*self._dedup_cols))
+                )
+                .cast("long")
+                .alias("duplicate_rows")
+            )
+        return self.df.agg(*aggs)
 
     def generate(self) -> dict:
         row = self.summary_df().collect()[0].asDict()
@@ -227,6 +280,38 @@ def quality_array_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bad_labels"),
     )
+
+
+@query(
+    "quality_report_flat",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS num_rows,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_props_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_props_k,
+       CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS distinct_props_k,
+       CAST(count(*) - count(DISTINCT {'u': user_id, 'k': json_extract_string(props, '$.k')}) AS BIGINT) AS duplicate_rows
+FROM events
+""",
+)
+def quality_report_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's quality flow on a semi-structured column: the
+    props JSON is auto-flattened (flatten_if_json) and the checks —
+    nulls, range, cardinality, duplicate keys — run on the FLATTENED
+    columns, all in the class's single aggregation pass."""
+    events = load_table(spark, sf_dir, "events")
+    qr = (
+        QualityReport(events, "events")
+        .flatten_if_json("props")
+        .check_nulls(["props_k"])
+        .add_metrics(
+            F.min(F.col("props_k").cast("long")).cast("long").alias("min_props_k"),
+            F.max(F.col("props_k").cast("long")).cast("long").alias("max_props_k"),
+            F.countDistinct("props_k").cast("long").alias("distinct_props_k"),
+        )
+        .check_duplicates(["user_id", "props_k"])
+    )
+    return qr.summary_df()
 
 
 @query(

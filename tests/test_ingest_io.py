@@ -52,3 +52,49 @@ def test_normalize_bool_strings(spark):
     assert dict(out.dtypes)["id"] == "string"
     vals = [r["flag"] for r in out.orderBy("id").collect()]
     assert vals == [True, False, None]
+
+
+def test_jsonline_roundtrip_sniffed(spark, tmp_path):
+    """Landzone JSONL round trip: micros timestamps, dates, doubles and
+    booleans survive; the read side sniffs the format from the layout."""
+    from etl_jlp_spark.ingest.readers import read_entity, sniff_format
+    from etl_jlp_spark.ingest.writers import medallion_path
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("flag", F.col("event_id") % 2 == 0)
+    )
+    write_entity(ev, str(tmp_path / "01lz"), "b", "events", "jsonline", "20240201")
+    path = medallion_path(str(tmp_path / "01lz"), "b", "events", "jsonline", "20240201")
+    assert sniff_format(path) == "jsonline"
+    back = read_entity(spark, str(tmp_path / "01lz"), "b", "events", "20240201", schema=ev.schema)
+    assert back.dtypes == ev.dtypes
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # exact: no ms truncation, no double drift
+
+
+def test_read_entity_sniffs_csv_and_parquet(spark, tmp_path):
+    from etl_jlp_spark.ingest.readers import read_entity
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "event_type")
+    for fmt in ("csv", "parquet"):
+        write_entity(ev, str(tmp_path / fmt), "b", "events", fmt, "20240201")
+        back = read_entity(spark, str(tmp_path / fmt), "b", "events", "20240201", schema=ev.schema)
+        assert back.count() == ev.count()
+        assert back.dtypes == ev.dtypes
+
+
+def test_sniff_format_magic_bytes(tmp_path):
+    from etl_jlp_spark.ingest.readers import sniff_format
+
+    d = tmp_path / "mystery"
+    d.mkdir()
+    (d / "part-00000").write_text('{"a": 1}\n{"a": 2}\n')
+    assert sniff_format(str(d)) == "jsonline"
+    (d / "part-00000").write_bytes(b"PAR1xxxx")
+    assert sniff_format(str(d)) == "parquet"
+    (d / "part-00000").write_text("a,b\n1,2\n")
+    assert sniff_format(str(d)) == "csv"

@@ -92,3 +92,58 @@ def test_format_check_metadata_only(spark):
     res = QualityReport(df, "t").check_formats({"id": "bigint", "name": "int"})
     assert res["id"]["match"] is True
     assert res["name"]["match"] is False
+
+
+def test_check_column_mapping(spark):
+    df = spark.createDataFrame([(1, "a")], "user_key long, name string")
+    qr = QualityReport(df, "t")
+    res = qr.check_column_mapping({"userId": "user_key", "fullName": "full_name"})
+    assert res["userId"]["ok"] is True
+    assert res["fullName"]["ok"] is False
+    assert any("fullName -> full_name" in n for n in qr._notes)
+
+
+def test_flatten_if_json_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 3, "tag": "x"}'), (2, '{"k": 7, "tag": null}'), (3, None)],
+        "id long, props string",
+    )
+    qr = QualityReport(df, "t").flatten_if_json("props").check_nulls(["props_k", "props_tag"])
+    rep = qr.generate()
+    assert rep["nulls_props_k"] == 1  # the null-props row
+    assert rep["nulls_props_tag"] == 2  # null props + JSON null
+    assert set(qr.df.columns) >= {"props_k", "props_tag"}
+
+
+def test_flatten_if_json_non_json_column(spark):
+    df = spark.createDataFrame([(1, "plain text")], "id long, note string")
+    qr = QualityReport(df, "t").flatten_if_json("note")
+    assert qr.df.columns == ["id", "note"]
+    assert any("not JSON" in n for n in qr._notes)
+
+
+def test_patch_time_on_page_boundary(spark):
+    """Batch-edge semantics (reference update_last_record_time): the last
+    batch-N record of a user seen in batch N+1 gets the real gap, a user
+    absent from N+1 keeps the default, and mid-batch rows are untouched."""
+    import datetime as dt
+
+    from etl_jlp_spark.operators.sessionize import patch_time_on_page
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (1, 100, t0),
+            (2, 100, t0 + dt.timedelta(seconds=60)),  # last of user 100
+            (3, 200, t0),  # last of user 200 (absent from N+1)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    head = spark.createDataFrame(
+        [(100, t0 + dt.timedelta(seconds=90))], "user_id long, next_ts timestamp"
+    )
+    rows = {r["event_id"]: r for r in patch_time_on_page(batch, head).collect()}
+    assert rows[1]["raw_time_on_page"] == 60.0  # mid-batch: unchanged
+    assert rows[2]["raw_time_on_page"] == 30.0  # patched from N+1 head
+    assert rows[3]["raw_time_on_page"] == 1800.0  # no N+1 event: default
+    assert rows[2]["capped_time_on_page"] == 30.0

@@ -90,3 +90,33 @@ def test_cycle_detection(spark):
 
     with pytest.raises(ValueError, match="cycle"):
         p.run()
+
+
+def test_on_error_alert_hook(spark):
+    """The send_email/log_etl_errors analog: failed steps fire the alert
+    callback and land in the report's errors list."""
+    p = Pipeline("alerting")
+
+    @p.step("a")
+    def a(upstream, **_):
+        raise RuntimeError("kaboom")
+
+    alerts = []
+    report = p.run(on_error=lambda step, msg: alerts.append((step, msg)))
+    assert alerts and alerts[0][0] == "a" and "kaboom" in alerts[0][1]
+    assert report["errors"] == [{"step": "a", "error": "kaboom"}]
+
+
+def test_on_error_failure_does_not_mask(spark):
+    p = Pipeline("alert-fails")
+
+    @p.step("a")
+    def a(upstream, **_):
+        raise RuntimeError("real failure")
+
+    def bad_alert(step, msg):
+        raise OSError("mail relay down")
+
+    report = p.run(on_error=bad_alert)
+    assert report["status"] == "failed"
+    assert report["errors"][0]["error"] == "real failure"

@@ -91,3 +91,33 @@ def test_embedding_dedup_pairs_above_threshold(spark):
     assert all(r["cos_sim"] >= 0.4 for r in rows)
     # symmetric pair convention: id_a < id_b, no self-pairs
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_ivf_bucketed_cell_pruning(spark):
+    """The 100 TB IVF layout: corpus assigned once, written bucketed by
+    cell; a probe read filtering on the probed cells scans ONLY those
+    buckets — asserted via SelectedBucketsCount in the scan node."""
+    from etl_jlp_spark.operators.similarity import IVF_N_PROBE, ivf_index
+
+    _, assigned, _, _ = ivf_index(spark, SF_MEDIUM)
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivf")
+    # without a join the planner reverts to a plain scan
+    # (autoBucketedScan); force the bucketed read so bucket PRUNING —
+    # what a probe relies on — is actually exercised
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (
+            assigned.select("vec_id", "cell")
+            .write.mode("overwrite")
+            .bucketBy(16, "cell")
+            .saveAsTable("ivf.assigned_b")
+        )
+        probe = spark.table("ivf.assigned_b").filter(F.col("cell").isin(3, 7))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 2 out of 16" in plan, plan[:2000]
+        assert probe.count() >= 0
+        assert IVF_N_PROBE == 2  # the probe read above mirrors n_probe cells
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS ivf.assigned_b")
+        spark.sql("DROP DATABASE IF EXISTS ivf")
