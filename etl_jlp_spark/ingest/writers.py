@@ -63,6 +63,27 @@ def write_entity(
     return path
 
 
+def transform_archive(
+    spark,
+    container: str,
+    base: str,
+    entity: str,
+    job_date: str,
+    transform,
+    fmt: str | None = None,
+) -> str:
+    """Reference read_chunk_and_writle_dls (general_lib.py:224-323):
+    read a landzone entity in chunks, apply a transform, write the
+    archive copy. In Spark the "chunks" are partitions — one distributed
+    read (format-sniffed), the transform as a lazy DataFrame→DataFrame
+    function, one distributed parquet write; no driver-side buffering
+    at any size."""
+    from etl_jlp_spark.ingest.readers import read_entity
+
+    df = read_entity(spark, container, base, entity, job_date, fmt=fmt)
+    return archive_parquet(transform(df), container, base, entity, job_date)
+
+
 def archive_parquet(df: DataFrame, container: str, base: str, entity: str, job_date: str) -> str:
     """Reference ARCHIVE step (ingest_click_house_incremental_load_
     browsinghistory.py:57-62): parquet copy alongside the landzone

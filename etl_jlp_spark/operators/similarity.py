@@ -16,7 +16,10 @@ the operator family a 100 TB training-data pipeline needs:
   pairs and brute-force top-k (the correctness baseline); the broadcast
   side is the small query set, so the big side streams.
 - ``ann_lsh_topk`` — sign-bucket LSH variant: the scale path (local
-  top-k inside hash buckets; rows-only check, recall asserted in tests).
+  top-k inside hash buckets); sign tests are float-exact, so the whole
+  pipeline carries a DuckDB oracle.
+- ``ann_ivf_topk`` — IVF with a hash-sample-trained k-means quantizer;
+  rounded centroids make even the iterative training portably exact.
 
 Portability: every hash is md5-hex (identical in Spark and DuckDB);
 "min over md5(seed:shingle)" is the MinHash primitive, so oracles match

@@ -98,3 +98,20 @@ def test_sniff_format_magic_bytes(tmp_path):
     assert sniff_format(str(d)) == "parquet"
     (d / "part-00000").write_text("a,b\n1,2\n")
     assert sniff_format(str(d)) == "csv"
+
+
+def test_transform_archive(spark, tmp_path):
+    """read-transform-archive in one distributed pass (the reference
+    chunks this through pandas manually)."""
+    from etl_jlp_spark.ingest.writers import transform_archive
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    write_entity(ev, str(tmp_path), "lz", "events", "jsonline", "20240201")
+    p = transform_archive(
+        spark, str(tmp_path), "lz", "events", "20240201",
+        lambda df: df.filter(F.col("value") > 0).withColumn("doubled", F.col("value") * 2),
+    )
+    back = spark.read.parquet(p)
+    assert "archives" in p
+    assert back.filter(F.col("doubled") != F.col("value") * 2).count() == 0
+    assert back.count() == ev.filter(F.col("value") > 0).count()

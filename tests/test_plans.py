@@ -83,3 +83,27 @@ def test_rollup_is_single_scan(spark):
     plan = _plan(QS["events_rollup_report"](spark, SF_SMALL))
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # rollup levels from one pass, not a union of scans
+
+
+def test_time_on_page_incremental_single_batch_exchange(spark):
+    """The boundary patch must ride the window's user_id partitioning:
+    exactly one exchange of the big batch side (for the window), one of
+    the tiny per-user head agg — and no cartesian product."""
+    df = QS["time_on_page_incremental"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 3, plan[:3000]
+
+
+def test_ann_lsh_no_cartesian(spark):
+    plan = _plan(QS["ann_lsh_topk"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # candidates via equi-join only
+
+
+def test_ivf_assign_codegen_broadcast(spark):
+    """Centroid assignment must be a codegen BroadcastHashJoin (pmod
+    constant key), never an interpreted nested-loop cross join."""
+    plan = _plan(QS["ann_ivf_topk"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
