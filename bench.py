@@ -88,6 +88,12 @@ HEADLINE = [
     "nearest_centroid_assign",
     "events_rollup_report",
     "source_keep_rate",
+    # round 2 additions (baseline = BENCH_r02.json, see BASELINE.md)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "time_on_page_incremental",
+    "quality_report_flat",
+    "ingest_full_load_jsonl",
 ]
 
 

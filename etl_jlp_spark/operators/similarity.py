@@ -490,16 +490,27 @@ def _ivf_assign(
     BroadcastHashJoin — a `lit(True)` cross join would plan as an
     interpreted BroadcastNestedLoopJoin (~50× slower dot products)."""
     cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
+    # norm columns (if present) ride along so downstream cosine reuses
+    # them instead of re-expanding sqrt(dot(v,v)) in generated code
+    extra = [c for c in df.columns if c.startswith("nrm_")]
     scored = (
         df.withColumn("bk", F.pmod(F.col("vec_id"), F.lit(1)))
         .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
-        .select("vec_id", "v", "cell", static_dot(F.col("v"), F.col("cv"), dim).alias("sim"))
+        .select(
+            "vec_id", "v", *extra, "cell", static_dot(F.col("v"), F.col("cv"), dim).alias("sim")
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+    # argmax via max_by, not a row_number window: the partial (map-side)
+    # aggregation reduces the k× fan-out before the shuffle, so the
+    # exchange carries ONE row per vector instead of k. Tie-break
+    # (sim desc, cell asc) = lexicographic max of (sim, -cell).
+    return scored.groupBy("vec_id").agg(
+        # v / nrm are constant within the group (k copies per vector)
+        F.first("v").alias("v"),
+        *[F.first(c).alias(c) for c in extra],
+        F.max_by(
+            F.col("cell"), F.struct(F.col("sim").alias("s"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
     )
 
 
@@ -635,7 +646,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, assigned, centroids, dim = ivf_index(spark, sf_dir)
     cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
     queries = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm_vec_id").alias("nrm_q"),
     )
     # probe the n nearest cells per query (broadcast 16-row centroids)
     probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
@@ -643,21 +656,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
         .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
         .select(
-            "query_id", "qv", "cell", static_dot(F.col("qv"), F.col("cv"), dim).alias("psim")
+            "query_id", "qv", "nrm_q", "cell",
+            static_dot(F.col("qv"), F.col("cv"), dim).alias("psim"),
         )
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= IVF_N_PROBE)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "nrm_q", "cell")
     )
     cand = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
-    nq = F.sqrt(static_dot(F.col("qv"), F.col("qv"), dim))
-    nv = F.sqrt(static_dot(F.col("v"), F.col("v"), dim))
+    # norms precomputed once per vector in _with_norm — the final stage
+    # generates ONE dot product, not three
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(static_dot(F.col("qv"), F.col("v"), dim) / (nq * nv), 6).alias("c6"),
+        F.round(
+            static_dot(F.col("qv"), F.col("v"), dim) / (F.col("nrm_q") * F.col("nrm_vec_id")), 6
+        ).alias("c6"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
     return (
