@@ -89,3 +89,91 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-on-page: the streaming twin of the batch
+# time_on_page_incremental boundary patch (operators/sessionize.py,
+# reference update_last_record_time). Each event's time-on-page is
+# emitted exactly once — when its successor arrives (real gap) or when
+# the user times out (the reference's default). State per user is two
+# longs: the one event still awaiting a successor.
+# ---------------------------------------------------------------------------
+
+from etl_jlp_spark.operators.sessionize import (  # noqa: E402
+    DEFAULT_LAST_PAGE_S,
+    MAX_TIME_PER_PAGE_S,
+)
+
+TOP_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, "
+    "raw_time_on_page double, capped_time_on_page double"
+)
+TOP_STATE_SCHEMA = "last_event_id long, last_ts_us long"
+
+
+def _emit_time_on_page(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    def out(eids, ts_us, raws):
+        capped = [min(r, MAX_TIME_PER_PAGE_S) for r in raws]
+        return pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": eids,
+                "ts": pd.to_datetime(ts_us, unit="us"),
+                "raw_time_on_page": raws,
+                "capped_time_on_page": capped,
+            }
+        )
+
+    if state.hasTimedOut:
+        # no successor within the timeout: finalize the held event with
+        # the reference's default, then evict
+        if state.exists:
+            eid, ts_us = state.get
+            yield out([eid], [ts_us], [DEFAULT_LAST_PAGE_S])
+        state.remove()
+        return
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+    ts_us = pdf["ts"].astype("int64")
+    if str(pdf["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1_000
+    eids = pdf["event_id"].tolist()
+    ts_list = [int(t) for t in ts_us]
+    if state.exists:
+        held_eid, held_ts = state.get
+        eids = [held_eid] + eids
+        ts_list = [held_ts] + ts_list
+    if len(eids) > 1:
+        raws = [
+            (ts_list[i + 1] - ts_list[i]) / 1_000_000.0 for i in range(len(eids) - 1)
+        ]
+        yield out(eids[:-1], ts_list[:-1], raws)
+    state.update((int(eids[-1]), int(ts_list[-1])))
+    state.setTimeoutDuration(int(DEFAULT_LAST_PAGE_S) * 1000)
+
+
+def time_on_page_stateful(events: DataFrame) -> DataFrame:
+    """events stream → (event, raw/capped time-on-page), each event
+    finalized exactly once across micro-batches. The batch path patches
+    yesterday's output when today's data lands
+    (time_on_page_incremental); this operator never needs the patch —
+    the held event IS the boundary state."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _emit_time_on_page,
+            outputStructType=TOP_OUTPUT_SCHEMA,
+            stateStructType=TOP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
