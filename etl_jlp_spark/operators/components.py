@@ -27,10 +27,43 @@ from etl_jlp_spark.registry import query
 
 MAX_ROUNDS = 64  # hard safety cap only; the loop exits on convergence
 
+# Edge lists at or below this size skip the iterative job entirely:
+# union-find on the driver is microseconds, while every distributed
+# round costs a join + checkpoint + count action (~1 s of fixed
+# scheduling latency each). The count that gates this is paid anyway
+# to size the iteration's shuffle width.
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_union_find(rows: list) -> list[tuple[int, int]]:
+    """Min-label connected components over collected (src, dst) rows."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in rows:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)  # union by min label
+    return sorted((n, find(n)) for n in parent)
+
 
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """(node, component) for every node in `pairs`; component = min
-    node id in the connected component."""
+    node id in the connected component.
+
+    Scale-adaptive: the measured edge count picks the strategy — tiny
+    edge lists (the common case: verified near-dup pairs ≪ corpus)
+    resolve with driver-side union-find in one collect; big ones run
+    the distributed min-label propagation loop."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -42,6 +75,11 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
     # only millions at 100 TB), so fixed 32-wide shuffles waste a full
     # task wave per round on scheduler overhead. ~100k edges/partition.
     n_edges = edges.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        comps = _driver_union_find([(r["src"], r["dst"]) for r in edges.collect()])
+        return edges.sparkSession.createDataFrame(
+            comps, "node long, component long"
+        )
     n_part = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
     edges = edges.repartition(n_part, "dst").persist()
     labels = (

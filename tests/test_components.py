@@ -21,3 +21,30 @@ def test_long_chain_converges(spark):
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 9
+
+
+def test_distributed_path_long_chain(spark, monkeypatch):
+    """Force the distributed label-propagation path (threshold 0) on a
+    chain of 40 nodes — diameter exceeds the old 10-round cap, so this
+    also guards the converge-or-raise fix."""
+    from etl_jlp_spark.operators import components as C
+
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["component"] for r in C.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_driver_and_distributed_paths_agree(spark, monkeypatch):
+    from etl_jlp_spark.operators import components as C
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1)],
+        "doc_a long, doc_b long",
+    )
+    small = sorted(map(tuple, C.connected_components(pairs).collect()))
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+    big = sorted(map(tuple, C.connected_components(pairs).collect()))
+    assert small == big == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]

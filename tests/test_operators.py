@@ -147,3 +147,23 @@ def test_patch_time_on_page_boundary(spark):
     assert rows[2]["raw_time_on_page"] == 30.0  # patched from N+1 head
     assert rows[3]["raw_time_on_page"] == 1800.0  # no N+1 event: default
     assert rows[2]["capped_time_on_page"] == 30.0
+
+
+def test_registry_reorder_rotation():
+    """The correctness-window rotation: priority names lead the dict,
+    the rest keep registration order, oracles follow."""
+    from etl_jlp_spark import registry
+
+    import __spark_entry__ as ent
+
+    qs = list(ent.queries())
+    assert qs[0] == "preprocess_pipeline"
+    assert qs[1] == "curate_documents"
+    pri = [n for n in ent._R2_PRIORITY if n in registry.QUERIES]
+    assert qs[: len(pri)] == pri
+    # every oracle name is a registered query
+    assert set(ent.oracle_sql()) <= set(qs)
+    import pytest
+
+    with pytest.raises(KeyError):
+        registry.reorder(["definitely_not_a_query"])
