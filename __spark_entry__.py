@@ -94,6 +94,7 @@ _R2_PRIORITY = [
     "ingest_full_load_jsonl",
     "time_on_page_incremental",
     "quality_report_flat",
+    "decontaminate_docs",
 ]
 
 

@@ -94,6 +94,7 @@ HEADLINE = [
     "time_on_page_incremental",
     "quality_report_flat",
     "ingest_full_load_jsonl",
+    "decontaminate_docs",
 ]
 
 

@@ -301,6 +301,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
+DECON_BENCH_HEX = "08"  # md5(doc_id)[0:2] < '08' ≈ 3% of docs = the "benchmark" set
+DECON_MIN_SHARED = 2  # shared distinct shingles ⇒ contaminated
+
+
+@query(
+    "decontaminate_docs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT sh FROM shingles
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{DECON_BENCH_HEX}'
+), corpus AS (
+  SELECT doc_id, sh FROM shingles
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{DECON_BENCH_HEX}'
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+       count(*) >= {DECON_MIN_SHARED} AS contaminated
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id
+""",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step that drops
+    documents overlapping the eval set (word-3-gram overlap, the
+    standard n-gram decontamination recipe). A deterministic md5 slice
+    of documents stands in for the benchmark corpus.
+
+    Scale shape: the benchmark shingle SET is bounded by the benchmark
+    size (fixed, small — broadcast at any corpus scale); the corpus side
+    streams through one broadcast equi-join + one doc_id agg. Never
+    corpus×corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < DECON_BENCH_HEX
+    bench = sh.filter(is_bench).select("sh").distinct()
+    corpus = sh.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= DECON_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
 def _emb_dim(emb: DataFrame) -> int:
     return len(emb.select("embedding").head()[0])
 

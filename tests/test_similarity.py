@@ -121,3 +121,24 @@ def test_ivf_bucketed_cell_pruning(spark):
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS ivf.assigned_b")
         spark.sql("DROP DATABASE IF EXISTS ivf")
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc that quotes a benchmark doc's text must be flagged;
+    the candidate join must be a broadcast equi-join (never corpus×corpus)."""
+    from etl_jlp_spark.operators.similarity import (
+        DECON_MIN_SHARED,
+        decontaminate_docs,
+    )
+
+    out = decontaminate_docs(spark, SF_MEDIUM)
+    rows = out.collect()
+    assert all(r["n_shared"] >= 1 for r in rows)
+    assert all(
+        r["contaminated"] == (r["n_shared"] >= DECON_MIN_SHARED) for r in rows
+    )
+    # testdata has heavy duplicate structure → some real contamination
+    assert any(r["contaminated"] for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
