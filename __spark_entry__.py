@@ -95,6 +95,7 @@ _R2_PRIORITY = [
     "time_on_page_incremental",
     "quality_report_flat",
     "decontaminate_docs",
+    "balance_source_mix",
 ]
 
 

@@ -95,6 +95,7 @@ HEADLINE = [
     "quality_report_flat",
     "ingest_full_load_jsonl",
     "decontaminate_docs",
+    "balance_source_mix",
 ]
 
 

@@ -66,6 +66,74 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_QUANT = 256  # keep-rates quantized to 1/256 md5-prefix steps
+
+
+@query(
+    "balance_source_mix",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), totals AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok FROM sized GROUP BY source
+), target AS (SELECT min(tok) AS min_tok FROM totals),
+rates AS (
+  SELECT t.source, CAST(floor({MIX_QUANT}.0 * g.min_tok / t.tok) AS BIGINT) AS bound
+  FROM totals t CROSS JOIN target g
+), kept AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM sized s JOIN rates r ON s.source = r.source
+  WHERE r.bound >= {MIX_QUANT}
+     OR substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < lpad(lower(to_hex(r.bound)), 2, '0')
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY source
+""",
+)
+def balance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing — downsample every source to the smallest
+    source's token count (equal-share data mixing). Two-phase plan:
+    per-source token totals (tiny — one row per source) set a
+    deterministic md5-prefix keep-rate, quantized to 1/{MIX_QUANT}
+    steps so the rate is a portable hex-prefix compare; the corpus then
+    streams through one broadcast rate join + filter + agg. The rate
+    table is bounded by #sources, so the broadcast holds at any corpus
+    scale; no global sort, no per-doc RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim("text")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = sized.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("tok"))
+    rates = totals.withColumn(
+        "min_tok", F.min("tok").over(Window.partitionBy())
+    ).select(
+        "source",
+        F.floor(MIX_QUANT * 1.0 * F.col("min_tok") / F.col("tok")).cast("long").alias("bound"),
+    )
+    kept = sized.join(F.broadcast(rates), "source").filter(
+        (F.col("bound") >= MIX_QUANT)
+        | (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < F.lpad(F.lower(F.hex("bound")), 2, "0")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+
+
 @query(
     "sequence_packing",
     oracle=f"""

@@ -167,3 +167,29 @@ def test_registry_reorder_rotation():
 
     with pytest.raises(KeyError):
         registry.reorder(["definitely_not_a_query"])
+
+
+def test_balance_source_mix_equalizes(spark):
+    """Every source's kept tokens must land near the smallest source's
+    total (within one 1/256 quantization step + doc granularity), and
+    the smallest source itself must be fully kept."""
+    from tests.conftest import SF_SMALL
+    from etl_jlp_spark.operators.sampling import balance_source_mix
+
+    import __spark_entry__ as ent
+
+    out = {r["source"]: r["tokens_kept"] for r in balance_source_mix(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    totals = {
+        r["source"]: r["tok"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("tok"))
+        .collect()
+    }
+    min_tok = min(totals.values())
+    smallest = min(totals, key=totals.get)
+    assert out[smallest] >= min_tok * 0.95  # fully kept modulo empty docs
+    for src, kept in out.items():
+        assert kept <= totals[src]
+        # sampled mass should be in the right ballpark of the target
+        assert kept < min_tok * 2.5
