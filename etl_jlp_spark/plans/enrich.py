@@ -265,19 +265,55 @@ def sliding_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketch_stats")  # rows-only: sketches are engine-specific by design
+@query(
+    "approx_sketch_stats",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_bound,
+       TRUE AS p50_within_bound,
+       TRUE AS p99_within_bound
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based twins of the exact aggregates — what actually
-    runs at 100 TB: HLL++ distinct counts and t-digest percentiles are
+    runs at 100 TB: HLL++ distinct counts and approx percentiles are
     mergeable partial aggregates (no exact-distinct shuffle, bounded
-    memory). Accuracy vs the exact ops is asserted in tests, not the
-    oracle (sketches are engine-specific by design)."""
+    memory). Sketch VALUES are engine-specific, so the oracle instead
+    asserts the accuracy CONTRACT: this query emits within-bound
+    booleans (HLL estimate within max(2, 5%) of exact at rsd=0.02;
+    approx_percentile within ±1% rank of target — 10× its nominal
+    1/accuracy guarantee, absorbing interpolated-vs-data-value rank
+    edge effects at small n — checked against exact percentiles at
+    p∓0.01), and the DuckDB oracle emits ``TRUE`` plus the exact
+    anchors — hashes match iff every sketch honors its bound. The
+    exact twins here are the verification harness; at 100 TB only the
+    sketch branch runs."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).cast("long").alias("approx_users"),
         F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
         F.expr("approx_percentile(value, 0.99, 1000)").alias("approx_p99"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("percentile(value, 0.49D)").alias("p50_lo"),
+        F.expr("percentile(value, 0.51D)").alias("p50_hi"),
+        F.expr("percentile(value, 0.98D)").alias("p99_lo"),
+        F.expr("percentile(value, 1.0D)").alias("p99_hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), F.col("exact_users") * F.lit(0.05))
+        ).alias("users_within_bound"),
+        F.col("approx_p50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_within_bound"),
+        F.col("approx_p99").between(F.col("p99_lo"), F.col("p99_hi")).alias("p99_within_bound"),
     )
 
 
