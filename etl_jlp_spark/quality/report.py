@@ -45,6 +45,7 @@ class QualityReport:
             F.count(F.lit(1)).alias("num_rows"),
         ]
         self._dedup_cols: list[str] | None = None
+        self._dedup_hash_cols: set[str] = set()
         self._notes: list[str] = []
 
     @staticmethod
@@ -80,8 +81,18 @@ class QualityReport:
         )
         return self
 
-    def check_duplicates(self, dedup_columns: list[str]) -> "QualityReport":
+    def check_duplicates(
+        self, dedup_columns: list[str], hash_columns: list[str] | None = None
+    ) -> "QualityReport":
+        """``hash_columns`` names wide payload columns (e.g. a JSON blob)
+        to pre-hash with md5 inside the distinct tuple: same duplicate
+        count (md5(NULL) is NULL, so null semantics survive), but the
+        distinct's exchange carries a 32-char digest instead of the full
+        payload — at 100 TB that is ~10× fewer shuffle bytes. Only worth
+        it for columns wider than the digest; key-like short columns
+        should stay raw."""
         self._dedup_cols = list(dedup_columns)
+        self._dedup_hash_cols = set(hash_columns or ())
         return self
 
     def check_formats(self, expected_dtypes: Mapping[str, str]) -> dict[str, dict]:
@@ -142,11 +153,12 @@ class QualityReport:
         tuples, the reference's ``df.duplicated()`` does not)."""
         aggs = list(self._aggs)
         if self._dedup_cols:
+            key_cols = [
+                F.md5(F.col(c)) if c in self._dedup_hash_cols else F.col(c)
+                for c in self._dedup_cols
+            ]
             aggs.append(
-                (
-                    F.count(F.lit(1))
-                    - F.countDistinct(F.struct(*self._dedup_cols))
-                )
+                (F.count(F.lit(1)) - F.countDistinct(F.struct(*key_cols)))
                 .cast("long")
                 .alias("duplicate_rows")
             )
@@ -183,7 +195,8 @@ FROM (
          min(ts) AS min_ts, max(ts) AS max_ts
   FROM events
 ) a CROSS JOIN (
-  SELECT count(*) AS distinct_keys FROM (SELECT DISTINCT user_id, event_type, props FROM events)
+  SELECT count(*) AS distinct_keys
+  FROM (SELECT DISTINCT user_id, event_type, md5(props) FROM events)
 ) d
 """,
 )
@@ -199,8 +212,12 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+    # md5(props) BEFORE the distinct: the duplicate-check exchange moves a
+    # 32-char digest, not the full JSON payload (~10× fewer shuffle bytes
+    # at 100 TB; md5(NULL)=NULL so null rows still count as the reference's
+    # df.duplicated() would).
     distinct_keys = (
-        events.select("user_id", "event_type", "props")
+        events.select("user_id", "event_type", F.md5("props").alias("props_h"))
         .distinct()
         .agg(F.count(F.lit(1)).alias("distinct_keys"))
     )

@@ -159,7 +159,7 @@ def test_registry_reorder_rotation():
     qs = list(ent.queries())
     assert qs[0] == "preprocess_pipeline"
     assert qs[1] == "curate_documents"
-    pri = [n for n in ent._R2_PRIORITY if n in registry.QUERIES]
+    pri = [n for n in ent._R3_PRIORITY if n in registry.QUERIES]
     assert qs[: len(pri)] == pri
     # every oracle name is a registered query
     assert set(ent.oracle_sql()) <= set(qs)

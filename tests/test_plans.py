@@ -107,3 +107,16 @@ def test_ivf_assign_codegen_broadcast(spark):
     plan = _plan(QS["ann_ivf_topk"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_report_dup_check_shuffles_digest_not_payload(spark):
+    """The duplicate-check distinct must exchange md5(props) (32-char
+    digest), never the raw props payload — ~10x fewer shuffle bytes."""
+    plan = _plan(QS["quality_report"](spark, SF_SMALL))
+    dup_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "props" in l
+    ]
+    assert dup_exchanges, plan[:3000]  # the dup-check exchange exists
+    for line in dup_exchanges:
+        assert "props_h" in line and "md5" not in line, line
