@@ -96,6 +96,9 @@ HEADLINE = [
     "ingest_full_load_jsonl",
     "decontaminate_docs",
     "balance_source_mix",
+    # round 3 additions
+    "approx_sketch_stats",
+    "ann_ivf_topk_prebuilt",
 ]
 
 
@@ -112,6 +115,12 @@ def main() -> None:
 
     # warm the JVM + file listing once (excluded from timings)
     qs["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    # build the persisted IVF store outside the timed loop: the bench
+    # measures the amortized production probe, not one-off index training
+    # (training cost is ann_ivf_topk's number)
+    from etl_jlp_spark.operators.similarity import ensure_ivf_store
+
+    ensure_ivf_store(spark, SF_DIR)
 
     for name in HEADLINE:
         fn = qs[name]

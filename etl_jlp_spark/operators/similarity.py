@@ -617,9 +617,44 @@ def ivf_index(
 _IVF_STEP_SQL = f"greatest(total // {IVF_N_CENTROIDS}, 1)"
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_probes(queries: DataFrame, cent_df: DataFrame, dim: int) -> DataFrame:
+    """(query_id, qv, nrm_q, cell): each query's IVF_N_PROBE nearest
+    cells via a broadcast 16-row centroid join (pmod key forces a
+    codegen-capable BroadcastHashJoin for the cross product)."""
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
+    return (
+        queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
+        .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
+        .select(
+            "query_id", "qv", "nrm_q", "cell",
+            static_dot(F.col("qv"), F.col("cv"), dim).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= IVF_N_PROBE)
+        .select("query_id", "qv", "nrm_q", "cell")
+    )
+
+
+def _ivf_rank(cand: DataFrame, dim: int) -> DataFrame:
+    """Rank candidate (query, neighbor) pairs by cosine → top-k. Norms
+    are precomputed per vector, so the generated code has ONE dot
+    product per pair, not three."""
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            static_dot(F.col("qv"), F.col("v"), dim) / (F.col("nrm_q") * F.col("nrm_vec_id")), 6
+        ).alias("c6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
+    )
+
+
+_IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 samp AS (
   SELECT vec_id, v FROM e
@@ -671,8 +706,10 @@ SELECT query_id, neighbor_id, round(c6, 4) AS cos_sim,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c6 DESC, neighbor_id ASC) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= {ANN_TOP_K}
-""",
-)
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer TRAINED ON A
     DETERMINISTIC HASH-SAMPLE (the 100 TB rule — Lloyd steps never see
@@ -698,37 +735,88 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm_vec_id").alias("nrm_q"),
     )
-    # probe the n nearest cells per query (broadcast 16-row centroids)
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
-    probes = (
-        queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
-        .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
-        .select(
-            "query_id", "qv", "nrm_q", "cell",
-            static_dot(F.col("qv"), F.col("cv"), dim).alias("psim"),
-        )
-        .withColumn("prn", F.row_number().over(probe_w))
-        .filter(F.col("prn") <= IVF_N_PROBE)
-        .select("query_id", "qv", "nrm_q", "cell")
-    )
+    probes = _ivf_probes(queries, cent_df, dim)
     cand = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
-    # norms precomputed once per vector in _with_norm — the final stage
-    # generates ONE dot product, not three
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            static_dot(F.col("qv"), F.col("v"), dim) / (F.col("nrm_q") * F.col("nrm_vec_id")), 6
-        ).alias("c6"),
+    return _ivf_rank(cand, dim)
+
+
+def _ivf_store_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= ANN_TOP_K)
-        .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(root, f"ivf_assigned_{h}"), os.path.join(root, f"ivf_centroids_{h}")
+
+
+def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the IVF index ONCE per corpus into a cell-partitioned
+    parquet store (the production layout: one directory partition per
+    coarse cell, so a probe read touches only the probed cells'
+    partitions). Subsequent calls — and separate processes — reuse the
+    files; build lands in a per-pid temp dir then renames into place so
+    a concurrent builder can never expose a half-written store."""
+    import os
+    import shutil
+
+    assigned_path, cent_path = _ivf_store_paths(sf_dir)
+    if os.path.exists(os.path.join(assigned_path, "_SUCCESS")) and os.path.exists(
+        os.path.join(cent_path, "_SUCCESS")
+    ):
+        return assigned_path, cent_path
+    corpus, assigned, centroids, dim = ivf_index(spark, sf_dir)
+    for final, df in (
+        (assigned_path, assigned.select("vec_id", "v", "nrm_vec_id", "cell")),
+        (cent_path, spark.createDataFrame(centroids, "cell int, cv array<double>")),
+    ):
+        tmp = f"{final}.build-{os.getpid()}"
+        writer = df.write.mode("overwrite")
+        if "vec_id" in df.columns:  # the assigned relation → one dir per cell
+            writer = writer.partitionBy("cell")
+        writer.parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:  # another process won the race — use its store
+            shutil.rmtree(tmp, ignore_errors=True)
+    corpus.unpersist()
+    assigned.unpersist()
+    return assigned_path, cent_path
+
+
+@query("ann_ivf_topk_prebuilt", oracle=_IVF_ORACLE)
+def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized production shape of ``ann_ivf_topk``: k-means
+    training + corpus assignment happen ONCE (``ensure_ivf_store``
+    writes a cell-partitioned parquet index); the query itself only
+    loads the 16-row centroid table, picks probe cells, and reads JUST
+    those cells' partitions — partition pruning does at the directory
+    level what bucket pruning does in the bucketed-table demo
+    (tests/test_similarity.py asserts both). Same answer as the
+    in-query-trained variant, so the same DuckDB oracle applies."""
+    assigned_path, cent_path = ensure_ivf_store(spark, sf_dir)
+    cent_rows = sorted(
+        (int(r["cell"]), list(r["cv"])) for r in spark.read.parquet(cent_path).collect()
+    )  # bounded: ≤ IVF_N_CENTROIDS rows
+    cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
+    dim = len(cent_rows[0][1])
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _with_norm(
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), dim, "query_id", "qv"
+    ).withColumnRenamed("nrm_query_id", "nrm_q")
+    probes = _ivf_probes(queries, cent_df, dim)
+    # bounded collect (≤ IVF_N_CENTROIDS values): literal cell list makes
+    # the store scan partition-prune to the probed cells only
+    probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(assigned_path).filter(F.col("cell").isin(probe_cells))
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
     )
+    return _ivf_rank(cand, dim)
 
 
 ANN_LSH_BANDS = 4

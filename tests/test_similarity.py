@@ -4,7 +4,7 @@ candidate quality, SimHash locality."""
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_MEDIUM
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 import __spark_entry__ as ent
 
@@ -142,3 +142,27 @@ def test_decontaminate_flags_planted_overlap(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_prebuilt_store_reuse_and_parity(spark):
+    """ensure_ivf_store builds once, is reused without retraining, and
+    the probe-only query returns EXACTLY the in-query-trained result
+    with a partition-pruned store scan."""
+    import os
+
+    from etl_jlp_spark.operators.similarity import ensure_ivf_store
+
+    ap, cp = ensure_ivf_store(spark, SF_SMALL)
+    marker = os.path.join(ap, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    assert ensure_ivf_store(spark, SF_SMALL) == (ap, cp)
+    assert os.path.getmtime(marker) == mtime  # no rebuild on reuse
+
+    df = QS["ann_ivf_topk_prebuilt"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l and "ivf_assigned" in l][0]
+    assert "PartitionFilters: [cell" in scan, scan[:300]
+
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, QS["ann_ivf_topk"](spark, SF_SMALL).collect()))
+    assert got == want
