@@ -163,6 +163,98 @@ def ingest_full_load_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stage_entity_jdbc(
+    spark: SparkSession, df: DataFrame, url: str, table: str, driver: str
+) -> None:
+    """Distributed JDBC sink: stages a DataFrame into a database table
+    (batched inserts from executors — the write never funnels through
+    the driver). In production the source database already exists; in
+    tests/the gate this stands up the embedded-Derby 'ClickHouse'."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def read_entity_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    driver: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """The JDBC branch of the entity-source switch (reference
+    read_click_house, general_lib.py:85-102): a partitioned pushdown
+    relation instead of a single-cursor pandas pull."""
+    from etl_jlp_spark.ingest.jdbc import jdbc_reader
+
+    return jdbc_reader(
+        spark,
+        url,
+        table_or_query,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        driver=driver,
+    ).load()
+
+
+@query(
+    "ingest_jdbc_derby",
+    oracle=f"""
+SELECT event_id, user_id, ts, event_type, value, props
+FROM events
+WHERE ts > TIMESTAMP '{DEFAULT_WATERMARK}'
+""",
+)
+def ingest_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC execution of the reference's ClickHouse incremental
+    extract (general_lib.py:85-103 +
+    ingest_click_house_incremental_load_browsinghistory.py:25-60):
+    events are staged into an embedded in-memory Derby database (the
+    in-environment stand-in for the ClickHouse endpoint), then the
+    watermark query runs as a PARTITIONED JDBC read — the ``ts >
+    watermark`` predicate evaluates database-side inside the pushdown
+    subquery, and 8 range-sliced queries on event_id stream to
+    executors in parallel. The oracle compares the full round trip
+    (parquet → Derby → Spark) against the parquet source, so timestamp/
+    double/string fidelity through JDBC is part of the hash."""
+    import hashlib
+
+    from etl_jlp_spark.ingest.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        derby_memory_url,
+        incremental_query,
+    )
+
+    url = derby_memory_url("ing_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8])
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value", "props"
+    )
+    stage_entity_jdbc(spark, events, url, "events_src", DERBY_EMBEDDED_DRIVER)
+    # partition bounds: a 1-row agg (production reads them from the
+    # watermark/metadata table, like the reference's watermark lookup)
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    return read_entity_jdbc(
+        spark,
+        url,
+        incremental_query("events_src", "ts", DEFAULT_WATERMARK, dialect="derby"),
+        DERBY_EMBEDDED_DRIVER,
+        partition_column='"event_id"',
+        num_partitions=8,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+    ).select("event_id", "user_id", "ts", "event_type", "value", "props")
+
+
 @query(
     "compare_with_source",
     oracle=f"""
