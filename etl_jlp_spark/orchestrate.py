@@ -29,6 +29,12 @@ class Step:
     name: str
     fn: Callable[..., DataFrame | None]
     depends_on: tuple[str, ...] = ()
+    # Airflow-task retry args (reference DAG dags/dwh_dag.py:180-250
+    # sets retries/retry_delay per task): a transient failure re-runs
+    # the step up to ``retries`` extra times with exponential backoff
+    # (retry_backoff_sec, ×2 per attempt) before the DAG fail-fasts.
+    retries: int = 0
+    retry_backoff_sec: float = 0.0
 
 
 @dataclass
@@ -38,6 +44,7 @@ class StepResult:
     seconds: float
     rows: int | None = None
     error: str | None = None
+    attempts: int = 1
 
 
 @dataclass
@@ -45,9 +52,15 @@ class Pipeline:
     name: str
     steps: list[Step] = field(default_factory=list)
 
-    def step(self, name: str, depends_on: tuple[str, ...] = ()):
+    def step(
+        self,
+        name: str,
+        depends_on: tuple[str, ...] = (),
+        retries: int = 0,
+        retry_backoff_sec: float = 0.0,
+    ):
         def deco(fn):
-            self.steps.append(Step(name, fn, depends_on))
+            self.steps.append(Step(name, fn, depends_on, retries, retry_backoff_sec))
             return fn
 
         return deco
@@ -88,20 +101,42 @@ class Pipeline:
                 results.append(StepResult(s.name, "skipped", 0.0))
                 continue
             t0 = time.perf_counter()
-            try:
-                out = s.fn(**context, upstream=outputs)
-                rows = out.count() if isinstance(out, DataFrame) else None
-                outputs[s.name] = out
-                results.append(
-                    StepResult(s.name, "success", round(time.perf_counter() - t0, 3), rows)
-                )
-            except Exception as e:  # fail-fast, but report every step
+            msg = None
+            for attempt in range(1, s.retries + 2):
+                try:
+                    out = s.fn(**context, upstream=outputs)
+                    rows = out.count() if isinstance(out, DataFrame) else None
+                    outputs[s.name] = out
+                    results.append(
+                        StepResult(
+                            s.name,
+                            "success",
+                            round(time.perf_counter() - t0, 3),
+                            rows,
+                            attempts=attempt,
+                        )
+                    )
+                    msg = None
+                    break
+                except Exception as e:
+                    msg = str(e)[:500]
+                    if attempt <= s.retries and s.retry_backoff_sec > 0:
+                        time.sleep(s.retry_backoff_sec * 2 ** (attempt - 1))
+            if msg is not None:  # retries exhausted → fail-fast
                 ok = False
-                msg = str(e)[:500]
                 results.append(
-                    StepResult(s.name, "failed", round(time.perf_counter() - t0, 3), None, msg)
+                    StepResult(
+                        s.name,
+                        "failed",
+                        round(time.perf_counter() - t0, 3),
+                        None,
+                        msg,
+                        attempts=s.retries + 1,
+                    )
                 )
-                errors.append({"step": s.name, "error": msg})
+                errors.append({"step": s.name, "error": msg, "attempts": s.retries + 1})
+                # the alert fires ONCE, after the final attempt — a step
+                # that eventually succeeds never alerts
                 if on_error is not None:
                     try:
                         on_error(s.name, msg)

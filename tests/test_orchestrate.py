@@ -104,7 +104,7 @@ def test_on_error_alert_hook(spark):
     alerts = []
     report = p.run(on_error=lambda step, msg: alerts.append((step, msg)))
     assert alerts and alerts[0][0] == "a" and "kaboom" in alerts[0][1]
-    assert report["errors"] == [{"step": "a", "error": "kaboom"}]
+    assert report["errors"] == [{"step": "a", "error": "kaboom", "attempts": 1}]
 
 
 def test_on_error_failure_does_not_mask(spark):
@@ -120,3 +120,51 @@ def test_on_error_failure_does_not_mask(spark):
     report = p.run(on_error=bad_alert)
     assert report["status"] == "failed"
     assert report["errors"][0]["error"] == "real failure"
+
+
+def test_retry_with_backoff_then_success():
+    """A step failing twice then succeeding must be retried (attempts
+    recorded), succeed overall, and never alert."""
+    from etl_jlp_spark.orchestrate import Pipeline
+
+    p = Pipeline("retry-ok")
+    calls = {"n": 0}
+    alerts = []
+
+    @p.step("flaky", retries=3, retry_backoff_sec=0.01)
+    def flaky(upstream):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return None
+
+    report = p.run(on_error=lambda s, m: alerts.append((s, m)))
+    assert report["status"] == "success"
+    assert report["steps"][0]["attempts"] == 3
+    assert calls["n"] == 3
+    assert alerts == []
+
+
+def test_retries_exhausted_alerts_once_and_fails_fast():
+    from etl_jlp_spark.orchestrate import Pipeline
+
+    p = Pipeline("retry-fail")
+    calls = {"n": 0}
+    alerts = []
+
+    @p.step("doomed", retries=2, retry_backoff_sec=0.01)
+    def doomed(upstream):
+        calls["n"] += 1
+        raise RuntimeError("permanent")
+
+    @p.step("downstream", depends_on=("doomed",))
+    def downstream(upstream):
+        return None
+
+    report = p.run(on_error=lambda s, m: alerts.append((s, m)))
+    assert report["status"] == "failed"
+    assert calls["n"] == 3  # 1 + 2 retries
+    assert report["steps"][0]["attempts"] == 3
+    assert report["errors"] == [{"step": "doomed", "error": "permanent", "attempts": 3}]
+    assert len(alerts) == 1  # exactly one alert, after the final attempt
+    assert report["steps"][1]["status"] == "skipped"
