@@ -9,20 +9,23 @@ Design for a 100 TB media pipeline:
   payload bytes cross to Python once per batch, vectorized, and the
   UDF's output schema is declared so downstream stays relational.
 
-Codec support: uncompressed 24-bit BMP is decoded FOR REAL (pure
-``struct`` parsing — no external libraries), covering the full
-decode path: header validation, dimension extraction, pixel-plane
-statistics. Formats that need real codecs (JPEG/PNG/ffmpeg/librosa —
-not in this container) raise ``NotImplementedError`` explicitly;
-``fake_decode=True`` (default for non-BMP) derives deterministic
-pseudo-features so the Spark-side plumbing (schema, batching,
-partitioning) is exercised identically either way.
+Codec support: uncompressed 24-bit BMP and non-interlaced 8-bit PNG
+(gray/RGB/RGBA, all five scanline filters — zlib is stdlib) are decoded
+FOR REAL with pure ``struct``/``zlib``/numpy parsing — no external
+libraries — covering the full decode path: header validation, dimension
+extraction, inflate + defilter, pixel-plane statistics. Formats that
+need real codecs (JPEG/ffmpeg/librosa — not in this container) raise
+``NotImplementedError`` explicitly; ``fake_decode=True`` (default for
+undecodable kinds) derives deterministic pseudo-features so the
+Spark-side plumbing (schema, batching, partitioning) is exercised
+identically either way.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -84,14 +87,145 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
     return width, h, float(means[2]), float(means[1]), float(means[0])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes:
+    """Minimal RGB-8 PNG writer. ``pixel_fn(x, y) -> (r, g, b)``; every
+    scanline uses ``filter_type`` (0..4) so decode tests can exercise
+    each defilter path against ground truth."""
+    ch = 3
+    stride = width * ch
+    prev = np.zeros(stride, dtype=np.int32)
+    raw = bytearray()
+    for y in range(height):
+        cur = np.empty(stride, dtype=np.int32)
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            cur[x * 3 : x * 3 + 3] = (r & 0xFF, g & 0xFF, b & 0xFF)
+        raw.append(filter_type)
+        for x in range(stride):
+            a = int(cur[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (a + up) // 2
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse a non-interlaced 8-bit gray/RGB/RGBA PNG: (width, height,
+    mean_r, mean_g, mean_b). Inflate is stdlib zlib; defiltering handles
+    all five scanline filters (Up vectorized; Sub/Average/Paeth are
+    sequential by definition). Raises ValueError on anything else."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})")
+    if not idat:
+        raise ValueError("missing IDAT")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        if f == 0:
+            cur = line.copy()
+        elif f == 2:  # Up: pure vector add (uint8 wraps = mod 256)
+            cur = line + prev
+        elif f in (1, 3, 4):
+            acc = line.astype(np.int32)
+            for x in range(stride):
+                a = int(acc[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                acc[x] = (acc[x] + pred) & 0xFF
+            cur = acc.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        m = float(px.mean(dtype=np.float64))
+        return w, h, m, m, m
+    means = px[:, :, :3].reshape(-1, 3).mean(axis=0, dtype=np.float64)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+# kinds with a real in-repo codec; everything else is fake/stub
+REAL_DECODE_KINDS = frozenset({"bmp", "png"})
+
+_DECODERS = {"bmp": decode_bmp, "png": decode_png}
+
+
 def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic fake media: payload = repeated md5 bytes of the id.
     Stands in for a parquet/lakehouse media table in tests."""
     rows = []
     for i in range(n):
-        if kind == "bmp":
+        if kind in REAL_DECODE_KINDS:
             w, h = (i % 16) + 1, (i % 9) + 1
-            payload = encode_bmp(w, h, lambda x, y, i=i: ((x * 7 + i) % 256, (y * 13) % 256, (x + y + i) % 256))
+            px = lambda x, y, i=i: ((x * 7 + i) % 256, (y * 13) % 256, (x + y + i) % 256)
+            if kind == "bmp":
+                payload = encode_bmp(w, h, px)
+            else:  # rotate through all five PNG filter types
+                payload = encode_png(w, h, px, filter_type=i % 5)
             rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), w, h)))
         else:
             digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
@@ -105,32 +239,41 @@ def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> Dat
 def decode_image(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Decode payloads via an Arrow-batched ``mapInPandas``.
 
-    ``kind == 'bmp'`` rows are REALLY decoded (pure-python BMP parser:
-    dimensions from the header, per-channel means from the pixel
-    plane). Other kinds need codecs this container lacks: with
+    ``kind in REAL_DECODE_KINDS`` ('bmp', 'png') rows are REALLY
+    decoded (pure-python parsers: dimensions from the header, inflate +
+    defilter for PNG, per-channel means from the pixel plane). Other
+    kinds need codecs this container lacks (JPEG/ffmpeg): with
     ``fake_decode`` they get deterministic metadata-derived pseudo
     dimensions and null channel means; without it, they raise."""
     if not fake_decode:
         kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
-        if any(k != "bmp" for k in kinds):
+        bad = [k for k in kinds if k not in REAL_DECODE_KINDS]
+        if bad:
             raise NotImplementedError(
-                f"real decode of {kinds} needs PIL/libjpeg/ffmpeg — not in "
-                "this container; only 'bmp' decodes natively"
+                f"real decode of {bad} needs PIL/libjpeg/ffmpeg — not in "
+                f"this container; only {sorted(REAL_DECODE_KINDS)} decode natively"
             )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [bytes(p) for p in pdf["payload"]]
-            is_bmp = (pdf["kind"] == "bmp").to_numpy()
+            kind_arr = pdf["kind"].to_numpy()
+            is_real = np.isin(kind_arr, list(REAL_DECODE_KINDS))
             # metadata-derived columns are vectorized over the whole
-            # Arrow batch; only the codec itself runs per payload
-            width = np.array([m["declared_w"] for m in pdf["meta"]], dtype=np.int32)
-            height = np.array([m["declared_h"] for m in pdf["meta"]], dtype=np.int32)
+            # Arrow batch; only the codec itself runs per payload. A
+            # null/partial meta must not break real-decode rows (their
+            # dimensions come from the codec anyway) — default to 0.
+            width = np.array(
+                [(m or {}).get("declared_w") or 0 for m in pdf["meta"]], dtype=np.int32
+            )
+            height = np.array(
+                [(m or {}).get("declared_h") or 0 for m in pdf["meta"]], dtype=np.int32
+            )
             mean_r = np.full(len(pdf), np.nan)
             mean_g = np.full(len(pdf), np.nan)
             mean_b = np.full(len(pdf), np.nan)
-            for i in np.flatnonzero(is_bmp):
-                w, h, mr, mg, mb = decode_bmp(payloads[i])
+            for i in np.flatnonzero(is_real):
+                w, h, mr, mg, mb = _DECODERS[kind_arr[i]](payloads[i])
                 width[i], height[i] = w, h
                 mean_r[i], mean_g[i], mean_b[i] = mr, mg, mb
             yield pd.DataFrame(

@@ -62,3 +62,64 @@ def test_frame_sample_explodes_offsets(spark):
     )
     for r in per.collect():
         assert r["n"] == (r["b"] - 1) // 16 + 1
+
+
+def test_png_real_decode_all_filters(spark):
+    """PNG encode→decode round trip for each of the five scanline filter
+    types, plus the Spark-side mapInPandas path."""
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.binary import decode_png, encode_png
+
+    def px(x, y):
+        return ((x * 11 + y) % 256, (y * 29 + 3) % 256, (x * x + y * 5) % 256)
+
+    w, h = 13, 7
+    truth = np.array([[px(x, y) for x in range(w)] for y in range(h)], dtype=np.float64)
+    tm = truth.reshape(-1, 3).mean(axis=0)
+    for ft in range(5):
+        gw, gh, mr, mg, mb = decode_png(encode_png(w, h, px, filter_type=ft))
+        assert (gw, gh) == (w, h), f"filter {ft}"
+        assert abs(mr - tm[0]) < 1e-9 and abs(mg - tm[1]) < 1e-9 and abs(mb - tm[2]) < 1e-9, ft
+
+    media = synth_media_df(spark, n=10, kind="png")
+    out = {r["media_id"]: r for r in decode_image(media, fake_decode=False).collect()}
+    assert len(out) == 10
+    for i, r in out.items():
+        assert r["width"] == (i % 16) + 1 and r["height"] == (i % 9) + 1
+        assert 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_png_rejects_garbage_and_unsupported():
+    from etl_jlp_spark.multimodal.binary import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # valid signature but 16-bit depth → explicit unsupported error
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">I", len(ihdr_data)) + b"IHDR" + ihdr_data
+    ihdr += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(sig + ihdr)
+
+
+def test_real_decode_rows_survive_null_meta(spark):
+    """A bmp/png row with null meta must decode from the codec, not
+    TypeError on the metadata vectorization (ADVICE r2)."""
+    from etl_jlp_spark.multimodal.binary import MEDIA_SCHEMA, encode_bmp, encode_png
+
+    rows = [
+        (0, "bmp", bytearray(encode_bmp(4, 2, lambda x, y: (1, 2, 3))), None),
+        (1, "png", bytearray(encode_png(3, 3, lambda x, y: (9, 8, 7))), None),
+        (2, "image", bytearray(b"\x00" * 16), None),  # fake path, null meta
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (4, 2)
+    assert (out[1]["width"], out[1]["height"]) == (3, 3)
+    assert out[1]["mean_r"] == 9.0 and out[1]["mean_g"] == 8.0 and out[1]["mean_b"] == 7.0
+    assert out[2]["width"] == 0 and out[2]["height"] == 0  # meta-less fake row
