@@ -69,6 +69,49 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_QUANT = 256  # keep-rates quantized to 1/256 md5-prefix steps
 
 
+def doc_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens) — whitespace token sizing, a pure
+    projection (works identically on a batch or streaming frame)."""
+    trimmed = F.trim("text")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def mix_rates(sized: DataFrame) -> DataFrame:
+    """Per-source quantized keep-rate table (one row per source —
+    broadcast-size at any corpus scale). A zero-token source gets
+    bound 0 explicitly: 256·min/0 would be NaN, which Spark's floor
+    nulls while other engines error — degenerate data must not
+    diverge (ADVICE r2)."""
+    totals = sized.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("tok"))
+    return totals.withColumn("min_tok", F.min("tok").over(Window.partitionBy())).select(
+        "source",
+        F.when(F.col("tok") == 0, F.lit(0))
+        .otherwise(F.floor(MIX_QUANT * 1.0 * F.col("min_tok") / F.col("tok")))
+        .cast("long")
+        .alias("bound"),
+    )
+
+
+def apply_mix_filter(sized: DataFrame, rates: DataFrame) -> DataFrame:
+    """Keep-filter against a (static, broadcast) rate table: stateless
+    md5-prefix compare — no per-doc RNG, safe on a stream (each doc's
+    fate is a pure function of doc_id + its source's rate)."""
+    return sized.join(F.broadcast(rates), "source").filter(
+        (F.col("bound") >= MIX_QUANT)
+        | (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < F.lpad(F.lower(F.hex("bound")), 2, "0")
+        )
+    )
+
+
 @query(
     "balance_source_mix",
     oracle=f"""
@@ -81,7 +124,9 @@ WITH sized AS (
   SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok FROM sized GROUP BY source
 ), target AS (SELECT min(tok) AS min_tok FROM totals),
 rates AS (
-  SELECT t.source, CAST(floor({MIX_QUANT}.0 * g.min_tok / t.tok) AS BIGINT) AS bound
+  SELECT t.source,
+         CASE WHEN t.tok = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor({MIX_QUANT}.0 * g.min_tok / t.tok) AS BIGINT) END AS bound
   FROM totals t CROSS JOIN target g
 ), kept AS (
   SELECT s.doc_id, s.source, s.n_tokens
@@ -103,31 +148,10 @@ def balance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps so the rate is a portable hex-prefix compare; the corpus then
     streams through one broadcast rate join + filter + agg. The rate
     table is bounded by #sources, so the broadcast holds at any corpus
-    scale; no global sort, no per-doc RNG state."""
-    docs = load_table(spark, sf_dir, "documents")
-    trimmed = F.trim("text")
-    sized = docs.select(
-        "doc_id",
-        "source",
-        F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    totals = sized.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("tok"))
-    rates = totals.withColumn(
-        "min_tok", F.min("tok").over(Window.partitionBy())
-    ).select(
-        "source",
-        F.floor(MIX_QUANT * 1.0 * F.col("min_tok") / F.col("tok")).cast("long").alias("bound"),
-    )
-    kept = sized.join(F.broadcast(rates), "source").filter(
-        (F.col("bound") >= MIX_QUANT)
-        | (
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-            < F.lpad(F.lower(F.hex("bound")), 2, "0")
-        )
-    )
+    scale; no global sort, no per-doc RNG state. Streaming twin:
+    streaming.pipeline.streaming_balance_mix."""
+    sized = doc_token_counts(load_table(spark, sf_dir, "documents"))
+    kept = apply_mix_filter(sized, mix_rates(sized))
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("tokens_kept"),

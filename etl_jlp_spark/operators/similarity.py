@@ -305,6 +305,32 @@ DECON_BENCH_HEX = "08"  # md5(doc_id)[0:2] < '08' ≈ 3% of docs = the "benchmar
 DECON_MIN_SHARED = 2  # shared distinct shingles ⇒ contaminated
 
 
+def decon_overlap(corpus_docs: DataFrame, bench_shingles: DataFrame) -> DataFrame:
+    """Per-doc benchmark overlap vs a STATIC benchmark shingle set:
+    one broadcast equi-join + one doc_id agg. The core shared by the
+    batch query and the streaming twin (the bench set never changes
+    mid-stream, so each micro-batch joins the same broadcast)."""
+    sh = _word_shingles(corpus_docs)
+    return (
+        sh.join(F.broadcast(bench_shingles), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= DECON_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
+def bench_shingle_set(docs: DataFrame) -> DataFrame:
+    """The eval-set shingle relation (deterministic md5 slice stands in
+    for the benchmark corpus). Bounded by benchmark size — broadcast at
+    any corpus scale."""
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < DECON_BENCH_HEX
+    return _word_shingles(docs.filter(is_bench)).select("sh").distinct()
+
+
 @query(
     "decontaminate_docs",
     oracle=f"""
@@ -331,22 +357,10 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark shingle SET is bounded by the benchmark
     size (fixed, small — broadcast at any corpus scale); the corpus side
     streams through one broadcast equi-join + one doc_id agg. Never
-    corpus×corpus."""
+    corpus×corpus. Streaming twin: streaming.pipeline.streaming_decontaminate."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _word_shingles(docs)
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < DECON_BENCH_HEX
-    bench = sh.filter(is_bench).select("sh").distinct()
-    corpus = sh.filter(~is_bench)
-    return (
-        corpus.join(F.broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .select(
-            "doc_id",
-            "n_shared",
-            (F.col("n_shared") >= DECON_MIN_SHARED).alias("contaminated"),
-        )
-    )
+    return decon_overlap(docs.filter(~is_bench), bench_shingle_set(docs))
 
 
 def _emb_dim(emb: DataFrame) -> int:

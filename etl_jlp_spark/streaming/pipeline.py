@@ -130,6 +130,55 @@ def incremental_to_bronze(
     )
 
 
+def stream_documents(spark: SparkSession, src_dir: str, schema) -> DataFrame:
+    """File-source stream over a documents dir (new files = new corpus
+    shards arriving from crawling/ingest)."""
+    return spark.readStream.format("parquet").schema(schema).load(src_dir)
+
+
+def streaming_decontaminate(
+    spark: SparkSession,
+    docs_src_dir: str,
+    schema,
+    bench_shingles: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of operators.similarity.decontaminate_docs: the
+    benchmark shingle set is STATIC (evals don't change mid-stream) and
+    broadcast into every micro-batch; each arriving corpus shard runs
+    the same broadcast equi-join + per-doc agg via ``foreachBatch``.
+    A document lives entirely inside one file → one micro-batch, so
+    per-doc overlap needs NO cross-batch streaming state, and results
+    append exactly-once under the checkpoint."""
+    from etl_jlp_spark.operators.similarity import decon_overlap
+
+    stream = stream_documents(spark, docs_src_dir, schema)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        decon_overlap(batch_df, bench_shingles).write.mode("append").parquet(dest_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_balance_mix(docs_stream: DataFrame, rates: DataFrame) -> DataFrame:
+    """Streaming twin of operators.sampling.balance_source_mix's filter
+    phase: the per-source rate table comes from a prior batch pass (or
+    metadata service) and is broadcast-joined into the stream. The
+    keep/drop decision is a pure function of (doc_id, source rate) —
+    a STATELESS stream-static join + filter, so the stream appends with
+    no aggregation state at all; the kept-docs stream IS the production
+    artifact (the balanced corpus)."""
+    from etl_jlp_spark.operators.sampling import apply_mix_filter, doc_token_counts
+
+    return apply_mix_filter(doc_token_counts(docs_stream), rates)
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type", "value"),

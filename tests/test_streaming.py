@@ -86,3 +86,78 @@ def test_streaming_sessionize_bounded_sessions(spark, events_dir):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 <= s2, "overlapping sessions for one user"
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    """sf0.001 documents re-materialized as two corpus shards."""
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, SF_SMALL, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_streaming_decontaminate_matches_batch(spark, docs_dir, tmp_path):
+    """Per-doc overlap from the stream (static broadcast bench set,
+    foreachBatch) must equal the batch decontaminate_docs rows."""
+    from etl_jlp_spark.operators.similarity import (
+        DECON_BENCH_HEX,
+        bench_shingle_set,
+        decontaminate_docs,
+    )
+    from etl_jlp_spark.streaming.pipeline import streaming_decontaminate
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bench = bench_shingle_set(docs)
+    dest = str(tmp_path / "decon_out")
+    ckpt = str(tmp_path / "decon_ckpt")
+    # stream only the corpus side (production: eval set never streams)
+    corpus_dir = str(tmp_path / "corpus_src")
+    corpus = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= DECON_BENCH_HEX
+    )
+    corpus.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(corpus_dir)
+    corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(corpus_dir)
+
+    q = streaming_decontaminate(spark, corpus_dir, docs.schema, bench, dest, ckpt)
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    want = sorted(map(tuple, decontaminate_docs(spark, SF_SMALL).collect()))
+    assert got == want
+    # restart with the same checkpoint: exactly-once, no duplicate rows
+    q2 = streaming_decontaminate(spark, corpus_dir, docs.schema, bench, dest, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(dest).collect())) == want
+
+
+def test_streaming_balance_mix_matches_batch(spark, docs_dir):
+    """The stateless stream-static keep-filter must keep EXACTLY the
+    docs the batch operator keeps (same rate table)."""
+    from etl_jlp_spark.operators.sampling import (
+        apply_mix_filter,
+        doc_token_counts,
+        mix_rates,
+    )
+    from etl_jlp_spark.streaming.pipeline import stream_documents, streaming_balance_mix
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sized = doc_token_counts(docs)
+    rates = mix_rates(sized)
+    stream = stream_documents(spark, docs_dir, docs.schema)
+    kept_stream = streaming_balance_mix(stream, rates)
+    q = (
+        kept_stream.writeStream.format("memory")
+        .queryName("mix_kept")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select doc_id, source, n_tokens from mix_kept").collect())
+    )
+    want = sorted(
+        map(tuple, apply_mix_filter(sized, rates).select("doc_id", "source", "n_tokens").collect())
+    )
+    assert got == want and got
