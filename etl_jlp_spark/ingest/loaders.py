@@ -152,10 +152,13 @@ def ingest_full_load_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jlp_spark.ingest.writers import write_entity
 
     df = ingest_full_load(spark, sf_dir)
+    # per-process container: two concurrent executions (bench + parity
+    # gate in separate processes) must not overwrite each other's
+    # landzone mid-read (ADVICE r2)
     container = os.path.join(
         tempfile.gettempdir(),
         "etl_jlp_medallion",
-        sf_dir.strip("/").replace("/", "_"),
+        f"{sf_dir.strip('/').replace('/', '_')}-{os.getpid()}",
     )
     write_entity(df, container, "01landzone", "events_sample", "jsonline", "20240201")
     return read_entity(

@@ -27,17 +27,24 @@ from etl_jlp_spark.ingest.writers import FORMATS, TIMESTAMP_FORMAT_US, medallion
 _MAGIC_PARQUET = b"PAR1"
 
 
+_SNIFF_SAMPLE = 8  # magic-byte fallback inspects up to this many files
+
+
 def sniff_format(path: str) -> str:
     """Infer the storage format of a medallion entity directory.
 
     Order of evidence (cheap → costly, all driver-side metadata only):
-    1. a path segment that names a known format (the write-side layout);
-    2. data-file extensions inside the directory;
-    3. magic bytes / first character of one data file.
+    1. the ``{fmt}`` segment of the medallion layout
+       (``…/entity/{fmt}/{job_date}``) — ONLY that position, so an
+       entity literally named 'json' can't short-circuit detection;
+    2. data-file extensions (all files must agree);
+    3. magic bytes / first character of up to {_SNIFF_SAMPLE} data
+       files (must agree).
+    Disagreement raises instead of silently guessing (ADVICE r2).
     """
-    for seg in reversed(os.path.normpath(path).split(os.sep)):
-        if seg in FORMATS:
-            return seg
+    segs = os.path.normpath(path).split(os.sep)
+    if len(segs) >= 2 and segs[-2] in FORMATS:
+        return segs[-2]
     data_files = []
     for root, _, files in os.walk(path):
         data_files += [
@@ -45,21 +52,26 @@ def sniff_format(path: str) -> str:
             for f in files
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         ]
-    for f in data_files:
-        if f.endswith(".parquet"):
-            return "parquet"
-        if f.endswith(".csv"):
-            return "csv"
-        if f.endswith(".json"):
-            return "jsonline"
-    for f in data_files:
+    by_ext = {".parquet": "parquet", ".csv": "csv", ".json": "jsonline", ".jsonl": "jsonline"}
+    votes = {fmt for f in data_files for ext, fmt in by_ext.items() if f.endswith(ext)}
+    if len(votes) > 1:
+        raise ValueError(f"mixed formats {sorted(votes)} under {path!r}; pass fmt=")
+    if votes:
+        return votes.pop()
+    votes = set()
+    for f in data_files[:_SNIFF_SAMPLE]:
         with open(f, "rb") as fh:
             head = fh.read(4)
         if head[:4] == _MAGIC_PARQUET:
-            return "parquet"
-        if head[:1] in (b"{", b"["):
-            return "jsonline"
-        return "csv"
+            votes.add("parquet")
+        elif head[:1] in (b"{", b"["):
+            votes.add("jsonline")
+        else:
+            votes.add("csv")
+    if len(votes) > 1:
+        raise ValueError(f"ambiguous content {sorted(votes)} under {path!r}; pass fmt=")
+    if votes:
+        return votes.pop()
     raise FileNotFoundError(f"no data files to sniff under {path!r}")
 
 

@@ -152,8 +152,14 @@ def _emit_time_on_page(
         eids = [held_eid] + eids
         ts_list = [held_ts] + ts_list
     if len(eids) > 1:
+        # Assumes per-user event-time order ACROSS micro-batches (the
+        # file-source replay and the reference's polled loads deliver
+        # in order). A straggler older than the held event would yield
+        # a negative gap — clamp at 0 so a violation degrades to "no
+        # time on page" instead of corrupting downstream sums.
         raws = [
-            (ts_list[i + 1] - ts_list[i]) / 1_000_000.0 for i in range(len(eids) - 1)
+            max(0.0, (ts_list[i + 1] - ts_list[i]) / 1_000_000.0)
+            for i in range(len(eids) - 1)
         ]
         yield out(eids[:-1], ts_list[:-1], raws)
     state.update((int(eids[-1]), int(ts_list[-1])))
@@ -165,7 +171,12 @@ def time_on_page_stateful(events: DataFrame) -> DataFrame:
     finalized exactly once across micro-batches. The batch path patches
     yesterday's output when today's data lands
     (time_on_page_incremental); this operator never needs the patch —
-    the held event IS the boundary state."""
+    the held event IS the boundary state.
+
+    Ordering contract: events must arrive in per-user event-time order
+    ACROSS micro-batches (true for the file-source replay of polled
+    incremental loads). Out-of-order stragglers are not re-paired; their
+    gap is clamped at 0 (see _emit_time_on_page)."""
     return (
         events.select("user_id", "event_id", "ts")
         .groupBy("user_id")

@@ -115,3 +115,34 @@ def test_transform_archive(spark, tmp_path):
     assert "archives" in p
     assert back.filter(F.col("doubled") != F.col("value") * 2).count() == 0
     assert back.count() == ev.filter(F.col("value") > 0).count()
+
+
+def test_sniff_rejects_mixed_dir_and_ignores_entity_named_json(tmp_path):
+    """ADVICE r2: a mixed-format dir must raise (not silently guess
+    'csv'), and only the medallion {fmt} segment may name the format —
+    an ENTITY named 'json' must fall through to content evidence."""
+    import pytest as _pytest
+
+    from etl_jlp_spark.ingest.readers import sniff_format
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    (mixed / "a.csv").write_text("a,b\n1,2\n")
+    (mixed / "b.json").write_text('{"a": 1}\n')
+    with _pytest.raises(ValueError, match="mixed"):
+        sniff_format(str(mixed))
+
+    # dir named like an entity 'json' but NOT in the {fmt} position:
+    # …/json/<job_date>/ would match; …/json alone (no job_date child
+    # segment) must sniff the content instead
+    ent = tmp_path / "landzone" / "json"
+    ent.mkdir(parents=True)
+    (ent / "part-000.csv").write_text("x,y\n3,4\n")
+    assert sniff_format(str(ent)) == "csv"
+
+    # magic-byte fallback with agreeing extension-less files
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "part-000").write_text('{"k": 1}\n')
+    (raw / "part-001").write_text('{"k": 2}\n')
+    assert sniff_format(str(raw)) == "jsonline"
