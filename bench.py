@@ -1,20 +1,26 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Each query is materialized with the noop sink (full compute, no driver
-collect). Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+collect) $SPARK_GRAFT_BENCH_REPS times (default 3) and its MEDIAN is
+recorded, so round-over-round comparisons are median-to-median instead
+of single-run-vs-median (kills the 1.1-1.6x noise ratios flagged in
+round 2). Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "reps": N}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -122,11 +128,17 @@ def main() -> None:
 
     ensure_ivf_store(spark, SF_DIR)
 
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Alternate full sweeps (rep 1 of every query, then rep 2, ...) rather
+    # than back-to-back reps of one query, so OS cache / JIT drift affects
+    # all queries alike and the median is an honest mid-session number.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -137,6 +149,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": REPS,
             }
         )
     )
