@@ -25,6 +25,7 @@ from etl_jlp_spark.ingest import loaders  # noqa: E402, F401
 from etl_jlp_spark.operators import (  # noqa: E402, F401
     audit,
     cdc,
+    chunking,
     components,
     dedup,
     embeddings,
@@ -58,6 +59,9 @@ _R3_PRIORITY = [
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",
     "ingest_jdbc_derby",
+    "doc_chunk",
+    "paragraph_dedup",
+    "semantic_dedup",
     # §2.A reference-chain operators (driver row stale since round 1)
     "dedup_exact",
     "window_time",

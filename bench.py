@@ -105,6 +105,9 @@ HEADLINE = [
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",
+    "doc_chunk",
+    "paragraph_dedup",
+    "semantic_dedup",
 ]
 
 

@@ -668,7 +668,10 @@ def _ivf_rank(cand: DataFrame, dim: int) -> DataFrame:
     )
 
 
-_IVF_ORACLE = f"""
+# CTE prefix shared by every oracle that needs the deterministic IVF cell
+# assignment (sample-trained centroids → full-corpus argmax): the ANN
+# probes below and semantic_dedup's within-cell pair generation.
+_IVF_ASSIGN_CTES = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 samp AS (
   SELECT vec_id, v FROM e
@@ -701,7 +704,10 @@ samp AS (
                               ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS rnk
     FROM e CROSS JOIN cent c
   ) WHERE rnk = 1
-), q AS (
+)"""
+
+_IVF_ORACLE = _IVF_ASSIGN_CTES + f"""
+, q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0
 ), probes AS (
   SELECT query_id, qv, cell FROM (
@@ -924,4 +930,75 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= ANN_TOP_K)
         .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # drop a vector whose cosine to a lower-id cellmate reaches this
+
+
+_SEMDEDUP_ORACLE = _IVF_ASSIGN_CTES + f"""
+, pairs AS (
+  SELECT b.vec_id AS b_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dup AS (
+  SELECT b_id, max(c6) AS m FROM pairs WHERE c6 >= {SEMDEDUP_TAU} GROUP BY b_id
+)
+SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       d.m IS NOT NULL AS is_dropped, round(d.m, 4) AS dup_sim
+FROM assigned s LEFT JOIN dup d ON s.vec_id = d.b_id
+"""
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with the IVF coarse quantizer, then inside each cell
+    drop every vector whose cosine similarity to a LOWER-id cellmate
+    reaches SEMDEDUP_TAU (the kept one is the deterministic min-id
+    representative of each semantic-duplicate group).
+
+    Extends the reference's column-subset dedup
+    (dwh_lab/dwh/preprocessing_streaming_incremental_load.py:52-66) to
+    meaning-level dedup over embeddings.
+
+    100 TB design: the quadratic pair join runs ONLY within a cell —
+    candidate pairs shrink from n² to Σ|cell|², and the number of
+    centroids scales with the corpus so cell sizes stay bounded (same
+    layout the IVF store writes: cell-partitioned, so each cell's pair
+    join is partition-local). Training touches a hash-sample, never the
+    corpus (ivf_index)."""
+    _corpus, assigned, _centroids, dim = ivf_index(spark, sf_dir)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm_vec_id").alias("na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm_vec_id").alias("nb"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            F.round(
+                static_dot(F.col("av"), F.col("bv"), dim) / (F.col("na") * F.col("nb")), 6
+            ).alias("c6"),
+        )
+        .filter(F.col("c6") >= SEMDEDUP_TAU)
+    )
+    # one row per dropped vector before the join: the groupBy's partial
+    # aggregation collapses the pair fan-out map-side
+    dup = pairs.groupBy("b_id").agg(F.max("c6").alias("m"))
+    return assigned.join(dup, assigned["vec_id"] == dup["b_id"], "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("m").isNotNull().alias("is_dropped"),
+        F.round("m", 4).alias("dup_sim"),
     )
