@@ -103,38 +103,39 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST occurrence (min (doc_id, start)) of each distinct block
     corpus-wide, and reassemble the surviving blocks in document order.
 
-    100 TB shape: one explode (corpus_tokens / BLOCK_W rows), one
-    hash-partitioned window on the block digest (the dedup shuffle —
-    carries md5 + block text once per block), one doc_id re-agg. The
-    window never materializes a per-key list; ``row_number`` streams.
-    Fully-boilerplate documents survive as empty rows via the left join
-    (the downstream filter decides their fate, not this operator)."""
+    100 TB shape: ONE table scan, one explode (corpus_tokens / BLOCK_W
+    rows), one hash-partitioned window on the block digest (the dedup
+    shuffle — carries md5 + block text once per block), one doc_id
+    re-agg. No join: the re-agg sees every block (kept and dropped), so
+    block totals, kept counts, and the reassembled text all come from
+    the same pass, and fully-boilerplate documents naturally survive as
+    empty rows (the downstream filter decides their fate, not this
+    operator). Plan-asserted ≤3 exchanges (tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-    # parallelize the block fan-out off a 1-partition local scan (no-op
-    # on a many-split cluster scan); reused by the final left join
-    toks = toks.repartition("doc_id")
+    # repartition parallelizes the block fan-out off a 1-partition local
+    # scan (a no-op on a many-split cluster scan)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks")).repartition(
+        "doc_id"
+    )
     blocks = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(BLOCK_W))).alias("cs"),
         F.col("toks"),
     ).select(
-        "doc_id", "cs", F.array_join(F.slice(F.col("toks"), F.col("cs"), F.lit(BLOCK_W)), " ").alias("block")
+        "doc_id",
+        "cs",
+        F.array_join(F.slice(F.col("toks"), F.col("cs"), F.lit(BLOCK_W)), " ").alias("block"),
     )
     w = Window.partitionBy(F.md5(F.lower("block"))).orderBy("doc_id", "cs")
-    kept = blocks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    reb = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    marked = blocks.withColumn("rn", F.row_number().over(w))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(cs, block))), x -> x.block)"), " "
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(cs, block, rn))),"
+                " x -> x.rn = 1), x -> x.block)"
+            ),
+            " ",
         ).alias("clean_text"),
-    )
-    n_blocks = toks.select(
-        "doc_id", F.size(F.sequence(F.lit(1), F.size("toks"), F.lit(BLOCK_W))).cast("long").alias("n_blocks")
-    )
-    return n_blocks.join(reb, "doc_id", "left").select(
-        "doc_id",
-        "n_blocks",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

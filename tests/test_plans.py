@@ -120,3 +120,25 @@ def test_quality_report_dup_check_shuffles_digest_not_payload(spark):
     assert dup_exchanges, plan[:3000]  # the dup-check exchange exists
     for line in dup_exchanges:
         assert "props_h" in line and "md5" not in line, line
+
+
+def test_doc_chunk_has_no_shuffle(spark):
+    # chunking is a pure array-expression projection: the only allowed
+    # exchange would be a round-robin injected by widen() on a tiny
+    # local scan — never a hash shuffle
+    plan = _plan(QS["doc_chunk"](spark, SF_SMALL))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_paragraph_dedup_two_hash_exchanges(spark):
+    # one shuffle on the block digest (the dedup window), one on doc_id
+    # (reassembly + left join share the partitioning)
+    plan = _plan(QS["paragraph_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:3000]
+
+
+def test_semantic_dedup_joins_within_cell_only(spark):
+    plan = _plan(QS["semantic_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
