@@ -154,3 +154,40 @@ class Pipeline:
         with open(report_path, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=2)
         return report
+
+
+class AlertOutbox:
+    """File-backed alert transport: the environment-portable analog of
+    the reference's SMTP ``send_email`` (dwh_lab/dwh/general_lib.py:
+    187-222, subject/body/recipients over smtplib). SMTP endpoints are
+    deployment-specific, so the durable part — a structured, auditable
+    record of every alert — lands in a JSONL outbox instead; a relay
+    (or a swap to a webhook/SMTP callable) drains it without any change
+    to pipeline code, because an outbox IS the ``on_error`` callable.
+
+    Single-writer by construction (the orchestrator is sequential), so
+    line-append is safe; ``read()`` returns the alerts for tests and
+    for the relay."""
+
+    def __init__(self, path: str, recipients: list[str] | None = None, sender: str = "etl-jlp"):
+        self.path = path
+        self.recipients = recipients or ["oncall@example.invalid"]
+        self.sender = sender
+
+    def __call__(self, step: str, message: str) -> None:
+        record = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "sender": self.sender,
+            "recipients": self.recipients,
+            "subject": f"[ETL FAILURE] step={step}",
+            "body": message,
+        }
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def read(self) -> list[dict]:
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []

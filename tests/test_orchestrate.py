@@ -168,3 +168,43 @@ def test_retries_exhausted_alerts_once_and_fails_fast():
     assert report["errors"] == [{"step": "doomed", "error": "permanent", "attempts": 3}]
     assert len(alerts) == 1  # exactly one alert, after the final attempt
     assert report["steps"][1]["status"] == "skipped"
+
+
+def test_alert_outbox_records_failures_as_mail_shaped_jsonl(tmp_path):
+    from etl_jlp_spark.orchestrate import AlertOutbox, Pipeline
+
+    outbox = AlertOutbox(str(tmp_path / "outbox.jsonl"), recipients=["dwh@example.invalid"])
+    p = Pipeline("outbox-demo")
+
+    @p.step("good")
+    def good(upstream, **ctx):
+        return None
+
+    @p.step("flaky", depends_on=["good"], retries=1)
+    def flaky(upstream, **ctx):
+        raise RuntimeError("boom")
+
+    report = p.run(on_error=outbox)
+    assert report["status"] == "failed"
+    alerts = outbox.read()
+    # exactly ONE alert, fired after the final attempt
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["subject"] == "[ETL FAILURE] step=flaky"
+    assert "boom" in a["body"]
+    assert a["recipients"] == ["dwh@example.invalid"]
+    assert a["ts"].endswith("Z")
+
+
+def test_alert_outbox_empty_when_all_green(tmp_path):
+    from etl_jlp_spark.orchestrate import AlertOutbox, Pipeline
+
+    outbox = AlertOutbox(str(tmp_path / "outbox.jsonl"))
+    p = Pipeline("green")
+
+    @p.step("only")
+    def only(upstream, **ctx):
+        return None
+
+    assert p.run(on_error=outbox)["status"] == "success"
+    assert outbox.read() == []
