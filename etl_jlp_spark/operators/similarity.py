@@ -969,11 +969,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: the quadratic pair join runs ONLY within a cell —
     candidate pairs shrink from n² to Σ|cell|², and the number of
-    centroids scales with the corpus so cell sizes stay bounded (same
-    layout the IVF store writes: cell-partitioned, so each cell's pair
-    join is partition-local). Training touches a hash-sample, never the
-    corpus (ivf_index)."""
-    _corpus, assigned, _centroids, dim = ivf_index(spark, sf_dir)
+    centroids scales with the corpus so cell sizes stay bounded.
+    Training touches a hash-sample, never the corpus, and happens ONCE:
+    the operator reads the persisted cell-partitioned IVF store
+    (``ensure_ivf_store``), so the self-join on ``cell`` is
+    partition-local over the production layout — no retraining inside
+    the query (the same amortization as ``ann_ivf_topk_prebuilt``)."""
+    assigned_path, cent_path = ensure_ivf_store(spark, sf_dir)
+    dim = len(spark.read.parquet(cent_path).first()["cv"])  # ≤16-row table
+    assigned = spark.read.parquet(assigned_path)
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm_vec_id").alias("na"),
         "cell",
