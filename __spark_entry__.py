@@ -62,6 +62,7 @@ _R3_PRIORITY = [
     "doc_chunk",
     "paragraph_dedup",
     "semantic_dedup",
+    "dedup_cluster_representative",
     # §2.A reference-chain operators (driver row stale since round 1)
     "dedup_exact",
     "window_time",

@@ -108,6 +108,7 @@ HEADLINE = [
     "doc_chunk",
     "paragraph_dedup",
     "semantic_dedup",
+    "dedup_cluster_representative",
 ]
 
 

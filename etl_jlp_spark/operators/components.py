@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_jlp_spark.catalog import load_table
 from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
 from etl_jlp_spark.registry import query
 
@@ -123,9 +124,10 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
     return labels.select("node", F.col("label").alias("component"))
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# Recursive-CTE transitive closure over the verified minhash-LSH pair
+# graph — shared by the components oracle and the cluster-representative
+# oracle below.
+_CC_CTES = f"""
 WITH RECURSIVE
 toks AS (
   SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
@@ -177,6 +179,13 @@ toks AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_CC_CTES
+    + """
 SELECT n.a AS node,
        CAST(least(n.a, min(r.b)) AS BIGINT) AS component
 FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
@@ -191,4 +200,48 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+@query(
+    "dedup_cluster_representative",
+    oracle=_CC_CTES
+    + """
+, comp AS (
+  SELECT n.a AS node, least(n.a, min(r.b)) AS component
+  FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
+  GROUP BY n.a
+), ranked AS (
+  SELECT c.component, c.node, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_docs
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(node AS BIGINT) AS rep_doc,
+       CAST(n_chars AS BIGINT) AS rep_chars
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision refined: instead of blindly keeping the min
+    doc_id, each near-dup cluster keeps its LONGEST member (max n_chars,
+    ties → min doc_id) — the standard representative-selection heuristic
+    when duplicates are truncations/fragments of one another.
+
+    One hash agg over (component ⋈ doc metadata): ``max_by`` with a
+    (n_chars, -doc_id) key picks the representative map-side — no
+    per-component sort, no window, shuffle carries one row per
+    component. Cluster discovery itself is ``dedup_connected_components``
+    (scale-adaptive driver/distributed switch)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cc = dedup_connected_components(spark, sf_dir)
+    joined = cc.join(docs, cc["node"] == docs["doc_id"]).select("component", "node", "n_chars")
+    key = F.struct(F.col("n_chars").alias("c"), (-F.col("node")).alias("nn"))
+    return joined.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max_by("node", key).cast("long").alias("rep_doc"),
+        F.max("n_chars").cast("long").alias("rep_chars"),
     )

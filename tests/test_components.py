@@ -48,3 +48,30 @@ def test_driver_and_distributed_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
     big = sorted(map(tuple, C.connected_components(pairs).collect()))
     assert small == big == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+
+
+def test_cluster_representative_is_longest_member(spark):
+    from tests.conftest import SF_MEDIUM
+
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    comps = {
+        (r["node"], r["component"])
+        for r in qs["dedup_connected_components"](spark, SF_MEDIUM).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").collect()
+    }
+    reps = qs["dedup_cluster_representative"](spark, SF_MEDIUM).collect()
+    by_comp = {}
+    for node, comp in comps:
+        by_comp.setdefault(comp, []).append(node)
+    assert reps and len(reps) == len(by_comp)
+    for r in reps:
+        members = by_comp[r["component"]]
+        assert r["n_docs"] == len(members)
+        assert r["rep_doc"] in members
+        best = max(members, key=lambda n: (chars[n], -n))
+        assert r["rep_doc"] == best and r["rep_chars"] == chars[best]
