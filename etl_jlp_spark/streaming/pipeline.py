@@ -231,3 +231,44 @@ def click_attribution_join(
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
     ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
+
+
+def streaming_quality_monitor(
+    events: DataFrame, window: str = "1 day", delay: str = DEFAULT_WATERMARK_DELAY
+) -> DataFrame:
+    """Streaming twin of the quality checks (``quality_format_check`` /
+    ``quality_clean_rate``): per event-time window, the share of rows
+    passing each format rule — negative values, unknown event types,
+    non-JSON props. The reference runs its QualityReport per scheduled
+    batch (dwh_lab/dwh/quality_report.py); here the same predicates run
+    continuously so a bad upstream deploy shows up one watermark later,
+    not at the next nightly report.
+
+    Conditional-sum aggs are mergeable partial aggregates — streaming
+    state is ONE row per (window), bounded by the watermark."""
+
+    def rate(pred, name: str):
+        return F.round(
+            100.0 * F.sum(F.when(pred, 1).otherwise(0)) / F.count(F.lit(1)), 2
+        ).alias(name)
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rate(F.col("value") >= 0, "rate_value_nonneg"),
+            rate(
+                F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+                "rate_event_type_known",
+            ),
+            rate(F.col("props").startswith("{"), "rate_props_json"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "rate_value_nonneg",
+            "rate_event_type_known",
+            "rate_props_json",
+        )
+    )

@@ -161,3 +161,47 @@ def test_streaming_balance_mix_matches_batch(spark, docs_dir):
         map(tuple, apply_mix_filter(sized, rates).select("doc_id", "source", "n_tokens").collect())
     )
     assert got == want and got
+
+
+def test_streaming_quality_monitor_matches_batch(spark, events_dir):
+    from etl_jlp_spark.streaming.pipeline import streaming_quality_monitor
+
+    q = (
+        streaming_quality_monitor(stream_events(spark, events_dir), window="1 day")
+        .writeStream.format("memory")
+        .queryName("q_monitor")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (
+            r["n_events"],
+            r["rate_value_nonneg"],
+            r["rate_event_type_known"],
+            r["rate_props_json"],
+        )
+        for r in spark.sql("select * from q_monitor").collect()
+    }
+
+    def rate(pred, name):
+        return F.round(100.0 * F.sum(F.when(pred, 1).otherwise(0)) / F.count(F.lit(1)), 2).alias(
+            name
+        )
+
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rate(F.col("value") >= 0, "r1"),
+            rate(
+                F.col("event_type").isin("click", "view", "purchase", "signup", "error"), "r2"
+            ),
+            rate(F.col("props").startswith("{"), "r3"),
+        )
+        .collect()
+    )
+    want = {r["window_start"]: (r["n_events"], r["r1"], r["r2"], r["r3"]) for r in batch}
+    assert got == want and len(got) > 1
