@@ -63,6 +63,7 @@ _R3_PRIORITY = [
     "paragraph_dedup",
     "semantic_dedup",
     "dedup_cluster_representative",
+    "dataset_split",
     # §2.A reference-chain operators (driver row stale since round 1)
     "dedup_exact",
     "window_time",

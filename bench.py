@@ -109,6 +109,7 @@ HEADLINE = [
     "paragraph_dedup",
     "semantic_dedup",
     "dedup_cluster_representative",
+    "dataset_split",
 ]
 
 

@@ -208,3 +208,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# (split, md5-prefix upper bound): cumulative hex thresholds over the
+# first two digest chars — ~90% / ~5% / rest. Hex-string comparison is
+# engine-portable (same md5, same collation in Spark and DuckDB).
+SPLIT_BOUNDS = [("train", "e6"), ("val", "f3"), ("test", None)]
+
+
+@query(
+    "dataset_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5) by md5-prefix
+    threshold on doc_id — the held-out-split step of a training-data
+    pipeline. Like ``stratified_sample``, hash thresholds (not RNG)
+    make the split reproducible across engines, partitionings, and
+    re-runs, and a document NEVER migrates between splits when the
+    corpus grows — the property per-run random splits can't give.
+    Zero-shuffle projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
+    return docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
