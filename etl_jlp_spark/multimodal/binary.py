@@ -331,3 +331,130 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
         )
         .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM — a real pure-python codec (like BMP/PNG above)
+# ---------------------------------------------------------------------------
+
+AUDIO_DECODED_SCHEMA = (
+    "media_id long, kind string, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak int, checksum string"
+)
+
+REAL_AUDIO_KINDS = frozenset({"wav"})
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit PCM. ``samples`` is int16,
+    shape (n,) mono or (n, channels)."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    data = samples.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
+    """Parse RIFF/WAVE PCM16: (sample_rate, n_channels, n_samples,
+    duration_s, rms, peak). Walks the chunk list (extra chunks like
+    LIST/INFO are legal and skipped); raises ValueError on anything that
+    isn't 16-bit integer PCM."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    x = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2").reshape(
+        -1, channels
+    )
+    n_samples = x.shape[0]
+    if n_samples == 0:
+        return rate, channels, 0, 0.0, 0.0, 0
+    xf = x.astype(np.float64)
+    rms = float(np.sqrt(np.mean(xf * xf)))
+    peak = int(np.max(np.abs(xf)))
+    return rate, channels, n_samples, n_samples / rate, rms, peak
+
+
+def synth_audio_df(spark: SparkSession, n: int = 32, kind: str = "wav") -> DataFrame:
+    """Deterministic audio rows: real sine-mix WAV payloads for 'wav',
+    md5-derived opaque bytes for undecodable kinds (mp3/flac/...)."""
+    rows = []
+    for i in range(n):
+        if kind in REAL_AUDIO_KINDS:
+            rate = 8000
+            t = np.arange(rate // 10 + i * 7)  # ~0.1 s, varying length
+            wave = (3000 * np.sin(2 * np.pi * (110 + 13 * i) * t / rate)).astype(np.int16)
+            payload = encode_wav(rate, wave if i % 2 == 0 else np.stack([wave, -wave], axis=1))
+            rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), 0, 0)))
+        else:
+            digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
+            payload = (digest * ((i % 5) + 1))[: 16 * ((i % 5) + 1)]
+            rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), 0, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_audio(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched audio decode, mirroring ``decode_image``: 'wav'
+    rows get the REAL RIFF/PCM parser (rate, channels, duration, rms,
+    peak from the sample plane); compressed kinds (mp3/flac/ogg) need
+    codecs this container lacks — with ``fake_decode`` they yield
+    deterministic metadata-derived stand-ins (null signal stats),
+    without it they raise NotImplementedError."""
+    if not fake_decode:
+        kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
+        bad = [k for k in kinds if k not in REAL_AUDIO_KINDS]
+        if bad:
+            raise NotImplementedError(
+                f"real decode of {bad} needs libsndfile/ffmpeg — not in this "
+                f"container; only {sorted(REAL_AUDIO_KINDS)} decode natively"
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            kind_arr = pdf["kind"].to_numpy()
+            is_real = np.isin(kind_arr, list(REAL_AUDIO_KINDS))
+            m = len(pdf)
+            rate = np.zeros(m, dtype=np.int32)
+            channels = np.zeros(m, dtype=np.int32)
+            n_samples = np.zeros(m, dtype=np.int64)
+            duration = np.full(m, np.nan)
+            rms = np.full(m, np.nan)
+            peak = np.zeros(m, dtype=np.int32)
+            for i in np.flatnonzero(is_real):
+                rate[i], channels[i], n_samples[i], duration[i], rms[i], peak[i] = decode_wav(
+                    payloads[i]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "sample_rate": rate,
+                    "n_channels": channels,
+                    "n_samples": n_samples,
+                    "duration_s": duration,
+                    "rms": rms,
+                    "peak": peak,
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_DECODED_SCHEMA)

@@ -123,3 +123,59 @@ def test_real_decode_rows_survive_null_meta(spark):
     assert (out[1]["width"], out[1]["height"]) == (3, 3)
     assert out[1]["mean_r"] == 9.0 and out[1]["mean_g"] == 8.0 and out[1]["mean_b"] == 7.0
     assert out[2]["width"] == 0 and out[2]["height"] == 0  # meta-less fake row
+
+
+def test_wav_roundtrip_exact_stats():
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.binary import decode_wav, encode_wav
+
+    t = np.arange(800)
+    wave = (1000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    rate, ch, n, dur, rms, peak = decode_wav(encode_wav(8000, wave))
+    assert (rate, ch, n) == (8000, 1, 800)
+    assert abs(dur - 0.1) < 1e-9
+    xf = wave.astype(float)
+    assert abs(rms - float(np.sqrt((xf * xf).mean()))) < 1e-9
+    assert peak == int(np.abs(wave).max())
+    # stereo roundtrip
+    st = np.stack([wave, -wave], axis=1)
+    rate2, ch2, n2, _, rms2, _ = decode_wav(encode_wav(8000, st))
+    assert (rate2, ch2, n2) == (8000, 2, 800)
+    assert abs(rms2 - rms) < 1e-9
+
+
+def test_wav_rejects_non_pcm16():
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.binary import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+
+
+def test_decode_audio_real_wav_in_spark(spark):
+    from etl_jlp_spark.multimodal.binary import decode_audio, decode_wav, synth_audio_df
+
+    media = synth_audio_df(spark, n=16, kind="wav")
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(out) == 16
+    for mid, payload in src.items():
+        rate, ch, n, dur, rms, peak = decode_wav(payload)
+        r = out[mid]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, ch, n)
+        assert abs(r["rms"] - rms) < 1e-9 and r["peak"] == peak
+
+
+def test_decode_audio_stub_boundary(spark):
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.binary import decode_audio, synth_audio_df
+
+    mp3 = synth_audio_df(spark, n=4, kind="mp3")
+    # fake path: plumbing works, signal stats null
+    rows = decode_audio(mp3, fake_decode=True).collect()
+    assert len(rows) == 4 and all(r["rms"] is None or r["rms"] != r["rms"] for r in rows)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(mp3, fake_decode=False)
