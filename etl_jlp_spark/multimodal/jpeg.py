@@ -1,0 +1,376 @@
+"""Pure-python baseline JPEG codec (encoder + decoder), numpy-vectorized.
+
+Completes the real-codec set next to the BMP and PNG parsers in
+``binary.py``: sequential baseline DCT JPEG (SOF0), 8-bit, YCbCr,
+4:4:4 sampling — enough to round-trip real compressed images through
+the Spark multimodal path with zero external libraries.
+
+The decoder is fully table-driven (quantization and Huffman tables are
+read from the stream's DQT/DHT segments), so it decodes any 4:4:4
+baseline JPEG, not just this encoder's output. Out-of-scope features
+fail loudly: progressive (SOF2), arithmetic coding, subsampled chroma,
+and restart intervals raise ValueError/NotImplementedError rather than
+mis-decode.
+
+The encoder does NOT use the Annex-K example Huffman tables; it emits
+its own canonical tables in DHT (12 four-bit DC codes, 162 eight-bit AC
+codes) — any table set the stream declares is legal baseline JPEG.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared: DCT basis, zigzag order, quantization
+# ---------------------------------------------------------------------------
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# flat fine-grained tables: small quantization error, exercised exactly
+# like any other table since both sides read them from DQT
+_QT_LUMA = np.full(64, 4, dtype=np.uint8)
+_QT_CHROMA = np.full(64, 4, dtype=np.uint8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical construction."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# encoder's own tables: all 12 DC size categories at 4 bits; all 162
+# legal AC (run,size) symbols at 8 bits (canonical, all-ones unused)
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALUES = list(range(12))
+_AC_VALUES = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALUES)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALUES)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) -> int:
+    coef = _C @ (block - 128.0) @ _C.T
+    q = np.round(coef.reshape(-1)[_ZIGZAG] / qt).astype(np.int64)
+    dc = int(q[0])
+    diff = dc - pred
+    size = _size_cat(diff)
+    code, length = _DC_CODES[size]
+    bw.write(code, length)
+    if size:
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        bw.write(amp, size)
+    run = 0
+    for v in q[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = _AC_CODES[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size = _size_cat(v)
+        c, ln = _AC_CODES[(run << 4) | size]
+        bw.write(c, ln)
+        amp = v if v > 0 else v + (1 << size) - 1
+        bw.write(amp, size)
+        run = 0
+    if run:
+        c, ln = _AC_CODES[0x00]  # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def _dht_segment(table_class: int, table_id: int, bits: list[int], values: list[int]) -> bytes:
+    body = bytes([(table_class << 4) | table_id]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(width: int, height: int, pixel_fn) -> bytes:
+    """Baseline JFIF-style 4:4:4 JPEG. ``pixel_fn(x, y) -> (r, g, b)``."""
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    rgb = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            rgb[y, x] = pixel_fn(x, y)
+    ycc = _rgb_to_ycbcr(rgb)
+    bh, bw_ = -(-height // 8), -(-width // 8)
+    padded = np.pad(ycc, ((0, bh * 8 - height), (0, bw_ * 8 - width), (0, 0)), mode="edge")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(qt)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )  # SOF0, sampling 1x1 everywhere
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALUES)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+    for by in range(bh):
+        for bx in range(bw_):
+            for comp in range(3):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
+                preds[comp] = _encode_block(writer, block, qts[comp], preds[comp])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded data")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated after 0xFF")
+            marker = self.data[self.pos]
+            if marker == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= marker <= 0xD7:
+                raise NotImplementedError("restart markers not supported")
+            else:
+                raise ValueError(f"unexpected marker 0xFF{marker:02x} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], values: list[int]) -> None:
+        # (length, code) -> symbol lookup via the canonical construction
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Decode a baseline 4:4:4 JPEG: (width, height, mean_r, mean_g,
+    mean_b). Table-driven; raises on progressive/subsampled/restart
+    streams instead of mis-decoding them."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    frame = None  # (h, w, [(comp_id, qt_id)])
+    scan = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qtables[tid] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(
+                    np.float64
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(body[i + 17 : i + 17 + n])
+                (dc_tables if cls == 0 else ac_tables)[tid] = _HuffTable(bits, values)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, qid = body[6 + c * 3 : 9 + c * 3]
+                if sampling != 0x11:
+                    raise NotImplementedError("chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(f"only baseline SOF0 supported (got SOF 0x{marker:02x})")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = [(body[1 + c * 2], body[2 + c * 2] >> 4, body[2 + c * 2] & 0xF) for c in range(ns)]
+            break
+        # APPn/COM/etc: skipped
+
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    if len(comps) != len(scan):
+        raise ValueError("scan/frame component mismatch")
+
+    br = _BitReader(payload[pos:])
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    planes = np.zeros((len(comps), bh * 8, bw_ * 8))
+    preds = [0] * len(comps)
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZIGZAG] = np.arange(64)
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, ((_cid, qid), (_sid, dct, act)) in enumerate(zip(comps, scan)):
+                qt = qtables[qid]
+                size = dc_tables[dct].decode(br)
+                diff = _extend(br.bits(size), size) if size else 0
+                preds[ci] += diff
+                zz = np.zeros(64)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = ac_tables[act].decode(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = (zz * qt)[inv_zz].reshape(8, 8)
+                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef @ _C
+                ) + 128.0
+    planes = planes[:, :h, :w]
+    if len(comps) == 1:
+        m = float(np.clip(planes[0], 0, 255).mean())
+        return w, h, m, m, m
+    rgb = _ycbcr_to_rgb(np.stack([planes[0], planes[1], planes[2]], axis=-1))
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    return w, h, float(means[0]), float(means[1]), float(means[2])

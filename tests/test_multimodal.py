@@ -179,3 +179,47 @@ def test_decode_audio_stub_boundary(spark):
     assert len(rows) == 4 and all(r["rms"] is None or r["rms"] != r["rms"] for r in rows)
     with _pytest.raises(NotImplementedError):
         decode_audio(mp3, fake_decode=False)
+
+
+def test_jpeg_roundtrip_means_within_tolerance():
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    w0, h0 = 20, 13
+    fn = lambda x, y: ((x * 12) % 256, (y * 19) % 256, (x + y) % 256)
+    w, h, r, g, b = decode_jpeg(encode_jpeg(w0, h0, fn))
+    assert (w, h) == (w0, h0)
+    px = np.array([[fn(x, y) for x in range(w0)] for y in range(h0)], dtype=float)
+    want = px.reshape(-1, 3).mean(axis=0)
+    # lossy codec: fine flat quant tables keep channel means within ~1
+    assert abs(r - want[0]) < 1.0 and abs(g - want[1]) < 1.0 and abs(b - want[2]) < 1.0
+
+
+def test_jpeg_rejects_out_of_scope_streams():
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"GIF89a not a jpeg")
+    # flip SOF0 to SOF2 (progressive): loud NotImplementedError, not garbage
+    p = bytearray(encode_jpeg(8, 8, lambda x, y: (1, 2, 3)))
+    p[p.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+
+
+def test_decode_image_real_jpeg_in_spark(spark):
+    from etl_jlp_spark.multimodal.binary import decode_image, synth_media_df
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg
+
+    media = synth_media_df(spark, n=12, kind="jpeg")
+    out = {r["media_id"]: r for r in decode_image(media, fake_decode=False).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(out) == 12
+    for mid, payload in src.items():
+        w, h, mr, mg, mb = decode_jpeg(payload)
+        r = out[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_r"] - mr) < 1e-9
