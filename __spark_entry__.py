@@ -55,6 +55,7 @@ _R3_PRIORITY = [
     # flagships — kept in-window every round
     "preprocess_pipeline",
     "curate_documents",
+    "training_data_pipeline",
     # NEW / newly oracle-backed in round 3
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -110,6 +110,7 @@ HEADLINE = [
     "semantic_dedup",
     "dedup_cluster_representative",
     "dataset_split",
+    "training_data_pipeline",
 ]
 
 

@@ -134,3 +134,114 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality_score") >= MIN_QUALITY) & (F.col("rn") == 1))
         .select("doc_id", "quality_score", pred.alias("lang_pred"), "text_hash", "fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship 2: the full LLM training-data preparation pass
+# ---------------------------------------------------------------------------
+
+from etl_jlp_spark.operators.quality_rules import _stop_hits_sql  # noqa: E402
+from etl_jlp_spark.operators.similarity import (  # noqa: E402
+    _SHINGLES_CTE,
+    DECON_BENCH_HEX,
+    DECON_MIN_SHARED,
+    _word_shingles,
+    bench_shingle_set,
+)
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT sh FROM shingles
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{DECON_BENCH_HEX}'
+), corpus0 AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{DECON_BENCH_HEX}'
+    AND length(trim(text)) > 0
+), gated AS (
+  SELECT doc_id, text, source, n_words FROM (
+    SELECT doc_id, text, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 4) AS mwl,
+           CAST({_stop_hits_sql()} AS BIGINT) AS n_stop
+    FROM corpus0)
+  WHERE n_words >= 30 AND n_words <= 10000
+    AND mwl >= 2.0 AND mwl <= 8.0 AND n_stop >= 2
+), contaminated AS (
+  SELECT s.doc_id FROM shingles s JOIN bench b ON s.sh = b.sh
+  GROUP BY s.doc_id HAVING count(*) >= {DECON_MIN_SHARED}
+), surviving AS (
+  SELECT g.doc_id, g.source, g.n_words,
+         row_number() OVER (PARTITION BY md5(lower(trim(g.text)))
+                            ORDER BY g.doc_id) AS rn
+  FROM gated g LEFT JOIN contaminated x ON g.doc_id = x.doc_id
+  WHERE x.doc_id IS NULL
+)
+SELECT doc_id, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       n_words
+FROM surviving WHERE rn = 1
+""",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 2 — the complete LLM training-data preparation pass as
+    ONE composed plan: Gopher quality gate → benchmark decontamination
+    → exact dedup → train/val/test split. The output is the training
+    manifest (doc, source, split, length).
+
+    100 TB shape, stage by stage: the quality gate is a zero-shuffle
+    projection fused into the scan; decontamination joins the gated
+    corpus against a BROADCAST benchmark shingle set (bounded by eval
+    size) and anti-joins the ≥{DECON_MIN_SHARED}-shared hits;
+    exact dedup is the single hash-partitioned window; the split is an
+    md5-threshold projection. One broadcast + two hash exchanges total,
+    independent of corpus size; every gate drops rows BEFORE the next
+    stage pays for them."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < DECON_BENCH_HEX
+    corpus = docs.filter(~is_bench & (F.length(F.trim("text")) > 0)).repartition("doc_id")
+
+    # Gopher gate (same rules as gopher_quality_filter): pure projection
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    mean_wl = F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4)
+    n_stop = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS
+    ).cast("long")
+    gated = (
+        corpus.select(
+            "doc_id", "text", "source",
+            n_words.alias("n_words"), mean_wl.alias("mwl"), n_stop.alias("n_stop"),
+        )
+        .filter(
+            (F.col("n_words") >= 30) & (F.col("n_words") <= 10000)
+            & (F.col("mwl") >= 2.0) & (F.col("mwl") <= 8.0) & (F.col("n_stop") >= 2)
+        )
+        .drop("mwl", "n_stop")
+    )
+
+    # decontamination: broadcast bench shingles, anti-join contaminated
+    contaminated = (
+        _word_shingles(gated.select("doc_id", "text"))
+        .join(F.broadcast(bench_shingle_set(docs)), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select("doc_id")
+    )
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+
+    # exact dedup: first doc per normalized-text digest
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    deduped = clean.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    # deterministic split assignment (same thresholds as dataset_split)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
+    return deduped.select("doc_id", "source", split.alias("split"), "n_words")

@@ -142,3 +142,11 @@ def test_semantic_dedup_joins_within_cell_only(spark):
     plan = _plan(QS["semantic_dedup"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_data_pipeline_shape(spark):
+    plan = _plan(QS["training_data_pipeline"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the decontamination join must broadcast the benchmark shingle side
+    assert "BroadcastHashJoin" in plan
