@@ -464,3 +464,177 @@ def decode_audio(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: RIFF/AVI with uncompressed RGB24 (DIB) frames — real container
+# parse + per-frame pixel stats, zero external codecs
+# ---------------------------------------------------------------------------
+
+VIDEO_DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames long, fps double, "
+    "frame_idx int, mean_r double, mean_g double, mean_b double, checksum string"
+)
+
+REAL_VIDEO_KINDS = frozenset({"avi"})
+
+
+def encode_avi(width: int, height: int, frames: list, fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI writer: one RGB24 'DIB ' video stream, one
+    '00db' chunk per frame. ``frames`` = list of pixel_fn(x, y, r, g, b)
+    callables or (h, w, 3) uint8 arrays."""
+    rows = []
+    for fr in frames:
+        if callable(fr):
+            a = np.zeros((height, width, 3), dtype=np.uint8)
+            for y in range(height):
+                for x in range(width):
+                    a[y, x] = fr(x, y)
+        else:
+            a = np.asarray(fr, dtype=np.uint8)
+        # DIB rows are bottom-up BGR, 4-byte aligned (like BMP)
+        pad = (4 - (width * 3) % 4) % 4
+        body = bytearray()
+        for y in range(height - 1, -1, -1):
+            body += a[y, :, ::-1].tobytes() + b"\x00" * pad
+        rows.append(bytes(body))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    frame_size = len(rows[0]) if rows else 0
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, len(rows), 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, len(rows), frame_size, 0, 0, 0, 0, 0, width, height)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", r) for r in rows))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, float, list[tuple[float, float, float]]]:
+    """Parse RIFF/AVI with RGB24 DIB frames: (width, height, n_frames,
+    fps, per-frame (mean_r, mean_g, mean_b)). Compressed codecs raise."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    width = height = None
+    fps = 0.0
+    frames: list[bytes] = []
+    compressed = None
+
+    def walk(data: bytes) -> None:
+        nonlocal width, height, fps, compressed
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", data, pos + 4)
+            body = data[pos + 8 : pos + 8 + clen]
+            if fourcc == b"LIST":
+                walk(body[4:])  # skip list type fourcc
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", body, 0)
+                fps = 1_000_000 / vals[0] if vals[0] else 0.0
+                width, height = vals[8], vals[9]
+            elif fourcc == b"strh":
+                handler = body[4:8]
+                if body[:4] == b"vids" and handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    compressed = handler.decode("ascii", "replace").strip()
+            elif fourcc == b"00db":
+                frames.append(body)
+            pos += 8 + clen + (clen & 1)
+
+    walk(payload[12:])
+    if compressed:
+        raise NotImplementedError(
+            f"AVI stream uses codec {compressed!r}; only uncompressed DIB frames decode natively"
+        )
+    if width is None or not frames:
+        raise ValueError("missing avih header or frames")
+    pad = (4 - (width * 3) % 4) % 4
+    stride = width * 3 + pad
+    means = []
+    for body in frames:
+        rows = np.frombuffer(body[: stride * height], dtype=np.uint8).reshape(height, stride)
+        px = rows[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1]  # flip + BGR→RGB
+        m = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+        means.append((float(m[0]), float(m[1]), float(m[2])))
+    return width, height, len(frames), fps, means
+
+
+def synth_video_df(spark: SparkSession, n: int = 8, kind: str = "avi") -> DataFrame:
+    """Deterministic video rows: real uncompressed AVI payloads for
+    'avi' (tiny frame stacks), opaque md5 bytes for codec kinds."""
+    rows = []
+    for i in range(n):
+        if kind in REAL_VIDEO_KINDS:
+            w, h = (i % 6) + 2, (i % 4) + 2
+            frames = [
+                (lambda x, y, i=i, f=f: (((x + f) * 11 + i) % 256, (y * 17 + f) % 256, (x + y + f) % 256))
+                for f in range((i % 3) + 1)
+            ]
+            payload = encode_avi(w, h, frames)
+            rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), w, h)))
+        else:
+            digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
+            payload = (digest * ((i % 5) + 1))[: 16 * ((i % 5) + 1)]
+            rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), 0, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_video_frames(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched 1→N frame decode: each AVI payload yields one row
+    PER FRAME with real pixel statistics (the genuine version of the
+    byte-offset ``frame_sample`` shape). Codec kinds (mp4/h264/vp9)
+    fake a single metadata row or raise, as elsewhere."""
+    if not fake_decode:
+        kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
+        bad = [k for k in kinds if k not in REAL_VIDEO_KINDS]
+        if bad:
+            raise NotImplementedError(
+                f"real decode of {bad} needs ffmpeg — not in this container; "
+                f"only {sorted(REAL_VIDEO_KINDS)} decode natively"
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "kind", "width", "height", "n_frames", "fps",
+                    "frame_idx", "mean_r", "mean_g", "mean_b", "checksum",
+                )
+            }
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                p = bytes(payload)
+                digest = hashlib.md5(p).hexdigest()
+                if kind in REAL_VIDEO_KINDS:
+                    w, h, nf, fps, means = decode_avi(p)
+                    for fi, (mr, mg, mb) in enumerate(means):
+                        for k, v in (
+                            ("media_id", mid), ("kind", kind), ("width", w), ("height", h),
+                            ("n_frames", nf), ("fps", fps), ("frame_idx", fi),
+                            ("mean_r", mr), ("mean_g", mg), ("mean_b", mb), ("checksum", digest),
+                        ):
+                            out[k].append(v)
+                else:
+                    m = meta or {}
+                    for k, v in (
+                        ("media_id", mid), ("kind", kind),
+                        ("width", m.get("declared_w") or 0), ("height", m.get("declared_h") or 0),
+                        ("n_frames", 0), ("fps", float("nan")), ("frame_idx", 0),
+                        ("mean_r", float("nan")), ("mean_g", float("nan")),
+                        ("mean_b", float("nan")), ("checksum", digest),
+                    ):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, VIDEO_DECODED_SCHEMA)

@@ -223,3 +223,62 @@ def test_decode_image_real_jpeg_in_spark(spark):
         r = out[mid]
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_r"] - mr) < 1e-9
+
+
+def test_avi_roundtrip_per_frame_stats():
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.binary import decode_avi, encode_avi
+
+    f0 = np.full((4, 6, 3), 50, dtype=np.uint8)
+    f1 = np.zeros((4, 6, 3), dtype=np.uint8)
+    f1[..., 0] = 200  # pure red frame
+    payload = encode_avi(6, 4, [f0, f1], fps=5)
+    w, h, nf, fps, means = decode_avi(payload)
+    assert (w, h, nf) == (6, 4, 2) and abs(fps - 5.0) < 1e-6
+    assert means[0] == (50.0, 50.0, 50.0)
+    assert means[1] == (200.0, 0.0, 0.0)
+
+
+def test_avi_rejects_compressed_codecs():
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.binary import decode_avi, encode_avi
+
+    p = bytearray(encode_avi(2, 2, [lambda x, y: (1, 2, 3)]))
+    i = p.index(b"DIB ")
+    p[i : i + 4] = b"h264"
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(p))
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVE")
+
+
+def test_decode_video_frames_in_spark(spark):
+    from etl_jlp_spark.multimodal.binary import (
+        decode_avi,
+        decode_video_frames,
+        synth_video_df,
+    )
+
+    media = synth_video_df(spark, n=6, kind="avi")
+    rows = decode_video_frames(media).collect()
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(src)
+    for mid, payload in src.items():
+        w, h, nf, _fps, means = decode_avi(payload)
+        got = sorted(by_media[mid], key=lambda r: r["frame_idx"])
+        assert len(got) == nf  # real 1→N frame explosion
+        for fi, r in enumerate(got):
+            assert (r["width"], r["height"]) == (w, h)
+            assert abs(r["mean_r"] - means[fi][0]) < 1e-9
+    # stub boundary
+    mp4 = synth_video_df(spark, n=3, kind="mp4")
+    assert len(decode_video_frames(mp4).collect()) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_video_frames(mp4, fake_decode=False)
