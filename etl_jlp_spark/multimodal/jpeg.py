@@ -161,37 +161,60 @@ def _dht_segment(table_class: int, table_id: int, bits: list[int], values: list[
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(width: int, height: int, pixel_fn) -> bytes:
-    """Baseline JFIF-style 4:4:4 JPEG. ``pixel_fn(x, y) -> (r, g, b)``."""
-    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+def encode_jpeg(width: int, height: int, pixel_fn, subsampling: str = "444") -> bytes:
+    """Baseline JFIF-style JPEG. ``pixel_fn(x, y) -> (r, g, b)``.
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2×2 luma
+    MCUs with box-downsampled chroma — the common real-world layout)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     rgb = np.zeros((height, width, 3))
     for y in range(height):
         for x in range(width):
             rgb[y, x] = pixel_fn(x, y)
     ycc = _rgb_to_ycbcr(rgb)
-    bh, bw_ = -(-height // 8), -(-width // 8)
-    padded = np.pad(ycc, ((0, bh * 8 - height), (0, bw_ * 8 - width), (0, 0)), mode="edge")
+    hs, vs = (1, 1) if subsampling == "444" else (2, 2)  # luma sampling factors
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux, mcuy = -(-width // mcu_w), -(-height // mcu_h)
+    padded = np.pad(
+        ycc, ((0, mcuy * mcu_h - height), (0, mcux * mcu_w - width), (0, 0)), mode="edge"
+    )
+    luma = padded[..., 0]
+    if subsampling == "420":  # 2×2 box downsample of the chroma planes
+        ph, pw = padded.shape[:2]
+        chroma = [
+            padded[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for c in (1, 2)
+        ]
+    else:
+        chroma = [padded[..., 1], padded[..., 2]]
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(qt)
+    samp_y = (hs << 4) | vs
     out += (
         b"\xff\xc0"
         + struct.pack(">HBHHB", 17, 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
-    )  # SOF0, sampling 1x1 everywhere
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )  # SOF0
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALUES)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
 
     writer = _BitWriter()
     preds = [0, 0, 0]
-    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
-    for by in range(bh):
-        for bx in range(bw_):
-            for comp in range(3):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
-                preds[comp] = _encode_block(writer, block, qts[comp], preds[comp])
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vs):  # luma blocks of this MCU, raster order
+                for bx in range(hs):
+                    y0, x0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
+                    preds[0] = _encode_block(
+                        writer, luma[y0 : y0 + 8, x0 : x0 + 8], _QT_LUMA, preds[0]
+                    )
+            for ci, plane in enumerate(chroma):  # one chroma block each
+                y0, x0 = my * 8, mx * 8
+                preds[1 + ci] = _encode_block(
+                    writer, plane[y0 : y0 + 8, x0 : x0 + 8], _QT_CHROMA, preds[1 + ci]
+                )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -314,9 +337,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
             comps = []
             for c in range(ncomp):
                 cid, sampling, qid = body[6 + c * 3 : 9 + c * 3]
-                if sampling != 0x11:
-                    raise NotImplementedError("chroma subsampling not supported (4:4:4 only)")
-                comps.append((cid, qid))
+                hi, vi = sampling >> 4, sampling & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, qid))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"only baseline SOF0 supported (got SOF 0x{marker:02x})")
@@ -335,42 +359,57 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
         raise ValueError("scan/frame component mismatch")
 
     br = _BitReader(payload[pos:])
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    planes = np.zeros((len(comps), bh * 8, bw_ * 8))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_cid, hi, vi, _q) in comps]
     preds = [0] * len(comps)
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[_ZIGZAG] = np.arange(64)
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci, ((_cid, qid), (_sid, dct, act)) in enumerate(zip(comps, scan)):
+
+    def read_block(qt: np.ndarray, dct: int, act: int, ci: int) -> np.ndarray:
+        size = dc_tables[dct].decode(br)
+        diff = _extend(br.bits(size), size) if size else 0
+        preds[ci] += diff
+        zz = np.zeros(64)
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            sym = ac_tables[act].decode(br)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, sz = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(br.bits(sz), sz)
+            k += 1
+        coef = (zz * qt)[inv_zz].reshape(8, 8)
+        return (_C.T @ coef @ _C) + 128.0
+
+    # interleaved MCU order: each component contributes hi×vi blocks per MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((_cid, hi, vi, qid), (_sid, dct, act)) in enumerate(zip(comps, scan)):
                 qt = qtables[qid]
-                size = dc_tables[dct].decode(br)
-                diff = _extend(br.bits(size), size) if size else 0
-                preds[ci] += diff
-                zz = np.zeros(64)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = ac_tables[act].decode(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = (zz * qt)[inv_zz].reshape(8, 8)
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ coef @ _C
-                ) + 128.0
-    planes = planes[:, :h, :w]
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = read_block(qt, dct, act, ci)
+
+    # upsample subsampled planes to full resolution, then crop
+    full = []
+    for (_cid, hi, vi, _q), plane in zip(comps, planes):
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(plane[:h, :w])
     if len(comps) == 1:
-        m = float(np.clip(planes[0], 0, 255).mean())
+        m = float(np.clip(full[0], 0, 255).mean())
         return w, h, m, m, m
-    rgb = _ycbcr_to_rgb(np.stack([planes[0], planes[1], planes[2]], axis=-1))
+    rgb = _ycbcr_to_rgb(np.stack([full[0], full[1], full[2]], axis=-1))
     means = rgb.reshape(-1, 3).mean(axis=0)
     return w, h, float(means[0]), float(means[1]), float(means[2])
