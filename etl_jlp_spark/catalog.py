@@ -47,10 +47,15 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make any caller-provided session (e.g. the driver's) behave like
-    ours: nano-timestamp parquet readable, UTC event-time semantics.
-    Both are runtime-settable SQL confs; idempotent and cheap."""
+    ours: nano-timestamp parquet readable, UTC event-time semantics, and
+    untagged (isAdjustedToUTC=false) parquet timestamps read as the
+    classic TIMESTAMP type rather than TIMESTAMP_NTZ — with the session
+    pinned to UTC the wall-clock values are identical, and the LTZ type
+    keeps epoch functions (unix_micros & friends) available. All are
+    runtime-settable SQL confs; idempotent and cheap."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,8 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # Scan resolved before our conf took effect (cached relation):
+            # same normalization, as a cast. Session tz is UTC, so values
+            # are preserved exactly.
+            df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
     return df
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.timeutil import epoch_us
 from etl_jlp_spark.registry import query
 
 
@@ -77,7 +78,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     joined = asof_join_latest(purchases, clicks, "user_id", "ts", "ts", "value")
-    us = F.unix_micros
+    us = epoch_us
     return joined.select(
         "event_id",
         "user_id",

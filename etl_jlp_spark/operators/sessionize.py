@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.timeutil import epoch_us
 from etl_jlp_spark.registry import query
 
 SESSION_GAP_S = 1800  # 30 min inactivity → new session (reference line 317)
@@ -36,7 +37,7 @@ def with_session_id(
 ) -> DataFrame:
     """session_id = 1 + count of >gap inactivity gaps before this event."""
     w = Window.partitionBy(user_col).orderBy(*_USER_ORDER)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(F.col(ts_col))
     prev_us = F.lag(us).over(w)
     new_session = F.when(
         prev_us.isNull() | ((us - prev_us) > gap_s * 1_000_000), F.lit(1)
@@ -59,7 +60,7 @@ def with_time_on_page(
     """raw = next_event.ts − ts (seconds, µs-exact); last event gets the
     default; capped = min(raw, cap)."""
     w = Window.partitionBy(user_col).orderBy(*_USER_ORDER)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(F.col(ts_col))
     next_us = F.lead(us).over(w)
     raw = F.when(next_us.isNull(), F.lit(default_last_s)).otherwise(
         (next_us - us) / F.lit(1_000_000.0)
@@ -114,7 +115,7 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (map-side partial agg; same shuffle key as sessionize)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     sess = with_session_id(events)
-    us = F.unix_micros
+    us = epoch_us
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -247,14 +248,14 @@ def patch_time_on_page(
     partitioning the time-on-page window already established — no
     second shuffle of the batch side."""
     w = Window.partitionBy("user_id").orderBy(*_USER_ORDER)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     next_us = F.lead(us).over(w)
     topg = batch.withColumn("next_us", next_us)
     raw = (
         F.when(F.col("next_us").isNotNull(), (F.col("next_us") - us) / F.lit(1_000_000.0))
         .when(
             F.col("next_ts").isNotNull(),
-            (F.unix_micros(F.col("next_ts")) - us) / F.lit(1_000_000.0),
+            (epoch_us(F.col("next_ts")) - us) / F.lit(1_000_000.0),
         )
         .otherwise(F.lit(default_last_s))
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.timeutil import epoch_us
 from etl_jlp_spark.registry import query
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -198,7 +199,7 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type"
     )
     sess = with_session_id(events)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     stages = sess.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
         F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),

@@ -36,6 +36,9 @@ def get_spark(app_name: str = "etl_jlp_spark", master: str | None = None) -> Spa
         # testdata parquet stores TIMESTAMP(NANOS); read as long, the
         # catalog converts to microsecond timestamps (matching DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # untagged parquet timestamps -> classic TIMESTAMP (session is
+        # UTC, so values match DuckDB's naive reading exactly)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
