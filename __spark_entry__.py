@@ -29,6 +29,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     components,
     dedup,
     embeddings,
+    ir,
     joins,
     keywords,
     quality_rules,
@@ -44,73 +45,82 @@ from etl_jlp_spark.quality import report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
-# first ~50 queries() entries per round. Rounds 1+2 together drove every
-# oracle-backed query green, but the round-2 window displaced the 38 names
-# whose newest driver row is round 1. This round those 38 rotate back to
-# the front (flagships always in-window), together with the queries NEW in
-# round 3 (approx_sketch_stats now oracle-backed, the amortized-IVF probe,
-# the Derby-backed JDBC read). Round-2-green names fill remaining slots.
+# first ~50 queries() entries per round. Round-4 priority: flagships, then
+# the 6 queries whose r3 row FAILED on the regenerated TIMESTAMP_NTZ
+# testdata (fixed this round — epoch_us + catalog normalization), then the
+# queries NEW in round 4 (IR/LM operators), then the 47 names whose newest
+# driver row is round 2 (displaced by the r3 window). The overflow past
+# the ~50-row window rotates to round 5.
 # ---------------------------------------------------------------------------
-_R3_PRIORITY = [
+_R4_PRIORITY = [
     # flagships — kept in-window every round
     "preprocess_pipeline",
     "curate_documents",
     "training_data_pipeline",
-    # NEW / newly oracle-backed in round 3
-    "approx_sketch_stats",
-    "ann_ivf_topk_prebuilt",
-    "ingest_jdbc_derby",
-    "doc_chunk",
-    "paragraph_dedup",
-    "semantic_dedup",
-    "dedup_cluster_representative",
-    "dataset_split",
-    # §2.A reference-chain operators (driver row stale since round 1)
-    "dedup_exact",
-    "window_time",
+    # failed in round 3 (TIMESTAMP_NTZ regression, fixed this round)
     "sessionize",
     "session_stats",
     "session_merge_records",
-    "session_window_stats",
     "time_on_page",
-    "keywords_extract",
-    "keywords_ngrams",
-    "exact_keywords_set",
-    # §2.B analytics (stale since round 1)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q18_large_orders",
     "asof_join",
-    "range_band_join",
-    "events_by_type_day_salted",
-    "stratified_sample",
-    "sequence_packing",
-    # §2.C LLM-data operators (stale since round 1)
-    "dedup_exact_docs",
-    "dedup_connected_components",
-    "ann_topk_cosine",
-    "text_langid",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "text_repetition",
-    "gopher_quality_filter",
-    "pii_scrub",
-    "domain_mix_report",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
-    "nearest_centroid_assign",
-    "source_keep_rate",
+    # NEW in round 4
+    "tfidf_top_terms",
+    "bm25_search",
+    "ngram_lm_score",
+    "bpe_merge_candidates",
+    # driver row stale since round 2 (displaced by the r3 window)
+    "quality_report",
+    "quality_clean_rate",
+    "quality_format_check",
+    "quality_report_lineitem",
+    "quality_array_fields",
+    "quality_report_flat",
+    "events_by_type_day",
+    "top_customers_by_revenue",
+    "user_enrichment",
+    "props_extract",
+    "rolling_user_stats",
+    "cumulative_daily_revenue",
+    "pivot_event_counts",
+    "percentile_stats",
+    "sliding_weekly_revenue",
+    "value_histogram",
+    "session_funnel",
+    "events_rollup_report",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_speed",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_quantity",
+    "q19_brand_discounts",
+    "q20_excess_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "decontaminate_docs",
+    "balance_source_mix",
+    "ingest_full_load",
+    "ingest_incremental_watermark",
+    "watermark_update",
+    "compare_with_source",
+    "cdc_merge",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ingest_full_load_jsonl",
+    "time_on_page_incremental",
 ]
 
 
 def _rotated() -> None:
-    registry.reorder([n for n in _R3_PRIORITY if n in registry.QUERIES])
+    registry.reorder([n for n in _R4_PRIORITY if n in registry.QUERIES])
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -121,7 +131,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, with the
-    round-3 correctness-window rotation applied (see above)."""
+    round-4 correctness-window rotation applied (see above)."""
     _rotated()
     return dict(registry.QUERIES)
 

@@ -102,6 +102,11 @@ HEADLINE = [
     "ingest_full_load_jsonl",
     "decontaminate_docs",
     "balance_source_mix",
+    # round 4 additions
+    "tfidf_top_terms",
+    "bm25_search",
+    "ngram_lm_score",
+    "bpe_merge_candidates",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",
@@ -138,27 +143,36 @@ def main() -> None:
     # than back-to-back reps of one query, so OS cache / JIT drift affects
     # all queries alike and the median is an honest mid-session number.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(REPS):
         for name in HEADLINE:
+            if name in errors:
+                continue
             fn = qs[name]
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            try:
+                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # one broken query must not zero the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
+                continue
             runs[name].append(time.perf_counter() - t0)
-    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in runs.items() if ts
+    }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": REPS,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": REPS,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,280 @@
+"""Information-retrieval / language-model scoring operators for
+training-data pipelines: TF-IDF terms, BM25 search, unigram-LM document
+scoring (CCNet-style quality signal), and BPE merge-candidate counting
+(the counting core of tokenizer-vocabulary induction).
+
+These extend the reference's keyword-frequency ranking
+(dwh_lab/dwh/preprocessing_streaming_incremental_load.py:188-315 ranks
+per-row keywords by corpus-free frequency) into corpus-level IR
+statistics a 100 TB LLM-data pipeline needs.
+
+Scale notes (100 TB):
+- Tokenization is an array expression on the scan (no UDF); the explode
+  fan-out is repartitioned by doc_id first so it parallelizes and the
+  per-doc aggregation reuses the partitioning.
+- Every operator's "dimension" side (term document-frequencies, the LM
+  vocabulary, the query-term list) is vocabulary-sized, not corpus-
+  sized — Zipf keeps that orders of magnitude below the fact side, and
+  AQE turns the term-keyed joins into broadcasts when it fits.
+- Corpus scalars (N docs, total tokens, vocab size) are 1-row aggregates
+  joined via broadcast cross join — never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+WORD_PATTERN = "[a-z]+"  # alpha runs over lowercased text
+TFIDF_TOP_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+# query terms chosen mid-frequency in the synthetic corpus vocabulary
+BM25_QUERY_TERMS = ("vector", "stream", "filter")
+# unigram LM: deterministic md5-prefix training slice (~25%) + add-k smoothing
+LM_TRAIN_PREFIX = "40"
+LM_ALPHA = 0.5
+BPE_TOP_K = 30
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) exploded alpha tokens; repartitioned by doc_id so
+    the single-file local scan fans out and the downstream per-doc agg
+    reuses the hash partitioning."""
+    return (
+        docs.repartition("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)).alias(
+                "term"
+            ),
+        )
+    )
+
+
+def _n_docs(docs: DataFrame) -> DataFrame:
+    return docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} terms per document by smoothed TF-IDF
+    (tf · (ln((1+N)/(1+df)) + 1), sklearn's smooth-idf — strictly
+    positive even for corpus-wide terms). One (doc,term) agg, one
+    vocab-sized df agg, a term-keyed join (AQE-broadcastable), and a
+    per-doc top-K window — all linear in corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _words(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(_n_docs(docs)))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN {str(tuple(BM25_QUERY_TERMS))}
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1.0)
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS bm25
+FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT {BM25_TOP_K}
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1={k1}, b={b}) top-{K} documents for a fixed query-term
+    list. The term filter lands BEFORE the (doc,term) aggregation, so
+    the shuffled side is |query| × matching docs, not the full posting
+    list; doc lengths ride the same tokenized scan; the final top-K is
+    an orderBy+limit (TakeOrdered — no single-partition sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _words(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / norm).alias("s"))
+        .select("doc_id", F.round("s", 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+
+
+bm25_search.__doc__ = (bm25_search.__doc__ or "").format(k1=BM25_K1, b=BM25_B, K=BM25_TOP_K)
+
+
+@query(
+    "ngram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), train AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{LM_TRAIN_PREFIX}'
+  GROUP BY term
+), stats AS (
+  SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM train
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         avg(ln((coalesce(tr.cnt, 0) + {LM_ALPHA}) / (stats.total + {LM_ALPHA} * (stats.vocab + 1)))) AS lp
+  FROM toks t LEFT JOIN train tr USING (term) CROSS JOIN stats
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, round(lp, 4) AS avg_logprob, round(exp(-lp), 4) AS ppl
+FROM scored
+""",
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: a unigram LM with add-k smoothing
+    (α={a}) is trained on a deterministic md5-prefix slice (~25%) of the
+    corpus, and every document is scored by mean token log-probability
+    (+ perplexity). The LM is a vocabulary-sized relation — the
+    term-keyed left join broadcasts under AQE; out-of-vocabulary tokens
+    get the smoothed zero-count mass. Docs with no alpha tokens have no
+    rows (nothing to score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _words(docs)
+    train = (
+        toks.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < LM_TRAIN_PREFIX)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    stats = train.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).cast("double").alias("vocab")
+    )
+    p = (F.coalesce(F.col("cnt"), F.lit(0.0)) + LM_ALPHA) / (
+        F.col("total") + LM_ALPHA * (F.col("vocab") + 1.0)
+    )
+    scored = (
+        toks.join(F.broadcast(train), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), F.avg(F.log(p)).alias("lp"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("lp", 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("lp")), 4).alias("ppl"),
+    )
+
+
+ngram_lm_score.__doc__ = (ngram_lm_score.__doc__ or "").format(a=LM_ALPHA)
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH words AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY term
+), pairs AS (
+  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, wc
+  FROM words, unnest(range(1, length(term))) AS r(i)
+  WHERE length(term) >= 2
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS occurrences
+FROM pairs GROUP BY pair
+ORDER BY occurrences DESC, pair LIMIT {BPE_TOP_K}
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE merge candidates: adjacent-character-pair
+    frequencies over the corpus word multiset (the counting core of
+    tokenizer-vocabulary induction — iterating merges re-runs this on
+    re-segmented words, a driver loop over the same operator). The word
+    multiset is aggregated FIRST (vocab-sized), so the pair explode runs
+    over distinct words weighted by count — corpus token volume never
+    reaches the fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(docs).groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    pairs = (
+        words.filter(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(term) - 1), i -> substr(term, i, 2))")
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("occurrences"))
+    )
+    return pairs.orderBy(F.desc("occurrences"), F.asc("pair")).limit(BPE_TOP_K)

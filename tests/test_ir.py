@@ -1,0 +1,101 @@
+"""IR / LM-scoring operators: known-answer checks on tiny corpora plus
+plan-shape assertions (the sf0.001/sf0.01 DuckDB parity is covered by
+test_parity.py like every registered query)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.operators import ir
+
+from .conftest import SF_SMALL
+
+
+def _mini_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _patch_catalog(monkeypatch, docs):
+    monkeypatch.setattr(ir, "load_table", lambda spark, sf_dir, name: docs)
+
+
+def test_tfidf_known_answer(spark, monkeypatch):
+    # 3 docs; "apple" only in doc 0, "common" in all three
+    docs = _mini_docs(
+        spark,
+        ["apple apple common", "common banana", "common banana cherry"],
+    )
+    _patch_catalog(monkeypatch, docs)
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"], r["rk"])
+        for r in ir.tfidf_top_terms(spark, "unused").collect()
+    }
+    n = 3.0
+    idf_apple = math.log((1 + n) / (1 + 1)) + 1
+    idf_common = math.log((1 + n) / (1 + 3)) + 1
+    assert out[(0, "apple")][0] == 2 and out[(0, "apple")][1] == 1
+    assert abs(out[(0, "apple")][2] - round(2 * idf_apple, 4)) < 1e-9
+    assert abs(out[(0, "common")][2] - round(1 * idf_common, 4)) < 1e-9
+    # apple (tfidf 2*1.69) outranks common (1.0) in doc 0
+    assert out[(0, "apple")][3] == 1 and out[(0, "common")][3] == 2
+
+
+def test_bm25_ranks_matching_docs_first(spark, monkeypatch):
+    docs = _mini_docs(
+        spark,
+        [
+            "vector vector stream filter",  # all three query terms, twice vector
+            "vector table join",  # one query term
+            "table join scan agg",  # none
+            "stream filter stream",  # two terms
+        ],
+    )
+    _patch_catalog(monkeypatch, docs)
+    rows = ir.bm25_search(spark, "unused").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 2 not in ids  # no query term -> never scored
+    assert ids[0] == 0  # most matches wins
+    assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1))
+
+
+def test_ngram_lm_in_vocab_beats_oov(spark, monkeypatch):
+    # doc 0 is the training slice's language; doc with OOV tokens scores worse
+    docs = _mini_docs(spark, ["alpha beta alpha beta", "alpha beta", "zzz qqq xxx"])
+    _patch_catalog(monkeypatch, docs)
+    # force every doc into the training slice predicate except doc 2
+    monkeypatch.setattr(ir, "LM_TRAIN_PREFIX", "ff")
+    out = {r["doc_id"]: r for r in ir.ngram_lm_score(spark, "unused").collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]  # in-vocab > OOV
+    assert out[2]["ppl"] > out[1]["ppl"]
+    assert out[0]["n_tokens"] == 4
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark, monkeypatch):
+    # "ab" appears via 'abc' (x3 occurrences) and 'ab' (x1); single chars ignored
+    docs = _mini_docs(spark, ["abc abc ab", "abc a b c"])
+    _patch_catalog(monkeypatch, docs)
+    out = {r["pair"]: r["occurrences"] for r in ir.bpe_merge_candidates(spark, "unused").collect()}
+    assert out["ab"] == 4  # 3x 'abc' + 1x 'ab'
+    assert out["bc"] == 3
+    assert set(out) == {"ab", "bc"}  # 1-char words contribute nothing
+
+
+def test_ir_plans_have_no_cartesian_blowup(spark):
+    """The only cross joins are broadcast 1-row scalar joins; the
+    term-keyed joins must stay equi-joins."""
+    for fn in (ir.tfidf_top_terms, ir.bm25_search, ir.ngram_lm_score):
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan[:2000]
+        # the only nested-loop join allowed is the broadcast 1-row
+        # corpus-scalar join (n_docs / totals)
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+
+
+def test_ir_queries_accept_real_testdata(spark):
+    assert ir.bpe_merge_candidates(spark, SF_SMALL).count() > 0
+    assert ir.bm25_search(spark, SF_SMALL).count() > 0
