@@ -209,20 +209,36 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     get the smoothed zero-count mass. Docs with no alpha tokens have no
     rows (nothing to score)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _words(docs)
+    train, stats = train_unigram_lm(docs)
+    return score_docs_with_lm(docs, train, stats)
+
+
+def train_unigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(term→count, 1-row totals) unigram LM over the deterministic
+    md5-prefix training slice. Both relations are vocabulary-sized /
+    scalar — broadcastable at any corpus scale."""
     train = (
-        toks.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < LM_TRAIN_PREFIX)
+        _words(docs)
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < LM_TRAIN_PREFIX)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
     stats = train.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).cast("double").alias("vocab")
     )
+    return train, stats
+
+
+def score_docs_with_lm(docs: DataFrame, train: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score (doc_id, text) rows against a prebuilt unigram LM — shared
+    by the batch query and the streaming twin (the LM is static per
+    stream, broadcast into every micro-batch)."""
     p = (F.coalesce(F.col("cnt"), F.lit(0.0)) + LM_ALPHA) / (
         F.col("total") + LM_ALPHA * (F.col("vocab") + 1.0)
     )
     scored = (
-        toks.join(F.broadcast(train), "term", "left")
+        _words(docs)
+        .join(F.broadcast(train), "term", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), F.avg(F.log(p)).alias("lp"))

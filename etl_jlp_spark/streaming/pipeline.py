@@ -166,6 +166,38 @@ def streaming_decontaminate(
     )
 
 
+def streaming_lm_score(
+    spark: SparkSession,
+    docs_src_dir: str,
+    schema,
+    lm: DataFrame,
+    lm_stats: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of operators.ir.ngram_lm_score's scoring phase:
+    the unigram LM comes from a prior batch training pass (LMs don't
+    retrain mid-stream) and is broadcast into every micro-batch; each
+    arriving corpus shard is scored by the same
+    ``score_docs_with_lm`` the batch query uses. A document lives
+    entirely inside one file → one micro-batch, so the per-doc mean
+    log-prob needs NO cross-batch state; results append exactly-once
+    under the checkpoint."""
+    from etl_jlp_spark.operators.ir import score_docs_with_lm
+
+    stream = stream_documents(spark, docs_src_dir, schema)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        score_docs_with_lm(batch_df, lm, lm_stats).write.mode("append").parquet(dest_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_balance_mix(docs_stream: DataFrame, rates: DataFrame) -> DataFrame:
     """Streaming twin of operators.sampling.balance_source_mix's filter
     phase: the per-source rate table comes from a prior batch pass (or

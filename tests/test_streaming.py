@@ -205,3 +205,25 @@ def test_streaming_quality_monitor_matches_batch(spark, events_dir):
     )
     want = {r["window_start"]: (r["n_events"], r["r1"], r["r2"], r["r3"]) for r in batch}
     assert got == want and len(got) > 1
+
+
+def test_streaming_lm_score_matches_batch(spark, docs_dir, tmp_path):
+    """Per-doc LM scores from the stream (static broadcast LM,
+    foreachBatch) must equal the batch ngram_lm_score rows, and a
+    checkpoint restart must not duplicate them."""
+    from etl_jlp_spark.operators.ir import ngram_lm_score, train_unigram_lm
+    from etl_jlp_spark.streaming.pipeline import streaming_lm_score
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lm, lm_stats = train_unigram_lm(docs)
+    dest = str(tmp_path / "lm_out")
+    ckpt = str(tmp_path / "lm_ckpt")
+
+    q = streaming_lm_score(spark, docs_dir, docs.schema, lm, lm_stats, dest, ckpt)
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    want = sorted(map(tuple, ngram_lm_score(spark, SF_SMALL).collect()))
+    assert got == want
+    q2 = streaming_lm_score(spark, docs_dir, docs.schema, lm, lm_stats, dest, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(dest).collect())) == want
