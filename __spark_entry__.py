@@ -68,6 +68,7 @@ _R4_PRIORITY = [
     "bm25_search",
     "ngram_lm_score",
     "bpe_merge_candidates",
+    "embedding_quantize",
     # driver row stale since round 2 (displaced by the r3 window)
     "quality_report",
     "quality_clean_rate",

@@ -107,6 +107,7 @@ HEADLINE = [
     "bm25_search",
     "ngram_lm_score",
     "bpe_merge_candidates",
+    "embedding_quantize",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -99,3 +99,21 @@ def test_ir_plans_have_no_cartesian_blowup(spark):
 def test_ir_queries_accept_real_testdata(spark):
     assert ir.bpe_merge_candidates(spark, SF_SMALL).count() > 0
     assert ir.bm25_search(spark, SF_SMALL).count() > 0
+
+
+def test_embedding_quantize_contract(spark):
+    """Reconstruction error must honor the int8 contract: each component
+    off by at most scale/2 (+ float noise)."""
+    from etl_jlp_spark.operators.embeddings import embedding_quantize
+
+    out = embedding_quantize(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows and all(len(r["qvec"].split(",")) == 64 for r in rows[:5])
+    # both scale and max_abs_err are rounded to 6dp in the output, so
+    # allow the half-ulp-of-rounding slack on the bound
+    bad = [r for r in rows if r["max_abs_err"] > r["scale"] / 2 + 1e-6]
+    assert not bad, bad[:3]
+    # quantized components stay inside int8 range
+    assert all(
+        -127 <= int(x) <= 127 for r in rows[:20] for x in r["qvec"].split(",")
+    )
