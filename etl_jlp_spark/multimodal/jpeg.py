@@ -2,15 +2,17 @@
 
 Completes the real-codec set next to the BMP and PNG parsers in
 ``binary.py``: sequential baseline DCT JPEG (SOF0), 8-bit, YCbCr,
-4:4:4 sampling — enough to round-trip real compressed images through
-the Spark multimodal path with zero external libraries.
+4:4:4 or chroma-subsampled (4:2:0/4:2:2 — any 1-4 sampling factors,
+interleaved MCU order with box upsampling) — enough to round-trip real
+compressed images through the Spark multimodal path with zero external
+libraries.
 
 The decoder is fully table-driven (quantization and Huffman tables are
-read from the stream's DQT/DHT segments), so it decodes any 4:4:4
-baseline JPEG, not just this encoder's output. Out-of-scope features
-fail loudly: progressive (SOF2), arithmetic coding, subsampled chroma,
-and restart intervals raise ValueError/NotImplementedError rather than
-mis-decode.
+read from the stream's DQT/DHT segments), so it decodes any baseline
+JPEG with interleaved scan order, not just this encoder's output.
+Out-of-scope features fail loudly: progressive (SOF2), arithmetic
+coding, and restart intervals raise ValueError/NotImplementedError
+rather than mis-decode.
 
 The encoder does NOT use the Annex-K example Huffman tables; it emits
 its own canonical tables in DHT (12 four-bit DC codes, 162 eight-bit AC
@@ -292,9 +294,10 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Decode a baseline 4:4:4 JPEG: (width, height, mean_r, mean_g,
-    mean_b). Table-driven; raises on progressive/subsampled/restart
-    streams instead of mis-decoding them."""
+    """Decode a baseline JPEG (4:4:4 or chroma-subsampled, interleaved
+    scan): (width, height, mean_r, mean_g, mean_b). Table-driven;
+    raises on progressive/restart streams instead of mis-decoding
+    them."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -196,6 +196,27 @@ def test_jpeg_roundtrip_means_within_tolerance():
     assert abs(r - want[0]) < 1.0 and abs(g - want[1]) < 1.0 and abs(b - want[2]) < 1.0
 
 
+def test_jpeg_420_subsampled_roundtrip():
+    """Chroma-subsampled (4:2:0) baseline JPEG: 2x2-downsampled chroma
+    planes, interleaved MCU order, box upsampling on decode — channel
+    means must stay close to the source (chroma averaging shifts them
+    slightly more than 4:4:4)."""
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    w0, h0 = 37, 23  # odd sizes exercise the MCU-grid crop
+    fn = lambda x, y: ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    w, h, r, g, b = decode_jpeg(encode_jpeg(w0, h0, fn, subsampling="420"))
+    assert (w, h) == (w0, h0)
+    px = np.array([[fn(x, y) for x in range(w0)] for y in range(h0)], dtype=float)
+    want = px.reshape(-1, 3).mean(axis=0)
+    assert abs(r - want[0]) < 2.0 and abs(g - want[1]) < 2.0 and abs(b - want[2]) < 2.0
+    # 444 and 420 decodes of the same image agree on the means
+    _, _, r4, g4, b4 = decode_jpeg(encode_jpeg(w0, h0, fn))
+    assert abs(r - r4) < 1.5 and abs(g - g4) < 1.5 and abs(b - b4) < 1.5
+
+
 def test_jpeg_rejects_out_of_scope_streams():
     import pytest as _pytest
 
