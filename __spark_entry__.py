@@ -69,6 +69,7 @@ _R4_PRIORITY = [
     "ngram_lm_score",
     "bpe_merge_candidates",
     "embedding_quantize",
+    "bm25_search_prebuilt",
     # driver row stale since round 2 (displaced by the r3 window)
     "quality_report",
     "quality_clean_rate",

@@ -117,3 +117,32 @@ def test_embedding_quantize_contract(spark):
     assert all(
         -127 <= int(x) <= 127 for r in rows[:20] for x in r["qvec"].split(",")
     )
+
+
+def test_bm25_prebuilt_matches_live_and_prunes(spark):
+    """The indexed probe must return exactly the live query's rows, and
+    its postings scan must prune to the query terms' hash buckets."""
+    import hashlib
+
+    from etl_jlp_spark.operators.ir import (
+        BM25_QUERY_TERMS,
+        bm25_search,
+        bm25_search_prebuilt,
+        ensure_ir_index,
+    )
+
+    live = [tuple(r) for r in ir.bm25_search(spark, SF_SMALL).collect()]
+    pre = [tuple(r) for r in bm25_search_prebuilt(spark, SF_SMALL).collect()]
+    assert pre == live
+    # partition pruning: only the terms' pbucket directories are read
+    p_path = ensure_ir_index(spark, SF_SMALL)[0]
+    want_buckets = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in BM25_QUERY_TERMS})
+    from pyspark.sql import functions as F
+
+    posts = spark.read.parquet(p_path).filter(
+        F.col("pbucket").isin(want_buckets) & F.col("term").isin(list(BM25_QUERY_TERMS))
+    )
+    plan = posts._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "pbucket" in pf, plan[:1500]
