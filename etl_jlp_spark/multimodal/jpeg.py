@@ -10,9 +10,10 @@ libraries.
 The decoder is fully table-driven (quantization and Huffman tables are
 read from the stream's DQT/DHT segments), so it decodes any baseline
 JPEG with interleaved scan order, not just this encoder's output.
-Out-of-scope features fail loudly: progressive (SOF2), arithmetic
-coding, and restart intervals raise ValueError/NotImplementedError
-rather than mis-decode.
+Restart intervals (DRI + RSTn markers, DC-predictor resets) are
+supported on both sides. Out-of-scope features fail loudly:
+progressive (SOF2) and arithmetic coding raise
+ValueError/NotImplementedError rather than mis-decode.
 
 The encoder does NOT use the Annex-K example Huffman tables; it emits
 its own canonical tables in DHT (12 four-bit DC codes, 162 eight-bit AC
@@ -163,10 +164,15 @@ def _dht_segment(table_class: int, table_id: int, bits: list[int], values: list[
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(width: int, height: int, pixel_fn, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    width: int, height: int, pixel_fn, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """Baseline JFIF-style JPEG. ``pixel_fn(x, y) -> (r, g, b)``.
     ``subsampling``: '444' (no chroma subsampling) or '420' (2×2 luma
-    MCUs with box-downsampled chroma — the common real-world layout)."""
+    MCUs with box-downsampled chroma — the common real-world layout).
+    ``restart_interval``: MCUs between RSTn markers (0 = none) — DRI
+    segment + byte-aligned markers + DC-predictor resets, as cameras
+    emit for error resilience."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     rgb = np.zeros((height, width, 3))
@@ -200,12 +206,22 @@ def encode_jpeg(width: int, height: int, pixel_fn, subsampling: str = "444") -> 
     )  # SOF0
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALUES)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
 
     writer = _BitWriter()
     preds = [0, 0, 0]
+    mcu_n = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.flush()  # pad to byte boundary with 1-bits
+                writer.out += bytes([0xFF, 0xD0 + rst])  # marker: no stuffing
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            mcu_n += 1
             for by in range(vs):  # luma blocks of this MCU, raster order
                 for bx in range(hs):
                     y0, x0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
@@ -247,11 +263,25 @@ class _BitReader:
             if marker == 0x00:
                 self.pos += 1  # stuffed byte
             elif 0xD0 <= marker <= 0xD7:
-                raise NotImplementedError("restart markers not supported")
+                raise ValueError("hit restart marker mid-symbol (corrupt stream)")
             else:
                 raise ValueError(f"unexpected marker 0xFF{marker:02x} in scan")
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
+
+    def restart(self) -> None:
+        """Consume an expected RSTn marker: discard pad bits to the byte
+        boundary, then the two marker bytes (B.2.1.2 restart semantics)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError(
+                f"expected restart marker at {self.pos}, got "
+                f"0x{self.data[self.pos]:02x}{self.data[self.pos + 1]:02x}"
+            )
+        self.pos += 2
 
     def bit(self) -> int:
         if not self.nbits:
@@ -295,9 +325,9 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     """Decode a baseline JPEG (4:4:4 or chroma-subsampled, interleaved
-    scan): (width, height, mean_r, mean_g, mean_b). Table-driven;
-    raises on progressive/restart streams instead of mis-decoding
-    them."""
+    scan, optional restart intervals): (width, height, mean_r, mean_g,
+    mean_b). Table-driven; raises on progressive streams instead of
+    mis-decoding them."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -306,6 +336,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     ac_tables: dict[int, _HuffTable] = {}
     frame = None  # (h, w, [(comp_id, qt_id)])
     scan = None
+    restart_interval = 0
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -347,8 +378,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"only baseline SOF0 supported (got SOF 0x{marker:02x})")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: MCUs between restart markers
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             scan = [(body[1 + c * 2], body[2 + c * 2] >> 4, body[2 + c * 2] & 0xF) for c in range(ns)]
@@ -394,8 +425,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
         return (_C.T @ coef @ _C) + 128.0
 
     # interleaved MCU order: each component contributes hi×vi blocks per MCU
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()  # byte-align + consume RSTn
+                preds[:] = [0] * len(comps)  # DC predictors reset per B.2.1.2
+            mcu_n += 1
             for ci, ((_cid, hi, vi, qid), (_sid, dct, act)) in enumerate(zip(comps, scan)):
                 qt = qtables[qid]
                 for by in range(vi):

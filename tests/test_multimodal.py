@@ -217,6 +217,24 @@ def test_jpeg_420_subsampled_roundtrip():
     assert abs(r - r4) < 1.5 and abs(g - g4) < 1.5 and abs(b - b4) < 1.5
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn streams (the camera error-resilience layout) must
+    decode to EXACTLY the same means as the restart-free stream — the
+    only differences are byte alignment and DC-predictor resets, both
+    lossless."""
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    fn = lambda x, y: ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    base = decode_jpeg(encode_jpeg(37, 23, fn))
+    for ri in (1, 2, 5):
+        got = decode_jpeg(encode_jpeg(37, 23, fn, restart_interval=ri))
+        assert got == base, (ri, got, base)
+    # and combined with 4:2:0 subsampling
+    base420 = decode_jpeg(encode_jpeg(37, 23, fn, subsampling="420"))
+    got420 = decode_jpeg(encode_jpeg(37, 23, fn, subsampling="420", restart_interval=2))
+    assert got420 == base420
+
+
 def test_jpeg_rejects_out_of_scope_streams():
     import pytest as _pytest
 
