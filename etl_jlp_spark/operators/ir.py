@@ -318,14 +318,15 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ir_index_paths(sf_dir: str) -> tuple[str, str, str]:
-    import hashlib
     import os
+
+    from etl_jlp_spark.functions.storekey import corpus_store_key
 
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
     )
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    h = corpus_store_key(sf_dir, "documents")
     return (
         os.path.join(root, f"ir_postings_{h}"),
         os.path.join(root, f"ir_termstats_{h}"),

@@ -763,14 +763,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_store_paths(sf_dir: str) -> tuple[str, str]:
-    import hashlib
+    from etl_jlp_spark.functions.storekey import corpus_store_key
+
     import os
 
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
     )
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    h = corpus_store_key(sf_dir, "embeddings")
     return os.path.join(root, f"ivf_assigned_{h}"), os.path.join(root, f"ivf_centroids_{h}")
 
 

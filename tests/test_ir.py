@@ -146,3 +146,22 @@ def test_bm25_prebuilt_matches_live_and_prunes(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "pbucket" in pf, plan[:1500]
+
+
+def test_store_key_changes_when_corpus_regenerated(tmp_path):
+    """A regenerated corpus file must resolve to a different store key,
+    so persisted indexes rebuild instead of serving stale answers."""
+    import os
+    import shutil
+    import time
+
+    from etl_jlp_spark.functions.storekey import corpus_store_key
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(f"{SF_SMALL}/documents.parquet", sf / "documents.parquet")
+    k1 = corpus_store_key(str(sf), "documents")
+    assert k1 == corpus_store_key(str(sf), "documents")  # stable
+    time.sleep(0.01)
+    os.utime(sf / "documents.parquet")  # regeneration = new mtime
+    assert corpus_store_key(str(sf), "documents") != k1
