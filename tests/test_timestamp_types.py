@@ -75,3 +75,20 @@ def test_catalog_normalizes_parquet_timestamps_to_ltz(spark):
     for table, col in [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
         df = load_table(spark, SF_SMALL, table)
         assert dict(df.dtypes)[col] == "timestamp", (table, col, df.dtypes)
+
+
+def test_queries_survive_ntz_default_timestamp_type(spark):
+    """A driver session may set spark.sql.timestampType=TIMESTAMP_NTZ,
+    making every `cast('timestamp')` literal NTZ. Comparisons against
+    the catalog's LTZ columns must still resolve (Spark coerces), so
+    the filter-heavy queries keep working under that drift."""
+    import __spark_entry__ as ent
+
+    prev = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        qs = ent.queries()
+        for name in ("q1_pricing_summary", "ingest_incremental_watermark", "sessionize"):
+            assert qs[name](spark, SF_SMALL).count() > 0, name
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
