@@ -57,6 +57,7 @@ _R4_PRIORITY = [
     "preprocess_pipeline",
     "curate_documents",
     "training_data_pipeline",
+    "corpus_index_pipeline",
     # failed in round 3 (TIMESTAMP_NTZ regression, fixed this round)
     "sessionize",
     "session_stats",

@@ -109,6 +109,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "embedding_quantize",
     "bm25_search_prebuilt",
+    "corpus_index_pipeline",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -245,3 +245,141 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
     return deduped.select("doc_id", "source", split.alias("split"), "n_words")
+
+
+from etl_jlp_spark.operators.ir import (  # noqa: E402
+    LM_ALPHA,
+    LM_TRAIN_PREFIX,
+    TFIDF_TOP_K,
+    WORD_PATTERN,
+    _words,
+    score_docs_with_lm,
+    train_unigram_lm,
+)
+
+_CIP_QUANT = """
+SELECT vec_id,
+       round(CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END, 6) AS emb_scale
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+@query(
+    "corpus_index_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents WHERE length(trim(text)) > 0
+), dd AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) AS rn
+  FROM base
+), corpus AS (
+  SELECT doc_id, text, source FROM dd WHERE rn = 1
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM corpus
+), train AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{LM_TRAIN_PREFIX}'
+  GROUP BY term
+), lstats AS (
+  SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM train
+), lm AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         avg(ln((coalesce(tr.cnt, 0) + {LM_ALPHA})
+                / (lstats.total + {LM_ALPHA} * (lstats.vocab + 1)))) AS lp
+  FROM toks t LEFT JOIN train tr USING (term) CROSS JOIN lstats
+  GROUP BY t.doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM corpus),
+ranked AS (
+  SELECT tf.doc_id, tf.term,
+         row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 4) DESC,
+                      tf.term) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), topt AS (SELECT doc_id, term AS top_term FROM ranked WHERE rk = 1),
+quant AS ({_CIP_QUANT})
+SELECT c.doc_id, c.source, l.n_tokens,
+       round(l.lp, 4) AS avg_logprob, round(exp(-l.lp), 4) AS ppl,
+       t.top_term, q.emb_scale,
+       CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM corpus c
+JOIN lm l USING (doc_id)
+JOIN topt t USING (doc_id)
+JOIN quant q ON c.doc_id = q.vec_id
+""",
+)
+def corpus_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 3 — the index-build pass that follows curation: exact
+    dedup → unigram-LM quality scoring → per-doc TF-IDF topic key →
+    embedding-quantization storage metadata → split assignment, as ONE
+    composed plan producing the serving/training manifest (what a
+    search or training job reads instead of raw text).
+
+    100 TB shape: dedup is the single hash-partitioned window; the LM
+    is trained on a deterministic md5-prefix slice of the DEDUPED
+    corpus and joins back as a vocabulary-sized broadcast; the TF-IDF
+    topic key reuses the same tokenized relation (df as a window count
+    — no second tokenize); embedding scales are a zero-shuffle
+    projection joined on the aligned vec_id; the split is a pure
+    projection. Every stage drops rows before the next pays for them."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.length(F.trim("text")) > 0)
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    corpus = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "source")
+    )
+
+    train, lstats = train_unigram_lm(corpus)
+    lm = score_docs_with_lm(corpus, train, lstats)  # doc_id, n_tokens, avg_logprob, ppl
+
+    tf = _words(corpus).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0), 4
+            ),
+        )
+    )
+    wt = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    topt = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"))
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    quant = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.when(m == 0.0, F.lit(1.0)).otherwise(m / 127.0), 6).alias("emb_scale"),
+    )
+
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
+    return (
+        corpus.select("doc_id", "source")
+        .join(lm, "doc_id")
+        .join(topt, "doc_id")
+        .join(quant, "doc_id")
+        .select(
+            "doc_id", "source", "n_tokens", "avg_logprob", "ppl",
+            "top_term", "emb_scale", split.alias("split"),
+        )
+    )
