@@ -11,9 +11,12 @@ The decoder is fully table-driven (quantization and Huffman tables are
 read from the stream's DQT/DHT segments), so it decodes any baseline
 JPEG with interleaved scan order, not just this encoder's output.
 Restart intervals (DRI + RSTn markers, DC-predictor resets) are
-supported on both sides. Out-of-scope features fail loudly:
-progressive (SOF2) and arithmetic coding raise
-ValueError/NotImplementedError rather than mis-decode.
+supported on both sides, and progressive (SOF2) streams decode via the
+multi-scan spectral-selection path (a progressive encoder ships too —
+both arrangements of the same coefficients decode bit-identically).
+Out-of-scope features fail loudly: progressive successive
+approximation, progressive with subsampled components, and arithmetic
+coding raise ValueError/NotImplementedError rather than mis-decode.
 
 The encoder does NOT use the Annex-K example Huffman tables; it emits
 its own canonical tables in DHT (12 four-bit DC codes, 162 eight-bit AC
@@ -126,19 +129,25 @@ _DC_CODES = _canonical_codes(_DC_BITS, _DC_VALUES)
 _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALUES)
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) -> int:
+def _quantize_zz(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Zigzag-ordered quantized DCT coefficients of one 8×8 block."""
     coef = _C @ (block - 128.0) @ _C.T
-    q = np.round(coef.reshape(-1)[_ZIGZAG] / qt).astype(np.int64)
-    dc = int(q[0])
-    diff = dc - pred
+    return np.round(coef.reshape(-1)[_ZIGZAG] / qt).astype(np.int64)
+
+
+def _write_dc(bw: _BitWriter, diff: int) -> None:
     size = _size_cat(diff)
     code, length = _DC_CODES[size]
     bw.write(code, length)
     if size:
         amp = diff if diff > 0 else diff + (1 << size) - 1
         bw.write(amp, size)
+
+
+def _write_ac_band(bw: _BitWriter, q: np.ndarray, ss: int, se: int) -> None:
+    """Encode AC coefficients q[ss..se] (zigzag order) with ZRL/EOB."""
     run = 0
-    for v in q[1:]:
+    for v in q[ss : se + 1]:
         v = int(v)
         if v == 0:
             run += 1
@@ -156,6 +165,13 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) 
     if run:
         c, ln = _AC_CODES[0x00]  # EOB
         bw.write(c, ln)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) -> int:
+    q = _quantize_zz(block, qt)
+    dc = int(q[0])
+    _write_dc(bw, dc - pred)
+    _write_ac_band(bw, q, 1, 63)
     return dc
 
 
@@ -235,6 +251,68 @@ def encode_jpeg(
                 )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(width: int, height: int, pixel_fn) -> bytes:
+    """Progressive (SOF2) JPEG via spectral selection, 4:4:4, no
+    successive approximation: scan 1 is the interleaved DC pass for all
+    three components, scans 2-4 each carry one component's full AC band
+    (Ss=1..Se=63). A lossless re-arrangement of the same quantized
+    coefficients the baseline encoder writes — decoders must produce
+    bit-identical images for both."""
+    rgb = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            rgb[y, x] = pixel_fn(x, y)
+    ycc = _rgb_to_ycbcr(rgb)
+    bx, by = -(-width // 8), -(-height // 8)
+    padded = np.pad(ycc, ((0, by * 8 - height), (0, bx * 8 - width), (0, 0)), mode="edge")
+
+    # quantize every block of every component once
+    qzz = np.zeros((3, by, bx, 64), dtype=np.int64)
+    for ci in range(3):
+        qt = _QT_LUMA if ci == 0 else _QT_CHROMA
+        for yb in range(by):
+            for xb in range(bx):
+                blk = padded[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8, ci]
+                qzz[ci, yb, xb] = _quantize_zz(blk, qt)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(qt)
+    out += (
+        b"\xff\xc2"  # SOF2: progressive
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALUES)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
+
+    # scan 1: interleaved DC, all components (Ss=0 Se=0 Ah=0 Al=0)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(3):
+                dc = int(qzz[ci, yb, xb, 0])
+                _write_dc(bw, dc - preds[ci])
+                preds[ci] = dc
+    bw.flush()
+    out += bw.out
+
+    # scans 2-4: one component's AC band each (Ss=1 Se=63)
+    for ci in range(3):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([ci + 1, 0x00, 1, 63, 0])
+        bw = _BitWriter()
+        for yb in range(by):
+            for xb in range(bx):
+                _write_ac_band(bw, qzz[ci, yb, xb], 1, 63)
+        bw.flush()
+        out += bw.out
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -323,20 +401,39 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the first marker that is neither
+    a stuffed 0xFF00 nor a restart marker."""
+    i = start
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Decode a baseline JPEG (4:4:4 or chroma-subsampled, interleaved
-    scan, optional restart intervals): (width, height, mean_r, mean_g,
-    mean_b). Table-driven; raises on progressive streams instead of
-    mis-decoding them."""
+    """Decode a baseline (SOF0 — 4:4:4 or chroma-subsampled,
+    interleaved scan, optional restart intervals) or progressive (SOF2 —
+    spectral selection, 4:4:4) JPEG: (width, height, mean_r, mean_g,
+    mean_b). Table-driven; progressive successive approximation and
+    arithmetic coding raise instead of mis-decoding."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
-    frame = None  # (h, w, [(comp_id, qt_id)])
-    scan = None
+    frame = None  # (h, w, [(comp_id, hi, vi, qt_id)])
+    progressive = False
     restart_interval = 0
+    scans: list[tuple[list, int, int, int, int, bytes]] = []
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -366,7 +463,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                 values = list(body[i + 17 : i + 17 + n])
                 (dc_tables if cls == 0 else ac_tables)[tid] = _HuffTable(bits, values)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for c in range(ncomp):
@@ -376,30 +474,65 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                     raise ValueError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, qid))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError(f"only baseline SOF0 supported (got SOF 0x{marker:02x})")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(f"only SOF0/SOF2 supported (got SOF 0x{marker:02x})")
         elif marker == 0xDD:  # DRI: MCUs between restart markers
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS: scan header + entropy-coded data
             ns = body[0]
-            scan = [(body[1 + c * 2], body[2 + c * 2] >> 4, body[2 + c * 2] & 0xF) for c in range(ns)]
-            break
+            sc = [
+                (body[1 + c * 2], body[2 + c * 2] >> 4, body[2 + c * 2] & 0xF)
+                for c in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            end = _entropy_end(payload, pos)
+            scans.append((sc, ss, se, ah, al, payload[pos:end]))
+            pos = end
         # APPn/COM/etc: skipped
 
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("missing SOF/SOS")
     h, w, comps = frame
-    if len(comps) != len(scan):
-        raise ValueError("scan/frame component mismatch")
-
-    br = _BitReader(payload[pos:])
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    planes = [np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_cid, hi, vi, _q) in comps]
-    preds = [0] * len(comps)
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[_ZIGZAG] = np.arange(64)
+
+    if progressive:
+        planes = _decode_progressive(
+            scans, comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
+        )
+    else:
+        planes = _decode_sequential(
+            scans[0], comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
+        )
+
+    # upsample subsampled planes to full resolution, then crop
+    full = []
+    for (_cid, hi, vi, _q), plane in zip(comps, planes):
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        m = float(np.clip(full[0], 0, 255).mean())
+        return w, h, m, m, m
+    rgb = _ycbcr_to_rgb(np.stack([full[0], full[1], full[2]], axis=-1))
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+def _decode_sequential(
+    scan0, comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
+):
+    """Baseline interleaved-MCU entropy decode (one scan, all comps)."""
+    scan, _ss, _se, _ah, _al, data = scan0
+    if len(comps) != len(scan):
+        raise ValueError("scan/frame component mismatch")
+    br = _BitReader(data)
+    planes = [np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_cid, hi, vi, _q) in comps]
+    preds = [0] * len(comps)
 
     def read_block(qt: np.ndarray, dct: int, act: int, ci: int) -> np.ndarray:
         size = dc_tables[dct].decode(br)
@@ -424,7 +557,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
         coef = (zz * qt)[inv_zz].reshape(8, 8)
         return (_C.T @ coef @ _C) + 128.0
 
-    # interleaved MCU order: each component contributes hi×vi blocks per MCU
     mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -439,16 +571,83 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                         y0 = (my * vi + by) * 8
                         x0 = (mx * hi + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = read_block(qt, dct, act, ci)
+    return planes
 
-    # upsample subsampled planes to full resolution, then crop
-    full = []
-    for (_cid, hi, vi, _q), plane in zip(comps, planes):
-        if hi != hmax or vi != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
-        full.append(plane[:h, :w])
-    if len(comps) == 1:
-        m = float(np.clip(full[0], 0, 255).mean())
-        return w, h, m, m, m
-    rgb = _ycbcr_to_rgb(np.stack([full[0], full[1], full[2]], axis=-1))
-    means = rgb.reshape(-1, 3).mean(axis=0)
-    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+def _decode_progressive(
+    scans, comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
+):
+    """Progressive entropy decode: spectral selection only (Ah=Al=0).
+    Coefficients accumulate across scans; IDCT runs once at the end.
+    Restricted to uniform sampling (4:4:4) — with one sampling factor
+    the interleaved-DC MCU grid and each component\'s non-interleaved
+    block raster coincide at (mcuy, mcux)."""
+    if any((hi, vi) != (comps[0][1], comps[0][2]) for (_c, hi, vi, _q) in comps):
+        raise NotImplementedError("progressive with subsampled components not supported")
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    coefs = [np.zeros((mcuy, mcux, 64)) for _ in comps]
+
+    for scan, ss, se, ah, al, data in scans:
+        if ah or al:
+            raise NotImplementedError("progressive successive approximation not supported")
+        br = _BitReader(data)
+        if ss == 0:  # DC scan (interleaved over the scan\'s components)
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            idxs = [cid_to_ci[sid] for (sid, _dct, _act) in scan]
+            preds = {ci: 0 for ci in idxs}
+            mcu_n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                        br.restart()
+                        preds = {ci: 0 for ci in idxs}
+                    mcu_n += 1
+                    for (sid, dct, _act), ci in zip(scan, idxs):
+                        size = dc_tables[dct].decode(br)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        preds[ci] += diff
+                        coefs[ci][my, mx, 0] = preds[ci]
+        else:  # AC scan: exactly one component, band ss..se
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            sid, _dct, act = scan[0]
+            ci = cid_to_ci[sid]
+            eobrun = 0
+            blk_n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and blk_n and blk_n % restart_interval == 0:
+                        br.restart()
+                        eobrun = 0
+                    blk_n += 1
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = ac_tables[act].decode(br)
+                        run, sz = sym >> 4, sym & 0xF
+                        if sz == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            # EOBn: this block ends; (1<<run)-1 + bits more follow
+                            eobrun = (1 << run) - 1 + (br.bits(run) if run else 0)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC run past end of band")
+                        coefs[ci][my, mx, k] = _extend(br.bits(sz), sz)
+                        k += 1
+
+    planes = []
+    for ci, (_cid, _hi, _vi, qid) in enumerate(comps):
+        qt = qtables[qid]
+        plane = np.zeros((mcuy * 8, mcux * 8))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                coef = (coefs[ci][my, mx] * qt)[inv_zz].reshape(8, 8)
+                plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (_C.T @ coef @ _C) + 128.0
+        planes.append(plane)
+    return planes

@@ -217,6 +217,23 @@ def test_jpeg_420_subsampled_roundtrip():
     assert abs(r - r4) < 1.5 and abs(g - g4) < 1.5 and abs(b - b4) < 1.5
 
 
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 spectral selection is a lossless re-arrangement of the same
+    quantized coefficients — the progressive stream must decode to
+    EXACTLY the baseline stream's output."""
+    from etl_jlp_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    fn = lambda x, y: ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    for w, h in ((37, 23), (8, 8), (16, 9)):
+        base = decode_jpeg(encode_jpeg(w, h, fn))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, fn))
+        assert prog == base, (w, h)
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI + RSTn streams (the camera error-resilience layout) must
     decode to EXACTLY the same means as the restart-free stream — the
@@ -242,11 +259,22 @@ def test_jpeg_rejects_out_of_scope_streams():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"GIF89a not a jpeg")
-    # flip SOF0 to SOF2 (progressive): loud NotImplementedError, not garbage
+    # flip SOF0 to SOF2: the baseline full-band scan is illegal as a
+    # progressive first scan — loud error, not garbage
     p = bytearray(encode_jpeg(8, 8, lambda x, y: (1, 2, 3)))
     p[p.index(b"\xff\xc0") + 1] = 0xC2
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(bytes(p))
+    # successive approximation (Ah/Al != 0): explicit NotImplementedError
+    from etl_jlp_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    q = bytearray(encode_jpeg_progressive(8, 8, lambda x, y: (1, 2, 3)))
+    # second SOS = first AC scan; its Ah/Al byte is the last of the header
+    first = q.index(b"\xff\xda")
+    second = q.index(b"\xff\xda", first + 2)
+    q[second + 4 + 5] = 0x01  # Al=1 -> successive approximation
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(q))
 
 
 def test_decode_image_real_jpeg_in_spark(spark):
