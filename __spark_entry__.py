@@ -45,69 +45,15 @@ from etl_jlp_spark.quality import report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
-# first ~50 queries() entries per round. Round-4 priority: flagships, then
-# the 6 queries whose r3 row FAILED on the regenerated TIMESTAMP_NTZ
-# testdata (fixed this round — epoch_us + catalog normalization), then the
-# queries NEW in round 4 (IR/LM operators), then the 47 names whose newest
-# driver row is round 2 (displaced by the r3 window). The overflow past
-# the ~50-row window rotates to round 5.
+# first ~50 queries() entries per round. Round-5 priority: the TRUE 12-name
+# overflow whose newest driver row is round 2 (VERDICT r4 finding #3: the
+# documented list of 11 was missing dedup_embedding_cosine), then the four
+# flagships (kept in-window every round), then the 42 names whose newest
+# driver row is round 3, in their r3-window order. Positions past ~50
+# (the tail of the r3-stale block) overflow and lead round 6.
 # ---------------------------------------------------------------------------
-_R4_PRIORITY = [
-    # flagships — kept in-window every round
-    "preprocess_pipeline",
-    "curate_documents",
-    "training_data_pipeline",
-    "corpus_index_pipeline",
-    # failed in round 3 (TIMESTAMP_NTZ regression, fixed this round)
-    "sessionize",
-    "session_stats",
-    "session_merge_records",
-    "time_on_page",
-    "asof_join",
-    # NEW in round 4
-    "tfidf_top_terms",
-    "bm25_search",
-    "ngram_lm_score",
-    "bpe_merge_candidates",
-    "embedding_quantize",
-    "bm25_search_prebuilt",
-    # driver row stale since round 2 (displaced by the r3 window)
-    "quality_report",
-    "quality_clean_rate",
-    "quality_format_check",
-    "quality_report_lineitem",
-    "quality_array_fields",
-    "quality_report_flat",
-    "events_by_type_day",
-    "top_customers_by_revenue",
-    "user_enrichment",
-    "props_extract",
-    "rolling_user_stats",
-    "cumulative_daily_revenue",
-    "pivot_event_counts",
-    "percentile_stats",
-    "sliding_weekly_revenue",
-    "value_histogram",
-    "session_funnel",
-    "events_rollup_report",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_speed",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_quantity",
-    "q19_brand_discounts",
-    "q20_excess_shippers",
-    "q21_suppliers_waiting",
-    "q22_global_sales_opportunity",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+_R5_PRIORITY = [
+    # newest driver row = round 2 — all 12 MUST land in the r5 window
     "decontaminate_docs",
     "balance_source_mix",
     "ingest_full_load",
@@ -119,11 +65,60 @@ _R4_PRIORITY = [
     "ann_ivf_topk",
     "ingest_full_load_jsonl",
     "time_on_page_incremental",
+    "dedup_embedding_cosine",
+    # flagships — kept in-window every round
+    "preprocess_pipeline",
+    "curate_documents",
+    "training_data_pipeline",
+    "corpus_index_pipeline",
+    # newest driver row = round 3 (r3-window order); tail past ~50 → r6
+    "approx_sketch_stats",
+    "ann_ivf_topk_prebuilt",
+    "ingest_jdbc_derby",
+    "doc_chunk",
+    "paragraph_dedup",
+    "semantic_dedup",
+    "dedup_cluster_representative",
+    "dataset_split",
+    "dedup_exact",
+    "window_time",
+    "session_window_stats",
+    "keywords_extract",
+    "keywords_ngrams",
+    "exact_keywords_set",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "range_band_join",
+    "events_by_type_day_salted",
+    "stratified_sample",
+    "sequence_packing",
+    "dedup_exact_docs",
+    "dedup_connected_components",
+    "ann_topk_cosine",
+    "text_langid",
+    "text_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "text_repetition",
+    "gopher_quality_filter",
+    "pii_scrub",
+    "domain_mix_report",
+    "embedding_norm_stats",
+    "embedding_label_centroids",
+    "nearest_centroid_assign",
+    "source_keep_rate",
+    "audit_columns",
 ]
 
 
 def _rotated() -> None:
-    registry.reorder([n for n in _R4_PRIORITY if n in registry.QUERIES])
+    registry.reorder([n for n in _R5_PRIORITY if n in registry.QUERIES])
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -134,7 +129,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, with the
-    round-4 correctness-window rotation applied (see above)."""
+    round-5 correctness-window rotation applied (see above)."""
     _rotated()
     return dict(registry.QUERIES)
 

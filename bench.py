@@ -177,7 +177,20 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # The driver's BENCH_r0N capture has truncated the head of this line
+    # twice (r3 lost everything, r4 lost 24 queries), so ALSO persist the
+    # full record in-repo where it can be committed and diffed per round.
+    local = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r5.json"),
+    )
+    try:
+        with open(local, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"BENCH-WARN could not write {local}: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -96,16 +96,19 @@ def _scan_partitions(spark: SparkSession, path: str) -> int:
     return max(1, (size + mpb - 1) // mpb)
 
 
-def widen(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
-    """Round-robin repartition ONLY if the table scans into fewer
-    partitions than cores. A single small parquet file is one input
-    partition on local[*], serializing any downstream fan-out
-    (explode, cross product); at cluster scale the table spans ≥ cores
-    split-points already and this is a no-op — the full-data shuffle
-    is only ever paid where it buys parallelism."""
+def widen(spark: SparkSession, df: DataFrame, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Repartition ONLY if the table scans into fewer partitions than
+    cores. A single small parquet file is one input partition on
+    local[*], serializing any downstream fan-out (explode, cross
+    product); at cluster scale the table spans ≥ cores split-points
+    already and this is a no-op — the full-data shuffle is only ever
+    paid where it buys parallelism. With ``cols`` the widening shuffle
+    hash-partitions on those columns (instead of round-robin), so a
+    downstream groupBy on a superset of them reuses the clustering
+    and plans no second exchange."""
     p = spark.sparkContext.defaultParallelism
     if _scan_partitions(spark, table_path(sf_dir, name)) < p:
-        return df.repartition(p)
+        return df.repartition(p, *cols) if cols else df.repartition(p)
     return df
 
 

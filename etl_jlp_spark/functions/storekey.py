@@ -17,13 +17,17 @@ import hashlib
 import os
 
 
-def corpus_store_key(sf_dir: str, table: str) -> str:
-    """8-hex key identifying (path, content-version) of one corpus
-    table. Content-version = size + mtime_ns of the table's parquet
-    file (or the directory's file listing when the table is a
-    directory), so any regeneration changes the key."""
+def corpus_store_key(sf_dir: str, table: str, algo: str = "") -> str:
+    """8-hex key identifying (path, content-version, algorithm-version)
+    of one corpus table. Content-version = size + mtime_ns of the
+    table's parquet file (or the directory's file listing when the
+    table is a directory), so any regeneration changes the key.
+    ``algo`` folds the index algorithm's version into the key, so a
+    change to how the index is BUILT (e.g. a new IVF seed-selection
+    scheme) also resolves to a new store instead of serving cells laid
+    out by the old algorithm."""
     path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
-    sig = [path]
+    sig = [path, algo] if algo else [path]
     try:
         if os.path.isdir(path):
             for root, _dirs, files in sorted(os.walk(path)):

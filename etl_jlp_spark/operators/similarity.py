@@ -576,6 +576,20 @@ def _ivf_assign(
     )
 
 
+def _ivf_seed_pick(samp: DataFrame) -> DataFrame:
+    """Deterministic seed selection WITHOUT a global window: the
+    md5-smallest IVF_N_CENTROIDS sample vectors. orderBy(...).limit(k)
+    plans as TakeOrderedAndProject — each task keeps its local top-k
+    and the driver merges k·#partitions rows, so seed selection never
+    funnels the sample through one task (the round-4 verdict flagged
+    the old row_number-over-global-Window shape as dead at 100×).
+    Cell ids = md5 rank within the ≤16-row result, assigned
+    driver-side by the caller. tests/test_plans.py asserts this plan
+    contains TakeOrderedAndProject and NO Window operator."""
+    seed_hash = F.md5(F.col("vec_id").cast("string"))
+    return samp.select(seed_hash.alias("h"), "v").orderBy("h").limit(IVF_N_CENTROIDS)
+
+
 def ivf_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]], int]:
@@ -594,19 +608,11 @@ def ivf_index(
     samp = corpus.filter(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX
     ).persist()
-    # deterministic seeds: every step-th sample vector by id rank
-    rn = F.col("rn")
-    step = F.greatest(F.floor(F.col("total") / IVF_N_CENTROIDS), F.lit(1))
-    seeds = (
-        samp.withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
-        .withColumn("step", step)
-        .filter(((rn - 1) % F.col("step") == 0) & ((rn - 1) / F.col("step") < IVF_N_CENTROIDS))
-        .select(F.floor((rn - 1) / F.col("step")).cast("int").alias("cell"), F.col("v").alias("cv"))
-    )
-    centroids = sorted(
-        [(int(r["cell"]), list(r["cv"])) for r in seeds.collect()], key=lambda t: t[0]
-    )
+    seed_rows = _ivf_seed_pick(samp).collect()  # bounded: ≤ IVF_N_CENTROIDS rows
+    centroids = [
+        (cell, list(r["v"]))
+        for cell, r in enumerate(sorted(seed_rows, key=lambda r: r["h"]))
+    ]
 
     for _ in range(IVF_ITERATIONS):
         trained = (
@@ -626,9 +632,6 @@ def ivf_index(
 
     assigned = _ivf_assign(spark, corpus, centroids, dim).persist()
     return corpus, assigned, centroids, dim
-
-
-_IVF_STEP_SQL = f"greatest(total // {IVF_N_CENTROIDS}, 1)"
 
 
 def _ivf_probes(queries: DataFrame, cent_df: DataFrame, dim: int) -> DataFrame:
@@ -676,14 +679,12 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 samp AS (
   SELECT vec_id, v FROM e
   WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '{IVF_SAMPLE_HEX}'
-), numbered AS (
-  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn, count(*) OVER () AS total
-  FROM samp
+), seedpick AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM samp
+  ORDER BY h LIMIT {IVF_N_CENTROIDS}
 ), seeds AS (
-  SELECT CAST((rn - 1) // {_IVF_STEP_SQL} AS INTEGER) AS cell, v AS cv
-  FROM numbered
-  WHERE (rn - 1) % {_IVF_STEP_SQL} = 0
-    AND (rn - 1) // {_IVF_STEP_SQL} < {IVF_N_CENTROIDS}
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM seedpick
 ), a0 AS (
   SELECT vec_id, v, cell FROM (
     SELECT s.vec_id, s.v, c.cell,
@@ -771,7 +772,9 @@ def _ivf_store_paths(sf_dir: str) -> tuple[str, str]:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
     )
-    h = corpus_store_key(sf_dir, "embeddings")
+    # algo v2: md5-TakeOrdered seed selection (r5) — keys the store to
+    # the build algorithm so an old-layout store can't be served
+    h = corpus_store_key(sf_dir, "embeddings", algo="ivf-v2")
     return os.path.join(root, f"ivf_assigned_{h}"), os.path.join(root, f"ivf_centroids_{h}")
 
 

@@ -252,6 +252,7 @@ from etl_jlp_spark.operators.ir import (  # noqa: E402
     LM_TRAIN_PREFIX,
     TFIDF_TOP_K,
     WORD_PATTERN,
+    _with_df,
     _words,
     score_docs_with_lm,
     train_unigram_lm,
@@ -346,8 +347,10 @@ def corpus_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     n_docs = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # df via groupBy + term-keyed join, not a window over the Zipf-skewed
+    # term key (see ir._with_df — r4 verdict finding #2)
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"))
+        _with_df(tf)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -136,7 +136,9 @@ def test_bm25_prebuilt_matches_live_and_prunes(spark):
     assert pre == live
     # partition pruning: only the terms' pbucket directories are read
     p_path = ensure_ir_index(spark, SF_SMALL)[0]
-    want_buckets = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in BM25_QUERY_TERMS})
+    want_buckets = sorted(
+        {"b" + hashlib.md5(t.encode()).hexdigest()[:2] for t in BM25_QUERY_TERMS}
+    )
     from pyspark.sql import functions as F
 
     posts = spark.read.parquet(p_path).filter(

@@ -109,6 +109,52 @@ def test_ivf_assign_codegen_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_df_computed_by_agg_join_not_term_window(spark):
+    """Document frequency must come from groupBy("term") + join (map-side
+    partial agg, AQE-broadcastable/skew-splittable), never
+    count().over(Window.partitionBy("term")) — a window partition on a
+    Zipf-skewed term key puts ~N_docs rows in one task at 100 TB and AQE
+    cannot split it (round-4 verdict finding #2). The per-doc rank window
+    stays (doc_id is high-cardinality)."""
+    for name in ("tfidf_top_terms", "corpus_index_pipeline"):
+        plan = _optimized(QS[name](spark, SF_SMALL))
+        assert "windowspecdefinition(term" not in plan, (name, plan[-2000:])
+
+
+def test_tfidf_reuses_tokenize_exchange(spark):
+    """The tf/df branches share one tokenize subtree: the final adaptive
+    plan must contain a ReusedExchange, i.e. the corpus is scanned and
+    exploded ONCE even though df aggregates over the same tf relation."""
+    df = QS["tfidf_top_terms"](spark, SF_SMALL)
+    df.write.mode("overwrite").format("noop").save()
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_ivf_seed_pick_no_global_window(spark):
+    """Seed selection must be a distributed TakeOrderedAndProject —
+    never a row_number over a global (single-partition) Window, which
+    would funnel the ~50% training sample through one task at scale
+    (round-4 verdict finding #1)."""
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.similarity import (
+        IVF_SAMPLE_HEX,
+        _emb_dim,
+        _ivf_seed_pick,
+        _with_norm,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    samp = _with_norm(emb, _emb_dim(emb), "vec_id", "v").filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX
+    )
+    plan = _plan(_ivf_seed_pick(samp))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_quality_report_dup_check_shuffles_digest_not_payload(spark):
     """The duplicate-check distinct must exchange md5(props) (32-char
     digest), never the raw props payload — ~10x fewer shuffle bytes."""
