@@ -12,11 +12,17 @@ read from the stream's DQT/DHT segments), so it decodes any baseline
 JPEG with interleaved scan order, not just this encoder's output.
 Restart intervals (DRI + RSTn markers, DC-predictor resets) are
 supported on both sides, and progressive (SOF2) streams decode via the
-multi-scan spectral-selection path (a progressive encoder ships too —
-both arrangements of the same coefficients decode bit-identically).
-Out-of-scope features fail loudly: progressive successive
-approximation, progressive with subsampled components, and arithmetic
-coding raise ValueError/NotImplementedError rather than mis-decode.
+multi-scan path: spectral selection AND successive approximation
+(first + refinement passes, T.81 G.1.2), with Huffman tables and the
+restart interval snapshotted at each scan's SOS so per-scan DHT
+redefinition — libjpeg's default arrangement — decodes correctly (a
+progressive encoder ships too, with ``per_scan_dht`` / ``successive``
+modes; every arrangement of the same coefficients decodes
+bit-identically).
+Out-of-scope features fail loudly: progressive with subsampled
+components, mid-stream DQT redefinition, 16-bit quant tables, and
+arithmetic coding raise ValueError/NotImplementedError rather than
+mis-decode.
 
 The encoder does NOT use the Annex-K example Huffman tables; it emits
 its own canonical tables in DHT (12 four-bit DC codes, 162 eight-bit AC
@@ -144,8 +150,11 @@ def _write_dc(bw: _BitWriter, diff: int) -> None:
         bw.write(amp, size)
 
 
-def _write_ac_band(bw: _BitWriter, q: np.ndarray, ss: int, se: int) -> None:
+def _write_ac_band(
+    bw: _BitWriter, q: np.ndarray, ss: int, se: int, codes: dict | None = None
+) -> None:
     """Encode AC coefficients q[ss..se] (zigzag order) with ZRL/EOB."""
+    codes = _AC_CODES if codes is None else codes
     run = 0
     for v in q[ss : se + 1]:
         v = int(v)
@@ -153,18 +162,55 @@ def _write_ac_band(bw: _BitWriter, q: np.ndarray, ss: int, se: int) -> None:
             run += 1
             continue
         while run >= 16:
-            c, ln = _AC_CODES[0xF0]  # ZRL
+            c, ln = codes[0xF0]  # ZRL
             bw.write(c, ln)
             run -= 16
         size = _size_cat(v)
-        c, ln = _AC_CODES[(run << 4) | size]
+        c, ln = codes[(run << 4) | size]
         bw.write(c, ln)
         amp = v if v > 0 else v + (1 << size) - 1
         bw.write(amp, size)
         run = 0
     if run:
-        c, ln = _AC_CODES[0x00]  # EOB
+        c, ln = codes[0x00]  # EOB
         bw.write(c, ln)
+
+
+def _write_ac_refine(bw: _BitWriter, q: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients (|v|>>Al == 1) emit a (run,1) code + sign bit;
+    history-nonzero ones (|v|>>Al > 1) contribute one buffered
+    correction bit ((|v|>>Al) & 1), appended after the next emitted
+    code in positional order; trailing state flushes as EOB + bits."""
+    run = 0
+    buffered: list[int] = []
+    for v in q[ss : se + 1]:
+        v = int(v)
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+        elif t == 1:
+            while run > 15:
+                c, ln = _AC_CODES[0xF0]  # ZRL
+                bw.write(c, ln)
+                for b in buffered:
+                    bw.write(b, 1)
+                buffered = []
+                run -= 16
+            c, ln = _AC_CODES[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if v > 0 else 0, 1)
+            for b in buffered:
+                bw.write(b, 1)
+            buffered = []
+            run = 0
+        else:
+            buffered.append(t & 1)
+    if run or buffered:
+        c, ln = _AC_CODES[0x00]  # EOB0
+        bw.write(c, ln)
+        for b in buffered:
+            bw.write(b, 1)
 
 
 def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) -> int:
@@ -255,13 +301,28 @@ def encode_jpeg(
     return bytes(out)
 
 
-def encode_jpeg_progressive(width: int, height: int, pixel_fn) -> bytes:
+def encode_jpeg_progressive(
+    width: int, height: int, pixel_fn, per_scan_dht: bool = False, successive: bool = False
+) -> bytes:
     """Progressive (SOF2) JPEG via spectral selection, 4:4:4, no
     successive approximation: scan 1 is the interleaved DC pass for all
     three components, scans 2-4 each carry one component's full AC band
     (Ss=1..Se=63). A lossless re-arrangement of the same quantized
     coefficients the baseline encoder writes — decoders must produce
-    bit-identical images for both."""
+    bit-identical images for both.
+
+    ``per_scan_dht=True`` mirrors libjpeg's default progressive
+    arrangement: a fresh DHT precedes each AC scan, REDEFINING AC table
+    id 0 (scan 3 switches to a differently-ordered canonical table,
+    scan 4 switches back). A decoder that parses all markers first and
+    decodes every scan with the final table state mis-decodes this —
+    tests use it to pin the per-scan table-snapshot semantics.
+
+    ``successive=True`` adds successive approximation (T.81 G.1.2),
+    the arrangement most progressive encoders actually emit: DC and
+    each AC band are sent as an Al=1 first pass (high bits) followed
+    by an Ah=1/Al=0 refinement pass (low bits) — 8 scans total, still
+    a lossless re-arrangement of the same quantized coefficients."""
     rgb = np.zeros((height, width, 3))
     for y in range(height):
         for x in range(width):
@@ -288,30 +349,78 @@ def encode_jpeg_progressive(width: int, height: int, pixel_fn) -> bytes:
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALUES)
-    out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
+    if not per_scan_dht:
+        out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
 
-    # scan 1: interleaved DC, all components (Ss=0 Se=0 Ah=0 Al=0)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    al1 = 1 if successive else 0  # first-pass point transform
+    # scan 1: interleaved DC, all components (Ss=0 Se=0 Ah=0 Al=al1)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, al1])
+    )
     bw = _BitWriter()
     preds = [0, 0, 0]
     for yb in range(by):
         for xb in range(bx):
             for ci in range(3):
-                dc = int(qzz[ci, yb, xb, 0])
+                dc = int(qzz[ci, yb, xb, 0]) >> al1  # arithmetic shift (A.4)
                 _write_dc(bw, dc - preds[ci])
                 preds[ci] = dc
     bw.flush()
     out += bw.out
 
-    # scans 2-4: one component's AC band each (Ss=1 Se=63)
+    # an alternative valid canonical AC table: same code lengths, values
+    # in reverse order — every (run,size) symbol gets a DIFFERENT code
+    alt_values = list(reversed(_AC_VALUES))
+    alt_codes = _canonical_codes(_AC_BITS, alt_values)
+    # scans 2-4: one component's AC band each (Ss=1 Se=63, Al=al1)
     for ci in range(3):
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([ci + 1, 0x00, 1, 63, 0])
+        use_alt = per_scan_dht and ci == 1  # scan 3 redefines, scan 4 reverts
+        if per_scan_dht:
+            vals = alt_values if use_alt else _AC_VALUES
+            out += _dht_segment(1, 0, _AC_BITS, vals)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([ci + 1, 0x00, 1, 63, al1])
         bw = _BitWriter()
         for yb in range(by):
             for xb in range(bx):
-                _write_ac_band(bw, qzz[ci, yb, xb], 1, 63)
+                band = qzz[ci, yb, xb]
+                if al1:
+                    # AC point transform: divide by 2^Al, truncate
+                    # toward zero (A.4) — NOT an arithmetic shift
+                    band = np.sign(band) * (np.abs(band) >> al1)
+                _write_ac_band(bw, band, 1, 63, alt_codes if use_alt else None)
         bw.flush()
         out += bw.out
+
+    if successive:
+        # scan 5: interleaved DC refinement (Ah=1, Al=0) — one raw bit
+        # (the value's LSB) per block, no Huffman coding
+        out += (
+            b"\xff\xda"
+            + struct.pack(">HB", 12, 3)
+            + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, (1 << 4) | 0])
+        )
+        bw = _BitWriter()
+        for yb in range(by):
+            for xb in range(bx):
+                for ci in range(3):
+                    bw.write(int(qzz[ci, yb, xb, 0]) & 1, 1)
+        bw.flush()
+        out += bw.out
+        # scans 6-8: AC refinement per component (Ah=1, Al=0)
+        for ci in range(3):
+            out += (
+                b"\xff\xda"
+                + struct.pack(">HB", 8, 1)
+                + bytes([ci + 1, 0x00, 1, 63, (1 << 4) | 0])
+            )
+            bw = _BitWriter()
+            for yb in range(by):
+                for xb in range(bx):
+                    _write_ac_refine(bw, qzz[ci, yb, xb], 1, 63, 0)
+            bw.flush()
+            out += bw.out
 
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -421,9 +530,10 @@ def _entropy_end(data: bytes, start: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     """Decode a baseline (SOF0 — 4:4:4 or chroma-subsampled,
     interleaved scan, optional restart intervals) or progressive (SOF2 —
-    spectral selection, 4:4:4) JPEG: (width, height, mean_r, mean_g,
-    mean_b). Table-driven; progressive successive approximation and
-    arithmetic coding raise instead of mis-decoding."""
+    spectral selection + successive approximation, 4:4:4) JPEG:
+    (width, height, mean_r, mean_g, mean_b). Table-driven with per-scan
+    SOS-time table snapshots; subsampled-progressive and arithmetic
+    coding raise instead of mis-decoding."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -433,7 +543,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     frame = None  # (h, w, [(comp_id, hi, vi, qt_id)])
     progressive = False
     restart_interval = 0
-    scans: list[tuple[list, int, int, int, int, bytes]] = []
+    # (scan comps, Ss, Se, Ah, Al, data, dc snapshot, ac snapshot, DRI snapshot)
+    scans: list[tuple] = []
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -450,9 +561,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                 prec, tid = body[i] >> 4, body[i] & 0xF
                 if prec != 0:
                     raise NotImplementedError("16-bit quant tables not supported")
-                qtables[tid] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(
-                    np.float64
-                )
+                qt = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.float64)
+                # quant tables are applied at dequant time, AFTER all
+                # scans — a mid-stream redefinition would silently apply
+                # the wrong table to earlier scans' coefficients, so
+                # fail loudly instead (Huffman tables, which ARE legal
+                # to redefine per scan, are snapshotted at SOS below)
+                if scans and tid in qtables and not np.array_equal(qtables[tid], qt):
+                    raise NotImplementedError(
+                        f"quant table {tid} redefined between scans"
+                    )
+                qtables[tid] = qt
                 i += 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -487,7 +606,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
             end = _entropy_end(payload, pos)
-            scans.append((sc, ss, se, ah, al, payload[pos:end]))
+            # SNAPSHOT the Huffman tables + restart interval as of THIS
+            # scan's SOS: real progressive encoders (libjpeg default)
+            # emit a fresh DHT — often redefining table ids — before
+            # each scan, so decoding every scan with the final marker
+            # state would use later scans' tables on earlier scans
+            scans.append(
+                (
+                    sc, ss, se, ah, al, payload[pos:end],
+                    dict(dc_tables), dict(ac_tables), restart_interval,
+                )
+            )
             pos = end
         # APPn/COM/etc: skipped
 
@@ -501,13 +630,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     inv_zz[_ZIGZAG] = np.arange(64)
 
     if progressive:
-        planes = _decode_progressive(
-            scans, comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
-        )
+        planes = _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz)
     else:
-        planes = _decode_sequential(
-            scans[0], comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
-        )
+        planes = _decode_sequential(scans[0], comps, mcux, mcuy, qtables, inv_zz)
 
     # upsample subsampled planes to full resolution, then crop
     full = []
@@ -523,11 +648,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(means[0]), float(means[1]), float(means[2])
 
 
-def _decode_sequential(
-    scan0, comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
-):
-    """Baseline interleaved-MCU entropy decode (one scan, all comps)."""
-    scan, _ss, _se, _ah, _al, data = scan0
+def _decode_sequential(scan0, comps, mcux, mcuy, qtables, inv_zz):
+    """Baseline interleaved-MCU entropy decode (one scan, all comps).
+    Huffman tables and the restart interval come from the scan's own
+    SOS-time snapshot."""
+    scan, _ss, _se, _ah, _al, data, dc_tables, ac_tables, restart_interval = scan0
     if len(comps) != len(scan):
         raise ValueError("scan/frame component mismatch")
     br = _BitReader(data)
@@ -574,22 +699,34 @@ def _decode_sequential(
     return planes
 
 
-def _decode_progressive(
-    scans, comps, mcux, mcuy, qtables, dc_tables, ac_tables, inv_zz, restart_interval
-):
-    """Progressive entropy decode: spectral selection only (Ah=Al=0).
-    Coefficients accumulate across scans; IDCT runs once at the end.
-    Restricted to uniform sampling (4:4:4) — with one sampling factor
-    the interleaved-DC MCU grid and each component\'s non-interleaved
-    block raster coincide at (mcuy, mcux)."""
+def _refine_nonzero(br: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:
+    """One AC correction bit (T.81 G.1.2.3): if set and bit Al of the
+    magnitude is still clear, move the magnitude up by 1<<Al (toward
+    the true value, away from zero)."""
+    if br.bit() and not (int(coef[k]) & p1):
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz):
+    """Progressive entropy decode: spectral selection AND successive
+    approximation (first + refinement passes for both DC and AC bands,
+    T.81 G.1.2). Coefficients accumulate across scans at growing bit
+    precision; IDCT runs once at the end.
+    Each scan decodes with ITS OWN SOS-time Huffman-table / restart-
+    interval snapshot — real progressive encoders (libjpeg default)
+    redefine DHT ids between scans, so the final marker state is wrong
+    for all but the last scan. Restricted to uniform sampling (4:4:4)
+    — with one sampling factor the interleaved-DC MCU grid and each
+    component\'s non-interleaved block raster coincide at
+    (mcuy, mcux)."""
     if any((hi, vi) != (comps[0][1], comps[0][2]) for (_c, hi, vi, _q) in comps):
         raise NotImplementedError("progressive with subsampled components not supported")
     cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
-    coefs = [np.zeros((mcuy, mcux, 64)) for _ in comps]
+    # int64: successive approximation builds values bitwise (shifts /
+    # ORs on two\'s-complement), which float buffers cannot express
+    coefs = [np.zeros((mcuy, mcux, 64), dtype=np.int64) for _ in comps]
 
-    for scan, ss, se, ah, al, data in scans:
-        if ah or al:
-            raise NotImplementedError("progressive successive approximation not supported")
+    for scan, ss, se, ah, al, data, dc_tables, ac_tables, restart_interval in scans:
         br = _BitReader(data)
         if ss == 0:  # DC scan (interleaved over the scan\'s components)
             if se != 0:
@@ -604,15 +741,24 @@ def _decode_progressive(
                         preds = {ci: 0 for ci in idxs}
                     mcu_n += 1
                     for (sid, dct, _act), ci in zip(scan, idxs):
-                        size = dc_tables[dct].decode(br)
-                        diff = _extend(br.bits(size), size) if size else 0
-                        preds[ci] += diff
-                        coefs[ci][my, mx, 0] = preds[ci]
+                        if ah == 0:
+                            # first DC pass: diffs of (DC >> Al), the
+                            # point transform (arithmetic shift, A.4)
+                            size = dc_tables[dct].decode(br)
+                            diff = _extend(br.bits(size), size) if size else 0
+                            preds[ci] += diff
+                            coefs[ci][my, mx, 0] = preds[ci] << al
+                        else:
+                            # refinement: one raw bit per block sets bit
+                            # Al of the two\'s-complement value (G.1.2.1)
+                            if br.bit():
+                                coefs[ci][my, mx, 0] |= 1 << al
         else:  # AC scan: exactly one component, band ss..se
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be non-interleaved")
             sid, _dct, act = scan[0]
             ci = cid_to_ci[sid]
+            p1 = 1 << al
             eobrun = 0
             blk_n = 0
             for my in range(mcuy):
@@ -621,25 +767,69 @@ def _decode_progressive(
                         br.restart()
                         eobrun = 0
                     blk_n += 1
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = ac_tables[act].decode(br)
-                        run, sz = sym >> 4, sym & 0xF
-                        if sz == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            # EOBn: this block ends; (1<<run)-1 + bits more follow
-                            eobrun = (1 << run) - 1 + (br.bits(run) if run else 0)
-                            break
-                        k += run
-                        if k > se:
-                            raise ValueError("AC run past end of band")
-                        coefs[ci][my, mx, k] = _extend(br.bits(sz), sz)
-                        k += 1
+                    coef = coefs[ci][my, mx]
+                    if ah == 0:  # first pass for this band
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = ac_tables[act].decode(br)
+                            run, sz = sym >> 4, sym & 0xF
+                            if sz == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                # EOBn: (1<<run)-1 + bits more blocks end
+                                eobrun = (1 << run) - 1 + (br.bits(run) if run else 0)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC run past end of band")
+                            coef[k] = _extend(br.bits(sz), sz) << al
+                            k += 1
+                    else:  # refinement pass (G.1.2.3)
+                        k = ss
+                        if not eobrun:
+                            while k <= se:
+                                sym = ac_tables[act].decode(br)
+                                run, sz = sym >> 4, sym & 0xF
+                                newval = 0
+                                if sz == 0:
+                                    if run != 15:  # EOBn
+                                        eobrun = (1 << run) - 1 + (
+                                            br.bits(run) if run else 0
+                                        ) + 1  # +1: this block\'s remainder too
+                                        break
+                                    # ZRL: skip 16 zero-history coeffs
+                                else:
+                                    if sz != 1:
+                                        raise ValueError(
+                                            "refinement scan symbol must have size 1"
+                                        )
+                                    newval = p1 if br.bit() else -p1
+                                # advance over `run` zero-history coeffs,
+                                # reading correction bits for nonzero ones
+                                while k <= se:
+                                    if coef[k] != 0:
+                                        _refine_nonzero(br, coef, k, p1)
+                                    else:
+                                        if run == 0:
+                                            break
+                                        run -= 1
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError("AC run past end of band")
+                                    coef[k] = newval
+                                k += 1
+                        if eobrun:
+                            # rest of the block: correction bits only
+                            while k <= se:
+                                if coef[k] != 0:
+                                    _refine_nonzero(br, coef, k, p1)
+                                k += 1
+                            eobrun -= 1
 
     planes = []
     for ci, (_cid, _hi, _vi, qid) in enumerate(comps):

@@ -54,6 +54,21 @@ SESSION_GAP = "30 minutes"
 DEFAULT_WATERMARK_DELAY = "1 hour"
 
 
+def write_batch_idempotent(df: DataFrame, dest_dir: str, batch_id: int) -> None:
+    """Idempotent ``foreachBatch`` parquet write. A blind
+    ``.mode("append")`` inside foreachBatch is only AT-LEAST-once: a
+    crash after the parquet write but before the checkpoint commit
+    replays the batch on restart and duplicates its rows. Writing each
+    batch to its own ``batch_id=N`` partition directory with overwrite
+    makes the replay land on the same path — idempotent, so the sink is
+    exactly-once end-to-end. Readers see ``dest_dir`` as a
+    batch_id-partitioned parquet tree (drop the ``batch_id`` column if
+    unwanted)."""
+    import os
+
+    df.write.mode("overwrite").parquet(os.path.join(dest_dir, f"batch_id={int(batch_id)}"))
+
+
 def stream_events(spark: SparkSession, src_dir: str, fmt: str = "parquet") -> DataFrame:
     """File-source stream: new files in src_dir are the 'incremental
     loads'; Spark's checkpoint replaces the reference's watermark CSV."""
@@ -149,14 +164,16 @@ def streaming_decontaminate(
     broadcast into every micro-batch; each arriving corpus shard runs
     the same broadcast equi-join + per-doc agg via ``foreachBatch``.
     A document lives entirely inside one file → one micro-batch, so
-    per-doc overlap needs NO cross-batch streaming state, and results
-    append exactly-once under the checkpoint."""
+    per-doc overlap needs NO cross-batch streaming state; results land
+    exactly-once via the idempotent per-batch_id overwrite
+    (``write_batch_idempotent`` — a blind append here would duplicate
+    rows on crash-replay)."""
     from etl_jlp_spark.operators.similarity import decon_overlap
 
     stream = stream_documents(spark, docs_src_dir, schema)
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        decon_overlap(batch_df, bench_shingles).write.mode("append").parquet(dest_dir)
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(decon_overlap(batch_df, bench_shingles), dest_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -181,14 +198,15 @@ def streaming_lm_score(
     arriving corpus shard is scored by the same
     ``score_docs_with_lm`` the batch query uses. A document lives
     entirely inside one file → one micro-batch, so the per-doc mean
-    log-prob needs NO cross-batch state; results append exactly-once
-    under the checkpoint."""
+    log-prob needs NO cross-batch state; results land exactly-once via
+    the idempotent per-batch_id overwrite (``write_batch_idempotent``
+    — a blind append here would duplicate rows on crash-replay)."""
     from etl_jlp_spark.operators.ir import score_docs_with_lm
 
     stream = stream_documents(spark, docs_src_dir, schema)
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        score_docs_with_lm(batch_df, lm, lm_stats).write.mode("append").parquet(dest_dir)
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(score_docs_with_lm(batch_df, lm, lm_stats), dest_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(handle)

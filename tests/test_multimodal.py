@@ -234,6 +234,48 @@ def test_jpeg_progressive_decodes_bit_identical_to_baseline():
         assert prog == base, (w, h)
 
 
+def test_jpeg_progressive_per_scan_dht_uses_sos_time_tables():
+    """libjpeg's default arrangement re-emits DHT before each AC scan,
+    REDEFINING table ids: scan 3 switches AC table 0 to a different
+    canonical ordering, scan 4 switches back. Decoding every scan with
+    the final marker state would apply scan 4's table to scan 3 and
+    produce garbage — the decoder must snapshot tables at each SOS."""
+    from etl_jlp_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    fn = lambda x, y: ((x * 7) % 256, (y * 3) % 256, ((x * y) + 11) % 256)
+    for w, h in ((37, 23), (16, 9)):
+        base = decode_jpeg(encode_jpeg(w, h, fn))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, fn, per_scan_dht=True))
+        assert prog == base, (w, h)
+
+
+def test_jpeg_progressive_successive_approximation_bit_identical():
+    """Successive approximation (first pass at Al=1 + Ah=1 refinement
+    for DC and every AC band — what real progressive encoders emit)
+    is a lossless re-arrangement: the 8-scan SA stream must decode
+    EXACTLY like the baseline stream, including with per-scan DHT
+    redefinition layered on top."""
+    from etl_jlp_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    fn = lambda x, y: ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    for w, h in ((37, 23), (8, 8), (16, 9)):
+        base = decode_jpeg(encode_jpeg(w, h, fn))
+        sa = decode_jpeg(encode_jpeg_progressive(w, h, fn, successive=True))
+        assert sa == base, (w, h)
+    both = decode_jpeg(
+        encode_jpeg_progressive(37, 23, fn, per_scan_dht=True, successive=True)
+    )
+    assert both == decode_jpeg(encode_jpeg(37, 23, fn))
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI + RSTn streams (the camera error-resilience layout) must
     decode to EXACTLY the same means as the restart-free stream — the
@@ -265,14 +307,17 @@ def test_jpeg_rejects_out_of_scope_streams():
     p[p.index(b"\xff\xc0") + 1] = 0xC2
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(p))
-    # successive approximation (Ah/Al != 0): explicit NotImplementedError
+    # a DQT that redefines a table id between scans would silently
+    # dequantize earlier scans with the wrong table — explicit error
     from etl_jlp_spark.multimodal.jpeg import encode_jpeg_progressive
 
     q = bytearray(encode_jpeg_progressive(8, 8, lambda x, y: (1, 2, 3)))
-    # second SOS = first AC scan; its Ah/Al byte is the last of the header
     first = q.index(b"\xff\xda")
     second = q.index(b"\xff\xda", first + 2)
-    q[second + 4 + 5] = 0x01  # Al=1 -> successive approximation
+    import struct as _struct
+
+    dqt = b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([9] * 64)
+    q[second:second] = dqt  # redefine qtable 0 between scan 1 and scan 2
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(q))
 

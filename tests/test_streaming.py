@@ -122,13 +122,16 @@ def test_streaming_decontaminate_matches_batch(spark, docs_dir, tmp_path):
 
     q = streaming_decontaminate(spark, corpus_dir, docs.schema, bench, dest, ckpt)
     q.awaitTermination(120)
-    got = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    read_out = lambda: sorted(
+        map(tuple, spark.read.parquet(dest).drop("batch_id").collect())
+    )
+    got = read_out()
     want = sorted(map(tuple, decontaminate_docs(spark, SF_SMALL).collect()))
     assert got == want
     # restart with the same checkpoint: exactly-once, no duplicate rows
     q2 = streaming_decontaminate(spark, corpus_dir, docs.schema, bench, dest, ckpt)
     q2.awaitTermination(120)
-    assert sorted(map(tuple, spark.read.parquet(dest).collect())) == want
+    assert read_out() == want
 
 
 def test_streaming_balance_mix_matches_batch(spark, docs_dir):
@@ -221,9 +224,29 @@ def test_streaming_lm_score_matches_batch(spark, docs_dir, tmp_path):
 
     q = streaming_lm_score(spark, docs_dir, docs.schema, lm, lm_stats, dest, ckpt)
     q.awaitTermination(120)
-    got = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    read_out = lambda: sorted(
+        map(tuple, spark.read.parquet(dest).drop("batch_id").collect())
+    )
+    got = read_out()
     want = sorted(map(tuple, ngram_lm_score(spark, SF_SMALL).collect()))
     assert got == want
     q2 = streaming_lm_score(spark, docs_dir, docs.schema, lm, lm_stats, dest, ckpt)
     q2.awaitTermination(120)
-    assert sorted(map(tuple, spark.read.parquet(dest).collect())) == want
+    assert read_out() == want
+
+
+def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
+    """The crash-replay scenario the checkpoint cannot cover: the batch
+    parquet write succeeded but the commit did not, so foreachBatch
+    re-runs with the SAME batch_id. The per-batch_id overwrite must
+    absorb the replay instead of appending duplicates."""
+    from etl_jlp_spark.streaming.pipeline import write_batch_idempotent
+
+    dest = str(tmp_path / "idem_out")
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    write_batch_idempotent(df, dest, 0)
+    write_batch_idempotent(df, dest, 0)  # replay of batch 0
+    write_batch_idempotent(df, dest, 1)
+    out = spark.read.parquet(dest)
+    assert out.count() == 20  # 10 per DISTINCT batch, replay absorbed
+    assert out.select("batch_id").distinct().count() == 2
