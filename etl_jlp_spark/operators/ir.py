@@ -355,6 +355,24 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("occurrences"), F.asc("pair")).limit(BPE_TOP_K)
 
 
+def bm25_contrib():
+    """One term's BM25 score contribution as a Column over a row with
+    (tf, df, dl, n_docs, avgdl) — the single formula shared by the
+    batch queries and the streaming probe twin."""
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfd = F.col("tf").cast("double")
+    norm = tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    return idf * tfd * (BM25_K1 + 1.0) / norm
+
+
+def term_buckets(terms: list[str]) -> list[str]:
+    """The 'b'-prefixed pbucket partition values a term list hashes
+    into — the ≤|terms| posting directories a probe needs to read."""
+    import hashlib
+
+    return sorted({"b" + hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
+
+
 def _ir_index_paths(sf_dir: str) -> tuple[str, str, str]:
     import os
 
@@ -442,25 +460,19 @@ def bm25_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories its terms hash into (directory pruning on pbucket +
     row filter on term), broadcast-joins the term/corpus stats, and
     aggregates — the corpus text is never touched at query time."""
-    import hashlib
-
     postings_path, termstats_path, corpus_path = ensure_ir_index(spark, sf_dir)
     terms = list(BM25_QUERY_TERMS)
-    buckets = sorted({"b" + hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
     posts = (
         spark.read.parquet(postings_path)
-        .filter(F.col("pbucket").isin(buckets) & F.col("term").isin(terms))
+        .filter(F.col("pbucket").isin(term_buckets(terms)) & F.col("term").isin(terms))
     )
     tstats = spark.read.parquet(termstats_path).filter(F.col("term").isin(terms))
     cstats = spark.read.parquet(corpus_path)
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tfd = F.col("tf").cast("double")
-    norm = tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     scored = (
         posts.join(F.broadcast(tstats), "term")
         .crossJoin(F.broadcast(cstats))
         .groupBy("doc_id")
-        .agg(F.sum(idf * tfd * (BM25_K1 + 1.0) / norm).alias("s"))
+        .agg(F.sum(bm25_contrib()).alias("s"))
         .select("doc_id", F.round("s", 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)

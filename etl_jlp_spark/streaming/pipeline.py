@@ -216,6 +216,89 @@ def streaming_lm_score(
     )
 
 
+def streaming_bm25_search(
+    spark: SparkSession,
+    queries_src_dir: str,
+    schema,
+    sf_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of operators.ir.bm25_search_prebuilt — the
+    amortized-index story's serving path: the inverted index (bucketed
+    postings, term stats, corpus stats) is built ONCE by
+    ``ensure_ir_index``; arriving micro-batches of search queries
+    (query_id, query_text) are scored against the STATIC store. Per
+    batch, the query texts tokenize to a bounded term set (collected:
+    ∝ batch queries × terms/query, never corpus-sized), so the postings
+    scan partition-prunes to ≤|batch terms| pbucket directories exactly
+    like the batch probe; term/corpus stats and the (query_id, term)
+    pairs broadcast into the join. Top-{K} per query via a
+    query_id-partitioned rank window (high-cardinality key — the
+    multi-query generalization of the batch probe's TakeOrdered).
+    Exactly-once via the idempotent per-batch_id overwrite.
+
+    Reference: dwh_lab keyword ranking (SURVEY §2) has no serving
+    path at all — this is the beyond-reference production shape."""
+    from pyspark.sql import Window
+
+    from etl_jlp_spark.operators.ir import (
+        BM25_TOP_K,
+        WORD_PATTERN,
+        bm25_contrib,
+        ensure_ir_index,
+        term_buckets,
+    )
+
+    postings_path, termstats_path, corpus_path = ensure_ir_index(spark, sf_dir)
+    cstats = spark.read.parquet(corpus_path)  # 1 row
+    stream = spark.readStream.format("parquet").schema(schema).load(queries_src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        qterms = batch_df.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower("query_text"), F.lit(WORD_PATTERN), 0
+                    )
+                )
+            ).alias("term"),
+        )
+        # bounded collect: the BATCH's distinct terms, not the vocab
+        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+        empty = spark.createDataFrame(
+            [], "query_id bigint, doc_id bigint, bm25 double, rank bigint"
+        )
+        if not terms:
+            write_batch_idempotent(empty, dest_dir, batch_id)
+            return
+        posts = spark.read.parquet(postings_path).filter(
+            F.col("pbucket").isin(term_buckets(terms)) & F.col("term").isin(terms)
+        )
+        tstats = spark.read.parquet(termstats_path).filter(F.col("term").isin(terms))
+        scored = (
+            posts.join(F.broadcast(tstats), "term")
+            .crossJoin(F.broadcast(cstats))
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum(bm25_contrib()), 4).alias("bm25"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= BM25_TOP_K)
+        )
+        write_batch_idempotent(topk, dest_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_balance_mix(docs_stream: DataFrame, rates: DataFrame) -> DataFrame:
     """Streaming twin of operators.sampling.balance_source_mix's filter
     phase: the per-source rate table comes from a prior batch pass (or

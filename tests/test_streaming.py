@@ -250,3 +250,42 @@ def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == 20  # 10 per DISTINCT batch, replay absorbed
     assert out.select("batch_id").distinct().count() == 2
+
+
+def test_streaming_bm25_matches_prebuilt_probe(spark, tmp_path):
+    """A streamed query whose text tokenizes to exactly the batch
+    probe's term list must return the batch probe's top-K (same docs,
+    same scores, same order), and a checkpoint restart must not
+    duplicate results. A second query in the same batch exercises the
+    multi-query rank window."""
+    from etl_jlp_spark.operators.ir import BM25_QUERY_TERMS, bm25_search_prebuilt
+    from etl_jlp_spark.streaming.pipeline import streaming_bm25_search
+
+    qdf = spark.createDataFrame(
+        [(1, " ".join(BM25_QUERY_TERMS)), (2, "vector vector")],
+        "query_id long, query_text string",
+    )
+    src = str(tmp_path / "bm25_q_src")
+    qdf.coalesce(1).write.parquet(src)
+    dest = str(tmp_path / "bm25_out")
+    ckpt = str(tmp_path / "bm25_ckpt")
+
+    q = streaming_bm25_search(spark, src, qdf.schema, SF_SMALL, dest, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(dest).drop("batch_id")
+    got1 = [
+        (r["doc_id"], r["bm25"])
+        for r in out.filter(F.col("query_id") == 1).orderBy("rank").collect()
+    ]
+    want = [
+        (r["doc_id"], r["bm25"]) for r in bm25_search_prebuilt(spark, SF_SMALL).collect()
+    ]
+    assert got1 == want
+    # the single-term query returns results too, capped at top-K
+    n2 = out.filter(F.col("query_id") == 2).count()
+    assert 0 < n2 <= len(want)
+
+    q2 = streaming_bm25_search(spark, src, qdf.schema, SF_SMALL, dest, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dest).drop("batch_id").count() == out.count()
