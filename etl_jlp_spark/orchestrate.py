@@ -191,3 +191,166 @@ class AlertOutbox:
                 return [json.loads(line) for line in f if line.strip()]
         except FileNotFoundError:
             return []
+
+
+# ---------------------------------------------------------------------------
+# Schedule / calendar semantics
+# ---------------------------------------------------------------------------
+
+
+class CronSchedule:
+    """Five-field cron expression (minute hour day-of-month month
+    day-of-week) with standard cron/Airflow calendar semantics — the
+    analog of the reference DAG's ``schedule_interval`` (the Airflow
+    deployment under dwh_lab/airflow.cfg runs dwh_dag on a cron
+    schedule; this repo has no daemon, so the schedule is evaluated
+    on demand and the poller below supplies the trigger loop).
+
+    Field syntax: ``*``, single values, ``a-b`` ranges, ``a,b,c``
+    lists, ``*/n`` and ``a-b/n`` steps. Day-of-week is 0-6 with
+    0=Sunday (7 accepted as Sunday). The classic cron quirk is kept:
+    when BOTH day-of-month and day-of-week are restricted, a date
+    matches if EITHER matches."""
+
+    _BOUNDS = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
+
+    def __init__(self, expression: str) -> None:
+        parts = expression.split()
+        if len(parts) != 5:
+            raise ValueError(f"cron expression needs 5 fields, got {expression!r}")
+        self.expression = expression
+        self.fields: list[frozenset[int]] = []
+        for spec, (lo, hi) in zip(parts, self._BOUNDS):
+            vals: set[int] = set()
+            for piece in spec.split(","):
+                body, _, step_s = piece.partition("/")
+                step = int(step_s) if step_s else 1
+                if step < 1:
+                    raise ValueError(f"bad step in {piece!r}")
+                if body == "*":
+                    a, b = lo, hi
+                elif "-" in body:
+                    a_s, b_s = body.split("-", 1)
+                    a, b = int(a_s), int(b_s)
+                else:
+                    a = b = int(body)
+                    if step_s:  # "5/2" is not valid cron
+                        raise ValueError(f"step needs a range or * in {piece!r}")
+                if a == 7 and (lo, hi) == (0, 6):
+                    a = 0
+                if b == 7 and (lo, hi) == (0, 6):
+                    b = 0
+                if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+                    raise ValueError(f"value out of range in {piece!r} for {spec!r}")
+                vals.update(range(a, b + 1, step))
+            self.fields.append(frozenset(vals))
+        self._dom_restricted = parts[2] != "*"
+        self._dow_restricted = parts[4] != "*"
+
+    def matches(self, dt) -> bool:
+        minute, hour, dom, month, dow = self.fields
+        if dt.minute not in minute or dt.hour not in hour or dt.month not in month:
+            return False
+        dom_ok = dt.day in dom
+        dow_ok = (dt.isoweekday() % 7) in dow  # isoweekday: Mon=1..Sun=7 → Sun=0
+        if self._dom_restricted and self._dow_restricted:
+            return dom_ok or dow_ok  # the classic cron OR rule
+        return dom_ok and dow_ok
+
+    def next_fire(self, after):
+        """First matching minute STRICTLY after ``after`` (seconds
+        truncated). Linear minute scan, bounded at 4 years — every
+        satisfiable 5-field expression fires within that horizon
+        (Feb-29-specific schedules included)."""
+        from datetime import timedelta
+
+        dt = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        for _ in range(4 * 366 * 24 * 60):
+            if self.matches(dt):
+                return dt
+            dt += timedelta(minutes=1)
+        raise ValueError(f"unsatisfiable cron expression {self.expression!r}")
+
+    def due_runs(self, last_logical, now, catchup: bool = True) -> list:
+        """Logical dates due at ``now`` under Airflow interval
+        semantics: the run for the data interval [fire_i, fire_{i+1})
+        triggers once the interval ENDS — a run's logical date is the
+        interval start, and it becomes due at the next fire time.
+        ``last_logical`` is the newest already-run logical date (None
+        → nothing ran yet; only intervals ending after ``now`` minus
+        one full cycle are considered, i.e. no unbounded backfill).
+        ``catchup=False`` collapses the backlog to the newest due
+        interval, exactly like Airflow's catchup flag."""
+        if last_logical is None:
+            # first-ever evaluation (no start_date): the newest fire
+            # ≤ now opens the current, still-incomplete interval; the
+            # fire before it is the newest COMPLETE interval — run
+            # exactly that one (no unbounded backfill). The scan is
+            # bounded to a 62-day lookback window.
+            from datetime import timedelta
+
+            fires = []
+            t = now - timedelta(days=62)
+            while True:
+                t = self.next_fire(t)
+                if t > now:
+                    break
+                fires.append(t)
+            return [fires[-2]] if len(fires) >= 2 else []
+        due = []
+        cursor = last_logical
+        while True:
+            nxt = self.next_fire(cursor)  # logical date of the next interval
+            end = self.next_fire(nxt)  # that interval ends at the fire after
+            if end > now:
+                break
+            due.append(nxt)
+            cursor = nxt
+        if not catchup and len(due) > 1:
+            due = due[-1:]
+        return due
+
+
+def run_on_schedule(
+    pipeline: Pipeline,
+    schedule: CronSchedule,
+    state_path: str,
+    now,
+    catchup: bool = True,
+    **context,
+) -> list[dict]:
+    """One poll of the trigger loop: compute the schedule's due logical
+    dates from the persisted DAG-run state, execute the pipeline once
+    per due interval (oldest first, ``logical_date`` and
+    ``data_interval_end`` injected into the step context like
+    Airflow's template variables), and advance the state AFTER each
+    run so a crash mid-backlog resumes where it stopped. Re-polling
+    with an unchanged clock is a no-op — the state file makes the
+    poller idempotent, the way the streaming checkpoints make the
+    ingest twins idempotent."""
+    import os
+    from datetime import datetime
+
+    last = None
+    try:
+        with open(state_path, encoding="utf-8") as f:
+            state = json.load(f)
+        if state.get("last_logical_date"):
+            last = datetime.fromisoformat(state["last_logical_date"])
+    except FileNotFoundError:
+        pass
+
+    reports = []
+    for logical in schedule.due_runs(last, now, catchup=catchup):
+        report = pipeline.run(
+            logical_date=logical,
+            data_interval_end=schedule.next_fire(logical),
+            **context,
+        )
+        report["logical_date"] = logical.isoformat()
+        reports.append(report)
+        tmp = f"{state_path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"last_logical_date": logical.isoformat()}, f)
+        os.replace(tmp, state_path)  # atomic: state never half-written
+    return reports

@@ -208,3 +208,112 @@ def test_alert_outbox_empty_when_all_green(tmp_path):
 
     assert p.run(on_error=outbox)["status"] == "success"
     assert outbox.read() == []
+
+
+# ---------------------------------------------------------------------------
+# schedule / calendar semantics
+# ---------------------------------------------------------------------------
+
+
+def test_cron_next_fire_basic_shapes():
+    from datetime import datetime
+
+    from etl_jlp_spark.orchestrate import CronSchedule
+
+    t = datetime(2026, 8, 13, 10, 7)
+    assert CronSchedule("0 6 * * *").next_fire(t) == datetime(2026, 8, 14, 6, 0)
+    assert CronSchedule("*/15 * * * *").next_fire(t) == datetime(2026, 8, 13, 10, 15)
+    assert CronSchedule("30 2 1 * *").next_fire(t) == datetime(2026, 9, 1, 2, 30)
+    # weekdays only: 2026-08-14 is a Friday, 15th/16th are weekend
+    wd = CronSchedule("0 9 * * 1-5")
+    assert wd.next_fire(datetime(2026, 8, 14, 9, 0)) == datetime(2026, 8, 17, 9, 0)
+    # 7 accepted as Sunday
+    assert CronSchedule("0 0 * * 7").next_fire(t) == datetime(2026, 8, 16, 0, 0)
+    # exact-minute boundary is STRICTLY after
+    assert CronSchedule("7 10 * * *").next_fire(datetime(2026, 8, 13, 10, 7)) == datetime(
+        2026, 8, 14, 10, 7
+    )
+
+
+def test_cron_dom_dow_or_rule():
+    """When BOTH day-of-month and day-of-week are restricted, classic
+    cron matches if EITHER does."""
+    from datetime import datetime
+
+    from etl_jlp_spark.orchestrate import CronSchedule
+
+    s = CronSchedule("0 0 13 * 5")  # the 13th OR any Friday
+    assert s.matches(datetime(2026, 8, 13, 0, 0))  # a Thursday, but the 13th
+    assert s.matches(datetime(2026, 8, 14, 0, 0))  # a Friday, not the 13th
+    assert not s.matches(datetime(2026, 8, 15, 0, 0))  # Saturday the 15th
+
+
+def test_cron_rejects_bad_expressions():
+    import pytest as _pytest
+
+    from etl_jlp_spark.orchestrate import CronSchedule
+
+    for bad in ("0 6 * *", "61 * * * *", "* * 0 * *", "*/0 * * * *", "5/2 * * * *"):
+        with _pytest.raises(ValueError):
+            CronSchedule(bad)
+
+
+def test_due_runs_catchup_semantics():
+    """A run's logical date is its interval START and it becomes due at
+    the interval END; a 3-day outage on a daily schedule yields 3 due
+    runs in order (catchup) or just the newest (catchup=False)."""
+    from datetime import datetime
+
+    from etl_jlp_spark.orchestrate import CronSchedule
+
+    s = CronSchedule("0 6 * * *")
+    last = datetime(2026, 8, 10, 6, 0)
+    now = datetime(2026, 8, 13, 12, 0)
+    assert s.due_runs(last, now) == [
+        datetime(2026, 8, 11, 6, 0),
+        datetime(2026, 8, 12, 6, 0),
+        # the Aug 13 06:00 interval is still OPEN at noon (ends Aug 14)
+    ]
+    assert s.due_runs(last, now, catchup=False) == [datetime(2026, 8, 12, 6, 0)]
+    # nothing ran yet: exactly the newest COMPLETE interval
+    assert s.due_runs(None, now) == [datetime(2026, 8, 12, 6, 0)]
+    # fully caught up: no runs due
+    assert s.due_runs(datetime(2026, 8, 12, 6, 0), now) == []
+
+
+def test_run_on_schedule_persists_state_and_is_idempotent(tmp_path):
+    """The poller must execute one pipeline run per due interval with
+    logical_date injected, persist state after each, and be a no-op on
+    re-poll with an unchanged clock (crash-safe catchup bookkeeping)."""
+    from datetime import datetime
+
+    from etl_jlp_spark.orchestrate import CronSchedule, Pipeline, run_on_schedule
+
+    seen = []
+    pipe = Pipeline("scheduled")
+
+    @pipe.step("only")
+    def only(logical_date=None, data_interval_end=None, upstream=None):
+        seen.append((logical_date, data_interval_end))
+        return None
+
+    s = CronSchedule("0 6 * * *")
+    state = str(tmp_path / "dagrun_state.json")
+    now = datetime(2026, 8, 13, 12, 0)
+
+    # first poll: nothing ran yet → newest complete interval only
+    reports = run_on_schedule(pipe, s, state, now)
+    assert [r["logical_date"] for r in reports] == ["2026-08-12T06:00:00"]
+    assert seen == [(datetime(2026, 8, 12, 6, 0), datetime(2026, 8, 13, 6, 0))]
+    assert all(r["status"] == "success" for r in reports)
+
+    # re-poll, same clock: idempotent no-op
+    assert run_on_schedule(pipe, s, state, now) == []
+
+    # two days later: the backlog catches up in order
+    later = datetime(2026, 8, 15, 7, 0)
+    reports = run_on_schedule(pipe, s, state, later)
+    assert [r["logical_date"] for r in reports] == [
+        "2026-08-13T06:00:00",
+        "2026-08-14T06:00:00",
+    ]
