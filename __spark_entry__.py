@@ -34,6 +34,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     keywords,
     quality_rules,
     sampling,
+    scd,
     sessionize,
     similarity,
     skew,
@@ -71,6 +72,9 @@ _R5_PRIORITY = [
     "curate_documents",
     "training_data_pipeline",
     "corpus_index_pipeline",
+    # NEW in round 5 — need their first driver row
+    "scd2_build",
+    "scd2_apply",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -110,6 +110,9 @@ HEADLINE = [
     "embedding_quantize",
     "bm25_search_prebuilt",
     "corpus_index_pipeline",
+    # round 5 additions
+    "scd2_build",
+    "scd2_apply",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",
