@@ -13,16 +13,17 @@ JPEG with interleaved scan order, not just this encoder's output.
 Restart intervals (DRI + RSTn markers, DC-predictor resets) are
 supported on both sides, and progressive (SOF2) streams decode via the
 multi-scan path: spectral selection AND successive approximation
-(first + refinement passes, T.81 G.1.2), with Huffman tables and the
+(first + refinement passes, T.81 G.1.2), interleaved-DC/non-interleaved
+-AC addressing for SUBSAMPLED components (4:2:0 progressive — the
+layout most real progressive JPEGs use), with Huffman tables and the
 restart interval snapshotted at each scan's SOS so per-scan DHT
 redefinition — libjpeg's default arrangement — decodes correctly (a
 progressive encoder ships too, with ``per_scan_dht`` / ``successive``
-modes; every arrangement of the same coefficients decodes
-bit-identically).
-Out-of-scope features fail loudly: progressive with subsampled
-components, mid-stream DQT redefinition, 16-bit quant tables, and
-arithmetic coding raise ValueError/NotImplementedError rather than
-mis-decode.
+/ ``subsampling`` modes; every arrangement of the same coefficients
+decodes bit-identically).
+8- and 16-bit quantization tables (DQT Pq=0/1) both parse.
+Out-of-scope features fail loudly: mid-stream DQT redefinition and
+arithmetic coding raise rather than mis-decode.
 
 The encoder does NOT use the Annex-K example Huffman tables; it emits
 its own canonical tables in DHT (12 four-bit DC codes, 162 eight-bit AC
@@ -302,43 +303,78 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    width: int, height: int, pixel_fn, per_scan_dht: bool = False, successive: bool = False
+    width: int,
+    height: int,
+    pixel_fn,
+    per_scan_dht: bool = False,
+    successive: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
-    """Progressive (SOF2) JPEG via spectral selection, 4:4:4, no
-    successive approximation: scan 1 is the interleaved DC pass for all
-    three components, scans 2-4 each carry one component's full AC band
-    (Ss=1..Se=63). A lossless re-arrangement of the same quantized
-    coefficients the baseline encoder writes — decoders must produce
-    bit-identical images for both.
+    """Progressive (SOF2) JPEG via spectral selection: scan 1 is the
+    interleaved DC pass for all three components, later scans each
+    carry one component's AC band (Ss=1..Se=63). A lossless
+    re-arrangement of the same quantized coefficients the baseline
+    encoder writes — decoders must produce bit-identical images for
+    both.
+
+    ``subsampling='420'`` emits 2×2-subsampled chroma: the DC scan
+    interleaves 4 luma + 2 chroma blocks per MCU, and each AC scan
+    covers its component's NOMINAL ceil(dim/8) block raster only
+    (A.2.2 non-interleaved addressing — MCU padding blocks are never
+    coded in AC scans).
 
     ``per_scan_dht=True`` mirrors libjpeg's default progressive
     arrangement: a fresh DHT precedes each AC scan, REDEFINING AC table
     id 0 (scan 3 switches to a differently-ordered canonical table,
-    scan 4 switches back). A decoder that parses all markers first and
-    decodes every scan with the final table state mis-decodes this —
-    tests use it to pin the per-scan table-snapshot semantics.
+    later AC scans switch back). A decoder that parses all markers
+    first and decodes every scan with the final table state mis-decodes
+    this — tests use it to pin the per-scan table-snapshot semantics.
 
     ``successive=True`` adds successive approximation (T.81 G.1.2),
     the arrangement most progressive encoders actually emit: DC and
     each AC band are sent as an Al=1 first pass (high bits) followed
-    by an Ah=1/Al=0 refinement pass (low bits) — 8 scans total, still
-    a lossless re-arrangement of the same quantized coefficients."""
+    by an Ah=1/Al=0 refinement pass (low bits) — still a lossless
+    re-arrangement of the same quantized coefficients."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     rgb = np.zeros((height, width, 3))
     for y in range(height):
         for x in range(width):
             rgb[y, x] = pixel_fn(x, y)
     ycc = _rgb_to_ycbcr(rgb)
-    bx, by = -(-width // 8), -(-height // 8)
-    padded = np.pad(ycc, ((0, by * 8 - height), (0, bx * 8 - width), (0, 0)), mode="edge")
+    hs, vs = (1, 1) if subsampling == "444" else (2, 2)  # luma factors
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux, mcuy = -(-width // mcu_w), -(-height // mcu_h)
+    padded = np.pad(
+        ycc, ((0, mcuy * mcu_h - height), (0, mcux * mcu_w - width), (0, 0)), mode="edge"
+    )
+    if subsampling == "420":
+        ph, pw = padded.shape[:2]
+        planes = [padded[..., 0]] + [
+            padded[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for c in (1, 2)
+        ]
+    else:
+        planes = [padded[..., c] for c in range(3)]
+    samplings = [(hs, vs), (1, 1), (1, 1)]
 
-    # quantize every block of every component once
-    qzz = np.zeros((3, by, bx, 64), dtype=np.int64)
-    for ci in range(3):
+    # quantize every MCU-padded block of every component once
+    qzz = []
+    for ci, (plane, (hi, vi)) in enumerate(zip(planes, samplings)):
         qt = _QT_LUMA if ci == 0 else _QT_CHROMA
-        for yb in range(by):
-            for xb in range(bx):
-                blk = padded[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8, ci]
-                qzz[ci, yb, xb] = _quantize_zz(blk, qt)
+        bh, bw_ = mcuy * vi, mcux * hi
+        blocks = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for yb in range(bh):
+            for xb in range(bw_):
+                blk = plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                blocks[yb, xb] = _quantize_zz(blk, qt)
+        qzz.append(blocks)
+    # nominal rasters: what non-interleaved AC scans actually cover
+    nom = []
+    for hi, vi in samplings:
+        ch = -(-height * vi // vs)
+        cw = -(-width * hi // hs)
+        nom.append((-(-ch // 8), -(-cw // 8)))
 
     out = bytearray(b"\xff\xd8")
     for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
@@ -346,45 +382,54 @@ def encode_jpeg_progressive(
     out += (
         b"\xff\xc2"  # SOF2: progressive
         + struct.pack(">HBHHB", 17, 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALUES)
     if not per_scan_dht:
         out += _dht_segment(1, 0, _AC_BITS, _AC_VALUES)
 
     al1 = 1 if successive else 0  # first-pass point transform
-    # scan 1: interleaved DC, all components (Ss=0 Se=0 Ah=0 Al=al1)
-    out += (
-        b"\xff\xda"
-        + struct.pack(">HB", 12, 3)
-        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, al1])
-    )
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    for yb in range(by):
-        for xb in range(bx):
-            for ci in range(3):
-                dc = int(qzz[ci, yb, xb, 0]) >> al1  # arithmetic shift (A.4)
-                _write_dc(bw, dc - preds[ci])
-                preds[ci] = dc
-    bw.flush()
-    out += bw.out
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        seg = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
+            [1, 0x00, 2, 0x00, 3, 0x00, 0, 0, (ah << 4) | al]
+        )
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samplings):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(qzz[ci][my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:
+                                d = dc >> al  # arithmetic shift (A.4)
+                                _write_dc(bw, d - preds[ci])
+                                preds[ci] = d
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+        bw.flush()
+        return seg + bw.out
+
+    out += dc_scan(0, al1)
 
     # an alternative valid canonical AC table: same code lengths, values
     # in reverse order — every (run,size) symbol gets a DIFFERENT code
     alt_values = list(reversed(_AC_VALUES))
     alt_codes = _canonical_codes(_AC_BITS, alt_values)
-    # scans 2-4: one component's AC band each (Ss=1 Se=63, Al=al1)
+    # AC first passes: one component's band each, NOMINAL raster only
     for ci in range(3):
-        use_alt = per_scan_dht and ci == 1  # scan 3 redefines, scan 4 reverts
+        use_alt = per_scan_dht and ci == 1
         if per_scan_dht:
-            vals = alt_values if use_alt else _AC_VALUES
-            out += _dht_segment(1, 0, _AC_BITS, vals)
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([ci + 1, 0x00, 1, 63, al1])
+            out += _dht_segment(1, 0, _AC_BITS, alt_values if use_alt else _AC_VALUES)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [ci + 1, 0x00, 1, 63, al1]
+        )
         bw = _BitWriter()
-        for yb in range(by):
-            for xb in range(bx):
-                band = qzz[ci, yb, xb]
+        bh, bw_ = nom[ci]
+        for yb in range(bh):
+            for xb in range(bw_):
+                band = qzz[ci][yb, xb]
                 if al1:
                     # AC point transform: divide by 2^Al, truncate
                     # toward zero (A.4) — NOT an arithmetic shift
@@ -394,31 +439,16 @@ def encode_jpeg_progressive(
         out += bw.out
 
     if successive:
-        # scan 5: interleaved DC refinement (Ah=1, Al=0) — one raw bit
-        # (the value's LSB) per block, no Huffman coding
-        out += (
-            b"\xff\xda"
-            + struct.pack(">HB", 12, 3)
-            + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, (1 << 4) | 0])
-        )
-        bw = _BitWriter()
-        for yb in range(by):
-            for xb in range(bx):
-                for ci in range(3):
-                    bw.write(int(qzz[ci, yb, xb, 0]) & 1, 1)
-        bw.flush()
-        out += bw.out
-        # scans 6-8: AC refinement per component (Ah=1, Al=0)
-        for ci in range(3):
-            out += (
-                b"\xff\xda"
-                + struct.pack(">HB", 8, 1)
-                + bytes([ci + 1, 0x00, 1, 63, (1 << 4) | 0])
+        out += dc_scan(1, 0)  # DC refinement: one raw LSB per block
+        for ci in range(3):  # AC refinement per component (Ah=1, Al=0)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+                [ci + 1, 0x00, 1, 63, (1 << 4) | 0]
             )
             bw = _BitWriter()
-            for yb in range(by):
-                for xb in range(bx):
-                    _write_ac_refine(bw, qzz[ci, yb, xb], 1, 63, 0)
+            bh, bw_ = nom[ci]
+            for yb in range(bh):
+                for xb in range(bw_):
+                    _write_ac_refine(bw, qzz[ci][yb, xb], 1, 63, 0)
             bw.flush()
             out += bw.out
 
@@ -559,9 +589,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
             i = 0
             while i < len(body):
                 prec, tid = body[i] >> 4, body[i] & 0xF
-                if prec != 0:
-                    raise NotImplementedError("16-bit quant tables not supported")
-                qt = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.float64)
+                if prec not in (0, 1):
+                    raise ValueError(f"bad DQT precision {prec}")
+                if prec:  # 16-bit entries (Pq=1): big-endian uint16
+                    qt = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.float64)
+                else:
+                    qt = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(
+                        np.float64
+                    )
                 # quant tables are applied at dequant time, AFTER all
                 # scans — a mid-stream redefinition would silently apply
                 # the wrong table to earlier scans' coefficients, so
@@ -572,7 +609,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                         f"quant table {tid} redefined between scans"
                     )
                 qtables[tid] = qt
-                i += 65
+                i += 129 if prec else 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
@@ -630,7 +667,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     inv_zz[_ZIGZAG] = np.arange(64)
 
     if progressive:
-        planes = _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz)
+        planes = _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz, w, h)
     else:
         planes = _decode_sequential(scans[0], comps, mcux, mcuy, qtables, inv_zz)
 
@@ -707,67 +744,98 @@ def _refine_nonzero(br: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:
         coef[k] += p1 if coef[k] > 0 else -p1
 
 
-def _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz):
+def _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz, w, h):
     """Progressive entropy decode: spectral selection AND successive
     approximation (first + refinement passes for both DC and AC bands,
-    T.81 G.1.2). Coefficients accumulate across scans at growing bit
-    precision; IDCT runs once at the end.
-    Each scan decodes with ITS OWN SOS-time Huffman-table / restart-
-    interval snapshot — real progressive encoders (libjpeg default)
-    redefine DHT ids between scans, so the final marker state is wrong
-    for all but the last scan. Restricted to uniform sampling (4:4:4)
-    — with one sampling factor the interleaved-DC MCU grid and each
-    component\'s non-interleaved block raster coincide at
-    (mcuy, mcux)."""
-    if any((hi, vi) != (comps[0][1], comps[0][2]) for (_c, hi, vi, _q) in comps):
-        raise NotImplementedError("progressive with subsampled components not supported")
+    T.81 G.1.2), with subsampled components (e.g. 4:2:0 progressive —
+    the layout most real progressive JPEGs use).
+    Coefficients accumulate across scans at growing bit precision;
+    IDCT runs once at the end. Each scan decodes with ITS OWN SOS-time
+    Huffman-table / restart-interval snapshot — real progressive
+    encoders (libjpeg default) redefine DHT ids between scans, so the
+    final marker state is wrong for all but the last scan.
+    Addressing (A.2): interleaved (multi-component DC) scans walk the
+    MCU grid with hi×vi blocks per component per MCU — the MCU-PADDED
+    raster; non-interleaved scans cover ONLY the component\'s nominal
+    ceil(dim/8) block raster in row-major order, skipping MCU padding
+    blocks entirely."""
     cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # per-component rasters: MCU-padded (interleaved addressing) vs
+    # nominal (non-interleaved scan coverage)
+    pad_shape = [(mcuy * vi, mcux * hi) for (_c, hi, vi, _q) in comps]
+    nom_shape = []
+    for _cid, hi, vi, _q in comps:
+        ch = -(-h * vi // vmax)  # component sample dims (A.1.1)
+        cw = -(-w * hi // hmax)
+        nom_shape.append((-(-ch // 8), -(-cw // 8)))
     # int64: successive approximation builds values bitwise (shifts /
     # ORs on two\'s-complement), which float buffers cannot express
-    coefs = [np.zeros((mcuy, mcux, 64), dtype=np.int64) for _ in comps]
+    coefs = [np.zeros((bh, bw, 64), dtype=np.int64) for (bh, bw) in pad_shape]
 
     for scan, ss, se, ah, al, data, dc_tables, ac_tables, restart_interval in scans:
         br = _BitReader(data)
-        if ss == 0:  # DC scan (interleaved over the scan\'s components)
+        if ss == 0:  # DC scan
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
             idxs = [cid_to_ci[sid] for (sid, _dct, _act) in scan]
             preds = {ci: 0 for ci in idxs}
-            mcu_n = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                        br.restart()
-                        preds = {ci: 0 for ci in idxs}
-                    mcu_n += 1
-                    for (sid, dct, _act), ci in zip(scan, idxs):
-                        if ah == 0:
-                            # first DC pass: diffs of (DC >> Al), the
-                            # point transform (arithmetic shift, A.4)
-                            size = dc_tables[dct].decode(br)
-                            diff = _extend(br.bits(size), size) if size else 0
-                            preds[ci] += diff
-                            coefs[ci][my, mx, 0] = preds[ci] << al
-                        else:
-                            # refinement: one raw bit per block sets bit
-                            # Al of the two\'s-complement value (G.1.2.1)
-                            if br.bit():
-                                coefs[ci][my, mx, 0] |= 1 << al
+
+            def dc_one(blk, dct, ci):
+                if ah == 0:
+                    # first DC pass: diffs of (DC >> Al), the point
+                    # transform (arithmetic shift, A.4)
+                    size = dc_tables[dct].decode(br)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                elif br.bit():
+                    # refinement: one raw bit per block sets bit Al of
+                    # the two\'s-complement value (G.1.2.1)
+                    blk[0] |= 1 << al
+
+            if len(scan) > 1:  # interleaved: MCU grid, hi×vi blocks each
+                mcu_n = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                            br.restart()
+                            preds = {ci: 0 for ci in idxs}
+                        mcu_n += 1
+                        for (sid, dct, _act), ci in zip(scan, idxs):
+                            _cid, hi, vi, _q = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    dc_one(coefs[ci][my * vi + by, mx * hi + bx], dct, ci)
+            else:  # non-interleaved DC: the component\'s nominal raster
+                (sid, dct, _act) = scan[0]
+                ci = cid_to_ci[sid]
+                bh, bw = nom_shape[ci]
+                blk_n = 0
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        if restart_interval and blk_n and blk_n % restart_interval == 0:
+                            br.restart()
+                            preds = {ci: 0 for ci in idxs}
+                        blk_n += 1
+                        dc_one(coefs[ci][byy, bxx], dct, ci)
         else:  # AC scan: exactly one component, band ss..se
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be non-interleaved")
             sid, _dct, act = scan[0]
             ci = cid_to_ci[sid]
+            bh, bw = nom_shape[ci]
             p1 = 1 << al
             eobrun = 0
             blk_n = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
+            for byy in range(bh):
+                for bxx in range(bw):
                     if restart_interval and blk_n and blk_n % restart_interval == 0:
                         br.restart()
                         eobrun = 0
                     blk_n += 1
-                    coef = coefs[ci][my, mx]
+                    coef = coefs[ci][byy, bxx]
                     if ah == 0:  # first pass for this band
                         if eobrun:
                             eobrun -= 1
@@ -834,10 +902,13 @@ def _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz):
     planes = []
     for ci, (_cid, _hi, _vi, qid) in enumerate(comps):
         qt = qtables[qid]
-        plane = np.zeros((mcuy * 8, mcux * 8))
-        for my in range(mcuy):
-            for mx in range(mcux):
-                coef = (coefs[ci][my, mx] * qt)[inv_zz].reshape(8, 8)
-                plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (_C.T @ coef @ _C) + 128.0
+        bh, bw = pad_shape[ci]
+        plane = np.zeros((bh * 8, bw * 8))
+        for byy in range(bh):
+            for bxx in range(bw):
+                coef = (coefs[ci][byy, bxx] * qt)[inv_zz].reshape(8, 8)
+                plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = (
+                    _C.T @ coef @ _C
+                ) + 128.0
         planes.append(plane)
     return planes

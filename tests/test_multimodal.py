@@ -276,6 +276,64 @@ def test_jpeg_progressive_successive_approximation_bit_identical():
     assert both == decode_jpeg(encode_jpeg(37, 23, fn))
 
 
+def test_jpeg_progressive_420_decodes_bit_identical_to_baseline_420():
+    """4:2:0 progressive — the layout most real progressive JPEGs use:
+    the interleaved DC scan walks the MCU grid (4 luma + 2 chroma
+    blocks), each AC scan covers its component's NOMINAL block raster
+    only (A.2.2 — MCU padding blocks are never AC-coded). The cropped
+    decode must equal the baseline 4:2:0 stream exactly, including
+    with successive approximation and per-scan DHTs on top. Sizes
+    chosen so the luma MCU-padded raster EXCEEDS the nominal raster
+    (w=37: 6 padded vs 5 nominal block columns)."""
+    from etl_jlp_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    fn = lambda x, y: ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    for w, h in ((37, 23), (16, 16), (17, 9)):
+        base420 = decode_jpeg(encode_jpeg(w, h, fn, subsampling="420"))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, fn, subsampling="420"))
+        assert prog == base420, (w, h)
+        sa = decode_jpeg(
+            encode_jpeg_progressive(w, h, fn, subsampling="420", successive=True)
+        )
+        assert sa == base420, (w, h, "successive")
+    everything = decode_jpeg(
+        encode_jpeg_progressive(
+            37, 23, fn, subsampling="420", successive=True, per_scan_dht=True
+        )
+    )
+    assert everything == decode_jpeg(encode_jpeg(37, 23, fn, subsampling="420"))
+
+
+def test_jpeg_16bit_quant_tables_decode_identically():
+    """DQT precision 1 (16-bit big-endian entries — what high-quality
+    encoders emit): rewriting a stream's 8-bit tables as 16-bit with
+    the same values must not change the decode at all."""
+    import struct as _struct
+
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    fn = lambda x, y: ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    p = bytes(encode_jpeg(37, 23, fn))
+    out = bytearray()
+    i = 0
+    while i < len(p):
+        if p[i] == 0xFF and i + 3 < len(p) and p[i + 1] == 0xDB:
+            (seglen,) = _struct.unpack_from(">H", p, i + 2)
+            body = p[i + 4 : i + 2 + seglen]
+            tid, vals = body[0] & 0xF, body[1:65]
+            wide = b"".join(_struct.pack(">H", v) for v in vals)
+            out += b"\xff\xdb" + _struct.pack(">H", 131) + bytes([0x10 | tid]) + wide
+            i += 2 + seglen
+        else:
+            out.append(p[i])
+            i += 1
+    assert decode_jpeg(bytes(out)) == decode_jpeg(p)
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI + RSTn streams (the camera error-resilience layout) must
     decode to EXACTLY the same means as the restart-free stream — the
