@@ -9,18 +9,22 @@ Design for a 100 TB media pipeline:
   payload bytes cross to Python once per batch, vectorized, and the
   UDF's output schema is declared so downstream stays relational.
 
-Codec support: uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-(gray/RGB/RGBA, all five scanline filters — zlib is stdlib), baseline
-4:4:4 JPEG (full entropy decode + IDCT, see ``jpeg.py``), and RIFF/WAVE
-PCM16 audio are decoded FOR REAL with pure ``struct``/``zlib``/numpy
-parsing — no external libraries — covering the full decode path: header
-validation, dimension extraction, inflate/Huffman + defilter/IDCT,
-pixel/sample-plane statistics. Formats that still need real external
-codecs (progressive/subsampled JPEG, compressed audio, video — ffmpeg/
-librosa are not in this container) raise ``NotImplementedError``
-explicitly; ``fake_decode=True`` (default for undecodable kinds)
-derives deterministic pseudo-features so the Spark-side plumbing
-(schema, batching, partitioning) is exercised identically either way.
+Codec support — all decoded FOR REAL with pure ``struct``/``zlib``/
+numpy parsing, no external libraries: uncompressed 24-bit BMP,
+non-interlaced 8-bit PNG (gray/RGB/RGBA, all five scanline filters —
+zlib is stdlib), baseline + progressive + subsampled JPEG (full
+entropy decode + IDCT, see ``jpeg.py``), RIFF/WAVE audio as PCM16 AND
+compressed mono IMA ADPCM (format 0x11), RIFF/AVI video as
+uncompressed RGB24 DIB AND Motion-JPEG ('MJPG' — per-frame JPEGs fed
+to the in-repo JPEG codec). The decode path is complete: header
+validation, dimension extraction, inflate/Huffman + defilter/IDCT /
+ADPCM reconstruction, pixel/sample-plane statistics. Formats that
+genuinely need external codecs (mp3/flac/ogg audio, inter-frame video
+— ffmpeg/librosa are not in this container) raise
+``NotImplementedError`` explicitly; ``fake_decode=True`` (default for
+undecodable kinds) derives deterministic pseudo-features so the
+Spark-side plumbing (schema, batching, partitioning) is exercised
+identically either way.
 """
 
 from __future__ import annotations
@@ -365,14 +369,121 @@ def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM tables (IMA ADPCM reference algorithm; public spec)
+_ADPCM_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+        253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+        1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+        11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+        32767,
+    ],
+    dtype=np.int64,
+)
+_ADPCM_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8])
+ADPCM_BLOCK_ALIGN = 256  # bytes per mono block → 505 samples/block
+
+
+def _adpcm_step(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step: (new_predictor, new_index)."""
+    step = int(_ADPCM_STEPS[index])
+    vpdiff = step >> 3
+    if nibble & 4:
+        vpdiff += step
+    if nibble & 2:
+        vpdiff += step >> 1
+    if nibble & 1:
+        vpdiff += step >> 2
+    predictor = predictor - vpdiff if nibble & 8 else predictor + vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_ADPCM_INDEX[nibble])))
+    return predictor, index
+
+
+def encode_wav_adpcm(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """RIFF/WAVE writer for IMA ADPCM (format 0x11, mono): 4 bits per
+    sample in {align}-byte blocks, each starting with a (predictor,
+    step-index) header — ~4× smaller than PCM16, the classic lossy
+    telephony/game-audio codec. Pairs with ``decode_wav``'s ADPCM
+    path."""
+    samples = np.asarray(samples, dtype=np.int64).reshape(-1)
+    spb = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per mono block
+    blocks = bytearray()
+    index = 0
+    n = len(samples)
+    for b0 in range(0, max(n, 1), spb):
+        chunk = samples[b0 : b0 + spb]
+        predictor = int(chunk[0]) if len(chunk) else 0
+        blocks += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_ADPCM_STEPS[index])
+            diff = int(s) - predictor
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            predictor, index = _adpcm_step(nib, predictor, index)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad the trailing byte
+        packed = bytes(lo | (hi << 4) for lo, hi in zip(nibbles[::2], nibbles[1::2]))
+        blocks += packed.ljust(ADPCM_BLOCK_ALIGN - 4, b"\x00")
+    data = bytes(blocks)
+    # fmt: wFormatTag=0x11, cbSize=2, wSamplesPerBlock
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * ADPCM_BLOCK_ALIGN // spb + 1,  # approx byte rate (informational)
+        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+encode_wav_adpcm.__doc__ = (encode_wav_adpcm.__doc__ or "").format(align=ADPCM_BLOCK_ALIGN)
+
+
+def _decode_adpcm_mono(data: bytes, block_align: int, n_samples: int) -> "np.ndarray":
+    """IMA ADPCM mono block stream → int16 samples (first sample of
+    each block is the header predictor, per the WAV mapping)."""
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        predictor, index, _rsv = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        out.append(predictor)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                predictor, index = _adpcm_step(nib, predictor, index)
+                out.append(predictor)
+    return np.asarray(out[:n_samples], dtype=np.int64)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
-    """Parse RIFF/WAVE PCM16: (sample_rate, n_channels, n_samples,
-    duration_s, rms, peak). Walks the chunk list (extra chunks like
-    LIST/INFO are legal and skipped); raises ValueError on anything that
-    isn't 16-bit integer PCM."""
+    """Parse RIFF/WAVE: (sample_rate, n_channels, n_samples,
+    duration_s, rms, peak). Two real codec paths: 16-bit integer PCM
+    (format 1) and mono IMA ADPCM (format 0x11 — decompressed by the
+    in-repo codec). Walks the chunk list (extra chunks like LIST/INFO/
+    fact are legal and consumed/skipped); anything else raises."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(payload):
         ctype = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
@@ -381,15 +492,27 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif ctype == b"data":
             data = body
+        elif ctype == b"fact" and clen >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
-    x = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2").reshape(
-        -1, channels
-    )
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 0x11:  # IMA ADPCM
+        if channels != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only")
+        spb = (block_align - 4) * 2 + 1
+        n_blocks = len(data) // block_align
+        limit = fact_samples if fact_samples is not None else n_blocks * spb
+        x = _decode_adpcm_mono(data, block_align, limit)[:, None]
+    elif audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 and IMA ADPCM supported (format={audio_format}, bits={bits})"
+        )
+    else:
+        x = np.frombuffer(
+            data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+        ).reshape(-1, channels)
     n_samples = x.shape[0]
     if n_samples == 0:
         return rate, channels, 0, 0.0, 0.0, 0
@@ -479,10 +602,14 @@ VIDEO_DECODED_SCHEMA = (
 REAL_VIDEO_KINDS = frozenset({"avi"})
 
 
-def encode_avi(width: int, height: int, frames: list, fps: int = 10) -> bytes:
-    """Minimal RIFF/AVI writer: one RGB24 'DIB ' video stream, one
-    '00db' chunk per frame. ``frames`` = list of pixel_fn(x, y, r, g, b)
-    callables or (h, w, 3) uint8 arrays."""
+def encode_avi(width: int, height: int, frames: list, fps: int = 10, codec: str = "DIB") -> bytes:
+    """Minimal RIFF/AVI writer. ``codec='DIB'``: one RGB24 stream, one
+    '00db' chunk per frame. ``codec='MJPG'``: Motion-JPEG — each frame
+    is a complete baseline JPEG in a '00dc' (compressed) chunk, the
+    standard camera/capture-card layout. ``frames`` = list of
+    pixel_fn(x, y) -> (r, g, b) callables or (h, w, 3) uint8 arrays."""
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
     rows = []
     for fr in frames:
         if callable(fr):
@@ -492,6 +619,11 @@ def encode_avi(width: int, height: int, frames: list, fps: int = 10) -> bytes:
                     a[y, x] = fr(x, y)
         else:
             a = np.asarray(fr, dtype=np.uint8)
+        if codec == "MJPG":
+            from etl_jlp_spark.multimodal.jpeg import encode_jpeg
+
+            rows.append(encode_jpeg(width, height, lambda x, y, a=a: tuple(a[y, x])))
+            continue
         # DIB rows are bottom-up BGR, 4-byte aligned (like BMP)
         pad = (4 - (width * 3) % 4) % 4
         body = bytearray()
@@ -505,32 +637,38 @@ def encode_avi(width: int, height: int, frames: list, fps: int = 10) -> bytes:
     def lst(fourcc: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", fourcc + data)
 
-    frame_size = len(rows[0]) if rows else 0
+    frame_size = max((len(r) for r in rows), default=0)
+    handler = b"DIB " if codec == "DIB" else b"MJPG"
+    bi_compression = 0 if codec == "DIB" else int.from_bytes(b"MJPG", "little")
+    frame_cc = b"00db" if codec == "DIB" else b"00dc"
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, len(rows), 0, 1, frame_size,
         width, height, 0, 0, 0, 0,
     )
-    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, len(rows), frame_size, 0, 0, 0, 0, 0, width, height)
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strh = b"vids" + handler + struct.pack("<IHHIIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, len(rows), frame_size, 0, 0, 0, 0, 0, width, height)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, bi_compression, frame_size, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", r) for r in rows))
+    movi = lst(b"movi", b"".join(chunk(frame_cc, r) for r in rows))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_avi(payload: bytes) -> tuple[int, int, int, float, list[tuple[float, float, float]]]:
-    """Parse RIFF/AVI with RGB24 DIB frames: (width, height, n_frames,
-    fps, per-frame (mean_r, mean_g, mean_b)). Compressed codecs raise."""
+    """Parse RIFF/AVI: (width, height, n_frames, fps, per-frame
+    (mean_r, mean_g, mean_b)). Two real codec paths: uncompressed RGB24
+    'DIB ' frames, and 'MJPG' (Motion-JPEG — every '00dc' chunk is a
+    complete baseline JPEG, decoded by the in-repo JPEG codec). Other
+    codecs (inter-frame: h264/vp9/...) raise."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     width = height = None
     fps = 0.0
     frames: list[bytes] = []
-    compressed = None
+    codec = b"DIB "
 
     def walk(data: bytes) -> None:
-        nonlocal width, height, fps, compressed
+        nonlocal width, height, fps, codec
         pos = 0
         while pos + 8 <= len(data):
             fourcc = data[pos : pos + 4]
@@ -543,23 +681,32 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, float, list[tuple[float, 
                 fps = 1_000_000 / vals[0] if vals[0] else 0.0
                 width, height = vals[8], vals[9]
             elif fourcc == b"strh":
-                handler = body[4:8]
-                if body[:4] == b"vids" and handler not in (b"DIB ", b"\x00\x00\x00\x00"):
-                    compressed = handler.decode("ascii", "replace").strip()
-            elif fourcc == b"00db":
+                if body[:4] == b"vids" and body[4:8] not in (b"\x00\x00\x00\x00",):
+                    codec = body[4:8]
+            elif fourcc in (b"00db", b"00dc"):
                 frames.append(body)
             pos += 8 + clen + (clen & 1)
 
     walk(payload[12:])
-    if compressed:
+    if codec not in (b"DIB ", b"MJPG"):
         raise NotImplementedError(
-            f"AVI stream uses codec {compressed!r}; only uncompressed DIB frames decode natively"
+            f"AVI stream uses codec {codec.decode('ascii', 'replace').strip()!r}; "
+            "DIB (uncompressed RGB24) and MJPG (Motion-JPEG) decode natively"
         )
     if width is None or not frames:
         raise ValueError("missing avih header or frames")
+    means = []
+    if codec == b"MJPG":
+        from etl_jlp_spark.multimodal.jpeg import decode_jpeg
+
+        for body in frames:
+            fw, fh, mr, mg, mb = decode_jpeg(bytes(body))
+            if (fw, fh) != (width, height):
+                raise ValueError(f"MJPG frame is {fw}x{fh}, header says {width}x{height}")
+            means.append((mr, mg, mb))
+        return width, height, len(frames), fps, means
     pad = (4 - (width * 3) % 4) % 4
     stride = width * 3 + pad
-    means = []
     for body in frames:
         rows = np.frombuffer(body[: stride * height], dtype=np.uint8).reshape(height, stride)
         px = rows[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1]  # flip + BGR→RGB

@@ -452,3 +452,64 @@ def test_decode_video_frames_in_spark(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_video_frames(mp4, fake_decode=False)
+
+
+def test_avi_mjpeg_frames_decode_via_jpeg_codec():
+    """Motion-JPEG AVI: every '00dc' chunk is a complete baseline JPEG.
+    Per-frame means must equal decoding each frame's JPEG directly, and
+    an inter-frame codec fourcc must still raise."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.binary import decode_avi, encode_avi
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 18, 11
+    fns = [
+        (lambda x, y, f=f: (((x + f) * 11) % 256, (y * 17 + f) % 256, (x + y + f) % 256))
+        for f in range(3)
+    ]
+    payload = encode_avi(w, h, fns, fps=5, codec="MJPG")
+    gw, gh, n, fps, means = decode_avi(payload)
+    assert (gw, gh, n, fps) == (w, h, 3, 5.0)
+    for fn, got in zip(fns, means):
+        _, _, mr, mg, mb = decode_jpeg(encode_jpeg(w, h, fn))
+        assert got == (mr, mg, mb)
+    # inter-frame codec: loud error, not garbage
+    bad = bytearray(payload)
+    i = bad.index(b"vidsMJPG")
+    bad[i + 4 : i + 8] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad))
+    assert _struct  # silence unused-import lint in minimal envs
+
+
+def test_wav_ima_adpcm_roundtrip_close_to_source():
+    """IMA ADPCM (format 0x11): ~4x-compressed lossy audio must decode
+    with exact sample count/rate and a waveform close to the source
+    (relative RMS error < 8% — IMA ADPCM's typical ~22-25 dB SNR)."""
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.binary import (
+        ADPCM_BLOCK_ALIGN,
+        _decode_adpcm_mono,
+        decode_wav,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    rate = 8000
+    t = np.arange(1300)  # > 2 blocks (505 samples/block)
+    src = (6000 * np.sin(2 * np.pi * 220 * t / rate) + 1500 * np.sin(2 * np.pi * 55 * t / rate)).astype(np.int16)
+    payload = encode_wav_adpcm(rate, src)
+    assert len(payload) < len(encode_wav(rate, src)) / 3  # genuinely compressed
+    grate, gch, gn, gdur, grms, gpeak = decode_wav(payload)
+    assert (grate, gch, gn) == (rate, 1, len(src))
+    ref_rms = float(np.sqrt(np.mean(src.astype(np.float64) ** 2)))
+    assert abs(grms - ref_rms) / ref_rms < 0.05
+    # waveform-level reconstruction error
+    data = payload[payload.index(b"data") + 8 :]
+    rec = _decode_adpcm_mono(data, ADPCM_BLOCK_ALIGN, len(src)).astype(np.float64)
+    err = float(np.sqrt(np.mean((rec - src.astype(np.float64)) ** 2)))
+    assert err / ref_rms < 0.08, err
