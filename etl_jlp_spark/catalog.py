@@ -105,10 +105,14 @@ def widen(spark: SparkSession, df: DataFrame, sf_dir: str, name: str, *cols: str
     paid where it buys parallelism. With ``cols`` the widening shuffle
     hash-partitions on those columns (instead of round-robin), so a
     downstream groupBy on a superset of them reuses the clustering
-    and plans no second exchange."""
+    and plans no second exchange — and the partition COUNT is left to
+    AQE (no explicit N): pinning it forces REPARTITION_BY_NUM, which
+    AQE cannot coalesce, and the extra near-empty tasks measurably
+    slow small-input queries (~1.5× on the sf0.1 IR family) while
+    buying nothing at scale."""
     p = spark.sparkContext.defaultParallelism
     if _scan_partitions(spark, table_path(sf_dir, name)) < p:
-        return df.repartition(p, *cols) if cols else df.repartition(p)
+        return df.repartition(*cols) if cols else df.repartition(p)
     return df
 
 
