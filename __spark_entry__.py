@@ -75,6 +75,7 @@ _R5_PRIORITY = [
     # NEW in round 5 — need their first driver row
     "scd2_build",
     "scd2_apply",
+    "dedup_minhash_prebuilt",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -113,6 +113,7 @@ HEADLINE = [
     # round 5 additions
     "scd2_build",
     "scd2_apply",
+    "dedup_minhash_prebuilt",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

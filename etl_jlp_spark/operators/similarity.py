@@ -111,6 +111,34 @@ def _jaccard_on_candidates(shingles: DataFrame, cand: DataFrame, tau: float) -> 
     )
 
 
+def _minhash_bands(shingles: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band index from a shingle relation.
+    k conditional mins in ONE aggregation: k md5s are computed per
+    shingle row map-side, but the shuffle carries only one row per
+    (doc, k-signature) — no k× row explode. Band keys come out of ONE
+    posexplode over an array literal — a single evaluation of the sig
+    agg, not a 4-branch union re-running it."""
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    sigs = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -156,30 +184,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK and ∝ corpus tokens — the alternative (4 rescans
     # of the raw table) is strictly worse.
     shingles = _word_shingles(docs).persist()
-    k, bands = MINHASH_K, MINHASH_BANDS
-    r = k // bands
-    # k conditional mins in ONE aggregation: k md5s are computed per
-    # shingle row map-side, but the shuffle carries only one row per
-    # (doc, k-signature) — no k× row explode.
-    sigs = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"s{i}")
-            for i in range(k)
-        ]
-    )
-    # band keys as ONE posexplode over an array literal — a single
-    # evaluation of sigs, not a 4-branch union re-running the agg
-    band_df = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "key"),
-    )
+    band_df = _minhash_bands(shingles)
     a = band_df.alias("a")
     b_ = band_df.alias("b")
     cand = (
@@ -193,6 +198,128 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_on_candidates(shingles, cand, MINHASH_TAU)
+
+
+# incremental-dedup batch split: md5(doc_id)[:2] < '28' (~16%) is the
+# "arriving crawl batch"; the rest is the already-indexed corpus
+MH_BATCH_HEX = "28"
+
+
+def _minhash_store_paths(sf_dir: str) -> tuple[str, str]:
+    import os
+
+    from etl_jlp_spark.functions.storekey import corpus_store_key
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    h = corpus_store_key(sf_dir, "documents", algo=f"mh-v1-{MH_BATCH_HEX}")
+    return os.path.join(root, f"mh_bands_{h}"), os.path.join(root, f"mh_shingles_{h}")
+
+
+def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the LSH index of the EXISTING corpus once: the band
+    index (doc_id, band, key) and the shingle relation (doc_id, sh)
+    needed for exact-Jaccard verification. Content+algo-keyed paths,
+    per-pid temp dir + rename — same protocol as the IVF/BM25 stores."""
+    import os
+    import shutil
+
+    bands_path, sh_path = _minhash_store_paths(sf_dir)
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in (bands_path, sh_path)):
+        return bands_path, sh_path
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= MH_BATCH_HEX
+    )
+    shingles = _word_shingles(existing).persist()
+    for final, df in ((bands_path, _minhash_bands(shingles)), (sh_path, shingles)):
+        tmp = f"{final}.build-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:  # another process won the race — use its store
+            shutil.rmtree(tmp, ignore_errors=True)
+    shingles.unpersist()
+    return bands_path, sh_path
+
+
+@query(
+    "dedup_minhash_prebuilt",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT s.doc_id, h.h, min(md5(CAST(h.h AS VARCHAR) || ':' || s.sh)) AS sig
+  FROM shingles s CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS h) h
+  GROUP BY s.doc_id, h.h
+), sigs AS (
+  SELECT doc_id,
+         min(CASE WHEN h = 0 THEN sig END) AS s0, min(CASE WHEN h = 1 THEN sig END) AS s1,
+         min(CASE WHEN h = 2 THEN sig END) AS s2, min(CASE WHEN h = 3 THEN sig END) AS s3,
+         min(CASE WHEN h = 4 THEN sig END) AS s4, min(CASE WHEN h = 5 THEN sig END) AS s5,
+         min(CASE WHEN h = 6 THEN sig END) AS s6, min(CASE WHEN h = 7 THEN sig END) AS s7
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(s0 || s1) AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, md5(s2 || s3) FROM sigs UNION ALL
+  SELECT doc_id, 2, md5(s4 || s5) FROM sigs UNION ALL
+  SELECT doc_id, 3, md5(s6 || s7) FROM sigs
+), split AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{MH_BATCH_HEX}' AS is_new
+  FROM documents
+), cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM bands n JOIN split sn ON sn.doc_id = n.doc_id AND sn.is_new
+  JOIN bands o ON o.band = n.band AND o.key = n.key
+  JOIN split so ON so.doc_id = o.doc_id AND NOT so.is_new
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_new
+  JOIN shingles y ON y.doc_id = c.doc_old AND y.sh = x.sh
+  GROUP BY c.doc_new, c.doc_old
+)
+SELECT i.doc_new, i.doc_old,
+       round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_new = sa.doc_id JOIN sizes sb ON i.doc_old = sb.doc_id
+WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {MINHASH_TAU}
+""",
+)
+def dedup_minhash_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup — the production crawl-dedup shape: the
+    existing corpus's LSH band index and shingles are built ONCE
+    (``ensure_minhash_store``); an arriving batch (~16% md5 slice)
+    shingles and signs only ITSELF, probes the stored band index with
+    a (band, key) equi-join, and verifies candidates by exact Jaccard
+    against the STORED shingles — the indexed corpus's text is never
+    re-read or re-shingled at probe time. Output: (doc_new, doc_old,
+    jaccard ≥ τ) pairs telling the pipeline which arriving docs are
+    near-dups of already-kept ones. Same verified-Jaccard contract as
+    dedup_minhash_lsh (one oracle covers both sides of the split)."""
+    bands_path, sh_path = ensure_minhash_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < MH_BATCH_HEX
+    )
+    bsh = _word_shingles(batch).persist()
+    new_bands = _minhash_bands(bsh).alias("n")
+    old_bands = spark.read.parquet(bands_path).alias("o")
+    cand = (
+        new_bands.join(
+            old_bands,
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    old_sh = spark.read.parquet(sh_path)
+    out = _jaccard_on_candidates(bsh.unionByName(old_sh), cand, MINHASH_TAU)
+    return out.select(
+        F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("doc_old"), "jaccard"
+    )
 
 
 @query(

@@ -166,3 +166,47 @@ def test_ivf_prebuilt_store_reuse_and_parity(spark):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, QS["ann_ivf_topk"](spark, SF_SMALL).collect()))
     assert got == want
+
+
+def test_minhash_prebuilt_probe_consistent_and_store_reused(spark):
+    """Incremental crawl dedup: every (new, old) pair the prebuilt
+    probe surfaces must agree with the full-corpus minhash pass
+    (restricted to cross-boundary pairs, orientation-normalized), and
+    a second probe must REUSE the persisted store (no rebuild)."""
+    import os
+
+    from etl_jlp_spark.operators.similarity import (
+        MH_BATCH_HEX,
+        ensure_minhash_store,
+    )
+
+    inc = {
+        (r["doc_new"], r["doc_old"]): r["jaccard"]
+        for r in QS["dedup_minhash_prebuilt"](spark, SF_MEDIUM).collect()
+    }
+    full = {}
+    for r in QS["dedup_minhash_lsh"](spark, SF_MEDIUM).collect():
+        full[(r["doc_a"], r["doc_b"])] = r["jaccard"]
+
+    def is_new(doc_id: int) -> bool:
+        import hashlib
+
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < MH_BATCH_HEX
+
+    cross = {}
+    for (a, b), j in full.items():
+        if is_new(a) != is_new(b):
+            new, old = (a, b) if is_new(a) else (b, a)
+            cross[(new, old)] = j
+    # identical verified-Jaccard contract on the shared candidates
+    for pair, j in inc.items():
+        assert not is_new(pair[1]) and is_new(pair[0])
+        if pair in cross:
+            assert j == cross[pair]
+    # store reuse: paths unchanged, _SUCCESS mtimes unchanged
+    p1 = ensure_minhash_store(spark, SF_MEDIUM)
+    m1 = [os.path.getmtime(os.path.join(p, "_SUCCESS")) for p in p1]
+    QS["dedup_minhash_prebuilt"](spark, SF_MEDIUM).count()
+    p2 = ensure_minhash_store(spark, SF_MEDIUM)
+    assert p1 == p2
+    assert m1 == [os.path.getmtime(os.path.join(p, "_SUCCESS")) for p in p2]
