@@ -32,7 +32,9 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     ir,
     joins,
     keywords,
+    linkage,
     quality_rules,
+    rollup,
     sampling,
     scd,
     sessionize,
@@ -76,6 +78,9 @@ _R5_PRIORITY = [
     "scd2_build",
     "scd2_apply",
     "dedup_minhash_prebuilt",
+    "fuzzy_join_editdist",
+    "rollup_incremental",
+    "ann_quantized_topk",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -114,6 +114,9 @@ HEADLINE = [
     "scd2_build",
     "scd2_apply",
     "dedup_minhash_prebuilt",
+    "fuzzy_join_editdist",
+    "rollup_incremental",
+    "ann_quantized_topk",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

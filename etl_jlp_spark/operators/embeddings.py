@@ -170,6 +170,13 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # symmetric int8 quantization: q = clamp(floor(v/scale + 0.5), ±127)
 QUANT_LEVELS = 127.0
 
+# quantized ANN shares the query-set/top-k contract with the float
+# baseline in similarity.py so ranks are directly comparable
+from etl_jlp_spark.operators.similarity import (  # noqa: E402
+    ANN_QUERY_MOD as _ANN_QUERY_MOD,
+    ANN_TOP_K as _ANN_TOP_K,
+)
+
 
 @query(
     "embedding_quantize",
@@ -230,4 +237,100 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("max_abs_err"),
+    )
+
+
+def _dequantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, v): each embedding round-tripped through symmetric int8
+    quantization — the vectors an int8-serving ANN tier actually scores
+    with. Quantize and dequantize are IEEE-exact in both engines, so the
+    oracle reproduces the lattice values bit-for-bit."""
+    v = as_double_array(F.col("embedding"))
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / QUANT_LEVELS)
+    qd = lambda x: (  # noqa: E731
+        F.greatest(
+            F.lit(-QUANT_LEVELS),
+            F.least(F.lit(QUANT_LEVELS), F.floor(x / F.col("s") + 0.5)),
+        )
+        * F.col("s")
+    )
+    return emb.select("vec_id", v.alias("v0"), scale.alias("s")).select(
+        "vec_id", F.transform("v0", qd).alias("v")
+    )
+
+
+@query(
+    "ann_quantized_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+), s AS (
+  SELECT vec_id, raw,
+         CASE WHEN list_max(list_transform(raw, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(raw, x -> abs(x))) / {QUANT_LEVELS} END AS sc
+  FROM e
+), dq AS (
+  SELECT vec_id,
+         list_transform(raw, x ->
+             greatest(-{QUANT_LEVELS}, least({QUANT_LEVELS}, floor(x / sc + 0.5))) * sc) AS v
+  FROM s
+), q AS (SELECT * FROM dq WHERE vec_id % {_ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS c6
+  FROM q JOIN dq e ON q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, round(c6, 4) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c6 DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_ANN_TOP_K}
+""",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k scored on int8-DEQUANTIZED vectors — the memory-
+    bandwidth-bound serving path at 100 TB (4× smaller vectors than
+    float32; `embedding_quantize` is the storage step, this is the
+    scoring step). Same plan shape as `ann_topk_cosine` (broadcast
+    query set, corpus streams through one codegen'd stage, per-query
+    top-k window); hash-matching the oracle certifies that quantized
+    scoring is reproducible across engines, and diffing against
+    `ann_topk_cosine`'s ranks measures the recall cost of int8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    dq = _dequantized(emb)
+    corpus = widen(
+        spark,
+        dq.select(F.col("vec_id").alias("neighbor_id"), "v"),
+        sf_dir,
+        "embeddings",
+    )
+    queries = dq.filter(F.col("vec_id") % _ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # constant-key equi join (see ann_topk_cosine): a != theta join
+    # would plan BroadcastNestedLoopJoin and fall out of codegen
+    scored = (
+        corpus.withColumn("bk", F.pmod(F.col("neighbor_id"), F.lit(1)))
+        .join(F.broadcast(queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))), "bk")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                static_dot(F.col("qv"), F.col("v"), dim)
+                / (
+                    F.sqrt(static_dot(F.col("qv"), F.col("qv"), dim))
+                    * F.sqrt(static_dot(F.col("v"), F.col("v"), dim))
+                ),
+                6,
+            ).alias("c6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ANN_TOP_K)
+        .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
     )
