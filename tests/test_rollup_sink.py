@@ -1,0 +1,100 @@
+"""Streaming rollup-upsert sink: exactly-once under replay, compaction
+correctness, and pointer-based dedup of folded batches."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.streaming.rollup_sink import (
+    compact_rollup,
+    rollup_upsert_batch,
+    rollup_view,
+    streaming_rollup_maintain,
+)
+
+
+def _expected(spark):
+    return {
+        (r["day"], r["event_type"], r["n_events"], round(r["sum_value"], 2))
+        for r in (
+            load_table(spark, SF_SMALL, "events")
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+
+
+def _got(spark, store):
+    return {
+        (r["day"], r["event_type"], r["n_events"], round(r["sum_value"], 2))
+        for r in rollup_view(spark, store).collect()
+    }
+
+
+def _halves(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    return (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+
+
+def test_stream_maintains_rollup(spark, tmp_path):
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    a, b = _halves(spark)
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_rollup_maintain(spark, src, store, ckpt)
+    q.awaitTermination(120)
+    assert _got(spark, store) == _expected(spark)
+    # restart on the same checkpoint: nothing reprocessed, view unchanged
+    q2 = streaming_rollup_maintain(spark, src, store, ckpt)
+    q2.awaitTermination(120)
+    assert _got(spark, store) == _expected(spark)
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    a, b = _halves(spark)
+    rollup_upsert_batch(a, store, 0)
+    rollup_upsert_batch(b, store, 1)
+    before = _got(spark, store)
+    rollup_upsert_batch(b, store, 1)  # crash-replay of the same batch
+    assert _got(spark, store) == before == _expected(spark)
+
+
+def test_compaction_preserves_view_and_dedups_folded_replays(spark, tmp_path):
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    a, b = _halves(spark)
+    rollup_upsert_batch(a, store, 0)
+    rollup_upsert_batch(b, store, 1)
+    assert compact_rollup(spark, store) == 1
+    assert _got(spark, store) == _expected(spark)
+    # folded delta dirs are swept; base serves alone
+    assert not os.path.isdir(os.path.join(store, "deltas", "batch_id=0"))
+    # a replay of an already-folded batch must be dropped by the sink
+    rollup_upsert_batch(b, store, 1)
+    assert not os.path.isdir(os.path.join(store, "deltas", "batch_id=1"))
+    assert _got(spark, store) == _expected(spark)
+    # compacting with no new deltas is a no-op
+    assert compact_rollup(spark, store) == 1
+
+
+def test_post_compaction_increments_still_merge(spark, tmp_path):
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    a, b = _halves(spark)
+    rollup_upsert_batch(a, store, 0)
+    compact_rollup(spark, store)
+    rollup_upsert_batch(b, store, 1)  # arrives after the fold
+    assert _got(spark, store) == _expected(spark)
+    assert compact_rollup(spark, store) == 1
+    assert _got(spark, store) == _expected(spark)
