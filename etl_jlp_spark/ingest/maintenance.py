@@ -1,0 +1,108 @@
+"""Lake maintenance: small-file compaction and sort-ordered layout.
+
+The reference writes its landzone in CHUNKS (general_lib.py chunked
+read/transform/archive): every incremental run appends another small
+file. At 100 TB that is the classic small-file problem — a scan pays
+per-file open/footer costs, and the driver pays listing; both scale
+with file COUNT, not bytes. Compaction rewrites a directory into
+~target-sized files:
+
+- ``coalesce`` mode (default): narrow — merges input splits with NO
+  shuffle, the right default for pure de-fragmentation.
+- ``sort_by`` mode: ``repartitionByRange`` + ``sortWithinPartitions``
+  — one range shuffle that buys DATA SKIPPING forever after: each
+  output file covers a narrow, near-disjoint range of the sort key, so
+  a key-range predicate prunes whole files/row-groups via parquet
+  min/max stats (the poor man's Z-order; verified against the real
+  footer metadata in tests).
+
+Both paths write to a temp dir then atomically rename over the
+destination, so readers never observe a half-compacted directory.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def dir_file_stats(path: str) -> tuple[int, int]:
+    """(#data files, total bytes) under a parquet directory, ignoring
+    _SUCCESS/_metadata markers."""
+    n = b = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            n += 1
+            b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_by: list[str] | None = None,
+) -> Row:
+    """Rewrite ``src_dir`` into ``dest_dir`` with ~``target_bytes``
+    files; returns a stats row (the maintenance job's audit record).
+    ``sort_by`` switches to the range-layout path (see module doc)."""
+    files_in, bytes_in = dir_file_stats(src_dir)
+    n_out = max(1, math.ceil(bytes_in / target_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n_out)
+    tmp = f"{dest_dir}.compact-{os.getpid()}"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(dest_dir):
+        shutil.rmtree(dest_dir)
+    os.rename(tmp, dest_dir)
+    files_out, bytes_out = dir_file_stats(dest_dir)
+    return Row(
+        files_in=files_in,
+        bytes_in=bytes_in,
+        files_out=files_out,
+        bytes_out=bytes_out,
+        target_bytes=target_bytes,
+        sorted_by=",".join(sort_by or []),
+    )
+
+
+def file_key_ranges(path: str, column: str) -> list[tuple[object, object]]:
+    """Per-data-file (min, max) of ``column`` straight from the parquet
+    footer statistics — the metadata a scan's predicate pushdown prunes
+    with. Public pyarrow API; no Spark needed."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics is not None:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                ranges.append((lo, hi))
+    return ranges
+
+
+def overlap_count(ranges: list[tuple[object, object]], point: object) -> int:
+    """How many files a point-predicate scan must open = files whose
+    [min, max] contains the point. 1 is perfect skipping."""
+    return sum(1 for lo, hi in ranges if lo <= point <= hi)

@@ -1,0 +1,68 @@
+"""Lake maintenance: compaction must preserve data while collapsing
+file count, and the sort_by layout must demonstrably enable file-level
+data skipping in the real parquet footer stats."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.ingest.maintenance import (
+    compact_small_files,
+    dir_file_stats,
+    file_key_ranges,
+    overlap_count,
+)
+
+
+def _fragmented(spark, tmp_path, n_files=32):
+    src = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    return src, ev
+
+
+def test_compaction_preserves_rows_and_collapses_files(spark, tmp_path):
+    src, ev = _fragmented(spark, tmp_path)
+    dest = str(tmp_path / "compact")
+    stats = compact_small_files(spark, src, dest, target_bytes=1 << 30)
+    assert stats.files_in >= 32
+    assert stats.files_out == 1  # tiny table, one target-sized file
+    out = spark.read.parquet(dest)
+    assert out.count() == ev.count()
+    a = {tuple(r) for r in out.select("event_id", "event_type").collect()}
+    b = {tuple(r) for r in ev.select("event_id", "event_type").collect()}
+    assert a == b
+
+
+def test_sorted_layout_enables_file_skipping(spark, tmp_path):
+    src, ev = _fragmented(spark, tmp_path)
+    plain = str(tmp_path / "plain")
+    sorted_ = str(tmp_path / "sorted")
+    # force multiple output files so there are ranges to compare
+    n_rows = ev.count()
+    _, total = dir_file_stats(src)
+    target = max(1, total // 8)
+    compact_small_files(spark, src, plain, target_bytes=target)
+    stats = compact_small_files(
+        spark, src, sorted_, target_bytes=target, sort_by=["event_id"]
+    )
+    assert stats.files_out > 2
+    probe = n_rows // 2  # a mid-range event_id point query
+    r_plain = file_key_ranges(plain, "event_id")
+    r_sorted = file_key_ranges(sorted_, "event_id")
+    # round-robin fragments all span ~the full id range: no skipping
+    assert overlap_count(r_plain, probe) == len(r_plain)
+    # range layout: the probe hits exactly one file's [min, max]
+    assert overlap_count(r_sorted, probe) == 1
+    # and the data survived the shuffle
+    assert spark.read.parquet(sorted_).count() == n_rows
+
+
+def test_compaction_is_atomic_over_existing_dest(spark, tmp_path):
+    src, ev = _fragmented(spark, tmp_path, n_files=4)
+    dest = str(tmp_path / "compact")
+    compact_small_files(spark, src, dest)
+    # re-compacting over an existing destination replaces it cleanly
+    stats = compact_small_files(spark, src, dest)
+    assert spark.read.parquet(dest).count() == ev.count()
+    assert stats.files_out >= 1
