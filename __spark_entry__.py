@@ -43,7 +43,14 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     textstats,
     timewindow,
 )
-from etl_jlp_spark.plans import analytics, curate, enrich, pipeline, tpch_extra  # noqa: E402, F401
+from etl_jlp_spark.plans import (  # noqa: E402, F401
+    analytics,
+    curate,
+    enrich,
+    pipeline,
+    timeseries,
+    tpch_extra,
+)
 from etl_jlp_spark.quality import report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
@@ -81,6 +88,8 @@ _R5_PRIORITY = [
     "fuzzy_join_editdist",
     "rollup_incremental",
     "ann_quantized_topk",
+    "timeseries_gapfill",
+    "user_retention_cohorts",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -117,6 +117,8 @@ HEADLINE = [
     "fuzzy_join_editdist",
     "rollup_incremental",
     "ann_quantized_topk",
+    "timeseries_gapfill",
+    "user_retention_cohorts",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",
