@@ -90,6 +90,7 @@ _R5_PRIORITY = [
     "ann_quantized_topk",
     "timeseries_gapfill",
     "user_retention_cohorts",
+    "key_skew_report",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -124,3 +124,32 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 scd2_apply.__doc__ = (scd2_apply.__doc__ or "").format(cutoff=SCD2_CUTOFF)
+
+
+def enrich_asof(rows: DataFrame, intervals: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Point-in-time dimension lookup: each row gains the ``attr`` that
+    was valid AT its timestamp (``valid_from <= ts < valid_to``,
+    open-ended current rows match everything after valid_from).
+
+    By SCD2 construction each key's intervals partition time, so at
+    most one dimension row matches — the join is an equi-join on the
+    dimension key with a residual range filter, never a theta join.
+    At 100 TB both sides are keyed on user_id (co-partitionable /
+    bucketable); rows before a key's first interval, or for unknown
+    keys, keep a NULL attr (left join)."""
+    dim = intervals.select(
+        "user_id",
+        F.col("attr").alias("dim_attr"),
+        "valid_from",
+        "valid_to",
+    )
+    ts = F.col(ts_col)
+    cond = (
+        (rows["user_id"] == dim["user_id"])
+        & (ts >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (ts < dim["valid_to"]))
+    )
+    return rows.join(dim, cond, "left").select(
+        *[rows[c] for c in rows.columns],
+        dim["dim_attr"].alias("attr_asof"),
+    )

@@ -81,3 +81,49 @@ def events_by_type_day_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_raw", 2).alias("sum_value"),
     )
+
+
+SKEW_TOP_N = 10
+
+
+@query(
+    "key_skew_report",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), s AS (
+  SELECT avg(n) AS avg_n, CAST(count(*) AS BIGINT) AS n_keys FROM c
+)
+SELECT c.key, c.n, s.n_keys,
+       round(c.n / s.avg_n, 4) AS skew_factor
+FROM c CROSS JOIN s
+ORDER BY c.n DESC, c.key
+LIMIT {SKEW_TOP_N}
+""",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis for a join/agg key: the top-N keys by row
+    count with their skew factor (count ÷ mean per-key count). This is
+    the profiling step BEFORE choosing a mitigation (salting, AQE skew
+    join, broadcast): a skew_factor near 1 says the key is safe; 100×
+    says a single reducer would eat that key's partition. One map-side
+    combinable groupBy (per-key counts), a 1-row broadcast scalar for
+    the mean, and a TakeOrdered top-N — no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = c.agg(
+        F.avg("n").alias("avg_n"), F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "n",
+            "n_keys",
+            F.round(F.col("n") / F.col("avg_n"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(SKEW_TOP_N)
+    )

@@ -405,3 +405,30 @@ def streaming_quality_monitor(
             "rate_props_json",
         )
     )
+
+
+def streaming_scd2_enrich(
+    spark: SparkSession,
+    src_dir: str,
+    intervals: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Arriving events enriched with the dimension attribute valid AT
+    their event time (``operators.scd.enrich_asof``) against a static
+    SCD2 interval relation — the streaming half of the Type-2 dimension
+    story: `scd2_apply` maintains the dimension, this serves it to the
+    stream. Exactly-once via the idempotent per-batch_id overwrite."""
+    from etl_jlp_spark.operators.scd import enrich_asof
+
+    stream = stream_events(spark, src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(enrich_asof(batch_df, intervals), dest_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
