@@ -119,6 +119,7 @@ HEADLINE = [
     "ann_quantized_topk",
     "timeseries_gapfill",
     "user_retention_cohorts",
+    "key_skew_report",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

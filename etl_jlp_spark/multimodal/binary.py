@@ -215,11 +215,12 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
 
 
 # kinds with a real in-repo codec; everything else is fake/stub
+from etl_jlp_spark.multimodal.gif import decode_gif, encode_gif  # noqa: E402
 from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 
-REAL_DECODE_KINDS = frozenset({"bmp", "png", "jpeg"})
+REAL_DECODE_KINDS = frozenset({"bmp", "png", "jpeg", "gif"})
 
-_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg}
+_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg, "gif": decode_gif}
 
 
 def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> DataFrame:
@@ -234,6 +235,8 @@ def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> Dat
                 payload = encode_bmp(w, h, px)
             elif kind == "jpeg":
                 payload = encode_jpeg(w, h, px)
+            elif kind == "gif":  # alternate progressive (interlaced) frames
+                payload = encode_gif(w, h, px, interlace=bool(i % 2))
             else:  # rotate through all five PNG filter types
                 payload = encode_png(w, h, px, filter_type=i % 5)
             rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), w, h)))

@@ -513,3 +513,69 @@ def test_wav_ima_adpcm_roundtrip_close_to_source():
     rec = _decode_adpcm_mono(data, ADPCM_BLOCK_ALIGN, len(src)).astype(np.float64)
     err = float(np.sqrt(np.mean((rec - src.astype(np.float64)) ** 2)))
     assert err / ref_rms < 0.08, err
+
+
+def test_gif_roundtrip_exact_means_plain_and_interlaced():
+    """GIF is lossless (indexed LZW): decoded channel means must equal
+    the source means exactly, in both row orders."""
+    from etl_jlp_spark.multimodal.gif import decode_gif, encode_gif
+
+    for w, h, ncol, inter in ((16, 9, 5, False), (40, 33, 17, True), (7, 7, 1, True)):
+        # GIF is indexed: derive all three channels from one palette slot
+        px = lambda x, y: (
+            (x * 31 + y * 7) % ncol * 9 % 256,
+            (x * 31 + y * 7) % ncol * 3 % 256,
+            (x * 31 + y * 7) % ncol * 5 % 256,
+        )
+        payload = encode_gif(w, h, px, interlace=inter)
+        gw, gh, mr, mg, mb = decode_gif(payload)
+        pix = [px(x, y) for y in range(h) for x in range(w)]
+        n = len(pix)
+        assert (gw, gh) == (w, h)
+        assert mr == sum(p[0] for p in pix) / n
+        assert mg == sum(p[1] for p in pix) / n
+        assert mb == sum(p[2] for p in pix) / n
+
+
+def test_gif_lzw_dictionary_reset_path():
+    """A low-repetition 256-color frame drives the LZW dictionary past
+    4096 codes — the encoder must emit a mid-stream clear and the
+    decoder must follow it."""
+    from etl_jlp_spark.multimodal.gif import decode_gif, encode_gif
+
+    px = lambda x, y: (
+        (x * 5 + y * 11) % 256,
+        ((x * 5 + y * 11) * 3) % 256,
+        ((x * 5 + y * 11) * 7) % 256,
+    )
+    w, h = 120, 90
+    gw, gh, mr, _mg, _mb = decode_gif(encode_gif(w, h, px))
+    pix = [px(x, y) for y in range(h) for x in range(w)]
+    assert (gw, gh) == (w, h)
+    assert mr == sum(p[0] for p in pix) / len(pix)
+
+
+def test_gif_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.gif import decode_gif, encode_gif
+
+    good = encode_gif(8, 8, lambda x, y: (x * 20, y * 20, 0))
+    for bad in (b"", b"GIF89a", b"NOPE" + b"\x00" * 30, good[:20]):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+    with _pytest.raises(ValueError):  # >256 distinct colors has no palette
+        encode_gif(64, 64, lambda x, y: (x * 4, y * 4, (x + y) % 256))
+
+
+def test_decode_image_real_gif_in_spark(spark):
+    from pyspark.sql import functions as F
+
+    from etl_jlp_spark.multimodal.binary import decode_image, synth_media_df
+
+    media = synth_media_df(spark, n=12, kind="gif")
+    out = decode_image(media, fake_decode=False).orderBy("media_id").collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["width"] >= 1 and r["height"] >= 1
+        assert r["mean_r"] is not None and 0.0 <= r["mean_r"] <= 255.0
