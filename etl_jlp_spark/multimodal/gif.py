@@ -13,9 +13,8 @@ Scope: the complete still-image core of the format —
 - extension blocks (graphic control, comment, application) are parsed
   and skipped.
 
-Loud boundary: multi-frame animation returns the FIRST frame's stats
-(frame count reported); anything structurally invalid raises
-ValueError, never mis-decodes.
+Loud boundary: a multi-frame animation decodes its FIRST frame;
+anything structurally invalid raises ValueError, never mis-decodes.
 """
 
 from __future__ import annotations
