@@ -1,38 +1,44 @@
-"""Record linkage: edit-distance similarity join with prefix-filtered
-candidate generation (Ed-Join style).
+"""Record linkage: edit-distance similarity join with partition-based
+(PassJoin-style) candidate generation.
 
 The reference platform deduplicates browsing history on EXACT column
-equality (dwh_lab/dwh/preprocessing_streaming_incremental_load.py:60,
+equality (dwh_lab/dwh/preprocessing_streaming_incremental_load.py:103,
 ``remove_duplicates_browsing_history``); real crawled/user-entered keys
 also need FUZZY matching — "the same title, give or take a few typos".
 A naive edit-distance join is O(n²) levenshtein calls; at 100 TB that
-is never an option. This module implements the published scalable
-shape (Ed-Join, Xiao/Wang/Lin VLDB'08):
+is never an option.
 
-1. q-gram decomposition of each key (positional substrings, q=3);
-2. a global document-frequency table over grams (groupBy — map-side
-   partial agg, vocabulary-sized output);
-3. **prefix filter**: each key probes the inverted index with only its
-   ``K*Q + 1`` globally-rarest grams. Completeness: one edit operation
-   destroys at most Q distinct grams of a key, so two keys within K
-   edits still share at least one of the probe's ``K*Q + 1`` rarest
-   grams with the other key's full gram set — every true pair survives
-   candidate generation, which the DuckDB brute-force oracle verifies.
-4. exact ``levenshtein`` verification on the candidates only, plus the
-   free length filter (|len(a) − len(b)| ≤ K lower-bounds edit
-   distance).
+Candidate generation is the partition scheme of PassJoin (Li/Deng/
+Wang/Feng, PVLDB 2011): split every indexed key into K+1 segments; if
+ed(a, b) ≤ K then by pigeonhole at least one of b's K+1 segments is
+untouched by the edit script, and it appears in `a` VERBATIM at a
+position shifted by at most K (the net length change of the prefix
+edits). So the probe enumerates, for every candidate target length lb
+∈ [la−K, la+K] and every segment position, the ≤ 2K+1 aligned
+substrings of `a` — a bounded, data-independent ≤ (2K+1)·(K+1)·(2K+1)
+keys per key — and candidates are an EQUI-join on (seg_id, lb,
+segment_text). Exact ``levenshtein`` verifies candidates only; the
+free length filter (|la−lb| ≤ K lower-bounds edit distance) rides
+along.
 
-Scale shape: the probe side of the index join carries only rare grams
-(bounded fan-out by construction — rarest-first ranking), the index
-side is gram-keyed (high cardinality), and the verify step touches
-candidate pairs only. No window over a skewed key, no cross join; the
-per-doc rarest-gram ranking partitions by doc_id (high cardinality,
-bounded per-doc state).
+Why not q-gram prefix filtering (Ed-Join): its "rare gram" assumption
+collapses on small-alphabet corpora — this repo's own scale rehearsal
+caught the degeneracy (3-gram vocabulary saturates at ~375 grams on
+the synthetic corpus, average document frequency 461 at sf0.1 → the
+candidate join went quadratic). Segment values are an order of
+magnitude longer (≈10 chars), so their frequency stays flat as the
+corpus grows (measured avg df 2.2 at sf0.1); candidate volume scales
+with true-match density, not corpus².
+
+Plan shape: one segment-keyed equi-join (high-cardinality key), one
+distinct, one verify join — no cross join, no window over a skewed
+key. The per-key probe expansion is a pure array expression (JVM-side,
+zero shuffles until the join).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table, widen
@@ -40,30 +46,48 @@ from etl_jlp_spark.registry import query
 
 FUZZY_PFX_LEN = 40  # the linkage key: first chars of the document text
 FUZZY_K = 3  # max edit distance
-FUZZY_Q = 3  # q-gram width
-FUZZY_SIG = FUZZY_K * FUZZY_Q + 1  # prefix-filter signature size
+FUZZY_SEGS = FUZZY_K + 1  # pigeonhole partition count
+FUZZY_MIN_LEN = FUZZY_SEGS  # shorter keys have empty segments — excluded
 
 
 def _keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pfx): the fuzzy-match key. Keys shorter than Q have no
-    grams and are excluded on BOTH sides (oracle mirrors this)."""
+    """(doc_id, pfx): the fuzzy-match key. Keys shorter than K+1 chars
+    are excluded on BOTH sides (oracle mirrors this)."""
     docs = load_table(spark, sf_dir, "documents")
     keys = docs.select(
         "doc_id", F.substring("text", 1, FUZZY_PFX_LEN).alias("pfx")
-    ).filter(F.length("pfx") >= FUZZY_Q)
+    ).filter(F.length("pfx") >= FUZZY_MIN_LEN)
     return widen(spark, keys, sf_dir, "documents", "doc_id")
 
 
-def _doc_grams(keys: DataFrame) -> DataFrame:
-    """(doc_id, g): the DISTINCT q-gram set of each key — set semantics
-    keep the prefix-filter lemma tight and the oracle portable."""
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, length(pfx) - {FUZZY_Q - 1}),"
-            f" i -> substring(pfx, i, {FUZZY_Q}))"
-        )
-    )
-    return keys.select("doc_id", F.explode(grams).alias("g"))
+# segment i of an L-length key: start 1 + i*(L div S) + min(i, L mod S)
+# (1-based), length (L div S) + (i < L mod S) — even split, remainder
+# spread over the leading segments
+_INDEX_SEGS = f"""
+transform(sequence(0, {FUZZY_SEGS - 1}), i -> named_struct(
+  'seg_id', i,
+  'lb', length(pfx),
+  'seg', substring(pfx,
+            1 + i * (length(pfx) div {FUZZY_SEGS}) + least(i, length(pfx) % {FUZZY_SEGS}),
+            (length(pfx) div {FUZZY_SEGS}) + if(i < length(pfx) % {FUZZY_SEGS}, 1, 0))))
+"""
+
+_PROBE_SEGS = f"""
+array_distinct(flatten(transform(
+  sequence(greatest({FUZZY_MIN_LEN}, length(pfx) - {FUZZY_K}), length(pfx) + {FUZZY_K}),
+  lb -> flatten(transform(sequence(0, {FUZZY_SEGS - 1}), i ->
+    transform(
+      filter(sequence(-{FUZZY_K}, {FUZZY_K}), d ->
+        1 + i * (lb div {FUZZY_SEGS}) + least(i, lb % {FUZZY_SEGS}) + d >= 1
+        AND i * (lb div {FUZZY_SEGS}) + least(i, lb % {FUZZY_SEGS}) + d
+            + (lb div {FUZZY_SEGS}) + if(i < lb % {FUZZY_SEGS}, 1, 0) <= length(pfx)),
+      d -> named_struct(
+        'seg_id', i,
+        'lb', lb,
+        'seg', substring(pfx,
+                  1 + i * (lb div {FUZZY_SEGS}) + least(i, lb % {FUZZY_SEGS}) + d,
+                  (lb div {FUZZY_SEGS}) + if(i < lb % {FUZZY_SEGS}, 1, 0)))))))))
+"""
 
 
 @query(
@@ -72,7 +96,7 @@ def _doc_grams(keys: DataFrame) -> DataFrame:
 WITH d AS (
   SELECT doc_id, substr(text, 1, {FUZZY_PFX_LEN}) AS pfx
   FROM documents
-  WHERE length(substr(text, 1, {FUZZY_PFX_LEN})) >= {FUZZY_Q}
+  WHERE length(substr(text, 1, {FUZZY_PFX_LEN})) >= {FUZZY_MIN_LEN}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
@@ -85,26 +109,19 @@ FROM d a JOIN d b
 def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs whose {FUZZY_PFX_LEN}-char text prefix is
     within edit distance K — typo-tolerant linkage of near-identical
-    titles/keys. Candidates via the rare-gram prefix filter; exact
-    levenshtein verifies (the oracle brute-forces the same join, so the
-    hash match doubles as a completeness proof of the filter)."""
+    titles/keys. Candidates via the PassJoin segment partition (see
+    module doc); exact levenshtein verifies. The oracle brute-forces
+    the same join, so the hash match doubles as a completeness proof
+    of the partition scheme."""
     keys = _keys(spark, sf_dir)
-    dg = _doc_grams(keys)
-    # gram document frequency: vocabulary-sized, map-side combinable
-    df_tbl = dg.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-    # per-key probe signature: its SIG globally-rarest grams
-    w = Window.partitionBy("doc_id").orderBy("gdf", "g")
-    sig = (
-        dg.join(df_tbl, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= FUZZY_SIG)
-        .select(F.col("doc_id").alias("doc_a"), "g")
-    )
-    # probe (rare grams only) × full index; either direction suffices
-    # for completeness, so canonicalize the pair after the join
-    idx = dg.select(F.col("doc_id").alias("doc_b"), "g")
+    idx = keys.select(
+        F.col("doc_id").alias("doc_b"), F.explode(F.expr(_INDEX_SEGS)).alias("s")
+    ).select("doc_b", "s.seg_id", "s.lb", "s.seg")
+    probe = keys.select(
+        F.col("doc_id").alias("doc_a"), F.explode(F.expr(_PROBE_SEGS)).alias("s")
+    ).select("doc_a", "s.seg_id", "s.lb", "s.seg")
     cand = (
-        sig.join(idx, "g")
+        probe.join(idx, ["seg_id", "lb", "seg"])
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),

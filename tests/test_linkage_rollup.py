@@ -23,11 +23,11 @@ def _plan(df) -> str:
 
 
 def test_fuzzy_join_matches_brute_force(spark):
-    from etl_jlp_spark.operators.linkage import FUZZY_K, FUZZY_PFX_LEN, FUZZY_Q
+    from etl_jlp_spark.operators.linkage import FUZZY_K, FUZZY_MIN_LEN, FUZZY_PFX_LEN
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
         "doc_id", F.substring("text", 1, FUZZY_PFX_LEN).alias("pfx")
-    ).filter(F.length("pfx") >= FUZZY_Q)
+    ).filter(F.length("pfx") >= FUZZY_MIN_LEN)
     a = docs.withColumnsRenamed({"doc_id": "doc_a", "pfx": "pfx_a"})
     b = docs.withColumnsRenamed({"doc_id": "doc_b", "pfx": "pfx_b"})
     brute = (
@@ -54,13 +54,26 @@ def test_fuzzy_join_never_plans_a_cross_product(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
-def test_fuzzy_join_probes_with_bounded_signature(spark):
-    """Each key probes the index with at most K*Q+1 grams."""
-    from etl_jlp_spark.operators.linkage import FUZZY_SIG, _doc_grams, _keys
+def test_fuzzy_join_keys_are_data_independent_and_rare(spark):
+    """The probe expansion is bounded by a CONSTANT — (2K+1) lengths ×
+    (K+1) segments × (2K+1) shifts — independent of corpus size, and
+    index segment values must stay rare (the property that keeps the
+    candidate join linear; the q-gram scheme this replaced failed it)."""
+    from etl_jlp_spark.operators.linkage import (
+        FUZZY_K,
+        FUZZY_SEGS,
+        _INDEX_SEGS,
+        _PROBE_SEGS,
+        _keys,
+    )
 
     keys = _keys(spark, SF_SMALL)
-    per_doc = _doc_grams(keys).groupBy("doc_id").count()
-    assert per_doc.agg(F.max("count")).collect()[0][0] > FUZZY_SIG  # filter is real
+    probe_per_doc = keys.select(F.size(F.expr(_PROBE_SEGS)).alias("n"))
+    bound = (2 * FUZZY_K + 1) * FUZZY_SEGS * (2 * FUZZY_K + 1)
+    assert probe_per_doc.agg(F.max("n")).collect()[0][0] <= bound
+    idx = keys.select(F.explode(F.expr(_INDEX_SEGS)).alias("s")).select("s.seg_id", "s.lb", "s.seg")
+    max_df = idx.groupBy("seg_id", "lb", "seg").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= 32  # segment values are rare even on the tiny-vocab corpus
 
 
 # --- rollup_incremental ----------------------------------------------------
