@@ -217,10 +217,17 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
 # kinds with a real in-repo codec; everything else is fake/stub
 from etl_jlp_spark.multimodal.gif import decode_gif, encode_gif  # noqa: E402
 from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from etl_jlp_spark.multimodal.tiff import decode_tiff, encode_tiff  # noqa: E402
 
-REAL_DECODE_KINDS = frozenset({"bmp", "png", "jpeg", "gif"})
+REAL_DECODE_KINDS = frozenset({"bmp", "png", "jpeg", "gif", "tiff"})
 
-_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg, "gif": decode_gif}
+_DECODERS = {
+    "bmp": decode_bmp,
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+    "gif": decode_gif,
+    "tiff": decode_tiff,
+}
 
 
 def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> DataFrame:
@@ -237,6 +244,16 @@ def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> Dat
                 payload = encode_jpeg(w, h, px)
             elif kind == "gif":  # alternate progressive (interlaced) frames
                 payload = encode_gif(w, h, px, interlace=bool(i % 2))
+            elif kind == "tiff":  # rotate byte order / LZW / predictor
+                payload = encode_tiff(
+                    w,
+                    h,
+                    px,
+                    big_endian=bool(i % 2),
+                    compression=5 if i % 3 else 1,
+                    predictor=2 if i % 3 == 2 else 1,
+                    rows_per_strip=(h + 1) // 2 if i % 4 == 3 else None,
+                )
             else:  # rotate through all five PNG filter types
                 payload = encode_png(w, h, px, filter_type=i % 5)
             rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), w, h)))

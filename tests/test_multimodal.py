@@ -579,3 +579,66 @@ def test_decode_image_real_gif_in_spark(spark):
     for r in out:
         assert r["width"] >= 1 and r["height"] >= 1
         assert r["mean_r"] is not None and 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_tiff_roundtrip_exact_all_variants():
+    """TIFF is lossless in every supported arrangement: both byte
+    orders, uncompressed and LZW, predictor, multi-strip."""
+    import itertools
+
+    from etl_jlp_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    px = lambda x, y: ((x * 7 + 3) % 256, (y * 13 + 1) % 256, (x + y) % 256)
+    w, h = 17, 11
+    pix = [px(x, y) for y in range(h) for x in range(w)]
+    n = len(pix)
+    exp = tuple(sum(p[i] for p in pix) / n for i in range(3))
+    for be, comp, rps, pred in itertools.product(
+        (False, True), (1, 5), (None, 4), (1, 2)
+    ):
+        if pred == 2 and comp != 5:
+            continue
+        payload = encode_tiff(
+            w, h, px, big_endian=be, compression=comp, rows_per_strip=rps, predictor=pred
+        )
+        gw, gh, mr, mg, mb = decode_tiff(payload)
+        assert (gw, gh) == (w, h)
+        assert (mr, mg, mb) == exp
+
+
+def test_tiff_lzw_early_change_and_reset():
+    """A 200x120 frame drives LZW through every width bump (9→12) and
+    the 4094 dictionary reset — the reader's shifted early-change rule
+    must track the writer exactly."""
+    from etl_jlp_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    px = lambda x, y: ((x * 5 + y * 11) % 256, (x * 3 + y * 7) % 256, (x * 13 + y) % 256)
+    w, h = 200, 120
+    gw, gh, mr, _mg, _mb = decode_tiff(encode_tiff(w, h, px, compression=5))
+    pix = [px(x, y) for y in range(h) for x in range(w)]
+    assert (gw, gh) == (w, h)
+    assert mr == sum(p[0] for p in pix) / len(pix)
+
+
+def test_tiff_rejects_garbage_and_unsupported():
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    good = encode_tiff(8, 8, lambda x, y: (x * 20, y * 20, 0))
+    for bad in (b"", b"II\x2b\x00", b"MM" + b"\x00" * 30, good[:60]):
+        with _pytest.raises(ValueError):
+            decode_tiff(bad)
+    with _pytest.raises(ValueError):
+        encode_tiff(4, 4, lambda x, y: (0, 0, 0), compression=7)  # JPEG-in-TIFF
+
+
+def test_decode_image_real_tiff_in_spark(spark):
+    from etl_jlp_spark.multimodal.binary import decode_image, synth_media_df
+
+    media = synth_media_df(spark, n=12, kind="tiff")
+    out = decode_image(media, fake_decode=False).orderBy("media_id").collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["width"] >= 1 and r["height"] >= 1
+        assert r["mean_r"] is not None and 0.0 <= r["mean_r"] <= 255.0
