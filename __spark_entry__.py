@@ -86,6 +86,7 @@ _R5_PRIORITY = [
     "scd2_apply",
     "dedup_minhash_prebuilt",
     "fuzzy_join_editdist",
+    "fuzzy_join_prebuilt",
     "rollup_incremental",
     "ann_quantized_topk",
     "timeseries_gapfill",

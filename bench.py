@@ -115,6 +115,7 @@ HEADLINE = [
     "scd2_apply",
     "dedup_minhash_prebuilt",
     "fuzzy_join_editdist",
+    "fuzzy_join_prebuilt",
     "rollup_incremental",
     "ann_quantized_topk",
     "timeseries_gapfill",

@@ -144,3 +144,109 @@ def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pfx_a", "pfx_b").cast("bigint").alias("dist"),
         )
     )
+
+
+# incremental-linkage batch split: md5(doc_id)[:2] < '28' (~16%) is the
+# "arriving batch"; the rest is the already-indexed corpus (same split
+# protocol as dedup_minhash_prebuilt)
+FUZZY_BATCH_HEX = "28"
+
+
+def _fuzzy_store_paths(sf_dir: str) -> tuple[str, str]:
+    import os
+
+    from etl_jlp_spark.functions.storekey import corpus_store_key
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    h = corpus_store_key(sf_dir, "documents", algo=f"fj-v1-{FUZZY_K}-{FUZZY_BATCH_HEX}")
+    return os.path.join(root, f"fj_segs_{h}"), os.path.join(root, f"fj_keys_{h}")
+
+
+def ensure_fuzzy_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the existing corpus's PassJoin index once: the
+    segment relation (seg_id, lb, seg, doc_id) probes equi-join
+    against, and the key relation (doc_id, pfx) verification reads —
+    content+algo-keyed paths, per-pid temp dir + rename, the same
+    protocol as the IVF/BM25/MinHash stores."""
+    import os
+    import shutil
+
+    segs_path, keys_path = _fuzzy_store_paths(sf_dir)
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in (segs_path, keys_path)):
+        return segs_path, keys_path
+    existing = _keys(spark, sf_dir).filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= FUZZY_BATCH_HEX
+    )
+    segs = existing.select(
+        F.col("doc_id"), F.explode(F.expr(_INDEX_SEGS)).alias("s")
+    ).select("doc_id", "s.seg_id", "s.lb", "s.seg")
+    for final, df in ((segs_path, segs), (keys_path, existing)):
+        tmp = f"{final}.build-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:  # another process won the race — use its store
+            shutil.rmtree(tmp, ignore_errors=True)
+    return segs_path, keys_path
+
+
+@query(
+    "fuzzy_join_prebuilt",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_PFX_LEN}) AS pfx
+  FROM documents
+  WHERE length(substr(text, 1, {FUZZY_PFX_LEN})) >= {FUZZY_MIN_LEN}
+), split AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{FUZZY_BATCH_HEX}' AS is_new
+  FROM documents
+)
+SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+       CAST(levenshtein(n.pfx, o.pfx) AS BIGINT) AS dist
+FROM d n JOIN split sn ON sn.doc_id = n.doc_id AND sn.is_new
+JOIN d o ON abs(length(n.pfx) - length(o.pfx)) <= {FUZZY_K}
+        AND levenshtein(n.pfx, o.pfx) <= {FUZZY_K}
+JOIN split so ON so.doc_id = o.doc_id AND NOT so.is_new
+""",
+)
+def fuzzy_join_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage — the production shape: the existing
+    corpus's PassJoin segment index is built ONCE
+    (``ensure_fuzzy_store``); an arriving batch (~16% md5 slice)
+    expands only ITS OWN probe substrings, equi-joins the stored
+    segments, and verifies by exact levenshtein against the STORED
+    keys — indexed text is never re-read or re-segmented at probe
+    time. Output: (doc_new, doc_old, dist ≤ K) pairs telling the
+    pipeline which arriving docs are typo-level duplicates of
+    already-kept ones. Same brute-force oracle contract as
+    fuzzy_join_editdist, restricted to the batch × corpus split."""
+    segs_path, keys_path = _fuzzy_store_paths(sf_dir)
+    ensure_fuzzy_store(spark, sf_dir)
+    batch = _keys(spark, sf_dir).filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < FUZZY_BATCH_HEX
+    )
+    probe = batch.select(
+        F.col("doc_id").alias("doc_new"), F.explode(F.expr(_PROBE_SEGS)).alias("s")
+    ).select("doc_new", "s.seg_id", "s.lb", "s.seg")
+    idx = spark.read.parquet(segs_path).withColumnRenamed("doc_id", "doc_old")
+    cand = probe.join(idx, ["seg_id", "lb", "seg"]).select("doc_new", "doc_old").distinct()
+    kn = batch.select(F.col("doc_id").alias("doc_new"), F.col("pfx").alias("pfx_n"))
+    ko = spark.read.parquet(keys_path).select(
+        F.col("doc_id").alias("doc_old"), F.col("pfx").alias("pfx_o")
+    )
+    return (
+        cand.join(kn, "doc_new")
+        .join(ko, "doc_old")
+        .filter(
+            (F.abs(F.length("pfx_n") - F.length("pfx_o")) <= FUZZY_K)
+            & (F.levenshtein("pfx_n", "pfx_o") <= FUZZY_K)
+        )
+        .select(
+            "doc_new",
+            "doc_old",
+            F.levenshtein("pfx_n", "pfx_o").cast("bigint").alias("dist"),
+        )
+    )

@@ -150,3 +150,33 @@ def test_quantized_ann_rank_agreement_with_float_baseline(spark):
     assert exact and len(quant) == len(exact)
     overlap = len(exact & quant) / len(exact)
     assert overlap >= 0.9
+
+
+def test_fuzzy_prebuilt_store_reused_and_matches_split_brute_force(spark):
+    import os
+
+    from etl_jlp_spark.operators.linkage import (
+        FUZZY_BATCH_HEX,
+        FUZZY_K,
+        _keys,
+        ensure_fuzzy_store,
+    )
+
+    segs_path, _ = ensure_fuzzy_store(spark, SF_SMALL)
+    marker = os.path.join(segs_path, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    ensure_fuzzy_store(spark, SF_SMALL)
+    assert os.path.getmtime(marker) == mtime  # no rebuild
+
+    keys = _keys(spark, SF_SMALL)
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < FUZZY_BATCH_HEX
+    n = keys.filter(is_new).withColumnsRenamed({"doc_id": "doc_new", "pfx": "pfx_n"})
+    o = keys.filter(~is_new).withColumnsRenamed({"doc_id": "doc_old", "pfx": "pfx_o"})
+    brute = (
+        n.crossJoin(o)
+        .filter(F.levenshtein("pfx_n", "pfx_o") <= FUZZY_K)
+        .select("doc_new", "doc_old", F.levenshtein("pfx_n", "pfx_o").cast("bigint").alias("dist"))
+    )
+    expected = {tuple(r) for r in brute.collect()}
+    got = {tuple(r) for r in QS["fuzzy_join_prebuilt"](spark, SF_SMALL).collect()}
+    assert got == expected
