@@ -51,7 +51,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     timeseries,
     tpch_extra,
 )
-from etl_jlp_spark.quality import report  # noqa: E402, F401
+from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
@@ -92,6 +92,7 @@ _R5_PRIORITY = [
     "timeseries_gapfill",
     "user_retention_cohorts",
     "key_skew_report",
+    "psi_drift_report",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -121,6 +121,7 @@ HEADLINE = [
     "timeseries_gapfill",
     "user_retention_cohorts",
     "key_skew_report",
+    "psi_drift_report",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",
