@@ -102,3 +102,38 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_cur").cast("long").alias("n_cur"),
         )
     )
+
+
+def bucket_counts(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, n) — the sufficient statistic PSI needs;
+    mergeable across batches (plain sums)."""
+    return events.groupBy(
+        "event_type", F.expr(_BUCKET_SQL).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+
+def psi_against_reference(batch_counts: DataFrame, ref_counts: DataFrame) -> DataFrame:
+    """PSI of a batch's bucket counts vs a fixed reference — the
+    serving-time half of ``psi_drift_report``. Full-outer on the bucket
+    grid so buckets present on only one side still contribute their
+    (smoothed) term; output one row per event_type."""
+    b = batch_counts.withColumnsRenamed({"n": "n_cur"})
+    r = ref_counts.withColumnsRenamed({"n": "n_ref"})
+    c = (
+        b.join(r, ["event_type", "bucket"], "full_outer")
+        .fillna({"n_cur": 0.0, "n_ref": 0.0})
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n_cur").alias("t_cur"), F.sum("n_ref").alias("t_ref")
+    )
+    s = F.lit(0.5 * _N_BUCKETS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + s)
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + s)
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 4).alias("psi"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+        )
+    )

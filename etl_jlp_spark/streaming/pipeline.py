@@ -432,3 +432,36 @@ def streaming_scd2_enrich(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_psi_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    ref_counts: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous drift alarm: each arriving micro-batch's value
+    distribution is scored (PSI) against a FIXED reference bucket-count
+    relation — the streaming half of ``psi_drift_report``
+    (quality/drift.py computes the batch twin; both share
+    ``bucket_counts`` / ``psi_against_reference``). Exactly-once via
+    the idempotent per-batch_id overwrite; downstream alerting reads
+    the per-batch PSI rows and applies the 0.1/0.25 thresholds."""
+    from etl_jlp_spark.quality.drift import bucket_counts, psi_against_reference
+
+    stream = stream_events(spark, src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(
+            psi_against_reference(bucket_counts(batch_df), ref_counts),
+            dest_dir,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -289,3 +289,40 @@ def test_streaming_bm25_matches_prebuilt_probe(spark, tmp_path):
     q2 = streaming_bm25_search(spark, src, qdf.schema, SF_SMALL, dest, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(dest).drop("batch_id").count() == out.count()
+
+
+def test_streaming_psi_monitor_matches_batch(spark, tmp_path):
+    """Per-batch PSI vs a fixed reference must equal the batch-side
+    computation on the same rows; a same-distribution batch scores ~0.
+    Two separate availableNow runs on one checkpoint make the batch
+    contents deterministic (run 2 sees only the file added after run 1)."""
+    from etl_jlp_spark.quality.drift import bucket_counts, psi_against_reference
+    from etl_jlp_spark.streaming.pipeline import streaming_psi_monitor
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    ref = bucket_counts(ev).persist()
+    src = str(tmp_path / "src")
+    dest, ckpt = str(tmp_path / "psi"), str(tmp_path / "ckpt")
+    halves = [ev.filter(F.col("event_id") % 2 == i) for i in (0, 1)]
+    halves[0].coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_psi_monitor(spark, src, ref, dest, ckpt).awaitTermination(120)
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    streaming_psi_monitor(spark, src, ref, dest, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(dest)
+    n_types = ev.select("event_type").distinct().count()
+    assert got.count() == 2 * n_types
+    # each half is a same-distribution sample of the reference stream
+    assert got.agg(F.max("psi")).collect()[0][0] < 0.1
+    for bid, half in enumerate(halves):
+        want = {
+            (r["event_type"], r["psi"], r["n_cur"])
+            for r in psi_against_reference(bucket_counts(half), ref).collect()
+        }
+        have = {
+            (r["event_type"], r["psi"], r["n_cur"])
+            for r in got.filter(F.col("batch_id") == bid).drop("batch_id").collect()
+        }
+        assert want == have
+    ref.unpersist()
