@@ -58,9 +58,12 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 # first ~50 queries() entries per round. Round-5 priority: the TRUE 12-name
 # overflow whose newest driver row is round 2 (VERDICT r4 finding #3: the
 # documented list of 11 was missing dedup_embedding_cosine), then the four
-# flagships (kept in-window every round), then the 42 names whose newest
-# driver row is round 3, in their r3-window order. Positions past ~50
-# (the tail of the r3-stale block) overflow and lead round 6.
+# flagships (kept in-window every round), then the eleven queries NEW in
+# round 5 (first driver row), then the 42 names whose newest driver row is
+# round 3, in their r3-window order. Positions past ~50 (the tail of the
+# r3-stale block) overflow and lead round 6 — the full overflow list is in
+# SURVEY.md §8; every overflow name is covered by the committed PARITY_r5.txt
+# sf0.01 sweep.
 # ---------------------------------------------------------------------------
 _R5_PRIORITY = [
     # newest driver row = round 2 — all 12 MUST land in the r5 window
