@@ -106,3 +106,58 @@ def overlap_count(ranges: list[tuple[object, object]], point: object) -> int:
     """How many files a point-predicate scan must open = files whose
     [min, max] contains the point. 1 is perfect skipping."""
     return sum(1 for lo, hi in ranges if lo <= point <= hi)
+
+
+# persisted-index stores are content+algo-keyed ({family}_{8-hex}; see
+# functions/storekey.py): a regenerated corpus resolves to a NEW key and
+# the old store becomes garbage on disk. This janitor closes that loop.
+# The family prefix is part of the convention — a closed list, so a user
+# table that HAPPENS to end in 8 hex-ish chars (events_20240101) can
+# never be mistaken for a store.
+STORE_FAMILIES = ("ir", "ivf", "mh", "fj", "rollup")
+STORE_FAMILY_RE = (
+    rf"^({'|'.join(STORE_FAMILIES)})(_[a-z0-9]+)*_[0-9a-f]{{8}}(\.build-\d+)?$"
+)
+
+
+def sweep_stale_stores(
+    warehouse_dir: str, live_paths: set[str], dry_run: bool = False
+) -> list[str]:
+    """Delete content-keyed store directories not in ``live_paths``
+    (absolute paths of every store the CURRENT corpora resolve to —
+    collect them by calling each family's ``*_store_paths`` helper).
+    Only names matching the ``{family}_{8hexkey}`` convention are ever
+    touched, so tables or checkpoints sharing the warehouse are safe;
+    orphaned ``.build-{pid}`` temp dirs (crashed builders) are swept
+    too. Returns the removed paths (or would-remove, when dry_run)."""
+    import re
+
+    pat = re.compile(STORE_FAMILY_RE)
+    live = {os.path.abspath(p) for p in live_paths}
+    removed = []
+    if not os.path.isdir(warehouse_dir):
+        return removed
+    for name in sorted(os.listdir(warehouse_dir)):
+        full = os.path.abspath(os.path.join(warehouse_dir, name))
+        if not os.path.isdir(full) or not pat.match(name) or full in live:
+            continue
+        removed.append(full)
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
+    return removed
+
+
+def live_store_paths(sf_dirs: list[str]) -> set[str]:
+    """Every store path the given corpora currently resolve to, across
+    all persisted-index families — the ``live_paths`` input to
+    ``sweep_stale_stores``."""
+    from etl_jlp_spark.operators import ir, linkage, rollup, similarity
+
+    live: set[str] = set()
+    for sf in sf_dirs:
+        live.update(ir._ir_index_paths(sf))
+        live.update(linkage._fuzzy_store_paths(sf))
+        live.add(rollup._rollup_store_path(sf))
+        live.update(similarity._minhash_store_paths(sf))
+        live.update(similarity._ivf_store_paths(sf))
+    return live

@@ -66,3 +66,46 @@ def test_compaction_is_atomic_over_existing_dest(spark, tmp_path):
     stats = compact_small_files(spark, src, dest)
     assert spark.read.parquet(dest).count() == ev.count()
     assert stats.files_out >= 1
+
+
+def test_store_janitor_sweeps_only_stale_store_dirs(tmp_path):
+    """The janitor must remove content-keyed stores for corpora that no
+    longer exist, keep live ones, sweep crashed .build temps, and never
+    touch non-store directories sharing the warehouse."""
+    import os
+
+    from etl_jlp_spark.ingest.maintenance import sweep_stale_stores
+
+    wh = tmp_path / "warehouse"
+    names = [
+        "ir_postings_deadbeef",       # stale store
+        "fj_segs_0badf00d.build-99",  # crashed builder temp
+        "ivf_cells_12345678",         # live store
+        "my_table",                   # not a store — must survive
+        "checkpoint",                 # not a store — must survive
+    ]
+    for n in names:
+        os.makedirs(wh / n)
+    live = {str(wh / "ivf_cells_12345678")}
+
+    would = sweep_stale_stores(str(wh), live, dry_run=True)
+    assert sorted(os.path.basename(p) for p in would) == [
+        "fj_segs_0badf00d.build-99",
+        "ir_postings_deadbeef",
+    ]
+    assert sorted(os.listdir(wh)) == sorted(names)  # dry run touched nothing
+
+    removed = sweep_stale_stores(str(wh), live)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "fj_segs_0badf00d.build-99",
+        "ir_postings_deadbeef",
+    ]
+    assert sorted(os.listdir(wh)) == ["checkpoint", "ivf_cells_12345678", "my_table"]
+
+
+def test_live_store_paths_cover_every_family():
+    from etl_jlp_spark.ingest.maintenance import live_store_paths
+
+    live = live_store_paths(["/root/testdata/sf0.001"])
+    fams = {p.rsplit("/", 1)[-1].split("_")[0] for p in live}
+    assert {"ir", "fj", "rollup", "mh", "ivf"} <= fams
