@@ -35,6 +35,8 @@ import zlib
 from collections.abc import Iterator
 
 import numpy as np
+
+from etl_jlp_spark.multimodal.robust import check_dims, loud_codec
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,6 +72,7 @@ def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
     return header + bytes(rows)
 
 
+@loud_codec
 def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
     """Parse an uncompressed 24-bit BMP: (width, height, mean_r, mean_g,
     mean_b). Raises ValueError on anything that isn't one."""
@@ -81,6 +84,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    check_dims(width, abs(height))
     row_bytes = width * 3
     pad = (4 - row_bytes % 4) % 4
     h = abs(height)
@@ -146,6 +150,7 @@ def encode_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes
     )
 
 
+@loud_codec
 def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
     """Parse a non-interlaced 8-bit gray/RGB/RGBA PNG: (width, height,
     mean_r, mean_g, mean_b). Inflate is stdlib zlib; defiltering handles
@@ -170,6 +175,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8 or color not in (0, 2, 6) or interlace != 0:
         raise ValueError(f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})")
+    check_dims(w, h)
     if not idat:
         raise ValueError("missing IDAT")
     ch = {0: 1, 2: 3, 6: 4}[color]
@@ -495,6 +501,7 @@ def _decode_adpcm_mono(data: bytes, block_align: int, n_samples: int) -> "np.nda
     return np.asarray(out[:n_samples], dtype=np.int64)
 
 
+@loud_codec
 def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
     """Parse RIFF/WAVE: (sample_rate, n_channels, n_samples,
     duration_s, rms, peak). Two real codec paths: 16-bit integer PCM
@@ -673,6 +680,7 @@ def encode_avi(width: int, height: int, frames: list, fps: int = 10, codec: str 
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+@loud_codec
 def decode_avi(payload: bytes) -> tuple[int, int, int, float, list[tuple[float, float, float]]]:
     """Parse RIFF/AVI: (width, height, n_frames, fps, per-frame
     (mean_r, mean_g, mean_b)). Two real codec paths: uncompressed RGB24
@@ -715,6 +723,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, float, list[tuple[float, 
         )
     if width is None or not frames:
         raise ValueError("missing avih header or frames")
+    check_dims(width, height)
     means = []
     if codec == b"MJPG":
         from etl_jlp_spark.multimodal.jpeg import decode_jpeg

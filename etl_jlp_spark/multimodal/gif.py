@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from etl_jlp_spark.multimodal.robust import check_dims, loud_codec
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -177,6 +179,7 @@ def encode_gif(width: int, height: int, pixel_fn, interlace: bool = False) -> by
     return bytes(out)
 
 
+@loud_codec
 def decode_gif(payload: bytes) -> tuple[int, int, float, float, float]:
     """(width, height, mean_r, mean_g, mean_b) of the first frame.
     Handles 87a/89a, global/local color tables, interlace, extension
@@ -206,6 +209,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, float, float, float]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        check_dims(w, h)
         table = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)

@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from etl_jlp_spark.multimodal.robust import check_dims, loud_codec
+
 # ---------------------------------------------------------------------------
 # shared: DCT basis, zigzag order, quantization
 # ---------------------------------------------------------------------------
@@ -557,6 +559,7 @@ def _entropy_end(data: bytes, start: int) -> int:
     return n
 
 
+@loud_codec
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     """Decode a baseline (SOF0 — 4:4:4 or chroma-subsampled,
     interleaved scan, optional restart intervals) or progressive (SOF2 —
@@ -622,6 +625,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            check_dims(w, h)
             comps = []
             for c in range(ncomp):
                 cid, sampling, qid = body[6 + c * 3 : 9 + c * 3]

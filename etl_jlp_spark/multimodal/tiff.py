@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from etl_jlp_spark.multimodal.robust import check_dims, loud_codec
+
 _TAG_WIDTH = 256
 _TAG_HEIGHT = 257
 _TAG_BITS = 258
@@ -248,6 +250,7 @@ def _read_values(payload: bytes, bo: str, ttype: int, count: int, raw: bytes) ->
     return list(struct.unpack(f"{bo}{count}{fmt}", data))
 
 
+@loud_codec
 def decode_tiff(payload: bytes) -> tuple[int, int, float, float, float]:
     """(width, height, mean_r, mean_g, mean_b) of the first IFD.
     Raises ValueError on anything outside the supported core."""
@@ -274,6 +277,7 @@ def decode_tiff(payload: bytes) -> tuple[int, int, float, float, float]:
         return tags[tid][0]
 
     w, h = one(_TAG_WIDTH), one(_TAG_HEIGHT)
+    check_dims(w, h)
     comp = one(_TAG_COMPRESSION, 1)
     photo = one(_TAG_PHOTOMETRIC)
     spp = one(_TAG_SPP, 1)

@@ -78,3 +78,64 @@ def test_time_on_page_invariants(spark, rows):
                 assert abs(r["raw_time_on_page"] - want) < 1e-6
             else:
                 assert r["raw_time_on_page"] == 1800.0
+
+
+# --- codec robustness: corrupt bytes always raise ValueError ---------------
+
+import numpy as _np
+
+from etl_jlp_spark.multimodal.binary import (
+    decode_avi as _d_avi,
+    decode_bmp as _d_bmp,
+    decode_png as _d_png,
+    decode_wav as _d_wav,
+    encode_avi as _e_avi,
+    encode_bmp as _e_bmp,
+    encode_png as _e_png,
+    encode_wav as _e_wav,
+)
+from etl_jlp_spark.multimodal.gif import decode_gif as _d_gif, encode_gif as _e_gif
+from etl_jlp_spark.multimodal.jpeg import decode_jpeg as _d_jpeg, encode_jpeg as _e_jpeg
+from etl_jlp_spark.multimodal.tiff import decode_tiff as _d_tiff, encode_tiff as _e_tiff
+
+_px = lambda x, y: (x * 20 % 256, y * 30 % 256, 5)  # noqa: E731
+_CODEC_SEEDS = {
+    _d_bmp: _e_bmp(9, 7, _px),
+    _d_png: _e_png(9, 7, _px, filter_type=4),
+    _d_jpeg: _e_jpeg(9, 7, _px),
+    _d_gif: _e_gif(9, 7, _px, interlace=True),
+    _d_tiff: _e_tiff(9, 7, _px, compression=5, predictor=2),
+    _d_wav: _e_wav(8000, (1000 * _np.sin(_np.arange(200) / 5)).astype(_np.int16)),
+    _d_avi: _e_avi(4, 6, [_np.full((6, 4, 3), i * 30, dtype=_np.uint8) for i in range(2)]),
+}
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    decoder=st.sampled_from(sorted(_CODEC_SEEDS, key=lambda f: f.__name__)),
+    data=st.data(),
+)
+def test_corrupt_media_always_raises_valueerror(decoder, data):
+    """A decoder inside a 1000-executor mapInPandas must fail corrupt
+    payloads with ONE catchable type (quarantine the row, keep the
+    batch); IndexError/struct.error/zlib.error would kill the task.
+    Exercised three ways: random bytes, bit-flipped real streams,
+    truncated real streams. Valid output is also allowed — a flip may
+    land in pixel data."""
+    seed = _CODEC_SEEDS[decoder]
+    mode = data.draw(st.integers(0, 2))
+    if mode == 0:
+        payload = bytes(data.draw(st.binary(max_size=150)))
+    else:
+        buf = bytearray(seed)
+        for pos in data.draw(
+            st.lists(st.integers(0, len(seed) - 1), min_size=1, max_size=8)
+        ):
+            buf[pos] = data.draw(st.integers(0, 255))
+        if mode == 2:
+            buf = buf[: data.draw(st.integers(1, len(buf)))]
+        payload = bytes(buf)
+    try:
+        decoder(payload)
+    except (ValueError, NotImplementedError):
+        pass  # the contract
