@@ -131,6 +131,18 @@ HEADLINE = [
     "dedup_cluster_representative",
     "dataset_split",
     "training_data_pipeline",
+    # r5: complete coverage — every registered query gets a baseline
+    "audit_columns",
+    "compare_with_source",
+    "cumulative_daily_revenue",
+    "dedup_ngram_jaccard",
+    "ingest_full_load",
+    "ingest_jdbc_derby",
+    "props_extract",
+    "quality_clean_rate",
+    "quality_format_check",
+    "session_merge_records",
+    "watermark_update",
 ]
 
 
