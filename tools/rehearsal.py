@@ -36,6 +36,15 @@ DEFAULT = [
     "ngram_lm_score",
     "scd2_build",
     "scd2_apply",
+    # r5 additions — re-measure by default each round
+    "fuzzy_join_editdist",
+    "fuzzy_join_prebuilt",
+    "rollup_incremental",
+    "ann_quantized_topk",
+    "timeseries_gapfill",
+    "user_retention_cohorts",
+    "key_skew_report",
+    "psi_drift_report",
 ]
 
 
