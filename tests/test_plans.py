@@ -196,3 +196,24 @@ def test_training_data_pipeline_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the decontamination join must broadcast the benchmark shingle side
     assert "BroadcastHashJoin" in plan
+
+
+def test_retention_cohorts_plans_hash_joins_only(spark):
+    plan = _plan(QS["user_retention_cohorts"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan  # user-keyed equi joins only
+
+
+def test_skew_report_uses_takeordered_not_global_sort(spark):
+    plan = _plan(QS["key_skew_report"](spark, SF_SMALL))
+    assert "TakeOrdered" in plan  # top-N without a full sort stage
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_and_psi_cross_joins_are_broadcast_scalars(spark):
+    """The only nested-loop joins allowed are the broadcast 1-row
+    scalar / span-bounded grid sides — never a real cartesian."""
+    for name in ("timeseries_gapfill", "psi_drift_report"):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name  # the data-sized join is hashed
