@@ -96,6 +96,7 @@ _R5_PRIORITY = [
     "user_retention_cohorts",
     "key_skew_report",
     "psi_drift_report",
+    "quality_percentile_gate",
     # newest driver row = round 3 (r3-window order); tail past ~50 → r6
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

@@ -122,6 +122,7 @@ HEADLINE = [
     "user_retention_cohorts",
     "key_skew_report",
     "psi_drift_report",
+    "quality_percentile_gate",
     # round 3 additions
     "approx_sketch_stats",
     "ann_ivf_topk_prebuilt",

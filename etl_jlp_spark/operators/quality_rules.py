@@ -333,3 +333,69 @@ def source_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("k") / F.count(F.lit(1)), 4).alias("keep_rate"),
         )
     )
+
+
+# per-source percentile gate: drop each source's bottom GATE_P quantile
+GATE_P = 0.3
+
+
+def _gate_oracle() -> str:
+    """Reuses text_quality_score's oracle verbatim as the score CTE, so
+    the two queries can never drift apart."""
+    # import registers the score oracle (this module loads first
+    # alphabetically, so the registry doesn't have it yet)
+    from etl_jlp_spark.operators import textstats  # noqa: F401
+    from etl_jlp_spark.registry import ORACLES
+
+    score_sql = ORACLES["text_quality_score"].strip().rstrip(";")
+    return f"""
+WITH s AS (
+  SELECT q.doc_id, q.quality_score, d.source
+  FROM ({score_sql}) q JOIN documents d ON q.doc_id = d.doc_id
+), thr AS (
+  SELECT source,
+         round(quantile_cont(quality_score, {GATE_P}), 4) AS threshold,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY source
+)
+SELECT t.source, t.threshold, t.n_docs,
+       CAST(sum(CASE WHEN s.quality_score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN s.quality_score >= t.threshold THEN 1 ELSE 0 END) * 1.0
+             / t.n_docs, 4) AS keep_rate
+FROM s JOIN thr t ON s.source = t.source
+GROUP BY t.source, t.threshold, t.n_docs
+"""
+
+
+@query("quality_percentile_gate", oracle=_gate_oracle())
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile curation (the FineWeb-style gate:
+    each source drops its own bottom quantile rather than sharing one
+    global threshold, so a clean source isn't starved by a noisy one).
+    Reuses `text_quality_score` for the per-doc score (rounded to 4dp
+    in BOTH engines — threshold comparisons are float-safe), computes
+    each source's exact interpolated {GATE_P}-quantile (Spark
+    `percentile` ≡ DuckDB quantile_cont; `approx_percentile` is the
+    documented 100 TB swap-in, as in percentile_stats), broadcasts the
+    #sources-row threshold table back, and reports the keep decision
+    per source. Output is source-cardinality-sized."""
+    from etl_jlp_spark.operators.textstats import text_quality_score
+
+    scores = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = scores.join(src, "doc_id")
+    thr = s.groupBy("source").agg(
+        F.round(F.expr(f"percentile(quality_score, {GATE_P})"), 4).alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    kept = F.sum(
+        F.when(F.col("quality_score") >= F.col("threshold"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        s.join(F.broadcast(thr), "source")
+        .groupBy("source", "threshold", "n_docs")
+        .agg(
+            kept.alias("n_kept"),
+            F.round(kept * 1.0 / F.col("n_docs"), 4).alias("keep_rate"),
+        )
+    )
