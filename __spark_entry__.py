@@ -55,71 +55,17 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
-# first ~50 queries() entries per round. Round-5 priority: the TRUE 12-name
-# overflow whose newest driver row is round 2 (VERDICT r4 finding #3: the
-# documented list of 11 was missing dedup_embedding_cosine), then the four
-# flagships (kept in-window every round), then the eleven queries NEW in
-# round 5 (first driver row), then the 42 names whose newest driver row is
-# round 3, in their r3-window order. Positions past ~50 (the tail of the
-# r3-stale block) overflow and lead round 6 — the full overflow list is in
-# SURVEY.md §8; every overflow name is covered by the committed PARITY_r5.txt
+# first ~50 queries() entries per round. Round-6 priority: the 20 names that
+# overflowed the round-5 window (newest driver row = round 3), then the four
+# flagships (kept in-window every round), then the four queries NEW in round
+# 6 (first driver row), then — a hedge, because no CORRECTNESS_r05.json ever
+# landed in-repo, so the r5 window may not have been recorded — the round-5
+# head in its r5 order (the 12 previously-r2-stale names, then the 12 r5
+# additions). Everything past ~50 is covered by the committed PARITY_r6.txt
 # sf0.01 sweep.
 # ---------------------------------------------------------------------------
-_R5_PRIORITY = [
-    # newest driver row = round 2 — all 12 MUST land in the r5 window
-    "decontaminate_docs",
-    "balance_source_mix",
-    "ingest_full_load",
-    "ingest_incremental_watermark",
-    "watermark_update",
-    "compare_with_source",
-    "cdc_merge",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ingest_full_load_jsonl",
-    "time_on_page_incremental",
-    "dedup_embedding_cosine",
-    # flagships — kept in-window every round
-    "preprocess_pipeline",
-    "curate_documents",
-    "training_data_pipeline",
-    "corpus_index_pipeline",
-    # NEW in round 5 — need their first driver row
-    "scd2_build",
-    "scd2_apply",
-    "dedup_minhash_prebuilt",
-    "fuzzy_join_editdist",
-    "fuzzy_join_prebuilt",
-    "rollup_incremental",
-    "ann_quantized_topk",
-    "timeseries_gapfill",
-    "user_retention_cohorts",
-    "key_skew_report",
-    "psi_drift_report",
-    "quality_percentile_gate",
-    # newest driver row = round 3 (r3-window order); tail past ~50 → r6
-    "approx_sketch_stats",
-    "ann_ivf_topk_prebuilt",
-    "ingest_jdbc_derby",
-    "doc_chunk",
-    "paragraph_dedup",
-    "semantic_dedup",
-    "dedup_cluster_representative",
-    "dataset_split",
-    "dedup_exact",
-    "window_time",
-    "session_window_stats",
-    "keywords_extract",
-    "keywords_ngrams",
-    "exact_keywords_set",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q18_large_orders",
+_R6_PRIORITY = [
+    # overflowed the r5 window — newest driver row is round 3
     "range_band_join",
     "events_by_type_day_salted",
     "stratified_sample",
@@ -140,11 +86,49 @@ _R5_PRIORITY = [
     "nearest_centroid_assign",
     "source_keep_rate",
     "audit_columns",
+    # flagships — kept in-window every round
+    "preprocess_pipeline",
+    "curate_documents",
+    "training_data_pipeline",
+    "corpus_index_pipeline",
+    # NEW in round 6 — need their first driver row
+    "anomaly_zscore",
+    "ewma_daily_revenue",
+    "dsir_select",
+    "bpe_encode",
+    # hedge: the r5-window head, in case round 5's driver gate never
+    # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
+    # whose newest CONFIRMED driver row is round 2, then the 12 queries
+    # first registered in round 5
+    "decontaminate_docs",
+    "balance_source_mix",
+    "ingest_full_load",
+    "ingest_incremental_watermark",
+    "watermark_update",
+    "compare_with_source",
+    "cdc_merge",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ingest_full_load_jsonl",
+    "time_on_page_incremental",
+    "dedup_embedding_cosine",
+    "scd2_build",
+    "scd2_apply",
+    "dedup_minhash_prebuilt",
+    "fuzzy_join_editdist",
+    "fuzzy_join_prebuilt",
+    "rollup_incremental",
+    "ann_quantized_topk",
+    "timeseries_gapfill",
+    "user_retention_cohorts",
+    "key_skew_report",
+    "psi_drift_report",
+    "quality_percentile_gate",
 ]
 
 
 def _rotated() -> None:
-    registry.reorder([n for n in _R5_PRIORITY if n in registry.QUERIES])
+    registry.reorder([n for n in _R6_PRIORITY if n in registry.QUERIES])
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -155,7 +139,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, with the
-    round-5 correctness-window rotation applied (see above)."""
+    round-6 correctness-window rotation applied (see above)."""
     _rotated()
     return dict(registry.QUERIES)
 

@@ -476,3 +476,231 @@ def bm25_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("s", 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling + first-iteration BPE encoding (round 6)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality domain" the mix should tilt toward
+DSIR_KEEP_K = 100
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), tgt AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = '{DSIR_TARGET_SOURCE}')
+  GROUP BY term
+), tgt_stats AS (SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM tgt),
+bg AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{LM_TRAIN_PREFIX}'
+  GROUP BY term
+), bg_stats AS (SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM bg),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         avg( ln((coalesce(tg.cnt, 0) + {LM_ALPHA}) / (ts.total + {LM_ALPHA} * (ts.vocab + 1)))
+            - ln((coalesce(b.cnt, 0) + {LM_ALPHA}) / (bs.total + {LM_ALPHA} * (bs.vocab + 1))) ) AS lr
+  FROM toks t
+  LEFT JOIN tgt tg USING (term) LEFT JOIN bg b USING (term)
+  CROSS JOIN tgt_stats ts CROSS JOIN bg_stats bs
+  GROUP BY t.doc_id
+), sel AS (
+  SELECT doc_id, n_tokens, round(lr, 4) AS avg_logratio
+  FROM scored ORDER BY avg_logratio DESC, doc_id LIMIT {DSIR_KEEP_K}
+)
+SELECT doc_id, n_tokens, avg_logratio,
+       CAST(row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS BIGINT) AS rk
+FROM sel
+""",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (arXiv:2302.03169, hashed-n-gram
+    importance resampling reduced to its unigram core): a TARGET unigram
+    LM is trained on the target-domain slice (source = src0 — the
+    domain the training mix should tilt toward) and a BACKGROUND LM on
+    the deterministic md5 corpus slice `ngram_lm_score` already uses;
+    every document is scored by the mean per-token log importance ratio
+    ln p_target(t) − ln p_background(t) (add-k smoothing α=0.5 on both
+    sides, OOV takes the smoothed zero-count mass), and the top-K docs
+    by ratio are selected (round-4dp score, doc_id tie-break — both
+    deterministic across engines).
+
+    Scale shape: both LMs are vocabulary-sized relations trained by
+    map-side-combinable aggs over bounded slices; scoring is ONE
+    tokenize pass with two broadcast left joins + two broadcast 1-row
+    stats, then a per-doc agg; selection is orderBy+limit (TakeOrdered,
+    no global sort materialized). The final rank window runs over the
+    ≤100-row selected result — bounded regardless of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = (
+        _words(docs.filter(F.col("source") == DSIR_TARGET_SOURCE))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("t_cnt"))
+    )
+    tgt_stats = tgt.agg(
+        F.sum("t_cnt").alias("t_total"),
+        F.count(F.lit(1)).cast("double").alias("t_vocab"),
+    )
+    bg, bg_stats = train_unigram_lm(docs, spark, sf_dir)
+    bg = bg.withColumnRenamed("cnt", "b_cnt")
+    bg_stats = bg_stats.select(
+        F.col("total").alias("b_total"), F.col("vocab").alias("b_vocab")
+    )
+    p_t = (F.coalesce(F.col("t_cnt"), F.lit(0.0)) + LM_ALPHA) / (
+        F.col("t_total") + LM_ALPHA * (F.col("t_vocab") + 1.0)
+    )
+    p_b = (F.coalesce(F.col("b_cnt"), F.lit(0.0)) + LM_ALPHA) / (
+        F.col("b_total") + LM_ALPHA * (F.col("b_vocab") + 1.0)
+    )
+    scored = (
+        _words(docs, spark, sf_dir)
+        .join(F.broadcast(tgt), "term", "left")
+        .join(F.broadcast(bg), "term", "left")
+        .crossJoin(F.broadcast(tgt_stats))
+        .crossJoin(F.broadcast(bg_stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log(p_t) - F.log(p_b)).alias("lr"),
+        )
+    )
+    sel = (
+        scored.select("doc_id", "n_tokens", F.round("lr", 4).alias("avg_logratio"))
+        .orderBy(F.desc("avg_logratio"), F.asc("doc_id"))
+        .limit(DSIR_KEEP_K)
+    )
+    rk = Window.orderBy(F.desc("avg_logratio"), F.asc("doc_id"))
+    return sel.select(
+        "doc_id", "n_tokens", "avg_logratio",
+        F.row_number().over(rk).cast("long").alias("rk"),
+    )
+
+
+BPE_N_MERGES = 8  # first-iteration merge table applied by bpe_encode
+
+
+@query(
+    "bpe_encode",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), dtf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+), words AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS wc FROM dtf GROUP BY term
+), pairs AS (
+  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, wc
+  FROM words, unnest(range(1, length(term))) AS r(i)
+  WHERE length(term) >= 2
+), pool AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS occurrences
+  FROM pairs GROUP BY pair
+  ORDER BY occurrences DESC, pair LIMIT {BPE_N_MERGES}
+), merges AS (
+  SELECT list(pair ORDER BY occurrences DESC, pair) AS ms FROM pool
+), enc AS (
+  SELECT term, len(string_split(
+           list_reduce(
+             list_prepend(array_to_string(regexp_extract_all(term, '.'), ' '), ms),
+             (acc, m) -> replace(acc, substr(m, 1, 1) || ' ' || substr(m, 2, 1), m)),
+           ' ')) AS wtok
+  FROM words CROSS JOIN merges
+)
+SELECT d.doc_id,
+       CAST(sum(d.n * length(d.term)) AS BIGINT) AS n_chars_alpha,
+       CAST(sum(d.n * e.wtok) AS BIGINT) AS n_tokens_bpe,
+       round(sum(d.n * length(d.term)) * 1.0 / sum(d.n * e.wtok), 4) AS chars_per_token
+FROM dtf d JOIN enc e USING (term)
+GROUP BY d.doc_id
+""",
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a first-iteration BPE merge table to the corpus: the top
+    {BPE_N_MERGES} adjacent-character pairs (the `bpe_merge_candidates`
+    counting pass) become the merge list, every DISTINCT word is
+    segmented once (chars spaced out, merges folded in rank order via
+    `aggregate`'s string fold — leftmost non-overlapping replace in
+    both engines), and each document reports its post-merge token
+    count and chars-per-token compression — the signal tokenizer
+    induction iterates on.
+
+    Scale shape: one tokenize pass feeds a (doc,term) agg whose term
+    re-aggregation yields the word vocab (ReusedExchange — the text is
+    read once, as in `_with_df`); the merge table is picked by
+    TakeOrdered (never a vocab-wide sort or collect) and carried as a
+    one-row array via broadcast cross join; segmentation runs over the
+    VOCAB (each word encoded once, weighted by count on the way back),
+    so corpus token volume never reaches the per-char fan-out; the
+    vocab-sized (term → token-count) map broadcast-joins back onto the
+    (doc,term) relation under AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtf = (
+        _words(docs, spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    words = dtf.groupBy("term").agg(F.sum("n").cast("long").alias("wc"))
+    pool = (
+        words.filter(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(term) - 1), i -> substr(term, i, 2))")
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("pair"))
+        .limit(BPE_N_MERGES)
+    )
+    # ≤N rows → one array row, rank order restored inside the array
+    # (collect_list order after TakeOrdered is not guaranteed)
+    merges = pool.agg(
+        F.expr(
+            "transform(array_sort(transform(collect_list(struct(occurrences, pair)),"
+            " m -> struct(-m.occurrences AS no, m.pair AS p))), s -> s.p)"
+        ).alias("ms")
+    )
+    enc = (
+        words.crossJoin(F.broadcast(merges))
+        .select(
+            "term",
+            F.size(
+                F.split(
+                    F.expr(
+                        "aggregate(ms, array_join(regexp_extract_all(term, '.', 0), ' '),"
+                        " (acc, m) -> replace(acc, concat(substr(m, 1, 1), ' ', substr(m, 2, 1)), m))"
+                    ),
+                    " ",
+                )
+            ).cast("long").alias("wtok"),
+        )
+    )
+    return (
+        dtf.join(F.broadcast(enc), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.length("term")).cast("long").alias("n_chars_alpha"),
+            F.sum(F.col("n") * F.col("wtok")).cast("long").alias("n_tokens_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_alpha",
+            "n_tokens_bpe",
+            F.round(F.col("n_chars_alpha") / F.col("n_tokens_bpe"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+bpe_encode.__doc__ = (bpe_encode.__doc__ or "").format(BPE_N_MERGES=BPE_N_MERGES)

@@ -1,6 +1,7 @@
 """Time-series analytics the reference computes by hand-rolled pandas
-loops, re-expressed as Spark plans: dense resampling (gap-fill) and
-cohort retention.
+loops, re-expressed as Spark plans: dense resampling (gap-fill),
+cohort retention, trailing-window anomaly detection, and truncated-EWMA
+smoothing.
 
 Reference tie-in: the preprocessing chain derives per-window activity
 (add_window_time_columns, preprocessing_streaming_incremental_load.py)
@@ -21,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -113,3 +114,153 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+ZSCORE_LOOKBACK = 7  # trailing days in the anomaly baseline
+ZSCORE_THRESHOLD = 2.0
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT day, event_type, n_events,
+         avg(n_events) OVER w AS mean{ZSCORE_LOOKBACK},
+         stddev_pop(n_events) OVER w AS std{ZSCORE_LOOKBACK},
+         CAST(count(*) OVER w AS BIGINT) AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n_events,
+       round(mean{ZSCORE_LOOKBACK}, 4) AS baseline_mean,
+       round(std{ZSCORE_LOOKBACK}, 4) AS baseline_std,
+       CASE WHEN std{ZSCORE_LOOKBACK} > 0
+            THEN round((n_events - mean{ZSCORE_LOOKBACK}) / std{ZSCORE_LOOKBACK}, 4) END AS zscore,
+       CASE WHEN std{ZSCORE_LOOKBACK} > 0
+            THEN abs((n_events - mean{ZSCORE_LOOKBACK}) / std{ZSCORE_LOOKBACK}) > {ZSCORE_THRESHOLD}
+            ELSE n_events <> mean{ZSCORE_LOOKBACK} END AS is_anomaly
+FROM stats WHERE cnt = {ZSCORE_LOOKBACK}
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window volume anomalies: each (day, event_type) daily
+    event count is z-scored against the mean/stddev of the PRECEDING
+    {lb} days (current day excluded — an outlier must not dilute its
+    own baseline); |z| > {thr} flags the day, and any deviation from a
+    CONSTANT baseline (std = 0, z undefined) is flagged too. Only days
+    with a full {lb}-day baseline are emitted (a cold-start day has no
+    defensible score).
+
+    Scale shape: raw events collapse in ONE map-side-combinable daily
+    agg; the window then runs over the PRE-REDUCED (day × type) table,
+    so each event_type partition holds #days rows — bounded by the
+    calendar, not the event count — and the skewed-raw-key concern that
+    rules out windows over fact rows (ir.py `_with_df` note) does not
+    apply. stddev_pop (not sample) so both engines share one formula.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    stats = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(w).alias("mean_t"),
+        F.stddev_pop("n_events").over(w).alias("std_t"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cnt"),
+    ).filter(F.col("cnt") == ZSCORE_LOOKBACK)
+    z = (F.col("n_events") - F.col("mean_t")) / F.col("std_t")
+    return stats.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round("mean_t", 4).alias("baseline_mean"),
+        F.round("std_t", 4).alias("baseline_std"),
+        F.when(F.col("std_t") > 0, F.round(z, 4)).alias("zscore"),
+        # a deviation from a CONSTANT baseline (std = 0) is infinitely
+        # many sigmas out — flag it rather than null it away
+        F.when(F.col("std_t") > 0, F.abs(z) > ZSCORE_THRESHOLD)
+        .otherwise(F.col("n_events") != F.col("mean_t"))
+        .alias("is_anomaly"),
+    )
+
+
+anomaly_zscore.__doc__ = (anomaly_zscore.__doc__ or "").format(
+    lb=ZSCORE_LOOKBACK, thr=ZSCORE_THRESHOLD
+)
+
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 10  # truncation horizon: (1-α)^10 ≈ 0.028 residual mass
+
+
+def _ewma_terms():
+    """(weight, lag) pairs for the truncated kernel, newest first."""
+    return [((1.0 - EWMA_ALPHA) ** j, j) for j in range(EWMA_LAGS)]
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS day_revenue
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT day, day_revenue,
+         { " + ".join(f"coalesce(lag(day_revenue, {j}) OVER (ORDER BY day) * {(1.0 - EWMA_ALPHA) ** j!r}, 0)" for j in range(EWMA_LAGS)) } AS wsum,
+         { " + ".join(f"CASE WHEN lag(day_revenue, {j}) OVER (ORDER BY day) IS NOT NULL THEN {(1.0 - EWMA_ALPHA) ** j!r} ELSE 0 END" for j in range(EWMA_LAGS)) } AS wtot
+  FROM daily
+)
+SELECT day, day_revenue, round(wsum / wtot, 4) AS ewma_revenue
+FROM lagged
+""",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue,
+    truncated at {k} lags (finite-impulse form: weight (1-α)^j on the
+    j-days-ago value, renormalized over the lags actually present so
+    the series has no cold-start bias). The truncation keeps the
+    kernel expressible as a FIXED set of lag() terms — identical
+    algebra in both engines, no recursive state — while retaining
+    ≈97% of the infinite kernel's mass at α={a}.
+
+    Scale shape: like `cumulative_daily_revenue`, the global-ordered
+    window runs on the already-reduced daily relation (#days rows), so
+    the single-partition sort is calendar-bounded and trivially cheap
+    at any fact-table scale; raw orders are touched once by the
+    map-side-combinable daily agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_revenue")
+    )
+    w = Window.orderBy("day")
+    wsum = sum(
+        F.coalesce(F.lag("day_revenue", j).over(w) * F.lit(wt), F.lit(0.0))
+        for wt, j in _ewma_terms()
+    )
+    wtot = sum(
+        F.when(F.lag("day_revenue", j).over(w).isNotNull(), F.lit(wt)).otherwise(0.0)
+        for wt, j in _ewma_terms()
+    )
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.round(wsum / wtot, 4).alias("ewma_revenue"),
+    )
+
+
+ewma_daily_revenue.__doc__ = (ewma_daily_revenue.__doc__ or "").format(
+    k=EWMA_LAGS, a=EWMA_ALPHA
+)

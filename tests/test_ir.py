@@ -167,3 +167,47 @@ def test_store_key_changes_when_corpus_regenerated(tmp_path):
     time.sleep(0.01)
     os.utime(sf / "documents.parquet")  # regeneration = new mtime
     assert corpus_store_key(str(sf), "documents") != k1
+
+
+def test_bpe_encode_known_answer(spark, monkeypatch):
+    # words: "aaab" ×2, "abab" ×1 → pair counts aa=4, ab=4, ba=1 →
+    # merge order (occurrences desc, pair asc): aa, ab, ba.
+    # "aaab" → "a a a b" →aa→ "aa a b" →ab→ "aa ab" →ba→ (no "b a"
+    #   spans the space: "aa ab" keeps 2 tokens) — ×2 words = 4 tokens
+    # "abab" → "a b a b" →ab→ "ab ab" →ba→ "abab" (the ba merge fuses
+    #   across the gap: 1 token)
+    docs = _mini_docs(spark, ["aaab aaab", "abab"])
+    _patch_catalog(monkeypatch, docs)
+    out = {r["doc_id"]: r for r in ir.bpe_encode(spark, "unused").collect()}
+    assert out[0]["n_chars_alpha"] == 8 and out[0]["n_tokens_bpe"] == 4
+    assert out[1]["n_chars_alpha"] == 4 and out[1]["n_tokens_bpe"] == 1
+    assert abs(out[0]["chars_per_token"] - 2.0) < 1e-9
+
+
+def test_dsir_target_like_docs_rank_first(spark, monkeypatch):
+    # src0 (target) speaks "tokyo kyoto"; src1 mostly speaks "widget
+    # gadget" except doc 5, which is target-like and must outrank its
+    # source-mates. DSIR scores ALL docs; higher = more target-like.
+    # Doc ids 6/19/21 sit inside the md5 background-LM training slice
+    # (prefix < LM_TRAIN_PREFIX) so the background model is non-empty —
+    # the same deterministic-slice property ngram_lm_score relies on.
+    rows = [
+        (0, "tokyo kyoto tokyo kyoto", "en", "src0", 23),
+        (1, "kyoto tokyo kyoto tokyo", "en", "src0", 23),
+        (2, "widget gadget widget gadget", "en", "src1", 27),
+        (3, "gadget widget gadget widget", "en", "src1", 27),
+        (6, "widget gadget gadget widget", "en", "src1", 27),
+        (19, "gadget widget widget gadget", "en", "src1", 27),
+        (21, "widget widget gadget gadget", "en", "src1", 27),
+        (5, "tokyo kyoto kyoto tokyo", "en", "src1", 23),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _patch_catalog(monkeypatch, docs)
+    out = ir.dsir_select(spark, "unused").collect()
+    by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    # the three target-voiced docs (0, 1, 5) occupy the top ranks
+    assert set(by_rank[:3]) == {0, 1, 5}
+    scores = {r["doc_id"]: r["avg_logratio"] for r in out}
+    assert scores[5] > scores[2]

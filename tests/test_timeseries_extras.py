@@ -1,0 +1,84 @@
+"""Known-answer tests for the round-6 time-series operators
+(anomaly_zscore, ewma_daily_revenue) on tiny synthetic frames; the
+sf0.001/sf0.01 DuckDB parity runs through test_parity.py like every
+registered query."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_jlp_spark.plans import timeseries as ts
+
+
+def _events(spark, day_counts, event_type="view"):
+    """day_counts: {day_offset: n_rows} → a minimal events frame."""
+    rows = []
+    eid = 0
+    for off, n in day_counts.items():
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=off)
+        for i in range(n):
+            rows.append((eid, day + dt.timedelta(minutes=i), eid % 7, event_type, 1.0, "{}"))
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _orders(spark, day_revenue):
+    rows = [
+        (i, i % 5, "F", rev, dt.date(2024, 1, 1) + dt.timedelta(days=off), "1-URGENT")
+        for i, (off, rev) in enumerate(day_revenue.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+
+
+def test_anomaly_zscore_flags_spike_and_skips_coldstart(spark, monkeypatch):
+    # days 0-13: noisy-but-calm counts; day 14: 10x spike
+    counts = {i: 5 + (i % 2) for i in range(14)}
+    counts[14] = 50
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: _events(spark, counts))
+    out = {r["day"]: r for r in ts.anomaly_zscore(spark, "unused").collect()}
+    # first LOOKBACK days have no full baseline → no rows
+    assert min(out) == dt.date(2024, 1, 8)
+    spike = out[dt.date(2024, 1, 15)]
+    assert spike["is_anomaly"] and spike["zscore"] > ts.ZSCORE_THRESHOLD
+    calm = out[dt.date(2024, 1, 10)]
+    assert not calm["is_anomaly"] and abs(calm["zscore"]) <= ts.ZSCORE_THRESHOLD
+
+
+def test_anomaly_zscore_flat_baseline_deviation_is_flagged(spark, monkeypatch):
+    # constant 5/day baseline (std = 0), then a jump: z is undefined but
+    # the day must still be flagged
+    counts = {i: 5 for i in range(10)}
+    counts[10] = 9
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: _events(spark, counts))
+    out = {r["day"]: r for r in ts.anomaly_zscore(spark, "unused").collect()}
+    jump = out[dt.date(2024, 1, 11)]
+    assert jump["zscore"] is None and jump["is_anomaly"]
+    flat = out[dt.date(2024, 1, 9)]
+    assert flat["zscore"] is None and not flat["is_anomaly"]
+
+
+def test_ewma_constant_series_is_identity(spark, monkeypatch):
+    rev = {i: 100.0 for i in range(20)}
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: _orders(spark, rev))
+    out = ts.ewma_daily_revenue(spark, "unused").collect()
+    assert len(out) == 20
+    # renormalization over present lags ⇒ no cold-start bias anywhere
+    assert all(abs(r["ewma_revenue"] - 100.0) < 1e-9 for r in out)
+
+
+def test_ewma_known_two_day_answer(spark, monkeypatch):
+    rev = {0: 100.0, 1: 200.0}
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: _orders(spark, rev))
+    out = {r["day"]: r["ewma_revenue"] for r in ts.ewma_daily_revenue(spark, "unused").collect()}
+    a = ts.EWMA_ALPHA
+    assert abs(out[dt.date(2024, 1, 1)] - 100.0) < 1e-9
+    expect = round((200.0 + 100.0 * (1 - a)) / (1 + (1 - a)), 4)
+    assert abs(out[dt.date(2024, 1, 2)] - expect) < 1e-9
