@@ -144,6 +144,11 @@ HEADLINE = [
     "quality_format_check",
     "session_merge_records",
     "watermark_update",
+    # round 6 additions
+    "anomaly_zscore",
+    "ewma_daily_revenue",
+    "dsir_select",
+    "bpe_encode",
 ]
 
 
@@ -208,7 +213,7 @@ def main() -> None:
     # full record in-repo where it can be committed and diffed per round.
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r5.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r6.json"),
     )
     try:
         with open(local, "w") as fh:

@@ -633,9 +633,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and chars-per-token compression — the signal tokenizer
     induction iterates on.
 
-    Scale shape: one tokenize pass feeds a (doc,term) agg whose term
-    re-aggregation yields the word vocab (ReusedExchange — the text is
-    read once, as in `_with_df`); the merge table is picked by
+    Scale shape: the three corpus branches (doc-term counts, merge
+    pool, encode vocab) hang off one widened scan shuffle that AQE
+    stage-reuse dedupes at runtime (the text is read and shuffled
+    ONCE; only the cheap regex explode re-runs per branch —
+    plan-asserted in test_plans); the merge table is picked by
     TakeOrdered (never a vocab-wide sort or collect) and carried as a
     one-row array via broadcast cross join; segmentation runs over the
     VOCAB (each word encoded once, weighted by count on the way back),

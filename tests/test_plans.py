@@ -217,3 +217,51 @@ def test_gapfill_and_psi_cross_joins_are_broadcast_scalars(spark):
         plan = _plan(QS[name](spark, SF_SMALL))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name  # the data-sized join is hashed
+
+
+def test_anomaly_zscore_window_runs_on_prereduced_daily(spark):
+    """The z-score window must partition by event_type OVER THE DAILY
+    AGG — exactly one hash exchange feeds both the groupBy and the
+    window (same key), and the raw-events scan reads only ts +
+    event_type."""
+    df = QS["anomaly_zscore"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    read_schema = [l for l in _optimized(df).splitlines() if "ReadSchema" in l][-1]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_ewma_lags_share_one_window(spark):
+    """All 10 lag() terms must collapse into ONE Window operator over
+    the pre-reduced daily relation, not 10 repeated window stages."""
+    plan = _plan(QS["ewma_daily_revenue"](spark, SF_SMALL))
+    assert plan.count("RunningWindowFunction") + plan.count("Window") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_lm_joins_broadcast_and_rank_is_bounded(spark):
+    """Both LM sides + both stats scalars broadcast; the global rank
+    window only ever sees the ≤K-row TakeOrdered result."""
+    plan = _plan(QS["dsir_select"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_bpe_encode_reuses_scan_and_broadcasts_vocab(spark):
+    """All three corpus branches (doc-term counts, merge-pool vocab,
+    encode vocab) hang off the SAME widened scan shuffle — the final
+    adaptive plan must reuse it (one scan + one raw-text exchange; the
+    regex explode re-runs per branch but reads the reused shuffle).
+    The merge table must come from a TakeOrdered (never a vocab-wide
+    sort), and the vocab-sized encode map must broadcast back onto the
+    doc-term relation."""
+    df = QS["bpe_encode"](spark, SF_SMALL)
+    df.write.mode("overwrite").format("noop").save()
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[-3000:]
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

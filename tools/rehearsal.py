@@ -45,6 +45,11 @@ DEFAULT = [
     "user_retention_cohorts",
     "key_skew_report",
     "psi_drift_report",
+    # r6 additions — re-measure by default each round
+    "anomaly_zscore",
+    "ewma_daily_revenue",
+    "dsir_select",
+    "bpe_encode",
 ]
 
 
