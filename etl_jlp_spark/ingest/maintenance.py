@@ -13,8 +13,15 @@ with file COUNT, not bytes. Compaction rewrites a directory into
   — one range shuffle that buys DATA SKIPPING forever after: each
   output file covers a narrow, near-disjoint range of the sort key, so
   a key-range predicate prunes whole files/row-groups via parquet
-  min/max stats (the poor man's Z-order; verified against the real
-  footer metadata in tests).
+  min/max stats (verified against the real footer metadata in tests).
+- ``zorder_by`` mode: TWO-column skipping. A linear sort prunes only
+  on its leading column — the trailing column's min/max spans the
+  whole domain in every file. Z-ordering range-sorts on the Morton
+  interleave of both columns' 16-bit min-max ranks, so each file
+  covers a RECTANGLE in (a, b) space and a predicate on EITHER column
+  prunes ~√#files of the files. The interleave is a pure bit
+  expression (shiftleft/|) — JVM codegen, no UDF — and the transient
+  z-key column is dropped before the write.
 
 Both paths write to a temp dir then atomically rename over the
 destination, so readers never observe a half-compacted directory.
@@ -29,6 +36,29 @@ import shutil
 from pyspark.sql import DataFrame, Row, SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+ZORDER_BITS = 16  # per-column rank resolution (2 × 16 → 32-bit z-key)
+
+
+def zorder_key(a, b, a_min, a_max, b_min, b_max):
+    """Morton interleave of two columns as a pure Column expression:
+    each value is min-max scaled to a 16-bit rank, then rank bits
+    alternate (a even, b odd). Stays inside whole-stage codegen —
+    32 shift/mask/or terms, no UDF, no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    def rank(col, lo, hi):
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        scaled = (col.cast("double") - lo) / span * ((1 << ZORDER_BITS) - 1)
+        return F.round(scaled).cast("long")
+
+    ra, rb = rank(a, a_min, a_max), rank(b, b_min, b_max)
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(ra.bitwiseAND(F.lit(1 << i)), i))
+            .bitwiseOR(F.shiftleft(rb.bitwiseAND(F.lit(1 << i)), i + 1))
+        )
+    return z
 
 
 def dir_file_stats(path: str) -> tuple[int, int]:
@@ -50,14 +80,38 @@ def compact_small_files(
     dest_dir: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     sort_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> Row:
     """Rewrite ``src_dir`` into ``dest_dir`` with ~``target_bytes``
     files; returns a stats row (the maintenance job's audit record).
-    ``sort_by`` switches to the range-layout path (see module doc)."""
+    ``sort_by`` switches to the range-layout path, ``zorder_by`` (a
+    column pair) to the two-dimensional Morton layout (see module
+    doc). The min/max needed for z-ranking is ONE 1-row agg over the
+    input — no extra pass beyond the rewrite itself."""
     files_in, bytes_in = dir_file_stats(src_dir)
     n_out = max(1, math.ceil(bytes_in / target_bytes))
     df = spark.read.parquet(src_dir)
-    if sort_by:
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        ca, cb = zorder_by
+        bounds = df.agg(
+            F.min(ca).alias("a_min"), F.max(ca).alias("a_max"),
+            F.min(cb).alias("b_min"), F.max(cb).alias("b_max"),
+        )
+        zkey = zorder_key(
+            F.col(ca), F.col(cb),
+            F.col("a_min").cast("double"), F.col("a_max").cast("double"),
+            F.col("b_min").cast("double"), F.col("b_max").cast("double"),
+        )
+        out = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("__zkey", zkey)
+            .repartitionByRange(n_out, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey", "a_min", "a_max", "b_min", "b_max")
+        )
+    elif sort_by:
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.coalesce(n_out)
@@ -73,7 +127,7 @@ def compact_small_files(
         files_out=files_out,
         bytes_out=bytes_out,
         target_bytes=target_bytes,
-        sorted_by=",".join(sort_by or []),
+        sorted_by=",".join(zorder_by) + " (zorder)" if zorder_by else ",".join(sort_by or []),
     )
 
 

@@ -109,3 +109,47 @@ def test_live_store_paths_cover_every_family():
     live = live_store_paths(["/root/testdata/sf0.001"])
     fams = {p.rsplit("/", 1)[-1].split("_")[0] for p in live}
     assert {"ir", "fj", "rollup", "mh", "ivf"} <= fams
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """The Morton layout must beat a linear sort where it matters: a
+    point predicate on the SECOND column. Linear sort on (user_id)
+    leaves every file spanning the full value domain (zero skipping on
+    value); z-order gives both columns rectangular file footprints, so
+    each column's point query opens a strict subset of files."""
+    src = str(tmp_path / "frag")
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id AS event_id",
+        "CAST(pmod(hash(id), 1024) AS LONG) AS user_id",
+        "CAST(pmod(hash(id + 7), 1024) AS DOUBLE) AS value",
+    )
+    df.repartition(16).write.mode("overwrite").parquet(src)
+    _, total = dir_file_stats(src)
+    target = max(1, total // 16)
+
+    linear = str(tmp_path / "linear")
+    compact_small_files(spark, src, linear, target_bytes=target, sort_by=["user_id"])
+    zordered = str(tmp_path / "zorder")
+    stats = compact_small_files(
+        spark, src, zordered, target_bytes=target, zorder_by=("user_id", "value")
+    )
+    assert stats.files_out > 4
+    assert "zorder" in stats.sorted_by
+
+    # data integrity through the z-shuffle (and no leaked helper cols)
+    out = spark.read.parquet(zordered)
+    assert out.count() == n
+    assert set(out.columns) == {"event_id", "user_id", "value"}
+
+    u_probe, v_probe = 512, 512.0
+    lin_u = file_key_ranges(linear, "user_id")
+    lin_v = file_key_ranges(linear, "value")
+    z_u = file_key_ranges(zordered, "user_id")
+    z_v = file_key_ranges(zordered, "value")
+    # linear: leading column skips hard, trailing column not at all
+    assert overlap_count(lin_u, u_probe) <= 2
+    assert overlap_count(lin_v, v_probe) == len(lin_v)
+    # z-order: BOTH columns prune a strict majority of the files
+    assert overlap_count(z_u, u_probe) <= len(z_u) // 2, (overlap_count(z_u, u_probe), len(z_u))
+    assert overlap_count(z_v, v_probe) <= len(z_v) // 2, (overlap_count(z_v, v_probe), len(z_v))
