@@ -149,6 +149,7 @@ HEADLINE = [
     "ewma_daily_revenue",
     "dsir_select",
     "bpe_encode",
+    "split_leakage_check",
 ]
 
 

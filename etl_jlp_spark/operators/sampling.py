@@ -216,13 +216,37 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_BOUNDS = [("train", "e6"), ("val", "f3"), ("test", None)]
 
 
+def split_expr(col):
+    """Split label as a Column for any doc-id column — THE split
+    definition; every operator that reasons about splits (dataset_split,
+    split_leakage_check) must build on this so thresholds can't drift."""
+    h = F.substring(F.md5(col.cast("string")), 1, 2)
+    out = None
+    for name, bound in SPLIT_BOUNDS:
+        if bound is None:
+            out = out.otherwise(name)
+        else:
+            out = (out.when if out is not None else F.when)(h < bound, name)
+    return out
+
+
+def split_case_sql(col: str) -> str:
+    """The same split definition as ANSI SQL text for the oracles."""
+    h = f"substr(md5(CAST({col} AS VARCHAR)), 1, 2)"
+    whens = " ".join(
+        f"WHEN {h} < '{bound}' THEN '{name}'"
+        for name, bound in SPLIT_BOUNDS
+        if bound is not None
+    )
+    default = next(name for name, bound in SPLIT_BOUNDS if bound is None)
+    return f"CASE {whens} ELSE '{default}' END"
+
+
 @query(
     "dataset_split",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-            ELSE 'test' END AS split,
+       {split_case_sql("doc_id")} AS split,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents
 """,
@@ -236,10 +260,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows — the property per-run random splits can't give.
     Zero-shuffle projection."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
     return docs.select(
         "doc_id",
-        split.alias("split"),
+        split_expr(F.col("doc_id")).alias("split"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )

@@ -139,9 +139,11 @@ def _minhash_bands(shingles: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# the full LSH pair pipeline as reusable CTE text: shingles → k minhash
+# sigs → bands → candidate pairs → exact-Jaccard verification. Shared by
+# the dedup oracle and the split-leakage oracle so the two can never
+# drift.
+_MINHASH_PAIRS_CTES = f"""
 WITH {_SHINGLES_CTE},
 hashed AS (
   SELECT s.doc_id, h.h, min(md5(CAST(h.h AS VARCHAR) || ':' || s.sh)) AS sig
@@ -170,11 +172,18 @@ hashed AS (
   JOIN shingles x ON x.doc_id = c.doc_a
   JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b,
-       round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) AS jaccard
-FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {MINHASH_TAU}
+), pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) AS jaccard
+  FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) >= {MINHASH_TAU}
+)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_PAIRS_CTES + """
+SELECT doc_a, doc_b, jaccard FROM pairs
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -386,3 +386,67 @@ def corpus_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_term", "emb_scale", split.alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit (round 6)
+# ---------------------------------------------------------------------------
+
+from etl_jlp_spark.operators.sampling import split_case_sql, split_expr  # noqa: E402
+from etl_jlp_spark.operators.similarity import (  # noqa: E402
+    _MINHASH_PAIRS_CTES,
+    MINHASH_TAU,
+    _jaccard_on_candidates,
+    _minhash_bands,
+)
+
+
+@query(
+    "split_leakage_check",
+    oracle=_MINHASH_PAIRS_CTES + f"""
+SELECT doc_a, doc_b,
+       {split_case_sql("doc_a")} AS split_a,
+       {split_case_sql("doc_b")} AS split_b,
+       jaccard
+FROM pairs
+WHERE {split_case_sql("doc_a")} <> {split_case_sql("doc_b")}
+""",
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-integrity audit: near-duplicate pairs (the verified
+    MinHash-LSH pairs `dedup_minhash_lsh` finds, Jaccard ≥ 0.5) that
+    STRADDLE train/val/test — a val/test document with a near-copy in
+    train silently inflates eval scores, so this must be EMPTY (or
+    explicitly adjudicated) before a split ships. Builds on the shared
+    `split_expr` definition (thresholds can't drift from
+    `dataset_split`) and the shared `_MINHASH_PAIRS_CTES` oracle text
+    (pair semantics can't drift from the dedup operator).
+
+    Scale shape: identical to `dedup_minhash_lsh` — banded equi-join
+    candidates + exact verification on a persisted shingle relation;
+    the split labels are md5 projections added AFTER the pair pipeline
+    (zero extra joins or shuffles — the label derives from the doc_id
+    already on the pair row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _word_shingles(docs).persist()
+    band_df = _minhash_bands(shingles)
+    a, b = band_df.alias("a"), band_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _jaccard_on_candidates(shingles, cand, MINHASH_TAU)
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        split_expr(F.col("doc_a")).alias("split_a"),
+        split_expr(F.col("doc_b")).alias("split_b"),
+        "jaccard",
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))

@@ -210,3 +210,27 @@ def test_minhash_prebuilt_probe_consistent_and_store_reused(spark):
     p2 = ensure_minhash_store(spark, SF_MEDIUM)
     assert p1 == p2
     assert m1 == [os.path.getmtime(os.path.join(p, "_SUCCESS")) for p in p2]
+
+
+def test_split_leakage_flags_only_cross_split_neardups(spark, monkeypatch):
+    """Doc 0 (train) and doc 44 (test) are near-copies → leaked pair;
+    docs 1 and 2 (both train) are near-copies → NOT leaked; doc 3
+    (val) is unrelated text → no pair at all."""
+    import etl_jlp_spark.plans.curate as cur
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base + " one", "en", "src0", 60),
+        (44, base + " two", "en", "src1", 60),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src0", 55),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota mu", "en", "src0", 53),
+        (3, "completely different words about spark shuffles and parquet files", "en", "src2", 60),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(cur, "load_table", lambda s, d, n: docs)
+    out = cur.split_leakage_check(spark, "unused").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"]) for r in out}
+    assert (0, 44) in pairs and pairs[(0, 44)] == ("train", "test")
+    assert all(a != 1 or b != 2 for a, b in pairs)  # same-split dup filtered

@@ -50,6 +50,7 @@ DEFAULT = [
     "ewma_daily_revenue",
     "dsir_select",
     "bpe_encode",
+    "split_leakage_check",
 ]
 
 
