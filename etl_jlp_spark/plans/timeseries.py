@@ -120,6 +120,54 @@ ZSCORE_LOOKBACK = 7  # trailing days in the anomaly baseline
 ZSCORE_THRESHOLD = 2.0
 
 
+def daily_counts(events: DataFrame) -> DataFrame:
+    """(day, event_type, n_events) — the one map-side-combinable pass
+    over raw events that both the batch anomaly query and the streaming
+    monitor score from."""
+    return events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+def anomaly_flag_cols() -> list:
+    """The z-score/flag output columns over a row carrying (n_events,
+    mean_t, std_t) — ONE definition of the flag algebra shared by the
+    batch query (trailing-window baseline) and the streaming monitor
+    (fixed reference baseline). A deviation from a CONSTANT baseline
+    (std = 0, z undefined) is infinitely many sigmas out — flagged, not
+    nulled away."""
+    z = (F.col("n_events") - F.col("mean_t")) / F.col("std_t")
+    return [
+        F.round("mean_t", 4).alias("baseline_mean"),
+        F.round("std_t", 4).alias("baseline_std"),
+        F.when(F.col("std_t") > 0, F.round(z, 4)).alias("zscore"),
+        F.when(F.col("std_t") > 0, F.abs(z) > ZSCORE_THRESHOLD)
+        .otherwise(F.col("n_events") != F.col("mean_t"))
+        .alias("is_anomaly"),
+    ]
+
+
+def baseline_stats(daily: DataFrame) -> DataFrame:
+    """Per-type (mean_t, std_t) over a reference period's daily counts
+    — the FIXED baseline the streaming monitor scores against (the
+    batch query derives its baseline per-day from the trailing window
+    instead). Type-count-sized: always broadcastable."""
+    return daily.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_t"),
+        F.stddev_pop("n_events").alias("std_t"),
+    )
+
+
+def score_daily_anomaly(events: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Score a (micro-)batch of events against a fixed per-type
+    baseline — shared by the streaming monitor; same flag algebra as
+    the batch query."""
+    daily = daily_counts(events)
+    return daily.join(F.broadcast(baseline), "event_type").select(
+        "day", "event_type", "n_events", *anomaly_flag_cols()
+    )
+
+
 @query(
     "anomaly_zscore",
     oracle=f"""
@@ -164,9 +212,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply. stddev_pop (not sample) so both engines share one formula.
     """
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    daily = daily_counts(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -180,20 +226,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_pop("n_events").over(w).alias("std_t"),
         F.count(F.lit(1)).over(w).cast("long").alias("cnt"),
     ).filter(F.col("cnt") == ZSCORE_LOOKBACK)
-    z = (F.col("n_events") - F.col("mean_t")) / F.col("std_t")
-    return stats.select(
-        "day",
-        "event_type",
-        "n_events",
-        F.round("mean_t", 4).alias("baseline_mean"),
-        F.round("std_t", 4).alias("baseline_std"),
-        F.when(F.col("std_t") > 0, F.round(z, 4)).alias("zscore"),
-        # a deviation from a CONSTANT baseline (std = 0) is infinitely
-        # many sigmas out — flag it rather than null it away
-        F.when(F.col("std_t") > 0, F.abs(z) > ZSCORE_THRESHOLD)
-        .otherwise(F.col("n_events") != F.col("mean_t"))
-        .alias("is_anomaly"),
-    )
+    return stats.select("day", "event_type", "n_events", *anomaly_flag_cols())
 
 
 anomaly_zscore.__doc__ = (anomaly_zscore.__doc__ or "").format(

@@ -465,3 +465,34 @@ def streaming_psi_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_anomaly_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    baseline: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous volume-anomaly alarm: each arriving micro-batch's
+    (day, type) counts are z-scored against a FIXED per-type baseline
+    (built by a prior batch pass over the reference period via
+    ``plans.timeseries.baseline_stats``) — the streaming half of
+    ``anomaly_zscore``; both share ``daily_counts`` and the
+    ``anomaly_flag_cols`` algebra, so a day the batch query would flag
+    against the same baseline is flagged here too. Exactly-once via the
+    idempotent per-batch_id overwrite; the baseline is type-count-sized
+    and broadcast into every micro-batch."""
+    from etl_jlp_spark.plans.timeseries import score_daily_anomaly
+
+    stream = stream_events(spark, src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(score_daily_anomaly(batch_df, baseline), dest_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

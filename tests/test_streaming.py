@@ -326,3 +326,43 @@ def test_streaming_psi_monitor_matches_batch(spark, tmp_path):
         }
         assert want == have
     ref.unpersist()
+
+
+def test_streaming_anomaly_monitor_matches_batch(spark, tmp_path):
+    """Per-batch anomaly scores against a fixed baseline must equal the
+    batch-side computation on the same rows, across two availableNow
+    runs on one checkpoint (deterministic batch contents)."""
+    from etl_jlp_spark.plans.timeseries import (
+        baseline_stats,
+        daily_counts,
+        score_daily_anomaly,
+    )
+    from etl_jlp_spark.streaming.pipeline import streaming_anomaly_monitor
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    baseline = baseline_stats(daily_counts(ev)).persist()
+    src = str(tmp_path / "src")
+    dest, ckpt = str(tmp_path / "anom"), str(tmp_path / "ckpt")
+    halves = [ev.filter(F.col("event_id") % 2 == i) for i in (0, 1)]
+    halves[0].coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_anomaly_monitor(spark, src, baseline, dest, ckpt).awaitTermination(120)
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    streaming_anomaly_monitor(spark, src, baseline, dest, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(dest)
+    assert got.count() > 0
+    for bid, half in enumerate(halves):
+        want = {
+            (r["day"], r["event_type"], r["n_events"], r["zscore"], r["is_anomaly"])
+            for r in score_daily_anomaly(half, baseline).collect()
+        }
+        have = {
+            (r["day"], r["event_type"], r["n_events"], r["zscore"], r["is_anomaly"])
+            for r in got.filter(F.col("batch_id") == bid).collect()
+        }
+        assert want == have
+    # half-volume days against a full-volume baseline: every day is far
+    # below its type's mean, so the monitor must be alarming
+    assert got.filter(F.col("is_anomaly")).count() > 0
+    baseline.unpersist()
