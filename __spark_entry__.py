@@ -97,6 +97,7 @@ _R6_PRIORITY = [
     "dsir_select",
     "bpe_encode",
     "split_leakage_check",
+    "doc_containment",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

@@ -150,6 +150,7 @@ HEADLINE = [
     "dsir_select",
     "bpe_encode",
     "split_leakage_check",
+    "doc_containment",
 ]
 
 

@@ -1155,3 +1155,106 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").isNotNull().alias("is_dropped"),
         F.round("m", 4).alias("dup_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (round 6)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_TAU = 0.8  # fraction of the smaller doc's shingles inside the other
+
+
+@query(
+    "doc_containment",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+df AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS doc_freq FROM shingles GROUP BY sh
+), rare AS (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN df ON s.sh = df.sh
+  WHERE df.doc_freq <= {NGRAM_DF_CUTOFF}
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {NGRAM_MIN_SHARED}
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+       round(i.i * 1.0 / sa.n_sh, 4) AS containment_a_in_b,
+       round(i.i * 1.0 / sb.n_sh, 4) AS containment_b_in_a,
+       round(i.i * 1.0 / (sa.n_sh + sb.n_sh - i.i), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.i * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= {CONTAINMENT_TAU}
+""",
+)
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication: pairs where ≥{tau:.0%} of the
+    SMALLER document's shingles appear in the other — the
+    quote/excerpt/boilerplate-wrapper case symmetric Jaccard dedup
+    misses (a 50-word doc fully contained in a 5000-word doc has
+    Jaccard ≈ 0.01 but containment 1.0). Candidates come from the same
+    rare-shingle inverted index as `dedup_ngram_jaccard` (df cutoff +
+    ≥{ms}-shared-shingle prune; a high-containment pair shares ~all of
+    the smaller doc's shingles, so rare-shingle co-occurrence finds it
+    unless EVERY shingle of the smaller doc is corpus-common — the
+    same boilerplate limitation the df cutoff imposes on the Jaccard
+    path, declared, not silent); verification computes exact
+    containment in both directions plus Jaccard for context.
+
+    Scale shape: identical to the Jaccard family — inverted-index
+    equi-join candidates bounded by rare-shingle df, one verification
+    join against the persisted shingle relation, no O(n²) anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _word_shingles(docs).persist()
+    doc_freq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
+    rare = shingles.join(
+        doc_freq.filter(F.col("doc_freq") <= NGRAM_DF_CUTOFF).select("sh"), "sh"
+    )
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        ra.join(rb, (ra.sh == rb.sh) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= NGRAM_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    xa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    xb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_sh_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sh_a",
+            "n_sh_b",
+            F.round(F.col("i") / F.col("n_sh_a"), 4).alias("containment_a_in_b"),
+            F.round(F.col("i") / F.col("n_sh_b"), 4).alias("containment_b_in_a"),
+            F.round(
+                F.col("i") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("i")), 4
+            ).alias("jaccard"),
+            F.round(F.col("i") / F.least("n_sh_a", "n_sh_b"), 4).alias("c_min"),
+        )
+    )
+    return out.filter(F.col("c_min") >= CONTAINMENT_TAU).drop("c_min")
+
+
+doc_containment.__doc__ = (doc_containment.__doc__ or "").format(
+    tau=CONTAINMENT_TAU, ms=NGRAM_MIN_SHARED
+)

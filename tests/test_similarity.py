@@ -234,3 +234,30 @@ def test_split_leakage_flags_only_cross_split_neardups(spark, monkeypatch):
     pairs = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"]) for r in out}
     assert (0, 44) in pairs and pairs[(0, 44)] == ("train", "test")
     assert all(a != 1 or b != 2 for a, b in pairs)  # same-split dup filtered
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark, monkeypatch):
+    """Doc 1 is a verbatim excerpt of the much larger doc 0: Jaccard is
+    far below the dedup threshold but containment ≈ 1.0 must flag it.
+    An unrelated doc pairs with neither."""
+    from etl_jlp_spark.operators import similarity as sim
+
+    excerpt = "quarterly revenue grew nine percent driven by cloud subscriptions"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    rows = [
+        (0, excerpt + " " + filler, "en", "src0", 500),
+        (1, excerpt, "en", "src1", len(excerpt)),
+        (2, "totally unrelated text about mountain weather patterns today", "en", "src2", 60),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: docs)
+    out = {(r["doc_a"], r["doc_b"]): r for r in sim.doc_containment(spark, "unused").collect()}
+    assert (0, 1) in out
+    r = out[(0, 1)]
+    # the smaller doc (b) is fully inside the larger one...
+    assert r["containment_b_in_a"] >= 0.8
+    # ...while symmetric Jaccard would never have flagged the pair
+    assert r["jaccard"] < sim.NGRAM_TAU
+    assert all(2 not in pair for pair in out)

@@ -51,6 +51,7 @@ DEFAULT = [
     "dsir_select",
     "bpe_encode",
     "split_leakage_check",
+    "doc_containment",
 ]
 
 
