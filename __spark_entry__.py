@@ -27,6 +27,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     cdc,
     chunking,
     components,
+    corpus_stats,
     dedup,
     embeddings,
     ir,
@@ -40,6 +41,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     sessionize,
     similarity,
     skew,
+    spans,
     textstats,
     timewindow,
 )
@@ -98,6 +100,11 @@ _R6_PRIORITY = [
     "bpe_encode",
     "split_leakage_check",
     "doc_containment",
+    "dup_span_report",
+    "pmi_collocations",
+    "lexical_diversity",
+    "source_mix_temperature",
+    "softdedup_weights",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

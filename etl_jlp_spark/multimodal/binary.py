@@ -73,9 +73,10 @@ def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
 
 
 @loud_codec
-def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Parse an uncompressed 24-bit BMP: (width, height, mean_r, mean_g,
-    mean_b). Raises ValueError on anything that isn't one."""
+def bmp_pixels(payload: bytes) -> "np.ndarray":
+    """Parse an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    plane (top-down row order regardless of the on-disk orientation).
+    Raises ValueError on anything that isn't one."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -90,11 +91,21 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
     h = abs(height)
     stride = row_bytes + pad
     # whole pixel plane as one numpy view: (h, stride) → strip padding →
-    # per-channel means without any python-level byte loop
+    # reshape; no python-level byte loop
     plane = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
-    rows = plane.reshape(h, stride)[:, :row_bytes].reshape(h * width, 3)
-    means = rows.mean(axis=0, dtype=np.float64)  # BGR order on disk
-    return width, h, float(means[2]), float(means[1]), float(means[0])
+    px = plane.reshape(h, stride)[:, :row_bytes].reshape(h, width, 3)[:, :, ::-1]  # BGR→RGB
+    if height > 0:  # positive height = bottom-up storage
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse an uncompressed 24-bit BMP: (width, height, mean_r, mean_g,
+    mean_b). Raises ValueError on anything that isn't one."""
+    px = bmp_pixels(payload)
+    h, width = px.shape[:2]
+    means = px.reshape(h * width, 3).mean(axis=0, dtype=np.float64)
+    return width, h, float(means[0]), float(means[1]), float(means[2])
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -151,9 +162,9 @@ def encode_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes
 
 
 @loud_codec
-def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Parse a non-interlaced 8-bit gray/RGB/RGBA PNG: (width, height,
-    mean_r, mean_g, mean_b). Inflate is stdlib zlib; defiltering handles
+def png_pixels(payload: bytes) -> "np.ndarray":
+    """Parse a non-interlaced 8-bit gray/RGB/RGBA PNG into an
+    (h, w, ch) uint8 plane. Inflate is stdlib zlib; defiltering handles
     all five scanline filters (Up vectorized; Sub/Average/Paeth are
     sequential by definition). Raises ValueError on anything else."""
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
@@ -212,7 +223,15 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, ch)
+    return out.reshape(h, w, ch)
+
+
+@loud_codec
+def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse a non-interlaced 8-bit gray/RGB/RGBA PNG: (width, height,
+    mean_r, mean_g, mean_b)."""
+    px = png_pixels(payload)
+    h, w, ch = px.shape
     if ch == 1:
         m = float(px.mean(dtype=np.float64))
         return w, h, m, m, m

@@ -245,3 +245,54 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("node", key).cast("long").alias("rep_doc"),
         F.max("n_chars").cast("long").alias("rep_chars"),
     )
+
+
+@query(
+    "softdedup_weights",
+    oracle=_CC_CTES
+    + """
+, comp AS (
+  SELECT n.a AS node, least(n.a, min(r.b)) AS component
+  FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
+  GROUP BY n.a
+), csize AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component
+), perdoc AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(s.cluster_size, 1) AS cluster_size
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.node
+  LEFT JOIN csize s ON c.component = s.component
+)
+SELECT doc_id, source,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       round(1.0 / cluster_size, 4) AS weight
+FROM perdoc
+""",
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup (arXiv:2401.04578): instead of DROPPING near-duplicate
+    documents, reweight them — each doc's training weight is
+    1/cluster_size over its near-dup cluster, so a passage duplicated k
+    times contributes the same total gradient mass as a unique one, and
+    no information is destroyed by a hard keep/drop call.
+
+    Plan: cluster discovery is ``dedup_connected_components`` (the
+    scale-adaptive min-label job over verified MinHash pairs); cluster
+    sizes are ONE count agg over the node list (∝ near-dup docs, ≪
+    corpus); the corpus then takes two LEFT joins against those
+    match-bounded sides — AQE broadcasts both at any realistic dup rate.
+    Unclustered docs default to weight 1.0 without joining anything
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cc = dedup_connected_components(spark, sf_dir)
+    csize = cc.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    member = cc.join(csize, "component").select(
+        F.col("node").alias("doc_id"), "cluster_size"
+    )
+    return docs.join(member, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 4).alias("weight"),
+    )

@@ -1,0 +1,206 @@
+"""Corpus-level lexical statistics: PMI collocations and per-document
+lexical diversity.
+
+Extends the reference's per-row keyword frequency ranking
+(dwh_lab/dwh/preprocessing_streaming_incremental_load.py:188-315 ranks
+n-grams by raw count inside one row) with the corpus-level statistics a
+training-data pipeline uses: pointwise mutual information finds the
+*collocations* raw frequency hides (high-count pairs of high-count
+words score low; "tokyo olympics" beats "of the"), and lexical
+diversity (type-token ratio, Shannon entropy, hapax fraction) is a
+standard quality signal for filtering template/spam text whose token
+histogram is degenerate.
+
+Scale (100 TB):
+- One tokenize pass each; bigram/unigram relations shrink map-side to
+  (pair → count) / (term → count) before their shuffles (plain groupBy,
+  partial aggregation — never count-over-window on a Zipf key).
+- Corpus totals are 1-row aggregates attached by broadcast cross join.
+- PMI's final top-K is orderBy+limit — Spark plans TakeOrdered (per-
+  partition heap + driver merge of K), no global sort; the rank window
+  runs over the ≤K-row result.
+- All floating-point formulas are written with identical literal
+  structure in Spark and the DuckDB oracle (left-to-right IEEE product
+  then one division, one ln) so 4-decimal rounding is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table, widen
+from etl_jlp_spark.operators.ir import WORD_PATTERN
+from etl_jlp_spark.registry import query
+
+PMI_MIN_PAIR = 5  # discard bigrams seen fewer times (PMI is noise at low counts)
+PMI_TOP_K = 40
+
+
+def _tok_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, n_toks) token arrays; conditionally widened scan
+    (no shuffle when the input already has ≥cores splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        widen(spark, docs, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0).alias("toks"),
+        )
+        .withColumn("n_toks", F.size("toks").cast("long"))
+    )
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS toks
+  FROM documents
+), big AS (
+  SELECT toks[i] AS term_a, toks[i+1] AS term_b
+  FROM (SELECT toks, CAST(len(toks) AS BIGINT) AS n FROM tokd WHERE len(toks) >= 2),
+       unnest(generate_series(1, n - 1)) AS t(i)
+), cab AS (
+  SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM big GROUP BY term_a, term_b HAVING count(*) >= {PMI_MIN_PAIR}
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS term FROM tokd) GROUP BY term
+), tot AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_uni,
+         CAST(sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END) AS DOUBLE) AS n_bi
+  FROM tokd
+), scored AS (
+  SELECT c.term_a, c.term_b, c.c_ab, ua.c AS c_a, ub.c AS c_b,
+         round(ln((CAST(c.c_ab AS DOUBLE) * t.n_uni * t.n_uni)
+                  / (t.n_bi * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) AS pmi
+  FROM cab c
+  JOIN uni ua ON c.term_a = ua.term
+  JOIN uni ub ON c.term_b = ub.term
+  CROSS JOIN tot t
+), top AS (
+  SELECT * FROM scored ORDER BY pmi DESC, term_a, term_b LIMIT {PMI_TOP_K}
+)
+SELECT term_a, term_b, c_ab, c_a, c_b, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS BIGINT) AS rk
+FROM top
+""",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over adjacent-pair
+    occurrences and p(·) over unigram occurrences. Bigrams come from one
+    array zip over the tokenized scan (no self-join); unigram counts and
+    the two corpus totals are vocabulary-sized / 1-row sides."""
+    tokd = _tok_arrays(spark, sf_dir)
+    big = (
+        tokd.filter(F.col("n_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, cast(n_toks - 1 as int)),"
+                    " slice(toks, 2, cast(n_toks - 1 as int)),"
+                    " (a, b) -> struct(a AS term_a, b AS term_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+    )
+    cab = (
+        big.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    uni = (
+        tokd.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tokd.agg(
+        F.sum("n_toks").cast("double").alias("n_uni"),
+        F.sum(F.when(F.col("n_toks") >= 2, F.col("n_toks") - 1).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("n_bi"),
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    scored = (
+        cab.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi") * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(PMI_TOP_K)
+    rk = Window.orderBy(F.desc("pmi"), "term_a", "term_b")
+    return top.withColumn("rk", F.row_number().over(rk).cast("long"))
+
+
+@query(
+    "lexical_diversity",
+    oracle=f"""
+WITH tc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_toks,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS hapax_frac,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+             4) AS entropy
+FROM tc GROUP BY doc_id
+""",
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio, hapax-legomenon
+    fraction, and Shannon entropy of the term histogram. Entropy uses
+    the one-pass identity H = ln(n) − (Σ c·ln c)/n, so the whole
+    operator is ONE (doc, term) count plus ONE per-document aggregate —
+    both doc-keyed, both map-side combinable. Degenerate/templated text
+    (low entropy, low TTR) is the filter target."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        widen(spark, docs, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.count(F.lit(1)).cast("double") / n, 4).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("hapax_frac"),
+        F.round(
+            F.log(n) - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n,
+            4,
+        ).alias("entropy"),
+    )

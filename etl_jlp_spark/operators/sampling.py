@@ -158,6 +158,82 @@ def balance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.5  # mixing temperature (mT5 uses α=0.3; 0.5 = sqrt scaling)
+
+
+@query(
+    "source_mix_temperature",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), totals AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok FROM sized GROUP BY source
+), w AS (
+  SELECT source, tok, power(CAST(tok AS DOUBLE), {TEMP_ALPHA}) AS wt FROM totals
+), g AS (
+  SELECT CAST(sum(tok) AS DOUBLE) AS n_all, sum(wt) AS wsum FROM w
+), rates AS (
+  SELECT w.source,
+         CASE WHEN w.tok = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor({MIX_QUANT}.0 * least(1.0,
+                        (g.n_all * w.wt / g.wsum) / CAST(w.tok AS DOUBLE))) AS BIGINT)
+         END AS bound
+  FROM w CROSS JOIN g
+), kept AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM sized s JOIN rates r ON s.source = r.source
+  WHERE r.bound >= {MIX_QUANT}
+     OR substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < lpad(lower(to_hex(r.bound)), 2, '0')
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY source
+""",
+)
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/XLM-R recipe,
+    arXiv:1910.10683 §3.4.2 / arXiv:1911.02116 §3): sources are kept at
+    rates proportional to share^α/share, so small sources are boosted
+    and dominant ones capped — softer than ``balance_source_mix``'s
+    equal-share floor. target_s = N·(tok_s^α / Σ tok^α); keep-rate =
+    min(1, target_s/tok_s), quantized to 1/{MIX_QUANT} md5-prefix steps
+    (deterministic, RNG-free, streaming-safe). The rate table is
+    #sources rows — broadcast at any corpus scale; the corpus pays one
+    sizing projection + one broadcast-join filter + one agg."""
+    sized = doc_token_counts(load_table(spark, sf_dir, "documents"))
+    totals = sized.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("tok"))
+    w = totals.withColumn("wt", F.pow(F.col("tok").cast("double"), F.lit(TEMP_ALPHA)))
+    g = w.agg(
+        F.sum("tok").cast("double").alias("n_all"),
+        F.sum("wt").alias("wsum"),
+    )
+    rates = w.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.when(F.col("tok") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                MIX_QUANT
+                * F.least(
+                    F.lit(1.0),
+                    (F.col("n_all") * F.col("wt") / F.col("wsum"))
+                    / F.col("tok").cast("double"),
+                )
+            )
+        )
+        .cast("long")
+        .alias("bound"),
+    )
+    kept = apply_mix_filter(sized, rates)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+
+
 @query(
     "sequence_packing",
     oracle=f"""

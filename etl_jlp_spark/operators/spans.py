@@ -1,0 +1,149 @@
+"""Exact duplicated-span detection (ExactSubstr-style dedup).
+
+MinHash/Jaccard dedup (operators/similarity.py) treats documents as
+bags of shingles and finds *whole-document* near-duplicates; it is
+blind to a long verbatim passage pasted into an otherwise-unique page
+(license boilerplate, quoted articles, templated footers). "Deduplicating
+Training Data Makes Language Models Better" (Lee et al., 2021,
+arXiv:2107.06499) removes any substring of ≥50 tokens shared between
+documents; this operator computes the same signal with relational ops:
+positional k-gram fingerprints → cross-document duplicated grams →
+per-document maximal duplicated SPANS (gaps-and-islands interval
+merge), reported as a span count + duplicated-token fraction per doc.
+
+Reference origin: the reference's dedup is whole-row
+(``remove_duplicates_browsing_history``,
+dwh_lab/dwh/preprocessing_streaming_incremental_load.py:64-80); span
+detection is the training-data-pipeline extension of that idea to
+sub-document granularity.
+
+Scale (100 TB):
+- The gram relation is one narrow projection of the scan: tokenize once
+  (array expression, no UDF), emit one md5 per token position.
+  Volume ∝ corpus tokens — the same order as any inverted-index build.
+- Duplicated grams are found with ``groupBy(gram)`` — map-side partial
+  aggregation collapses each gram to one row per task before the
+  shuffle, and md5 gram keys are high-entropy (a k-token gram is far
+  past Zipf head skew, unlike single terms), so partitions balance.
+- The ≥2-distinct-docs HAVING prunes the join side to genuinely
+  duplicated grams (≪ vocabulary at any scale) before it re-joins the
+  positional relation on the gram key — an equi-join AQE can broadcast
+  when small and skew-split when not.
+- Island merging is a per-document window (partition key = doc_id,
+  bounded by tokens-per-doc), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table, widen
+from etl_jlp_spark.operators.ir import WORD_PATTERN
+from etl_jlp_spark.registry import query
+
+SPAN_K = 5  # probe-gram width in tokens (Lee et al. use 50 BPE tokens;
+# 5 words fits the synthetic corpus' ~40-token documents — the
+# algebra is width-independent)
+
+
+def positional_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_toks, pos, g): one md5 fingerprint per k-token window
+    start position (1-based). Docs shorter than SPAN_K emit nothing.
+    Pure projection + posexplode — no shuffle."""
+    sized = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0).alias("toks"),
+    ).withColumn("n_toks", F.size("toks").cast("long"))
+    gram_expr = (
+        f"transform(sequence(1, n_toks - {SPAN_K} + 1), "
+        f"i -> md5(concat_ws(' ', slice(toks, i, {SPAN_K}))))"
+    )
+    return (
+        sized.filter(F.col("n_toks") >= SPAN_K)
+        .select("doc_id", "n_toks", F.posexplode(F.expr(gram_expr)).alias("p0", "g"))
+        .select("doc_id", "n_toks", (F.col("p0") + 1).cast("long").alias("pos"), "g")
+    )
+
+
+@query(
+    "dup_span_report",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+  FROM tokd WHERE len(toks) >= {SPAN_K}
+), grams AS (
+  SELECT doc_id, n_toks, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+{SPAN_K}-1], ' ')) AS g
+  FROM sized, unnest(generate_series(1, n_toks - {SPAN_K} + 1)) AS t(i)
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT doc_id, n_toks, pos FROM grams JOIN dupg USING (g)
+), brk AS (
+  SELECT doc_id, n_toks, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, n_toks, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, any_value(n_toks) AS n_toks,
+         max(pos) - min(pos) + {SPAN_K} AS span_len
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+       round(sum(span_len) * 1.0 / n_toks, 4) AS dup_frac
+FROM spans GROUP BY doc_id, n_toks
+""",
+)
+def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report: maximal token spans covered
+    by some {SPAN_K}-gram that also occurs in ANOTHER document.
+    Overlapping/adjacent duplicated windows merge into one span
+    (positions p, q with q - p ≤ k cover a contiguous range), so
+    ``dup_tokens`` is the union length of all duplicated intervals and
+    ``dup_frac`` the fraction of the document that is verbatim-shared —
+    the Lee-et-al. removal signal. Only documents with at least one
+    duplicated span appear (output ∝ duplication, not corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = positional_grams(widen(spark, docs, sf_dir, "documents", "doc_id"))
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = grams.join(dupg, "g").select("doc_id", "n_toks", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = cov.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > SPAN_K),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn("island", F.sum("new_island").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.any_value("n_toks").alias("n_toks"),
+        (F.max("pos") - F.min("pos") + SPAN_K).alias("span_len"),
+    )
+    return spans.groupBy("doc_id", "n_toks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.round(F.sum("span_len") / F.col("n_toks"), 4).alias("dup_frac"),
+    ).select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        "n_dup_spans",
+        "dup_tokens",
+        "dup_frac",
+    )

@@ -1,0 +1,105 @@
+"""Semantic checks for the round-5 corpus operators (span dedup, PMI
+collocations, lexical diversity, temperature mixing, SoftDeDup weights)
+on crafted inputs; parity vs DuckDB is covered by test_parity."""
+
+import math
+
+from pyspark.sql import Row
+
+from etl_jlp_spark.operators.components import softdedup_weights
+from etl_jlp_spark.operators.corpus_stats import lexical_diversity, pmi_collocations
+from etl_jlp_spark.operators.sampling import MIX_QUANT, source_mix_temperature
+from etl_jlp_spark.operators.spans import SPAN_K, dup_span_report
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+            for i, (t, s) in enumerate(rows)
+        ]
+    )
+
+
+def test_dup_span_merges_overlapping_windows(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens > SPAN_K
+    rows = [
+        (shared + " unique1 unique2", "s"),
+        ("xx yy " + shared + " zz", "s"),
+        ("totally different words with no overlap at all here", "s"),
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in dup_span_report(spark, str(tmp_path)).collect()}
+    # the 7 shared tokens yield 3 overlapping K-windows that must merge
+    # into ONE span of exactly 7 tokens in both docs
+    assert set(out) == {0, 1}
+    for d in (0, 1):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 7
+    assert out[0]["n_toks"] == 9
+    assert abs(out[0]["dup_frac"] - round(7 / 9, 4)) < 1e-9
+
+
+def test_dup_span_needs_cross_doc_repeat(spark, tmp_path):
+    # a doc repeating ITS OWN phrase is not cross-doc duplication
+    rows = [("alpha beta gamma delta epsilon " * 2 + "tail words", "s"),
+            ("nothing in common with that document at all", "s")]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert dup_span_report(spark, str(tmp_path)).count() == 0
+
+
+def test_pmi_ranks_collocation_over_frequency(spark, tmp_path):
+    # "san francisco" always adjacent; "the" frequent but promiscuous
+    text = " ".join(["san francisco is the city by the bay with the fog"] * 6)
+    rows = [(text, "s"), ("the cat the dog the bird walk around the town", "s")]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = pmi_collocations(spark, str(tmp_path)).collect()
+    by_pair = {(r["term_a"], r["term_b"]): r for r in out}
+    assert ("san", "francisco") in by_pair
+    # "san francisco" is a perfect collocation (always adjacent, both
+    # terms exclusive to the pair) — nothing can out-score it, though
+    # other perfect pairs in the looped sentence tie with it
+    assert by_pair[("san", "francisco")]["pmi"] == max(r["pmi"] for r in out)
+    # every "the X" pair present must score below the perfect collocation
+    for (a, b), r in by_pair.items():
+        if a == "the":
+            assert r["pmi"] < by_pair[("san", "francisco")]["pmi"]
+
+
+def test_lexical_diversity_degenerate_vs_uniform(spark, tmp_path):
+    rows = [("spam spam spam spam", "s"), ("one two three four", "s")]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in lexical_diversity(spark, str(tmp_path)).collect()}
+    assert out[0]["n_types"] == 1 and out[0]["ttr"] == 0.25
+    assert out[0]["entropy"] == 0.0 and out[0]["hapax_frac"] == 0.0
+    assert out[1]["ttr"] == 1.0 and out[1]["hapax_frac"] == 1.0
+    assert abs(out[1]["entropy"] - round(math.log(4), 4)) < 1e-9
+
+
+def test_temperature_mix_boosts_small_source(spark, tmp_path):
+    rows = [("word " * 20, "big") for _ in range(200)] + [("word " * 20, "small")] * 4
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in source_mix_temperature(spark, str(tmp_path)).collect()}
+    # sqrt temperature: the small source's target exceeds its size → kept whole
+    assert out["small"]["n_docs_kept"] == 4
+    # the big source must be downsampled below its raw share
+    assert out["big"]["n_docs_kept"] < 200
+    # expected keep-rate: N * sqrt(big)/ (sqrt(big)+sqrt(small)) / big, quantized
+    n_big, n_small = 200 * 20, 4 * 20
+    rate = (n_big + n_small) * math.sqrt(n_big) / (
+        math.sqrt(n_big) + math.sqrt(n_small)
+    ) / n_big
+    bound = math.floor(MIX_QUANT * min(1.0, rate))
+    # md5-prefix keep is rate/256 in expectation; allow generous slack
+    assert abs(out["big"]["n_docs_kept"] - 200 * bound / MIX_QUANT) < 40
+
+
+def test_softdedup_weights_cover_corpus_and_invert_cluster_size(spark):
+    out = softdedup_weights(spark, SF_SMALL).collect()
+    docs_total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(out) == docs_total  # every doc gets a weight, dropped none
+    for r in out:
+        assert r["cluster_size"] >= 1
+        assert abs(r["weight"] - round(1.0 / r["cluster_size"], 4)) < 1e-9
+    assert any(r["cluster_size"] > 1 for r in out)  # sf0.001 has known near-dups
