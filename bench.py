@@ -151,6 +151,11 @@ HEADLINE = [
     "bpe_encode",
     "split_leakage_check",
     "doc_containment",
+    "dup_span_report",
+    "pmi_collocations",
+    "lexical_diversity",
+    "source_mix_temperature",
+    "softdedup_weights",
 ]
 
 

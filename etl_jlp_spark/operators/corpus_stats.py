@@ -107,21 +107,22 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.term_a", "p.term_b")
     )
-    cab = (
-        big.groupBy("term_a", "term_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+    cab_all = big.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
     )
+    cab = cab_all.filter(F.col("c_ab") >= PMI_MIN_PAIR)
     uni = (
         tokd.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    tot = tokd.agg(
-        F.sum("n_toks").cast("double").alias("n_uni"),
-        F.sum(F.when(F.col("n_toks") >= 2, F.col("n_toks") - 1).otherwise(F.lit(0)))
-        .cast("double")
-        .alias("n_bi"),
+    # corpus totals DERIVED from the two vocab-sized aggregates (their
+    # shuffles get reused — ReusedExchange), never a third corpus pass:
+    # Σ c over uni = total tokens, Σ c_ab over the unfiltered pair
+    # relation = total adjacent pairs.
+    tot = (
+        uni.agg(F.sum("c").cast("double").alias("n_uni"))
+        .crossJoin(F.broadcast(cab_all.agg(F.sum("c_ab").cast("double").alias("n_bi"))))
     )
     ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))

@@ -123,6 +123,13 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     cov = grams.join(dupg, "g").select("doc_id", "n_toks", "pos")
+    return coverage_report(cov)
+
+
+def coverage_report(cov: DataFrame) -> DataFrame:
+    """(doc_id, n_toks, pos) duplicated-window positions → per-doc span
+    report via gaps-and-islands merge. Shared by the batch operator and
+    the streaming twin; the windows partition on doc_id (bounded)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = cov.withColumn(
         "new_island",
@@ -147,3 +154,31 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         "dup_frac",
     )
+
+
+def gram_directory(docs: DataFrame) -> DataFrame:
+    """(g, nd, only_doc): per-gram distinct-document count plus the
+    single holder when nd = 1 — the static reference a STREAM checks
+    arriving docs against. A gram duplicates doc d iff nd ≥ 2 or its
+    one holder is another doc; carrying (nd, only_doc) instead of the
+    full (g, doc_id) posting list keeps the reference gram-set-sized,
+    and replaying the reference corpus through the check reproduces the
+    batch operator's rows exactly (self-grams never self-match)."""
+    return positional_grams(docs).groupBy("g").agg(
+        F.count_distinct("doc_id").cast("long").alias("nd"),
+        F.min("doc_id").cast("long").alias("only_doc"),
+    )
+
+
+def span_report_vs_directory(docs: DataFrame, directory: DataFrame) -> DataFrame:
+    """Span report of ``docs`` against a prebuilt ``gram_directory`` —
+    the probe side of the amortized/streaming path: the arriving shard
+    expands its own positional grams only, equi-joins the directory on
+    the gram key, and excludes self-matches via (nd, only_doc)."""
+    grams = positional_grams(docs)
+    cov = (
+        grams.join(directory, "g")
+        .filter((F.col("nd") >= 2) | (F.col("only_doc") != F.col("doc_id")))
+        .select("doc_id", "n_toks", "pos")
+    )
+    return coverage_report(cov)

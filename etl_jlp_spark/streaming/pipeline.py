@@ -299,6 +299,39 @@ def streaming_bm25_search(
     )
 
 
+def streaming_span_check(
+    spark: SparkSession,
+    docs_src_dir: str,
+    schema,
+    gram_directory: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of operators.spans.dup_span_report: arriving
+    corpus shards are checked for verbatim duplicated spans against a
+    STATIC gram directory built from the existing corpus
+    (``spans.gram_directory`` — gram-set-sized, (nd, only_doc) excludes
+    self-matches so replaying the reference corpus reproduces the batch
+    rows exactly). Per-doc island merging needs no cross-batch state (a
+    doc lives in one file → one micro-batch); results land exactly-once
+    via the idempotent per-batch_id overwrite."""
+    from etl_jlp_spark.operators.spans import span_report_vs_directory
+
+    stream = stream_documents(spark, docs_src_dir, schema)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(
+            span_report_vs_directory(batch_df, gram_directory), dest_dir, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_balance_mix(docs_stream: DataFrame, rates: DataFrame) -> DataFrame:
     """Streaming twin of operators.sampling.balance_source_mix's filter
     phase: the per-source rate table comes from a prior batch pass (or

@@ -104,11 +104,18 @@ def rollup_view(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark: SparkSession, store_dir: str) -> int:
+def compact_rollup(spark: SparkSession, store_dir: str, retain: bool = False) -> int:
     """Fold all deltas into a new base version and advance the pointer.
     Returns the new folded-through batch id. Crash-safe at every step:
     the new base is written to a fresh ``base/v{N}`` dir BEFORE the
-    pointer swap, and folded delta dirs are swept only AFTER it."""
+    pointer swap, and cleanup happens only AFTER it.
+
+    ``retain=True`` is the Delta-Lake-style retention split: folded
+    deltas and superseded base versions are KEPT so ``rollup_view_as_of``
+    can reconstruct any historical batch watermark; reclaiming the
+    space becomes an explicit, separately-scheduled ``vacuum_rollup``
+    (exactly VACUUM vs time travel). The default sweeps immediately —
+    serving-only stores shouldn't pay history storage."""
     ids = _delta_ids(store_dir)
     ptr = _pointer(store_dir)
     if not ids or max(ids) <= ptr["through_batch"]:
@@ -119,12 +126,82 @@ def compact_rollup(spark: SparkSession, store_dir: str) -> int:
         os.path.join(store_dir, "base", version)
     )
     _swap_pointer(store_dir, version, through)
-    for b in ids:  # folded deltas are garbage after the swap
-        shutil.rmtree(os.path.join(store_dir, "deltas", f"batch_id={b}"), ignore_errors=True)
-    old = ptr["base"]
-    if old and old != version:
-        shutil.rmtree(os.path.join(store_dir, "base", old), ignore_errors=True)
+    if not retain:
+        for b in ids:  # folded deltas are garbage after the swap
+            shutil.rmtree(
+                os.path.join(store_dir, "deltas", f"batch_id={b}"), ignore_errors=True
+            )
+        old = ptr["base"]
+        if old and old != version:
+            shutil.rmtree(os.path.join(store_dir, "base", old), ignore_errors=True)
     return through
+
+
+def _base_versions(store_dir: str) -> list[int]:
+    base = os.path.join(store_dir, "base")
+    if not os.path.isdir(base):
+        return []
+    return sorted(int(d[1:]) for d in os.listdir(base) if d.startswith("v"))
+
+
+def rollup_view_as_of(
+    spark: SparkSession, store_dir: str, through_batch: int
+) -> DataFrame:
+    """Time travel: the rollup as it stood after ``through_batch`` —
+    the newest retained base version ≤ the watermark plus the retained
+    deltas in between, re-aggregated (same plan shape as the serving
+    view; never raw events). Requires the history to still be retained
+    (``compact_rollup(retain=True)`` and no intervening
+    ``vacuum_rollup``); a vacuumed watermark raises loudly rather than
+    serving a silently-partial rollup."""
+    through = int(through_batch)
+    bases = [v for v in _base_versions(store_dir) if v <= through]
+    base_v = max(bases) if bases else None
+    deltas = [b for b in _delta_ids(store_dir) if (base_v or -1) < b <= through]
+    if base_v is None and _pointer(store_dir)["through_batch"] > through and not deltas:
+        raise ValueError(
+            f"history before batch {through} was vacuumed from {store_dir}; "
+            "compact with retain=True to keep time travel"
+        )
+    parts: list[DataFrame] = []
+    if base_v is not None:
+        parts.append(spark.read.parquet(os.path.join(store_dir, "base", f"v{base_v}")))
+    if deltas:
+        parts.append(
+            spark.read.parquet(os.path.join(store_dir, "deltas"))
+            .filter(F.col("batch_id").isin(deltas))
+            .drop("batch_id")
+        )
+    if not parts:
+        raise FileNotFoundError(f"no retained state at or before batch {through}: {store_dir}")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("day", "event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+
+
+def vacuum_rollup(store_dir: str) -> int:
+    """Reclaim history: sweep folded deltas (≤ the pointer watermark)
+    and superseded base versions. Returns the number of directories
+    removed. The current pointer's (base, unfolded deltas) are never
+    touched — the serving view is identical before and after."""
+    ptr = _pointer(store_dir)
+    removed = 0
+    for b in _delta_ids(store_dir):
+        if b <= ptr["through_batch"]:
+            shutil.rmtree(
+                os.path.join(store_dir, "deltas", f"batch_id={b}"), ignore_errors=True
+            )
+            removed += 1
+    current = int(ptr["base"][1:]) if ptr["base"] else None
+    for v in _base_versions(store_dir):
+        if current is None or v != current:
+            shutil.rmtree(os.path.join(store_dir, "base", f"v{v}"), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def streaming_rollup_maintain(

@@ -265,3 +265,59 @@ def test_bpe_encode_reuses_scan_and_broadcasts_vocab(spark):
     assert "TakeOrdered" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_span_report_reuses_gram_exchange_no_cartesian(spark):
+    """The positional-gram relation feeds both the dup-gram agg and the
+    coverage join off ONE widened exchange (ReusedExchange in the final
+    adaptive plan); candidates come from the gram equi-join — never a
+    cartesian/BNLJ; the island windows partition on doc_id only."""
+    df = QS["dup_span_report"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = _optimized(df)
+    assert "windowspecdefinition(g" not in opt  # no window on the gram key
+
+
+def test_pmi_totals_derive_from_aggregates(spark):
+    """Corpus totals must come from the vocab-sized aggregates (their
+    exchanges reused), not a third corpus scan; the only nested-loop
+    joins are the broadcast 1-row scalar attachments; top-K is
+    TakeOrdered, not a global sort."""
+    df = QS["pmi_collocations"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_lexical_diversity_two_aggs_no_join(spark):
+    """One (doc,term) count + one doc-keyed agg — no joins, no
+    cartesian, both aggs map-side combinable (partial_count in the
+    optimized plan)."""
+    plan = _plan(QS["lexical_diversity"](spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_mix_temperature_rate_table_broadcast(spark):
+    """The rate table side must broadcast onto the corpus (one
+    BroadcastHashJoin on source); the scalar total attaches by a 1-row
+    broadcast; no shuffle keyed on the doc side beyond the final agg."""
+    plan = _plan(QS["source_mix_temperature"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_softdedup_membership_joins_are_hash_joins(spark):
+    """Corpus ← cluster-membership joins must be hash equi-joins (AQE
+    broadcasts the match-bounded sides), never nested-loop."""
+    plan = _plan(QS["softdedup_weights"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

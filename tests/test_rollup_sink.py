@@ -98,3 +98,68 @@ def test_post_compaction_increments_still_merge(spark, tmp_path):
     assert _got(spark, store) == _expected(spark)
     assert compact_rollup(spark, store) == 1
     assert _got(spark, store) == _expected(spark)
+
+
+def _rollup_of(spark, df):
+    return {
+        (r["day"], r["event_type"], r["n_events"], round(r["sum_value"], 2))
+        for r in (
+            df.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+
+
+def test_time_travel_reconstructs_each_watermark(spark, tmp_path):
+    from etl_jlp_spark.streaming.rollup_sink import rollup_view_as_of, vacuum_rollup
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    ev = load_table(spark, SF_SMALL, "events")
+    thirds = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    rollup_upsert_batch(thirds[0], store, 0)
+    rollup_upsert_batch(thirds[1], store, 1)
+    assert compact_rollup(spark, store, retain=True) == 1
+    rollup_upsert_batch(thirds[2], store, 2)
+
+    def as_of(n):
+        return {
+            (r["day"], r["event_type"], r["n_events"], round(r["sum_value"], 2))
+            for r in rollup_view_as_of(spark, store, n).collect()
+        }
+
+    assert as_of(0) == _rollup_of(spark, thirds[0])
+    assert as_of(1) == _rollup_of(spark, thirds[0].unionByName(thirds[1]))
+    assert as_of(2) == _expected(spark)
+    # retained history: folded delta dirs still on disk
+    assert os.path.isdir(os.path.join(store, "deltas", "batch_id=0"))
+    # serving view unaffected by retention
+    assert _got(spark, store) == _expected(spark)
+
+    removed = vacuum_rollup(store)
+    assert removed >= 2  # folded deltas 0,1 swept; only current base kept
+    assert _got(spark, store) == _expected(spark)  # view identical post-vacuum
+    try:
+        as_of(0)
+        raised = False
+    except (ValueError, FileNotFoundError):
+        raised = True
+    assert raised, "vacuumed watermark must raise, not serve partial data"
+
+
+def test_vacuum_keeps_unfolded_deltas(spark, tmp_path):
+    from etl_jlp_spark.streaming.rollup_sink import vacuum_rollup
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    a, b = _halves(spark)
+    rollup_upsert_batch(a, store, 0)
+    compact_rollup(spark, store, retain=True)
+    rollup_upsert_batch(b, store, 1)  # unfolded — must survive vacuum
+    vacuum_rollup(store)
+    assert os.path.isdir(os.path.join(store, "deltas", "batch_id=1"))
+    assert _got(spark, store) == _expected(spark)

@@ -366,3 +366,26 @@ def test_streaming_anomaly_monitor_matches_batch(spark, tmp_path):
     # below its type's mean, so the monitor must be alarming
     assert got.filter(F.col("is_anomaly")).count() > 0
     baseline.unpersist()
+
+
+def test_streaming_span_check_matches_batch(spark, docs_dir, tmp_path):
+    """Arriving shards checked against the static gram directory must
+    reproduce the batch dup_span_report rows exactly (the (nd,
+    only_doc) self-exclusion), and survive a checkpoint replay."""
+    from etl_jlp_spark.operators.spans import dup_span_report, gram_directory
+    from etl_jlp_spark.streaming.pipeline import streaming_span_check
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    directory = gram_directory(docs)
+    dest = str(tmp_path / "span_out")
+    ckpt = str(tmp_path / "span_ckpt")
+    q = streaming_span_check(spark, docs_dir, docs.schema, directory, dest, ckpt)
+    q.awaitTermination(120)
+    read_out = lambda: sorted(
+        map(tuple, spark.read.parquet(dest).drop("batch_id").collect())
+    )
+    want = sorted(map(tuple, dup_span_report(spark, SF_SMALL).collect()))
+    assert read_out() == want
+    q2 = streaming_span_check(spark, docs_dir, docs.schema, directory, dest, ckpt)
+    q2.awaitTermination(120)
+    assert read_out() == want

@@ -52,6 +52,11 @@ DEFAULT = [
     "bpe_encode",
     "split_leakage_check",
     "doc_containment",
+    "dup_span_report",
+    "pmi_collocations",
+    "lexical_diversity",
+    "source_mix_temperature",
+    "softdedup_weights",
 ]
 
 
