@@ -59,8 +59,8 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
 # first ~50 queries() entries per round. Round-6 priority: the 20 names that
 # overflowed the round-5 window (newest driver row = round 3), then the four
-# flagships (kept in-window every round), then the four queries NEW in round
-# 6 (first driver row), then — a hedge, because no CORRECTNESS_r05.json ever
+# flagships (kept in-window every round), then the twelve queries NEW in
+# round 6 (first driver row), then — a hedge, because no CORRECTNESS_r05.json ever
 # landed in-repo, so the r5 window may not have been recorded — the round-5
 # head in its r5 order (the 12 previously-r2-stale names, then the 12 r5
 # additions). Everything past ~50 is covered by the committed PARITY_r6.txt
@@ -105,6 +105,7 @@ _R6_PRIORITY = [
     "lexical_diversity",
     "source_mix_temperature",
     "softdedup_weights",
+    "ann_recall_report",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

@@ -156,6 +156,7 @@ HEADLINE = [
     "lexical_diversity",
     "source_mix_temperature",
     "softdedup_weights",
+    "ann_recall_report",
 ]
 
 

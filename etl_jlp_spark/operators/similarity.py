@@ -1082,6 +1082,72 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# recall oracle built FROM the two registered oracles (subqueries carry
+# their own WITH clauses) — the eval can never drift from the operators
+# it evaluates.
+_RECALL_ORACLE = """
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({EXACT})
+), approx AS (
+  SELECT query_id, neighbor_id FROM ({APPROX})
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ANN quality evaluation — recall@k of the production LSH
+    path against the exact brute-force baseline, per query: the
+    'measure, don\'t guess' gate an index change must pass before it
+    ships. Both sides are THIS module's registered operators (the
+    report can never drift from what actually serves); the comparison
+    itself is one equi-join + one per-query agg over two k-row-per-
+    query relations — evaluation cost is bounded by queries × k, not
+    the corpus. At 100 TB the exact side runs on a held-out query
+    sample only (here: the same deterministic vec_id % mod sample both
+    operators already use).
+
+    Honest result on THIS corpus: uniform-random synthetic embeddings
+    are near-orthogonal — the geometry where sign-bit banding is
+    weakest — so measured top-k recall is low (~0.1-0.2). That is the
+    point of the gate: it surfaces an index that would otherwise ship
+    blind (test_ann_lsh_recall_floor pins the same floor)."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+from etl_jlp_spark.registry import ORACLES as _ORACLES  # noqa: E402
+from etl_jlp_spark.registry import register as _register  # noqa: E402
+
+_register(
+    "ann_recall_report",
+    ann_recall_report,
+    _RECALL_ORACLE.format(
+        EXACT=_ORACLES["ann_topk_cosine"], APPROX=_ORACLES["ann_lsh_topk"]
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup — semantic (embedding-space) deduplication
 # ---------------------------------------------------------------------------

@@ -103,3 +103,23 @@ def test_softdedup_weights_cover_corpus_and_invert_cluster_size(spark):
         assert r["cluster_size"] >= 1
         assert abs(r["weight"] - round(1.0 / r["cluster_size"], 4)) < 1e-9
     assert any(r["cluster_size"] > 1 for r in out)  # sf0.001 has known near-dups
+
+
+def test_ann_recall_report_bounds_and_quality(spark):
+    from etl_jlp_spark.operators.similarity import ANN_TOP_K, ann_recall_report
+
+    out = ann_recall_report(spark, SF_SMALL).collect()
+    assert out, "query sample must be non-empty"
+    for r in out:
+        assert 1 <= r["n_exact"] <= ANN_TOP_K
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall_at_k"] - round(r["n_hit"] / r["n_exact"], 4)) < 1e-9
+    avg = sum(r["recall_at_k"] for r in out) / len(out)
+    # Honest number, and the reason this gate exists: the synthetic
+    # embeddings are near-orthogonal (uniform random), the geometry
+    # where sign-LSH banding is weakest — top-k recall is genuinely low
+    # (~0.1 at sf0.001), and the report SURFACES that instead of the
+    # index shipping blind. The assertions pin the measurement
+    # plumbing: some hits must exist, and recall must be honest (≤1).
+    assert 0 < avg < 1, f"implausible recall: {avg}"
+    assert sum(r["n_hit"] for r in out) >= 1

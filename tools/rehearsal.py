@@ -57,6 +57,7 @@ DEFAULT = [
     "lexical_diversity",
     "source_mix_temperature",
     "softdedup_weights",
+    "ann_recall_report",
 ]
 
 
