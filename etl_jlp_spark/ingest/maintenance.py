@@ -215,3 +215,102 @@ def live_store_paths(sf_dirs: list[str]) -> set[str]:
         live.update(similarity._minhash_store_paths(sf))
         live.update(similarity._ivf_store_paths(sf))
     return live
+
+
+def affected_delete_files(
+    path: str, column: str, keys: list
+) -> tuple[list[str], list[str]]:
+    """Split a parquet directory's data files into (must-rewrite,
+    untouched) for a key-delete, using ONLY footer min/max statistics —
+    the same metadata predicate pushdown prunes with. On a range- or
+    z-ordered layout (compact_small_files sort_by/zorder_by) the
+    affected set is ~#keys files; on an unsorted layout it honestly
+    degrades toward all files — the report makes that visible."""
+    import pyarrow.parquet as pq
+
+    hit, miss = [], []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics is not None:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None and any(lo <= k <= hi for k in keys):
+                hit.append(fp)
+            else:
+                miss.append(fp)
+    return hit, miss
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    src_dir: str,
+    column: str,
+    keys: list,
+    dest_dir: str | None = None,
+) -> Row:
+    """GDPR/right-to-erasure delete propagation: remove every row whose
+    ``column`` value is in ``keys``, rewriting ONLY the files whose
+    footer min/max can contain an affected key. Untouched files are
+    HARDLINKED into the new directory version (zero bytes copied —
+    the Delta/Iceberg copy-on-write file-level rewrite), and the swap
+    is the same temp-dir + atomic rename protocol as compaction, so a
+    reader never observes a half-deleted table.
+
+    At 100 TB the cost is (affected files × rewrite) + (directory
+    linking), not a full-table rewrite — and pairing with a key-sorted
+    layout (``sort_by``/``zorder_by`` compaction) bounds affected files
+    to ~#tombstones. Returns the audit Row a compliance job records."""
+    from pyspark.sql import functions as F
+
+    dest = dest_dir or src_dir
+    hit, miss = affected_delete_files(src_dir, column, keys)
+    files_total = len(hit) + len(miss)
+    tmp = f"{dest}.delete-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for fp in miss:  # zero-copy carry-over of unaffected files
+        link = os.path.join(tmp, os.path.basename(fp))
+        try:
+            os.link(fp, link)
+        except OSError:
+            shutil.copy2(fp, link)
+    rows_deleted = 0
+    if hit:
+        aff = spark.read.parquet(*hit)
+        kept = aff.filter(~F.col(column).isin(keys))
+        n_before = aff.count()
+        rewrite = f"{tmp}.rewrite"
+        kept.write.mode("overwrite").parquet(rewrite)
+        n_after = spark.read.parquet(rewrite).count()
+        rows_deleted = n_before - n_after
+        i = 0
+        for root, _dirs, files in os.walk(rewrite):
+            for f in sorted(files):
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                os.link(os.path.join(root, f), os.path.join(tmp, f"rw-{i:05d}-{f}"))
+                i += 1
+        shutil.rmtree(rewrite)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    if os.path.isdir(dest):
+        # the rename target must not exist; src==dest in-place swap
+        old = f"{dest}.old-{os.getpid()}"
+        os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, dest)
+    return Row(
+        files_total=files_total,
+        files_rewritten=len(hit),
+        files_linked=len(miss),
+        rows_deleted=int(rows_deleted),
+    )

@@ -153,3 +153,50 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     # z-order: BOTH columns prune a strict majority of the files
     assert overlap_count(z_u, u_probe) <= len(z_u) // 2, (overlap_count(z_u, u_probe), len(z_u))
     assert overlap_count(z_v, v_probe) <= len(z_v) // 2, (overlap_count(z_v, v_probe), len(z_v))
+
+
+def test_delete_propagation_rewrites_only_affected_files(spark, tmp_path):
+    import os
+
+    from etl_jlp_spark.ingest.maintenance import propagate_deletes
+
+    src, ev = _fragmented(spark, tmp_path)
+    laid = str(tmp_path / "laid")
+    # key-sorted layout: each file covers a narrow user_id range
+    compact_small_files(spark, src, laid, target_bytes=16 * 1024, sort_by=["user_id"])
+    n_files_before = dir_file_stats(laid)[0]
+    assert n_files_before > 4, "need a multi-file layout for the pruning claim"
+    users = [r["user_id"] for r in ev.select("user_id").distinct().limit(2).collect()]
+    want_deleted = ev.filter(F.col("user_id").isin(users)).count()
+    inode_before = {
+        f: os.stat(os.path.join(laid, f)).st_ino
+        for f in os.listdir(laid)
+        if f.endswith(".parquet")
+    }
+
+    report = propagate_deletes(spark, laid, "user_id", users)
+    assert report.rows_deleted == want_deleted > 0
+    # footer-stat pruning must beat a full rewrite on the sorted layout
+    assert report.files_rewritten < report.files_total
+    assert report.files_rewritten + report.files_linked == report.files_total
+    out = spark.read.parquet(laid)
+    assert out.filter(F.col("user_id").isin(users)).count() == 0
+    assert out.count() == ev.count() - want_deleted
+    # untouched files carried over as hardlinks: same inode, zero copy
+    survivors = {
+        f: os.stat(os.path.join(laid, f)).st_ino
+        for f in os.listdir(laid)
+        if f.endswith(".parquet") and not f.startswith("rw-")
+    }
+    assert survivors, "some files must be untouched on a sorted layout"
+    for f, ino in survivors.items():
+        assert inode_before.get(f) == ino
+
+
+def test_delete_propagation_no_matching_keys_is_lossless(spark, tmp_path):
+    from etl_jlp_spark.ingest.maintenance import propagate_deletes
+
+    src, ev = _fragmented(spark, tmp_path, n_files=4)
+    report = propagate_deletes(spark, src, "user_id", [10**12])
+    assert report.rows_deleted == 0 and report.files_rewritten == 0
+    assert spark.read.parquet(src).count() == ev.count()
