@@ -40,6 +40,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     scd,
     sessionize,
     similarity,
+    sketches,
     skew,
     spans,
     textstats,
@@ -106,6 +107,9 @@ _R6_PRIORITY = [
     "source_mix_temperature",
     "softdedup_weights",
     "ann_recall_report",
+    "embedding_random_projection",
+    "per_source_sample_k",
+    "heavy_hitters_cms",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

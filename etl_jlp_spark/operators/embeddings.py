@@ -334,3 +334,64 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ANN_TOP_K)
         .select("query_id", "neighbor_id", F.round("c6", 4).alias("cos_sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Achlioptas/JL): 64 → 16 dims with a DETERMINISTIC
+# ±1 sign matrix derived from md5("rp:{j}:{i}") — computed once in
+# Python at import, embedded as literal arrays in BOTH engines' plans,
+# so the projection is a pure codegen expression over constants (no
+# per-row hashing, no RNG, no UDF).
+# ---------------------------------------------------------------------------
+RP_IN_DIM = 64
+RP_OUT_DIM = 16
+
+
+def _rp_sign(j: int, i: int) -> int:
+    import hashlib
+
+    return 1 if hashlib.md5(f"rp:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+
+
+RP_SIGNS = [[_rp_sign(j, i) for i in range(RP_IN_DIM)] for j in range(RP_OUT_DIM)]
+_RP_SCALE = 4.0  # sqrt(RP_OUT_DIM): unit-variance JL scaling
+
+
+def _rp_oracle() -> str:
+    cols = ",\n       ".join(
+        f"round(list_dot_product(v, [{', '.join(f'{s}.0' for s in RP_SIGNS[j])}])"
+        f" / {_RP_SCALE}, 4) AS p{j}"
+        for j in range(RP_OUT_DIM)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       {cols}
+FROM e
+"""
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection ({IN}→{OUT} dims,
+    Achlioptas ±1 signs): the standard dimensionality reduction before
+    ANN indexing/serving — 4× less vector bandwidth while pairwise
+    distances concentrate within JL distortion (test-pinned on sampled
+    pairs). Zero shuffle: one projection expression per output dim,
+    sequential-sum dot against a LITERAL sign vector (bit-identical in
+    DuckDB's list_dot_product), whole-stage codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_array(F.col("embedding")).alias("vv"))
+    cols = [
+        F.round(
+            static_dot(
+                F.col("vv"),
+                F.array(*[F.lit(float(s)) for s in RP_SIGNS[j]]),
+                RP_IN_DIM,
+            )
+            / F.lit(_RP_SCALE),
+            4,
+        ).alias(f"p{j}")
+        for j in range(RP_OUT_DIM)
+    ]
+    return base.select("vec_id", *cols)

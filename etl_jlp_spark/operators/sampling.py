@@ -341,3 +341,75 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_expr(F.col("doc_id")).alias("split"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
+
+
+SAMPLE_K = 20  # docs kept per source
+SAMPLE_OVER = 8  # md5-prefilter oversampling factor (bounds window input)
+
+
+@query(
+    "per_source_sample_k",
+    oracle=f"""
+WITH tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+), rates AS (
+  SELECT source,
+         CASE WHEN n <= {SAMPLE_K * SAMPLE_OVER} THEN CAST({MIX_QUANT} AS BIGINT)
+              ELSE CAST(floor({MIX_QUANT}.0 * {SAMPLE_K * SAMPLE_OVER} / n) AS BIGINT)
+         END AS bound
+  FROM tot
+), pre AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE r.bound >= {MIX_QUANT}
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < lpad(lower(to_hex(r.bound)), 2, '0')
+), ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM pre
+)
+SELECT source, doc_id, rk FROM ranked WHERE rk <= {SAMPLE_K}
+""",
+)
+def per_source_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source inspection sample (the 'show me {K} random
+    docs from every source' debugging/eval query), deterministic and
+    engine-portable via md5 ordering.
+
+    The naive form — row_number over PARTITION BY source on the raw
+    corpus — puts all of a dominant source's rows in ONE window task at
+    100 TB. Two phases bound it: per-source counts (tiny) set an
+    md5-prefix pre-filter that passes ~{OVER}×k rows per source
+    map-side (no shuffle of dropped rows), and the exact rank window
+    runs over that bounded survivor set only. Both engines apply the
+    SAME deterministic filter, so parity holds by construction; the
+    {OVER}× oversample makes a short sample (< k survivors) a
+    vanishing-probability data property, and sub-k sources keep every
+    doc (bound saturates)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    target = SAMPLE_K * SAMPLE_OVER
+    rates = tot.select(
+        "source",
+        F.when(F.col("n") <= target, F.lit(MIX_QUANT))
+        .otherwise(F.floor(MIX_QUANT * float(target) / F.col("n")))
+        .cast("long")
+        .alias("bound"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    pre = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("bound") >= MIX_QUANT)
+            | (h < F.lpad(F.lower(F.hex("bound")), 2, "0"))
+        )
+        .select("source", "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        pre.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= SAMPLE_K)
+    )

@@ -123,3 +123,66 @@ def test_ann_recall_report_bounds_and_quality(spark):
     # plumbing: some hits must exist, and recall must be honest (≤1).
     assert 0 < avg < 1, f"implausible recall: {avg}"
     assert sum(r["n_hit"] for r in out) >= 1
+
+
+def test_random_projection_preserves_pairwise_geometry(spark):
+    import itertools
+
+    from etl_jlp_spark.operators.embeddings import (
+        RP_OUT_DIM,
+        embedding_random_projection,
+    )
+
+    rows = embedding_random_projection(spark, SF_SMALL).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    proj = {r["vec_id"]: [r[f"p{j}"] for j in range(RP_OUT_DIM)] for r in rows}
+    assert set(proj) == set(emb)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    ids = sorted(proj)[:12]
+    errs = [
+        abs(cos(emb[a], emb[b]) - cos(proj[a], proj[b]))
+        for a, b in itertools.combinations(ids, 2)
+    ]
+    # JL at 64->16: distortion concentrates ~1/sqrt(16); the MEAN must
+    # be small even though single pairs can wander
+    assert sum(errs) / len(errs) < 0.25, sum(errs) / len(errs)
+
+
+def test_per_source_sample_exact_k_and_bounded_window(spark):
+    from etl_jlp_spark.operators.sampling import SAMPLE_K, per_source_sample_k
+
+    out = per_source_sample_k(spark, SF_SMALL).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["rk"])
+    truth = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(per_src) == set(truth)
+    for src, rks in per_src.items():
+        want = min(SAMPLE_K, truth[src])
+        assert sorted(rks) == list(range(1, want + 1)), src
+
+
+def test_cms_estimates_never_undercount(spark):
+    from etl_jlp_spark.operators.sketches import CMS_TOP, heavy_hitters_cms
+
+    out = heavy_hitters_cms(spark, SF_SMALL).collect()
+    assert len(out) == CMS_TOP
+    for r in out:
+        assert r["est_cnt"] >= r["exact_cnt"] > 0
+        assert r["overcount"] == r["est_cnt"] - r["exact_cnt"]

@@ -58,6 +58,9 @@ DEFAULT = [
     "source_mix_temperature",
     "softdedup_weights",
     "ann_recall_report",
+    "embedding_random_projection",
+    "per_source_sample_k",
+    "heavy_hitters_cms",
 ]
 
 
