@@ -48,6 +48,21 @@ _ROWS_SQL = " UNION ALL ".join(
 )
 
 
+def cms_counters(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(r, bucket, c) counter relation for a batch of rows — ≤ d×w rows
+    after map-side combine regardless of key cardinality. ADDITIVE:
+    counters of two batches merged by summing — the property the
+    streaming monitor exploits (and the reason CMS survives 100 TB
+    where exact per-key state can't)."""
+    hashed = ev.select(
+        key,
+        F.posexplode(
+            F.array(*[_bucket(r, F.col(key)) for r in range(CMS_DEPTH)])
+        ).alias("r", "bucket"),
+    )
+    return hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
 @query(
     "heavy_hitters_cms",
     oracle=f"""
@@ -86,13 +101,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays 4×64 regardless of key cardinality). Probes are 10×4 rows
     joined against the counter relation."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    hashed = ev.select(
-        "user_id",
-        F.posexplode(
-            F.array(*[_bucket(r, F.col("user_id")) for r in range(CMS_DEPTH)])
-        ).alias("r", "bucket"),
-    )
-    cms = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cms = cms_counters(ev)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(CMS_TOP)
     probes = top.select(

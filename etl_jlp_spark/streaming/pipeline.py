@@ -529,3 +529,39 @@ def streaming_anomaly_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cms_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous count-min frequency state: each micro-batch writes its
+    OWN ≤ d×w counter relation (operators.sketches.cms_counters) to a
+    per-batch_id partition — idempotent under replay — and the serving
+    sketch is the SUM over batch partitions (``cms_view``), exact by
+    counter additivity. Total state on disk is #batches × d×w rows at
+    ANY key cardinality; estimates from the merged view are identical
+    to a batch build over the same rows (test-pinned)."""
+    from etl_jlp_spark.operators.sketches import cms_counters
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(cms_counters(batch_df), dest_dir, batch_id)
+
+    return (
+        stream_events(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_view(spark: SparkSession, dest_dir: str) -> DataFrame:
+    """The merged sketch: sum the per-batch counter partitions."""
+    return (
+        spark.read.parquet(dest_dir)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )

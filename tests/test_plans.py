@@ -321,3 +321,42 @@ def test_softdedup_membership_joins_are_hash_joins(spark):
     plan = _plan(QS["softdedup_weights"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_projection_zero_shuffle_codegen(spark):
+    """The projection must be a pure scan+project: no Exchange, no
+    Join, and the dot products expanded into a codegen'd Project
+    (static_dot — `(vv[0] * s0) + ...` — not an interpreted
+    higher-order aggregate)."""
+    plan = _plan(QS["embedding_random_projection"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan, plan
+    assert "aggregate(" not in plan  # no interpreted lambda in the hot path
+
+
+def test_per_source_sample_filters_before_window(spark):
+    """The md5-prefix pre-filter must run BELOW the rank window (the
+    window sees only ~8k survivors per source), the rate table must
+    broadcast, and Spark's rank-limit pushdown (WindowGroupLimit) must
+    apply so even the survivor sort keeps top-k per partition only."""
+    df = QS["per_source_sample_k"](spark, SF_SMALL)
+    opt = _optimized(df)
+    wi = opt.index("Window ")
+    ji = opt.index("Join Inner")  # the filtering broadcast join
+    assert ji > wi, opt[:2000]
+    assert "substring(md5(" in opt[ji:], opt[ji : ji + 500]
+    assert "WindowGroupLimit" in opt
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_counter_state_is_bounded(spark):
+    """The sketch side must collapse map-side: its HashAggregate keys
+    are (r, bucket) — never user_id — and the probe join against the
+    ≤256-row counter relation must broadcast."""
+    plan = _plan(QS["heavy_hitters_cms"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan  # exact top-k, no global sort

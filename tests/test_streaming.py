@@ -389,3 +389,26 @@ def test_streaming_span_check_matches_batch(spark, docs_dir, tmp_path):
     q2 = streaming_span_check(spark, docs_dir, docs.schema, directory, dest, ckpt)
     q2.awaitTermination(120)
     assert read_out() == want
+
+
+def test_streaming_cms_merges_to_batch_sketch(spark, events_dir, tmp_path):
+    """Per-batch counter deltas summed across batches must equal the
+    batch-built sketch EXACTLY (counter additivity), so estimates from
+    the streaming view match the batch operator's; replay must not
+    double-count."""
+    from etl_jlp_spark.operators.sketches import cms_counters
+    from etl_jlp_spark.streaming.pipeline import cms_view, streaming_cms_monitor
+
+    dest = str(tmp_path / "cms_out")
+    ckpt = str(tmp_path / "cms_ckpt")
+    q = streaming_cms_monitor(spark, events_dir, dest, ckpt)
+    q.awaitTermination(120)
+    want = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_counters(load_table(spark, SF_SMALL, "events")).collect()
+    }
+    got = {(r["r"], r["bucket"]): r["c"] for r in cms_view(spark, dest).collect()}
+    assert got == want
+    q2 = streaming_cms_monitor(spark, events_dir, dest, ckpt)  # replay
+    q2.awaitTermination(120)
+    assert {(r["r"], r["bucket"]): r["c"] for r in cms_view(spark, dest).collect()} == want
