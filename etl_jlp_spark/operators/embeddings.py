@@ -358,11 +358,16 @@ _RP_SCALE = 4.0  # sqrt(RP_OUT_DIM): unit-variance JL scaling
 
 
 def _rp_oracle() -> str:
-    cols = ",\n       ".join(
-        f"round(list_dot_product(v, [{', '.join(f'{s}.0' for s in RP_SIGNS[j])}])"
-        f" / {_RP_SCALE}, 4) AS p{j}"
-        for j in range(RP_OUT_DIM)
-    )
+    # identical sign-partitioned sum text as the Spark selectExpr
+    # (left-to-right (Σ pos) − (Σ neg)) so 4-dp rounding is engine-
+    # stable; DuckDB lists are 1-based.
+    def col(j: int) -> str:
+        pos = " + ".join(f"v[{i + 1}]" for i, s in enumerate(RP_SIGNS[j]) if s > 0)
+        neg = " + ".join(f"v[{i + 1}]" for i, s in enumerate(RP_SIGNS[j]) if s < 0)
+        expr = f"({pos}) - ({neg})" if neg else f"({pos})"
+        return f"round(({expr}) / {_RP_SCALE}, 4) AS p{j}"
+
+    cols = ",\n       ".join(col(j) for j in range(RP_OUT_DIM))
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT vec_id,
@@ -382,16 +387,17 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_dot_product), whole-stage codegen."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double_array(F.col("embedding")).alias("vv"))
-    cols = [
-        F.round(
-            static_dot(
-                F.col("vv"),
-                F.array(*[F.lit(float(s)) for s in RP_SIGNS[j]]),
-                RP_IN_DIM,
-            )
-            / F.lit(_RP_SCALE),
-            4,
-        ).alias(f"p{j}")
-        for j in range(RP_OUT_DIM)
-    ]
-    return base.select("vec_id", *cols)
+
+    def proj_sql(j: int) -> str:
+        # sign-partitioned sum: (Σ v[i over +1]) − (Σ v[i over −1]) —
+        # 64 adds instead of 64 multiply-adds. Emitted as ONE SQL text
+        # parsed JVM-side: building the same tree with Column operators
+        # costs ~46k Py4J round trips (~8 s of DRIVER time per call,
+        # measured) — a reminder that plan-construction cost is real at
+        # this expression width even though execution is sub-second.
+        pos = " + ".join(f"vv[{i}]" for i, s in enumerate(RP_SIGNS[j]) if s > 0)
+        neg = " + ".join(f"vv[{i}]" for i, s in enumerate(RP_SIGNS[j]) if s < 0)
+        expr = f"({pos}) - ({neg})" if neg else f"({pos})"
+        return f"round(({expr}) / {_RP_SCALE}, 4) AS p{j}"
+
+    return base.selectExpr("vec_id", *[proj_sql(j) for j in range(RP_OUT_DIM)])
