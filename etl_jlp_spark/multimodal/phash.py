@@ -144,23 +144,32 @@ def phash_bands(hashed: DataFrame) -> DataFrame:
     ).select("media_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def phash_dedup_pairs(
-    hashed: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING
+def phash_pairs_vs_index(
+    probe: DataFrame,
+    index: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    dedupe_self: bool = False,
 ) -> DataFrame:
-    """Near-duplicate image pairs (id_a < id_b, hamming ≤ max_hamming).
-
+    """(id_a ∈ probe, id_b ∈ index, hamming) near-duplicate pairs.
     Banded equi-join generates candidates (complete for distances ≤
     {PHASH_BANDS}−1 by pigeonhole); exact verification is one codegen'd
-    ``bit_count(xor)``. No cross join at any scale."""
-    bands = phash_bands(hashed)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ``bit_count(xor)``. No cross join at any scale. With
+    ``dedupe_self`` (probe IS the index) only id_a < id_b survives;
+    otherwise same-id hits are dropped (an image probing an index that
+    already contains it is not a duplicate of itself)."""
+    a = phash_bands(probe).alias("a")
+    b = phash_bands(index).alias("b")
+    idcmp = (
+        (F.col("a.media_id") < F.col("b.media_id"))
+        if dedupe_self
+        else (F.col("a.media_id") != F.col("b.media_id"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & idcmp,
         )
         .select(
             F.col("a.media_id").alias("id_a"),
@@ -168,8 +177,8 @@ def phash_dedup_pairs(
         )
         .distinct()
     )
-    ha = hashed.select(F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"))
-    hb = hashed.select(F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"))
+    ha = probe.select(F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"))
+    hb = index.select(F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"))
     return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
@@ -179,3 +188,10 @@ def phash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def phash_dedup_pairs(
+    hashed: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs within one corpus (id_a < id_b)."""
+    return phash_pairs_vs_index(hashed, hashed, max_hamming, dedupe_self=True)

@@ -565,3 +565,38 @@ def cms_view(spark: SparkSession, dest_dir: str) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.sum("c").cast("long").alias("c"))
     )
+
+
+def streaming_phash_dedup(
+    spark: SparkSession,
+    media_src_dir: str,
+    media_schema,
+    index_hashed: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of the pHash dedup: arriving media shards are
+    hashed in-batch (Arrow mapInPandas over the in-repo codecs) and
+    probe a STATIC hashed index (the already-ingested corpus's
+    (media_id, phash) relation — 16 bytes/image, broadcastable far
+    beyond any realistic corpus); verified pairs (hamming ≤ 7) land
+    exactly-once via the idempotent per-batch_id overwrite. The
+    arriving batch never re-hashes the indexed corpus — the amortized
+    production shape, same discipline as dedup_minhash_prebuilt."""
+    from etl_jlp_spark.multimodal.phash import image_phash, phash_pairs_vs_index
+
+    stream = spark.readStream.format("parquet").schema(media_schema).load(media_src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(
+            phash_pairs_vs_index(image_phash(batch_df), index_hashed),
+            dest_dir,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
