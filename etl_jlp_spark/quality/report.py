@@ -386,3 +386,62 @@ def quality_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violations_ts_range",
         ),
     )
+
+
+# FK graph of the warehouse: (child table, fk column, parent table, pk)
+FK_PAIRS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "referential_integrity_report",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{child}.{fk}' AS fk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in FK_PAIRS
+    ),
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide FK integrity: for every foreign-key edge, the row
+    count, NULL-key count, and ORPHAN count (non-null key with no
+    parent) — the referential completion of the reference's
+    ``compare_with_source`` reconciliation (dwh_lab/dwh/
+    quality_report.py compare_with_source), which only ever checked one
+    table against its own staging copy.
+
+    Plan: one LEFT join + one 3-counter conditional agg per edge, the
+    parent side reduced to its DISTINCT key column first. Dimension
+    parents (region/nation/customer/part/supplier) broadcast; the one
+    fact→fact edge (lineitem→orders) is an orderkey equi-join both
+    sides pre-bucketable by that key (tests/test_bucketing.py shows the
+    zero-exchange layout). Each edge's agg collapses map-side to one
+    row; the report is #edges rows total."""
+    parts: list[DataFrame] = []
+    for child, fk, parent, pk in FK_PAIRS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        joined = c.join(p, c["k"] == p["pk"], "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.sum(F.when(F.col("k").isNotNull() & F.col("pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan"),
+        )
+        parts.append(
+            agg.select(F.lit(f"{child}.{fk}").alias("fk"), "n_rows", "n_null", "n_orphan")
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
