@@ -160,6 +160,7 @@ HEADLINE = [
     "embedding_random_projection",
     "per_source_sample_k",
     "heavy_hitters_cms",
+    "referential_integrity_report",
 ]
 
 

@@ -186,3 +186,41 @@ def test_cms_estimates_never_undercount(spark):
     for r in out:
         assert r["est_cnt"] >= r["exact_cnt"] > 0
         assert r["overcount"] == r["est_cnt"] - r["exact_cnt"]
+
+
+def test_referential_integrity_counts_orphans(spark, tmp_path):
+    """Inject orphans/NULLs into a crafted mini-warehouse and verify
+    exact per-edge counts (clean edges report zero)."""
+    from etl_jlp_spark.quality.report import referential_integrity_report
+
+    spark.createDataFrame(
+        [(0, "r0")], "r_regionkey long, r_name string"
+    ).write.parquet(str(tmp_path / "region.parquet"))
+    spark.createDataFrame(
+        [(0, "n0", 0), (1, "n1", 9)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.parquet(str(tmp_path / "nation.parquet"))  # nation 1 → orphan region 9
+    spark.createDataFrame(
+        [(0, 0), (1, None)], "c_custkey long, c_nationkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))  # one NULL nation key
+    spark.createDataFrame(
+        [(0, 0)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame([(0,)], "p_partkey long").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame(
+        [(0, 0), (1, 7)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))  # order 1 → orphan customer 7
+    spark.createDataFrame(
+        [(0, 0, 0), (5, 0, 0)], "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))  # orderkey 5 orphan
+
+    out = {r["fk"]: r for r in referential_integrity_report(spark, str(tmp_path)).collect()}
+    assert out["nation.n_regionkey"]["n_orphan"] == 1
+    assert out["customer.c_nationkey"]["n_null"] == 1
+    assert out["customer.c_nationkey"]["n_orphan"] == 0
+    assert out["orders.o_custkey"]["n_orphan"] == 1
+    assert out["lineitem.l_orderkey"]["n_orphan"] == 1
+    assert out["lineitem.l_partkey"]["n_orphan"] == 0
+    assert out["supplier.s_nationkey"]["n_orphan"] == 0
+    assert all(r["n_rows"] > 0 for r in out.values())

@@ -61,6 +61,7 @@ DEFAULT = [
     "embedding_random_projection",
     "per_source_sample_k",
     "heavy_hitters_cms",
+    "referential_integrity_report",
 ]
 
 
