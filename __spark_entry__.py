@@ -111,6 +111,7 @@ _R6_PRIORITY = [
     "per_source_sample_k",
     "heavy_hitters_cms",
     "referential_integrity_report",
+    "dedup_cc_incremental",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

@@ -161,6 +161,7 @@ HEADLINE = [
     "per_source_sample_k",
     "heavy_hitters_cms",
     "referential_integrity_report",
+    "dedup_cc_incremental",
 ]
 
 

@@ -168,7 +168,7 @@ def overlap_count(ranges: list[tuple[object, object]], point: object) -> int:
 # The family prefix is part of the convention — a closed list, so a user
 # table that HAPPENS to end in 8 hex-ish chars (events_20240101) can
 # never be mistaken for a store.
-STORE_FAMILIES = ("ir", "ivf", "mh", "fj", "rollup")
+STORE_FAMILIES = ("ir", "ivf", "mh", "fj", "rollup", "cc")
 STORE_FAMILY_RE = (
     rf"^({'|'.join(STORE_FAMILIES)})(_[a-z0-9]+)*_[0-9a-f]{{8}}(\.build-\d+)?$"
 )
@@ -205,7 +205,7 @@ def live_store_paths(sf_dirs: list[str]) -> set[str]:
     """Every store path the given corpora currently resolve to, across
     all persisted-index families — the ``live_paths`` input to
     ``sweep_stale_stores``."""
-    from etl_jlp_spark.operators import ir, linkage, rollup, similarity
+    from etl_jlp_spark.operators import components, ir, linkage, rollup, similarity
 
     live: set[str] = set()
     for sf in sf_dirs:
@@ -214,6 +214,7 @@ def live_store_paths(sf_dirs: list[str]) -> set[str]:
         live.add(rollup._rollup_store_path(sf))
         live.update(similarity._minhash_store_paths(sf))
         live.update(similarity._ivf_store_paths(sf))
+        live.update(components._cc_store_paths(sf))
     return live
 
 

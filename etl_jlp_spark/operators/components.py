@@ -296,3 +296,161 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
         F.round(F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 4).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: fold an arriving batch's verified
+# near-dup pairs into STORED clusters, recomputing only the affected
+# subgraph — the cluster-maintenance step of an incremental crawl-dedup
+# pipeline (completing the dedup_minhash_prebuilt story: that operator
+# finds the new pairs, this one updates the cluster state).
+# ---------------------------------------------------------------------------
+
+
+def _cc_store_paths(sf_dir: str) -> tuple[str, str]:
+    import os
+
+    from etl_jlp_spark.functions.storekey import corpus_store_key
+    from etl_jlp_spark.operators.similarity import MH_BATCH_HEX
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    h = corpus_store_key(sf_dir, "documents", algo=f"ccinc-v1-{MH_BATCH_HEX}")
+    return os.path.join(root, f"cc_edges_{h}"), os.path.join(root, f"cc_labels_{h}")
+
+
+def ensure_cc_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the EXISTING corpus's near-dup graph once: its
+    verified pair list (the edges — needed so merges can re-resolve
+    affected clusters) and its component labels. Same md5-slice corpus
+    split, content+algo-keyed paths, and tmp+rename protocol as
+    ``ensure_minhash_store``."""
+    import os
+    import shutil
+
+    from etl_jlp_spark.operators.similarity import (
+        MH_BATCH_HEX,
+        MINHASH_TAU,
+        _jaccard_on_candidates,
+        _minhash_bands,
+        _word_shingles,
+    )
+
+    edges_path, labels_path = _cc_store_paths(sf_dir)
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in (edges_path, labels_path)):
+        return edges_path, labels_path
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= MH_BATCH_HEX
+    )
+    sh = _word_shingles(existing).persist()
+    bands = _minhash_bands(sh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _jaccard_on_candidates(sh, cand, MINHASH_TAU).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    for final, df in ((edges_path, pairs), (labels_path, labels)):
+        tmp = f"{final}.build-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    sh.unpersist()
+    return edges_path, labels_path
+
+
+@query(
+    "dedup_cc_incremental",
+    oracle=_CC_CTES
+    + """
+SELECT n.a AS node,
+       CAST(least(n.a, min(r.b)) AS BIGINT) AS component
+FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
+GROUP BY n.a
+""",
+)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance, verified against the FULL
+    rebuild: the arriving batch's pairs (new↔indexed from the prebuilt
+    probe, plus new↔new from the batch's own bands) touch only SOME
+    stored components; exactly those components' edges are re-solved
+    together with the new pairs, every other stored label passes
+    through untouched — and the result must hash-equal rebuilding
+    connected components over the whole corpus (the oracle IS the full
+    rebuild; per-doc band signatures don't depend on the corpus split,
+    so old∪probe∪batch pairs = the full pair set).
+
+    Scale: stored edges ∝ near-dup matches ≪ corpus; affected
+    components ∝ the batch's matches; the untouched majority moves via
+    one anti-join. No stored text is re-shingled (the probe reads the
+    persisted band/shingle store)."""
+    from etl_jlp_spark.operators.similarity import (
+        MH_BATCH_HEX,
+        MINHASH_TAU,
+        _jaccard_on_candidates,
+        _minhash_bands,
+        _word_shingles,
+        dedup_minhash_prebuilt,
+    )
+
+    edges_path, labels_path = ensure_cc_store(spark, sf_dir)
+    stored_edges = spark.read.parquet(edges_path)
+    stored_labels = spark.read.parquet(labels_path)
+
+    new_old = dedup_minhash_prebuilt(spark, sf_dir).select(
+        F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < MH_BATCH_HEX
+    )
+    bsh = _word_shingles(batch).persist()
+    bb = _minhash_bands(bsh)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    bcand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    new_new = _jaccard_on_candidates(bsh, bcand, MINHASH_TAU).select("doc_a", "doc_b")
+    new_pairs = new_old.unionByName(new_new)
+
+    # components whose stored nodes are touched by any new pair
+    touched = (
+        new_pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(new_pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    aff = stored_labels.join(touched, "node").select("component").distinct()
+    aff_edges = (
+        stored_edges.join(
+            stored_labels.withColumnRenamed("node", "doc_a"), "doc_a"
+        )
+        .join(aff, "component")
+        .select("doc_a", "doc_b")
+    )
+    merged = connected_components(aff_edges.unionByName(new_pairs))
+    untouched = stored_labels.join(merged.select("node"), "node", "left_anti")
+    return (
+        untouched.unionByName(merged)
+        .select(F.col("node").cast("long"), F.col("component").cast("long"))
+    )

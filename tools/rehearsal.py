@@ -62,6 +62,7 @@ DEFAULT = [
     "per_source_sample_k",
     "heavy_hitters_cms",
     "referential_integrity_report",
+    "dedup_cc_incremental",
 ]
 
 
