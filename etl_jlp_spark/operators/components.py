@@ -433,8 +433,19 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_new = _jaccard_on_candidates(bsh, bcand, MINHASH_TAU).select("doc_a", "doc_b")
     new_pairs = new_old.unionByName(new_new)
+    return merge_pairs_into_clusters(stored_labels, stored_edges, new_pairs)
 
-    # components whose stored nodes are touched by any new pair
+
+def merge_pairs_into_clusters(
+    stored_labels: DataFrame, stored_edges: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """(node, component) after folding ``new_pairs`` into the stored
+    cluster state: only the components touched by a new pair re-solve
+    (their stored edges ∪ the new pairs), everything else passes
+    through one anti-join. IDEMPOTENT BY ALGEBRA — cluster merge is a
+    join-semilattice (re-merging already-merged pairs changes nothing),
+    which is what makes the streaming maintainer replay-safe. Shared by
+    the batch operator and streaming_cc_maintain."""
     touched = (
         new_pairs.select(F.col("doc_a").alias("node"))
         .unionByName(new_pairs.select(F.col("doc_b").alias("node")))

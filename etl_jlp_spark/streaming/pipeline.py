@@ -600,3 +600,147 @@ def streaming_phash_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cc_maintain(
+    spark: SparkSession,
+    docs_src_dir: str,
+    docs_schema,
+    sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous cluster maintenance — the streaming completion of the
+    incremental dedup story: arriving corpus shards probe the STATIC
+    minhash store for verified pairs (plus their own internal pairs),
+    and the (edges, labels) cluster state advances through versioned
+    directories committed by an atomic pointer swap (the rollup sink's
+    commit protocol). Two independent replay guards: the pointer drops
+    batches at/below its watermark, and cluster merge itself is a
+    join-semilattice (``merge_pairs_into_clusters``) — re-merging the
+    same pairs is a no-op, so even a duplicated delivery cannot corrupt
+    the clustering."""
+    import json
+    import os
+    import shutil
+
+    from etl_jlp_spark.operators.components import (
+        connected_components,
+        ensure_cc_store,
+        merge_pairs_into_clusters,
+    )
+    from etl_jlp_spark.operators.similarity import (
+        MINHASH_TAU,
+        _jaccard_on_candidates,
+        _minhash_bands,
+        _word_shingles,
+        ensure_minhash_store,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    pointer_path = os.path.join(state_dir, "_POINTER.json")
+    bands_path, sh_path = ensure_minhash_store(spark, sf_dir)
+    edges0, labels0 = ensure_cc_store(spark, sf_dir)
+
+    def _ptr() -> dict:
+        try:
+            with open(pointer_path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {"edges": edges0, "labels": labels0, "through_batch": -1}
+
+    xbands_dir = os.path.join(state_dir, "xbands")
+    xsh_dir = os.path.join(state_dir, "xshingles")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = _ptr()
+        if int(batch_id) <= ptr["through_batch"]:
+            return
+        stored_edges = spark.read.parquet(ptr["edges"])
+        stored_labels = spark.read.parquet(ptr["labels"])
+        bsh = _word_shingles(batch_df).persist()
+        bands = _minhash_bands(bsh)
+        # the probe target is the static indexed corpus PLUS every
+        # EARLIER streamed batch (their band/shingle deltas accumulate
+        # per-batch_id — idempotent overwrite) so cross-batch near-dups
+        # are found no matter how the arriving corpus is sliced. On a
+        # replay the current batch's own delta may already be present;
+        # the resulting self-probe pairs re-merge as no-ops (semilattice).
+        prev_bands = spark.read.parquet(bands_path)
+        prev_sh = spark.read.parquet(sh_path)
+        if os.path.isdir(xbands_dir):
+            prev_bands = prev_bands.unionByName(
+                spark.read.parquet(xbands_dir).drop("batch_id")
+            )
+            prev_sh = prev_sh.unionByName(spark.read.parquet(xsh_dir).drop("batch_id"))
+        o = prev_bands.alias("o")
+        n = bands.alias("n")
+        probe_cand = (
+            n.join(
+                o,
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.key") == F.col("o.key"))
+                & (F.col("n.doc_id") != F.col("o.doc_id")),
+            )
+            .select(F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        int_cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        probe_pairs = _jaccard_on_candidates(
+            bsh.unionByName(prev_sh), probe_cand, MINHASH_TAU
+        ).select("doc_a", "doc_b")
+        int_pairs = _jaccard_on_candidates(bsh, int_cand, MINHASH_TAU).select(
+            "doc_a", "doc_b"
+        )
+        new_pairs = probe_pairs.unionByName(int_pairs)
+        write_batch_idempotent(bands, xbands_dir, batch_id)
+        write_batch_idempotent(bsh, xsh_dir, batch_id)
+        labels = merge_pairs_into_clusters(stored_labels, stored_edges, new_pairs)
+        edges = stored_edges.unionByName(new_pairs).distinct()
+        v_edges = os.path.join(state_dir, f"edges_v{int(batch_id)}")
+        v_labels = os.path.join(state_dir, f"labels_v{int(batch_id)}")
+        edges.write.mode("overwrite").parquet(v_edges)
+        labels.write.mode("overwrite").parquet(v_labels)
+        tmp = f"{pointer_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"edges": v_edges, "labels": v_labels, "through_batch": int(batch_id)}, fh
+            )
+        os.replace(tmp, pointer_path)
+        # superseded state versions are garbage after the swap
+        for d in os.listdir(state_dir):
+            full = os.path.join(state_dir, d)
+            if (
+                d.startswith(("edges_v", "labels_v"))
+                and full not in (v_edges, v_labels)
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+        bsh.unpersist()
+
+    stream = spark.readStream.format("parquet").schema(docs_schema).load(docs_src_dir)
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cc_state_labels(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current cluster labels from the maintainer's pointer."""
+    import json
+    import os
+
+    with open(os.path.join(state_dir, "_POINTER.json")) as fh:
+        return spark.read.parquet(json.load(fh)["labels"])

@@ -360,3 +360,20 @@ def test_cms_counter_state_is_bounded(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrdered" in plan  # exact top-k, no global sort
+
+
+def test_referential_integrity_broadcasts_dimension_parents(spark):
+    """Each FK edge is a hash join with the parent's distinct-key side
+    broadcast (dimensions) — no cartesian anywhere; aggs collapse to
+    one row per edge."""
+    plan = _plan(QS["referential_integrity_report"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan.count("BroadcastHashJoin")
+
+
+def test_cc_incremental_untouched_labels_move_by_anti_join(spark):
+    """The stored-label carry-over must be a broadcast/hash anti join
+    (LeftAnti), never a recompute of unaffected components."""
+    plan = _plan(QS["dedup_cc_incremental"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

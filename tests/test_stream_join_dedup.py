@@ -72,3 +72,40 @@ def test_streaming_dedup_bounds_to_distinct_keys(spark, tmp_path):
     got = spark.sql("select count(*) c, count(distinct event_id) d from dedup_stream").head()
     # every key survives exactly once and nothing is lost
     assert got["c"] == got["d"] == ev.count()
+
+
+def test_streaming_cc_maintain_converges_to_full_rebuild(spark, tmp_path):
+    """Arriving corpus shards (2 micro-batches) folded into the stored
+    cluster state must converge to EXACTLY the full-corpus rebuild —
+    including near-dup pairs that STRADDLE the two batches (the
+    accumulated band/shingle deltas) — and a checkpoint replay must
+    change nothing (merge is a semilattice)."""
+    from pyspark.sql import functions as F
+
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.components import dedup_connected_components
+    from etl_jlp_spark.operators.similarity import MH_BATCH_HEX
+    from etl_jlp_spark.streaming.pipeline import cc_state_labels, streaming_cc_maintain
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    batch = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < MH_BATCH_HEX
+    )
+    src = str(tmp_path / "docs_src")
+    batch.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    batch.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "cc_state")
+    ckpt = str(tmp_path / "cc_ckpt")
+
+    q = streaming_cc_maintain(spark, src, docs.schema, SF_SMALL, state, ckpt)
+    q.awaitTermination(240)
+    got = {(r["node"], r["component"]) for r in cc_state_labels(spark, state).collect()}
+    want = {
+        (r["node"], r["component"])
+        for r in dedup_connected_components(spark, SF_SMALL).collect()
+    }
+    assert got == want and got
+    q2 = streaming_cc_maintain(spark, src, docs.schema, SF_SMALL, state, ckpt)
+    q2.awaitTermination(240)
+    assert {(r["node"], r["component"]) for r in cc_state_labels(spark, state).collect()} == want
