@@ -112,6 +112,7 @@ _R6_PRIORITY = [
     "heavy_hitters_cms",
     "referential_integrity_report",
     "dedup_cc_incremental",
+    "bigram_lm_score",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

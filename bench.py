@@ -162,6 +162,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "referential_integrity_report",
     "dedup_cc_incremental",
+    "bigram_lm_score",
 ]
 
 

@@ -706,3 +706,126 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_encode.__doc__ = (bpe_encode.__doc__ or "").format(BPE_N_MERGES=BPE_N_MERGES)
+
+
+LM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+@query(
+    "bigram_lm_score",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id, toks[i] AS term_a, toks[i+1] AS term_b
+  FROM (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tokd WHERE len(toks) >= 2),
+       unnest(generate_series(1, n - 1)) AS t(i)
+), uni AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tokd)
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{LM_TRAIN_PREFIX}'
+  GROUP BY term
+), stats AS (
+  SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM uni
+), big AS (
+  SELECT term_a, term_b, CAST(count(*) AS DOUBLE) AS c_ab
+  FROM pairs WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{LM_TRAIN_PREFIX}'
+  GROUP BY term_a, term_b
+), ctx AS (
+  SELECT term_a, sum(c_ab) AS c_ctx FROM big GROUP BY term_a
+), scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         avg(ln({LM_LAMBDA} * ((coalesce(b.c_ab, 0) + {LM_ALPHA})
+                               / (coalesce(c.c_ctx, 0) + {LM_ALPHA} * (stats.vocab + 1)))
+                + (1.0 - {LM_LAMBDA}) * ((coalesce(u.cnt, 0) + {LM_ALPHA})
+                               / (stats.total + {LM_ALPHA} * (stats.vocab + 1))))) AS lp
+  FROM pairs p
+  LEFT JOIN big b ON p.term_a = b.term_a AND p.term_b = b.term_b
+  LEFT JOIN ctx c ON p.term_a = c.term_a
+  LEFT JOIN uni u ON p.term_b = u.term
+  CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_pairs, round(lp, 4) AS avg_logprob, round(exp(-lp), 4) AS ppl
+FROM scored
+""",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality signal — the CCNet/KenLM-style
+    upgrade of ``ngram_lm_score``: every adjacent token pair is scored
+    by λ·P(w|prev) + (1−λ)·P(w), with add-k smoothing on both terms and
+    the context denominator counting only positions WITH a successor
+    (the proper bigram normalizer). Unseen contexts degrade to the
+    smoothed uniform mass; OOV tokens to the unigram floor — templated
+    text scores high (predictable transitions), word-salad low even
+    when its unigram histogram looks natural.
+
+    Plan shape: ONE array-zip pass produces the pair relation; the
+    three LM sides (observed-bigram counts, context sums, unigram
+    counts) and the scalar totals are training-slice aggregates —
+    observed-bigram-vocabulary-sized at most, term-keyed, AQE-
+    broadcastable; the corpus pays three left joins + one doc-keyed
+    agg. Same md5-prefix training slice and α as the unigram LM."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = (
+        widen(spark, docs, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0).alias("toks"),
+        )
+        .withColumn("n", F.size("toks").cast("long"))
+    )
+    pairs = (
+        tokd.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, cast(n - 1 as int)),"
+                    " slice(toks, 2, cast(n - 1 as int)),"
+                    " (a, b) -> struct(a AS term_a, b AS term_b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.term_a", "p.term_b")
+    )
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < LM_TRAIN_PREFIX
+    uni = (
+        tokd.filter(is_train)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    stats = uni.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).cast("double").alias("vocab")
+    )
+    big = (
+        pairs.filter(is_train)
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
+    )
+    ctx = big.groupBy("term_a").agg(F.sum("c_ab").alias("c_ctx"))
+    denom = LM_ALPHA * (F.col("vocab") + 1.0)
+    p_bi = (F.coalesce("c_ab", F.lit(0.0)) + LM_ALPHA) / (
+        F.coalesce("c_ctx", F.lit(0.0)) + denom
+    )
+    p_uni = (F.coalesce("cnt", F.lit(0.0)) + LM_ALPHA) / (F.col("total") + denom)
+    scored = (
+        pairs.join(big, ["term_a", "term_b"], "left")
+        .join(ctx, "term_a", "left")
+        .join(uni.withColumnRenamed("term", "term_b"), "term_b", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.avg(F.log(LM_LAMBDA * p_bi + (1.0 - LM_LAMBDA) * p_uni)).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        F.round("lp", 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("lp")), 4).alias("ppl"),
+    )

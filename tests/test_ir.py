@@ -211,3 +211,46 @@ def test_dsir_target_like_docs_rank_first(spark, monkeypatch):
     assert set(by_rank[:3]) == {0, 1, 5}
     scores = {r["doc_id"]: r["avg_logratio"] for r in out}
     assert scores[5] > scores[2]
+
+
+def test_bigram_lm_prefers_predictable_transitions(spark, tmp_path):
+    """Two docs with IDENTICAL unigram histograms: the one whose word
+    ORDER matches the training corpus must out-score the shuffled one —
+    the signal the unigram LM cannot see."""
+    from pyspark.sql import Row
+
+    from etl_jlp_spark.operators.ir import bigram_lm_score
+
+    base = "the cat sat on the mat and the dog ran to the tree"
+    # doc_ids chosen so md5 prefix puts BOTH test docs outside training:
+    # training slice comes from repeated copies of the base sentence
+    rows = []
+    i = 0
+    train_ids = []
+    while len(train_ids) < 12:
+        import hashlib
+
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] < "40":
+            train_ids.append(i)
+        i += 1
+    for tid in train_ids:
+        rows.append(Row(doc_id=tid, text=base, lang="en", source="s", n_chars=len(base)))
+    # find two non-train ids for the probes
+    probes = []
+    j = 0
+    while len(probes) < 2:
+        import hashlib
+
+        if hashlib.md5(str(j).encode()).hexdigest()[:2] >= "40" and j not in train_ids:
+            probes.append(j)
+        j += 1
+    natural = base
+    shuffled = "mat the to dog the sat and ran tree the cat on the"
+    rows.append(Row(doc_id=probes[0], text=natural, lang="en", source="s", n_chars=1))
+    rows.append(Row(doc_id=probes[1], text=shuffled, lang="en", source="s", n_chars=1))
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(spark, str(tmp_path)).collect()}
+    assert out[probes[0]]["avg_logprob"] > out[probes[1]]["avg_logprob"]
+    assert out[probes[0]]["ppl"] < out[probes[1]]["ppl"]

@@ -63,6 +63,7 @@ DEFAULT = [
     "heavy_hitters_cms",
     "referential_integrity_report",
     "dedup_cc_incremental",
+    "bigram_lm_score",
 ]
 
 
