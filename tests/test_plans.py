@@ -377,3 +377,14 @@ def test_cc_incremental_untouched_labels_move_by_anti_join(spark):
     plan = _plan(QS["dedup_cc_incremental"](spark, SF_SMALL))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_sides_are_aggregates_not_windows(spark):
+    """All three LM sides must be groupBy aggregates joined back
+    term-keyed (partial agg + AQE), never count-over-window on the
+    Zipf-skewed term keys; the scalar totals attach by broadcast."""
+    df = QS["bigram_lm_score"](spark, SF_SMALL)
+    opt = _optimized(df)
+    assert "windowspecdefinition(term" not in opt
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
