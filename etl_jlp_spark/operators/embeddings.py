@@ -365,7 +365,10 @@ def _rp_oracle() -> str:
         pos = " + ".join(f"v[{i + 1}]" for i, s in enumerate(RP_SIGNS[j]) if s > 0)
         neg = " + ".join(f"v[{i + 1}]" for i, s in enumerate(RP_SIGNS[j]) if s < 0)
         expr = f"({pos}) - ({neg})" if neg else f"({pos})"
-        return f"round(({expr}) / {_RP_SCALE}, 4) AS p{j}"
+        # "+ 0.0" canonicalizes IEEE negative zero: round() yields -0.0
+        # for tiny negatives and the engines disagree on which side of
+        # zero a projection lands ulp-wise; -0.0 + 0.0 = +0.0 in both.
+        return f"round(({expr}) / {_RP_SCALE}, 4) + 0.0 AS p{j}"
 
     cols = ",\n       ".join(col(j) for j in range(RP_OUT_DIM))
     return f"""
@@ -398,6 +401,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos = " + ".join(f"vv[{i}]" for i, s in enumerate(RP_SIGNS[j]) if s > 0)
         neg = " + ".join(f"vv[{i}]" for i, s in enumerate(RP_SIGNS[j]) if s < 0)
         expr = f"({pos}) - ({neg})" if neg else f"({pos})"
-        return f"round(({expr}) / {_RP_SCALE}, 4) AS p{j}"
+        # "+ 0.0" canonicalizes IEEE negative zero: round() yields -0.0
+        # for tiny negatives and the engines disagree on which side of
+        # zero a projection lands ulp-wise; -0.0 + 0.0 = +0.0 in both.
+        return f"round(({expr}) / {_RP_SCALE}, 4) + 0.0 AS p{j}"
 
     return base.selectExpr("vec_id", *[proj_sql(j) for j in range(RP_OUT_DIM)])
