@@ -50,6 +50,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     analytics,
     curate,
     enrich,
+    experiment,
     pipeline,
     timeseries,
     tpch_extra,
@@ -113,6 +114,8 @@ _R6_PRIORITY = [
     "referential_integrity_report",
     "dedup_cc_incremental",
     "bigram_lm_score",
+    "ab_test_report",
+    "seasonal_naive_eval",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

@@ -163,6 +163,8 @@ HEADLINE = [
     "referential_integrity_report",
     "dedup_cc_incremental",
     "bigram_lm_score",
+    "ab_test_report",
+    "seasonal_naive_eval",
 ]
 
 

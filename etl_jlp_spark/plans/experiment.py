@@ -1,0 +1,258 @@
+"""Experimentation analytics: deterministic A/B assignment, Welch's
+t-test, CUPED variance reduction, and a seasonal-naive forecast
+baseline with error evaluation.
+
+The reference platform reports descriptive aggregates only; a
+production analytics engine also has to ANSWER "did the change work?"
+— that's an experiment readout (assignment → per-user metric → Welch t
+— plus CUPED (arXiv:1304.7406 / Deng et al. WSDM'13), the standard
+pre-period-covariate adjustment that removes between-user variance the
+treatment can't explain) — and "what did we expect?" — a forecast
+baseline (seasonal naive: tomorrow ≈ same weekday last week) whose
+error the fancier models must beat.
+
+Scale notes:
+- Assignment is a pure md5 projection (no RNG, no allocation service
+  round-trip, stable under replays/backfills).
+- The readout is TWO aggregations: events → per-user (pre, post) sums
+  (user-keyed, map-side combinable), then per-user rows → ONE row of
+  conditional moments (Σ, Σ², Σxy per variant in a single pass). No
+  window, no sort, no driver math beyond the final expression.
+- All statistics are computed from raw moments with formula text
+  identical in both engines, every output rounded + ``+ 0.0`` (IEEE
+  −0.0 canonicalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+AB_SPLIT_HEX = "8"  # md5(user_id)[0] < '8' → variant A (50/50)
+AB_PERIOD_BOUNDARY = "2024-01-16 00:00:00"  # pre/post split of the observed month
+
+
+@query(
+    "ab_test_report",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{AB_PERIOD_BOUNDARY}' THEN value ELSE 0 END) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{AB_PERIOD_BOUNDARY}' THEN value ELSE 0 END) AS DOUBLE) AS y,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{AB_PERIOD_BOUNDARY}' THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+  FROM events GROUP BY user_id
+), pop AS (
+  SELECT * FROM per_user WHERE n_post > 0
+), m AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    sum(CASE WHEN variant = 'A' THEN y ELSE 0 END) AS sya,
+    sum(CASE WHEN variant = 'B' THEN y ELSE 0 END) AS syb,
+    sum(CASE WHEN variant = 'A' THEN y * y ELSE 0 END) AS syya,
+    sum(CASE WHEN variant = 'B' THEN y * y ELSE 0 END) AS syyb,
+    sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy,
+    CAST(count(*) AS DOUBLE) AS n
+  FROM pop
+), s AS (
+  SELECT *,
+    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+    sya / na AS ma, syb / nb AS mb,
+    (syya - sya * sya / na) / (na - 1) AS va,
+    (syyb - syb * syb / nb) / (nb - 1) AS vb
+  FROM m
+), adj AS (
+  SELECT s.*,
+    sum(CASE WHEN p.variant = 'A' THEN p.y - s.theta * (p.x - s.sx / s.n) ELSE 0 END) AS saa,
+    sum(CASE WHEN p.variant = 'B' THEN p.y - s.theta * (p.x - s.sx / s.n) ELSE 0 END) AS sab,
+    sum(CASE WHEN p.variant = 'A' THEN power(p.y - s.theta * (p.x - s.sx / s.n), 2) ELSE 0 END) AS qaa,
+    sum(CASE WHEN p.variant = 'B' THEN power(p.y - s.theta * (p.x - s.sx / s.n), 2) ELSE 0 END) AS qab
+  FROM pop p CROSS JOIN s
+  GROUP BY ALL
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 4) + 0.0 AS mean_a, round(mb, 4) + 0.0 AS mean_b,
+       round(ma - mb, 4) + 0.0 AS diff,
+       round((ma - mb) / sqrt(va / na + vb / nb), 4) + 0.0 AS t_stat,
+       round(theta, 4) + 0.0 AS theta,
+       round(saa / na - sab / nb, 4) + 0.0 AS adj_diff,
+       round((saa / na - sab / nb)
+             / sqrt(((qaa - saa * saa / na) / (na - 1)) / na
+                    + ((qab - sab * sab / nb) / (nb - 1)) / nb), 4) + 0.0 AS adj_t_stat,
+       round(1.0 - (((qaa - saa * saa / na) + (qab - sab * sab / nb))
+                    / ((syya - sya * sya / na) + (syyb - syb * syb / nb))), 4) + 0.0
+         AS var_reduction
+FROM adj
+""",
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row experiment readout on per-user post-period value with a
+    CUPED pre-period adjustment: deterministic md5 50/50 assignment,
+    Welch's t on the raw metric, θ = cov(x,y)/var(x) pooled, the
+    adjusted metric y − θ(x − x̄), its Welch t, and the realized
+    variance-reduction fraction. Two aggregation passes (events →
+    per-user, per-user → moments) + one tiny second pass for adjusted
+    moments; every side except raw events is user-count-sized or
+    1 row."""
+    boundary = F.lit(AB_PERIOD_BOUNDARY).cast("timestamp")
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < boundary, F.col("value")).otherwise(0.0))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= boundary, F.col("value")).otherwise(0.0))
+            .cast("double")
+            .alias("y"),
+            F.sum(F.when(F.col("ts") >= boundary, 1).otherwise(0))
+            .cast("long")
+            .alias("n_post"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+        .filter(F.col("n_post") > 0)
+        .persist()
+    )
+    A = F.col("variant") == "A"
+    m = per_user.agg(
+        F.sum(F.when(A, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~A, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(A, F.col("y")).otherwise(0.0)).alias("sya"),
+        F.sum(F.when(~A, F.col("y")).otherwise(0.0)).alias("syb"),
+        F.sum(F.when(A, F.col("y") * F.col("y")).otherwise(0.0)).alias("syya"),
+        F.sum(F.when(~A, F.col("y") * F.col("y")).otherwise(0.0)).alias("syyb"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).withColumns(
+        {
+            "theta": (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            "ma": F.col("sya") / F.col("na"),
+            "mb": F.col("syb") / F.col("nb"),
+            "va": (F.col("syya") - F.col("sya") * F.col("sya") / F.col("na"))
+            / (F.col("na") - 1),
+            "vb": (F.col("syyb") - F.col("syb") * F.col("syb") / F.col("nb"))
+            / (F.col("nb") - 1),
+        }
+    )
+    adj_metric = F.col("y") - F.col("theta") * (F.col("x") - F.col("sx") / F.col("n"))
+    adj = (
+        per_user.crossJoin(F.broadcast(m))
+        .agg(
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+            F.any_value("ma").alias("ma"),
+            F.any_value("mb").alias("mb"),
+            F.any_value("va").alias("va"),
+            F.any_value("vb").alias("vb"),
+            F.any_value("theta").alias("theta"),
+            F.any_value("syya").alias("syya"),
+            F.any_value("sya").alias("sya"),
+            F.any_value("syyb").alias("syyb"),
+            F.any_value("syb").alias("syb"),
+            F.sum(F.when(A, adj_metric).otherwise(0.0)).alias("saa"),
+            F.sum(F.when(~A, adj_metric).otherwise(0.0)).alias("sab"),
+            F.sum(F.when(A, F.pow(adj_metric, 2)).otherwise(0.0)).alias("qaa"),
+            F.sum(F.when(~A, F.pow(adj_metric, 2)).otherwise(0.0)).alias("qab"),
+        )
+    )
+    r4 = lambda c: F.round(c, 4) + 0.0
+    adj_da = F.col("saa") / F.col("na") - F.col("sab") / F.col("nb")
+    va_adj = (F.col("qaa") - F.col("saa") * F.col("saa") / F.col("na")) / (F.col("na") - 1)
+    vb_adj = (F.col("qab") - F.col("sab") * F.col("sab") / F.col("nb")) / (F.col("nb") - 1)
+    ss_raw = (F.col("syya") - F.col("sya") * F.col("sya") / F.col("na")) + (
+        F.col("syyb") - F.col("syb") * F.col("syb") / F.col("nb")
+    )
+    ss_adj = (F.col("qaa") - F.col("saa") * F.col("saa") / F.col("na")) + (
+        F.col("qab") - F.col("sab") * F.col("sab") / F.col("nb")
+    )
+    return adj.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        r4(F.col("ma")).alias("mean_a"),
+        r4(F.col("mb")).alias("mean_b"),
+        r4(F.col("ma") - F.col("mb")).alias("diff"),
+        r4(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+        ).alias("t_stat"),
+        r4(F.col("theta")).alias("theta"),
+        r4(adj_da).alias("adj_diff"),
+        r4(adj_da / F.sqrt(va_adj / F.col("na") + vb_adj / F.col("nb"))).alias(
+            "adj_t_stat"
+        ),
+        r4(1.0 - ss_adj / ss_raw).alias("var_reduction"),
+    )
+
+
+@query(
+    "seasonal_naive_eval",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY CAST(ts AS DATE), event_type
+), joined AS (
+  SELECT d.event_type, d.day, d.c, w.c AS c7, y.c AS c1
+  FROM daily d
+  JOIN daily w ON w.event_type = d.event_type AND w.day = d.day - 7
+  JOIN daily y ON y.event_type = d.event_type AND y.day = d.day - 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_eval,
+       round(avg(abs(c - c7)), 4) + 0.0 AS mae_seasonal,
+       round(avg(abs(c - c1)), 4) + 0.0 AS mae_naive1,
+       round(avg(abs(c - c7) / c), 4) + 0.0 AS mape_seasonal,
+       round(1.0 - avg(abs(c - c7)) / avg(abs(c - c1)), 4) + 0.0 AS skill_vs_naive1
+FROM joined GROUP BY event_type
+""",
+)
+def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation per event type: the seasonal-naive
+    prediction (same weekday last week) scored with MAE/MAPE against
+    actuals, alongside the naive-1 baseline (yesterday) and the skill
+    ratio between them — the floor every real forecasting model must
+    beat before it ships (the forecasting twin of the ANN recall gate:
+    measure the baseline, don't assume it).
+
+    Plan: ONE map-side-combinable daily aggregate; both lag joins are
+    equi-joins on the PRE-REDUCED (day, type) relation (#days×#types
+    rows — broadcast-trivial at any raw-event volume); never a window
+    or join over raw events."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("c").alias("c7")
+    )
+    y = daily.select(
+        "event_type", F.date_add("day", 1).alias("day"), F.col("c").alias("c1")
+    )
+    joined = daily.join(w, ["event_type", "day"]).join(y, ["event_type", "day"])
+    r4 = lambda c: F.round(c, 4) + 0.0
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_eval"),
+        r4(F.avg(F.abs(F.col("c") - F.col("c7")))).alias("mae_seasonal"),
+        r4(F.avg(F.abs(F.col("c") - F.col("c1")))).alias("mae_naive1"),
+        r4(F.avg(F.abs(F.col("c") - F.col("c7")) / F.col("c"))).alias("mape_seasonal"),
+        r4(
+            1.0
+            - F.avg(F.abs(F.col("c") - F.col("c7"))) / F.avg(F.abs(F.col("c") - F.col("c1")))
+        ).alias("skill_vs_naive1"),
+    )

@@ -64,6 +64,8 @@ DEFAULT = [
     "referential_integrity_report",
     "dedup_cc_incremental",
     "bigram_lm_score",
+    "ab_test_report",
+    "seasonal_naive_eval",
 ]
 
 
