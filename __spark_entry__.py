@@ -61,7 +61,7 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
 # first ~50 queries() entries per round. Round-6 priority: the 20 names that
 # overflowed the round-5 window (newest driver row = round 3), then the four
-# flagships (kept in-window every round), then the twelve queries NEW in
+# flagships (kept in-window every round), then the twenty queries NEW in
 # round 6 (first driver row), then — a hedge, because no CORRECTNESS_r05.json ever
 # landed in-repo, so the r5 window may not have been recorded — the round-5
 # head in its r5 order (the 12 previously-r2-stale names, then the 12 r5
