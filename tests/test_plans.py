@@ -388,3 +388,27 @@ def test_bigram_lm_sides_are_aggregates_not_windows(spark):
     assert "windowspecdefinition(term" not in opt
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ab_report_is_two_agg_passes_no_window(spark):
+    """The readout must be aggregation-only: no Window over users or
+    events, the moment row attaches by a broadcast 1-row join, and the
+    per-user relation shrinks map-side (partial aggregation)."""
+    df = QS["ab_test_report"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_naive_joins_prereduced_daily_only(spark):
+    """Both lag joins must run on the pre-reduced daily relation —
+    the raw events scan feeds exactly one aggregate, and the joins are
+    hash equi-joins (AQE broadcasts the #days×#types sides)."""
+    df = QS["seasonal_naive_eval"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = _optimized(df)
+    read_schema = [l for l in opt.splitlines() if "ReadSchema" in l]
+    for line in read_schema:  # scans read only ts + event_type
+        assert "props" not in line and "user_id" not in line
