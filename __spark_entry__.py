@@ -116,6 +116,7 @@ _R6_PRIORITY = [
     "bigram_lm_score",
     "ab_test_report",
     "seasonal_naive_eval",
+    "cohort_ltv",
     # hedge: the r5-window head, in case round 5's driver gate never
     # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
     # whose newest CONFIRMED driver row is round 2, then the 12 queries

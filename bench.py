@@ -165,6 +165,7 @@ HEADLINE = [
     "bigram_lm_score",
     "ab_test_report",
     "seasonal_naive_eval",
+    "cohort_ltv",
 ]
 
 

@@ -256,3 +256,75 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.avg(F.abs(F.col("c") - F.col("c7"))) / F.avg(F.abs(F.col("c") - F.col("c1")))
         ).alias("skill_vs_naive1"),
     )
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+), per_day AS (
+  SELECT e.user_id, f.cohort,
+         date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age,
+         sum(e.value) AS v
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  GROUP BY e.user_id, f.cohort, date_diff('day', f.cohort, CAST(e.ts AS DATE))
+), cohort_age AS (
+  SELECT cohort, CAST(age AS BIGINT) AS age,
+         CAST(round(sum(v) * 10000) AS BIGINT) AS day_e4
+  FROM per_day GROUP BY cohort, age
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM firsts GROUP BY cohort
+)
+SELECT c.cohort, c.age, s.n_users,
+       CAST((sum(c.day_e4) OVER (PARTITION BY c.cohort ORDER BY c.age)
+             // s.n_users) AS DOUBLE) / 10000.0 AS ltv_per_user
+FROM cohort_age c JOIN sizes s ON c.cohort = s.cohort
+""",
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per user by cohort age: users grouped
+    by first-seen day, their revenue accumulated over days-since-first
+    and normalized by cohort size — the LTV curve marketing/retention
+    reporting reads next to the cohort-retention matrix.
+
+    Plan: first-seen via one user-keyed agg (broadcast back onto the
+    fact scan), daily sums pre-reduced per (user, age) then per
+    (cohort, age); the running sum is a window over the PRE-REDUCED
+    #cohorts×#ages relation (calendar-bounded — the anomaly_zscore
+    discipline), never over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    per_day = (
+        events.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("age"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    # Integer arithmetic from here down: daily sums quantize to 1e-4
+    # units ONCE (absorbing the engines' accumulation-order noise), the
+    # running sum is exact integer addition, and the per-user division
+    # is INTEGER division — float round() would otherwise hit exact
+    # half-way values whenever a 4-dp cumulative divides an even cohort
+    # size, and Spark (HALF_UP on the binary double) and DuckDB
+    # disagree on those systematically (found by the parity gate).
+    cohort_age = per_day.groupBy("cohort", F.col("age").cast("long").alias("age")).agg(
+        F.round(F.sum("v") * 10000).cast("long").alias("day_e4")
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort").orderBy("age")
+    return (
+        cohort_age.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum_e4", F.sum("day_e4").over(w))
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            (F.expr("cum_e4 div n_users").cast("double") / 10000.0).alias("ltv_per_user"),
+        )
+    )

@@ -51,3 +51,38 @@ def test_seasonal_naive_exact_on_crafted_series(spark, tmp_path):
     assert r["mae_seasonal"] == 10.0
     assert r["mae_naive1"] == 10.0
     assert r["skill_vs_naive1"] == 0.0
+
+
+def test_cohort_ltv_monotone_and_exact_on_crafted(spark, tmp_path):
+    # 2 users, same cohort day, value 1.0/event: day0 2 events each,
+    # day1 one user returns with 4 events → ltv 2.0 then 4.0
+    rows = []
+    eid = 0
+    for u, d, k in ((1, 1, 2), (2, 1, 2), (1, 2, 4)):
+        for _ in range(k):
+            rows.append(
+                Row(event_id=eid, user_id=u, event_type="click", value=1.0,
+                    ts_s=f"2024-01-{d:02d} 10:00:00")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.withColumn("props", F.lit("{}")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from etl_jlp_spark.plans.experiment import cohort_ltv
+
+    out = sorted(cohort_ltv(spark, str(tmp_path)).collect(), key=lambda r: r["age"])
+    assert [(r["age"], r["n_users"], r["ltv_per_user"]) for r in out] == [
+        (0, 2, 2.0),
+        (1, 2, 4.0),
+    ]
+    # monotone on real data
+    from tests.conftest import SF_SMALL
+
+    real = cohort_ltv(spark, SF_SMALL).collect()
+    series = {}
+    for r in real:
+        series.setdefault(r["cohort"], []).append((r["age"], r["ltv_per_user"]))
+    for pts in series.values():
+        vals = [v for _, v in sorted(pts)]
+        assert all(b >= a for a, b in zip(vals, vals[1:]))

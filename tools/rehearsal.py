@@ -66,6 +66,7 @@ DEFAULT = [
     "bigram_lm_score",
     "ab_test_report",
     "seasonal_naive_eval",
+    "cohort_ltv",
 ]
 
 
