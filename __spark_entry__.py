@@ -59,80 +59,16 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
-# first ~50 queries() entries per round. Round-6 priority: the 20 names that
-# overflowed the round-5 window (newest driver row = round 3), then the four
-# flagships (kept in-window every round), then the twenty queries NEW in
-# round 6 (first driver row), then — a hedge, because no CORRECTNESS_r05.json ever
-# landed in-repo, so the r5 window may not have been recorded — the round-5
-# head in its r5 order (the 12 previously-r2-stale names, then the 12 r5
-# additions). Everything past ~50 is covered by the committed PARITY_r6.txt
-# sf0.01 sweep.
+# first ~50 queries() entries per round. Round-7 priority (per the round-5
+# VERDICT §Next-round #1): the 12 operators that have NEVER had a driver row,
+# then the 7 names whose newest row is round 2, then the four flagships
+# (kept in-window every round), then the queries NEW this round, then names
+# whose newest row is round 3 (refresh). Everything past ~50 is covered by
+# the committed PARITY_r*.txt sf0.01 sweeps (tools/parity.py, the in-repo
+# replica of the driver gate).
 # ---------------------------------------------------------------------------
-_R6_PRIORITY = [
-    # overflowed the r5 window — newest driver row is round 3
-    "range_band_join",
-    "events_by_type_day_salted",
-    "stratified_sample",
-    "sequence_packing",
-    "dedup_exact_docs",
-    "dedup_connected_components",
-    "ann_topk_cosine",
-    "text_langid",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "text_repetition",
-    "gopher_quality_filter",
-    "pii_scrub",
-    "domain_mix_report",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
-    "nearest_centroid_assign",
-    "source_keep_rate",
-    "audit_columns",
-    # flagships — kept in-window every round
-    "preprocess_pipeline",
-    "curate_documents",
-    "training_data_pipeline",
-    "corpus_index_pipeline",
-    # NEW in round 6 — need their first driver row
-    "anomaly_zscore",
-    "ewma_daily_revenue",
-    "dsir_select",
-    "bpe_encode",
-    "split_leakage_check",
-    "doc_containment",
-    "dup_span_report",
-    "pmi_collocations",
-    "lexical_diversity",
-    "source_mix_temperature",
-    "softdedup_weights",
-    "ann_recall_report",
-    "embedding_random_projection",
-    "per_source_sample_k",
-    "heavy_hitters_cms",
-    "referential_integrity_report",
-    "dedup_cc_incremental",
-    "bigram_lm_score",
-    "ab_test_report",
-    "seasonal_naive_eval",
-    "cohort_ltv",
-    # hedge: the r5-window head, in case round 5's driver gate never
-    # recorded (no CORRECTNESS_r05.json in-repo) — first the 12 names
-    # whose newest CONFIRMED driver row is round 2, then the 12 queries
-    # first registered in round 5
-    "decontaminate_docs",
-    "balance_source_mix",
-    "ingest_full_load",
-    "ingest_incremental_watermark",
-    "watermark_update",
-    "compare_with_source",
-    "cdc_merge",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ingest_full_load_jsonl",
-    "time_on_page_incremental",
-    "dedup_embedding_cosine",
+_R7_PRIORITY = [
+    # never had a driver row (r5 additions that missed the r5 window)
     "scd2_build",
     "scd2_apply",
     "dedup_minhash_prebuilt",
@@ -145,11 +81,62 @@ _R6_PRIORITY = [
     "key_skew_report",
     "psi_drift_report",
     "quality_percentile_gate",
+    # newest driver row is round 2 — refresh
+    "compare_with_source",
+    "cdc_merge",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ingest_full_load_jsonl",
+    "time_on_page_incremental",
+    "dedup_embedding_cosine",
+    # flagships — kept in-window every round
+    "preprocess_pipeline",
+    "curate_documents",
+    "training_data_pipeline",
+    "corpus_index_pipeline",
+    # touched this round (ADVICE fixes changed their SQL/plan) — re-pin
+    "cohort_ltv",
+    "ab_test_report",
+    # NEW in round 7 — first driver row
+    "propagate_deletes_report",
+    "semantic_dedup_scaled",
+    "minhash_spark_native",
+    "tokenizer_fertility_report",
+    "dedup_url_canonical",
+    "contamination_ngram_overlap",
+    "quality_isolation_outliers",
+    "gdpr_erasure_audit",
+    "session_conversion_attribution",
+    "entity_resolution_blocking",
+    "text_normalize_unicode",
+    "docs_length_histogram",
+    "embedding_pca_power",
+    "gram_language_confusables",
+    "window_rows_between_stats",
+    "percentile_bucket_assign",
+    # newest driver row is round 3 — refresh with remaining slots
+    "dedup_exact",
+    "window_time",
+    "session_window_stats",
+    "keywords_extract",
+    "keywords_ngrams",
+    "exact_keywords_set",
+    "ingest_jdbc_derby",
+    "doc_chunk",
+    "paragraph_dedup",
+    "ann_ivf_topk_prebuilt",
+    "semantic_dedup",
+    "dedup_cluster_representative",
+    "dataset_split",
+    "approx_sketch_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
 ]
 
 
 def _rotated() -> None:
-    registry.reorder([n for n in _R6_PRIORITY if n in registry.QUERIES])
+    registry.reorder([n for n in _R7_PRIORITY if n in registry.QUERIES])
 
 
 def entry(spark: SparkSession) -> DataFrame:

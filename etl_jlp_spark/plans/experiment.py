@@ -122,8 +122,12 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("B")),
         )
         .filter(F.col("n_post") > 0)
-        .persist()
     )
+    # No persist: the per_user aggregate appears as an IDENTICAL subtree
+    # in both consumers, so Spark's ReusedExchange dedupes the shuffle at
+    # runtime (asserted in test_plans.py) — caching it would leak blocks
+    # for the session lifetime since this API returns a lazy DataFrame
+    # and has no post-materialization hook to unpersist on.
     A = F.col("variant") == "A"
     m = per_user.agg(
         F.sum(F.when(A, 1).otherwise(0)).cast("double").alias("na"),
@@ -276,10 +280,15 @@ WITH firsts AS (
 ), sizes AS (
   SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM firsts GROUP BY cohort
 )
-SELECT c.cohort, c.age, s.n_users,
-       CAST((sum(c.day_e4) OVER (PARTITION BY c.cohort ORDER BY c.age)
-             // s.n_users) AS DOUBLE) / 10000.0 AS ltv_per_user
-FROM cohort_age c JOIN sizes s ON c.cohort = s.cohort
+, cum AS (
+  SELECT c.cohort, c.age, s.n_users,
+         sum(c.day_e4) OVER (PARTITION BY c.cohort ORDER BY c.age) AS cum_e4
+  FROM cohort_age c JOIN sizes s ON c.cohort = s.cohort
+)
+SELECT cohort, age, n_users,
+       CAST((cum_e4 - (((cum_e4 % n_users) + n_users) % n_users))
+            // n_users AS DOUBLE) / 10000.0 AS ltv_per_user
+FROM cum
 """,
 )
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +327,11 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("cohort").orderBy("age")
+    # FLOOR division to match DuckDB's `//` exactly: Spark's `div`
+    # truncates toward zero, which diverges on negative cumulatives
+    # (refund-heavy cohorts). pmod-based floor stays in exact long
+    # arithmetic — no double round-trip.
+    floor_div = F.expr("(cum_e4 - pmod(cum_e4, n_users)) div n_users")
     return (
         cohort_age.join(F.broadcast(sizes), "cohort")
         .withColumn("cum_e4", F.sum("day_e4").over(w))
@@ -325,6 +339,6 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort",
             "age",
             "n_users",
-            (F.expr("cum_e4 div n_users").cast("double") / 10000.0).alias("ltv_per_user"),
+            (floor_div.cast("double") / 10000.0).alias("ltv_per_user"),
         )
     )

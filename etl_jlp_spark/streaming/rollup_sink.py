@@ -157,7 +157,10 @@ def rollup_view_as_of(
     through = int(through_batch)
     bases = [v for v in _base_versions(store_dir) if v <= through]
     base_v = max(bases) if bases else None
-    deltas = [b for b in _delta_ids(store_dir) if (base_v or -1) < b <= through]
+    # explicit None check: base v0 is a real version (0 is falsy, so
+    # `base_v or -1` would re-apply delta 0 on top of v0 — double count)
+    floor = -1 if base_v is None else base_v
+    deltas = [b for b in _delta_ids(store_dir) if floor < b <= through]
     if base_v is None and _pointer(store_dir)["through_batch"] > through and not deltas:
         raise ValueError(
             f"history before batch {through} was vacuumed from {store_dir}; "

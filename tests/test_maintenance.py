@@ -200,3 +200,106 @@ def test_delete_propagation_no_matching_keys_is_lossless(spark, tmp_path):
     report = propagate_deletes(spark, src, "user_id", [10**12])
     assert report.rows_deleted == 0 and report.files_rewritten == 0
     assert spark.read.parquet(src).count() == ev.count()
+
+
+def test_delete_classifies_statless_files_as_must_rewrite(spark, tmp_path):
+    """A parquet file with NO usable min/max stats for the delete column
+    must land in the must-rewrite set — for an erasure operator the
+    failure mode has to be extra rewriting, never silent retention."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_jlp_spark.ingest.maintenance import affected_delete_files
+
+    d = tmp_path / "statless"
+    d.mkdir()
+    tbl = pa.table({"user_id": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+    pq.write_table(tbl, str(d / "with_stats.parquet"))
+    pq.write_table(tbl, str(d / "no_stats.parquet"), write_statistics=False)
+    # keys hit neither file's range → stats-bearing file is untouched,
+    # stats-less file must still be rewritten
+    hit, miss = affected_delete_files(str(d), "user_id", [999])
+    assert [f.rsplit("/", 1)[-1] for f in hit] == ["no_stats.parquet"]
+    assert [f.rsplit("/", 1)[-1] for f in miss] == ["with_stats.parquet"]
+
+
+def test_delete_propagation_statless_layout_still_erases(spark, tmp_path):
+    """End-to-end on a stats-disabled layout: every file rewrites (no
+    pruning possible) and the keys are really gone."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from etl_jlp_spark.ingest.maintenance import propagate_deletes
+
+    d = tmp_path / "nostats"
+    d.mkdir()
+    for i in range(3):
+        tbl = pa.table({"user_id": list(range(i * 10, i * 10 + 10))})
+        pq.write_table(tbl, str(d / f"part-{i}.parquet"), write_statistics=False)
+    report = propagate_deletes(spark, str(d), "user_id", [5, 15])
+    assert report.files_rewritten == report.files_total == 3
+    out = spark.read.parquet(str(d))
+    assert out.filter(F.col("user_id").isin([5, 15])).count() == 0
+    assert out.count() == 28
+
+
+def test_delete_propagation_preserves_hive_partitions(spark, tmp_path):
+    """On a Hive-partitioned layout the new directory version must keep
+    the k=v subpaths (partition columns survive), and rows under every
+    partition — including null delete-keys — are handled correctly."""
+    import os
+
+    from etl_jlp_spark.ingest.maintenance import propagate_deletes
+
+    src = str(tmp_path / "parts")
+    ev = load_table(spark, SF_SMALL, "events").limit(2000)
+    ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(src)
+    before = spark.read.parquet(src)
+    users = [r["user_id"] for r in before.select("user_id").distinct().limit(2).collect()]
+    want_deleted = before.filter(F.col("user_id").isin(users)).count()
+    assert want_deleted > 0
+    n_before = before.count()
+    # materialize expectations BEFORE the swap invalidates `before`'s files
+    exp = {
+        (r["event_type"], r["n"])
+        for r in before.filter(~F.col("user_id").isin(users))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    report = propagate_deletes(spark, src, "user_id", users)
+    assert report.rows_deleted == want_deleted
+    # layout preserved: partition dirs still present, readable WITH the
+    # partition column, and no flattened files at the top level
+    top_files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert top_files == []
+    assert any(d.startswith("event_type=") for d in os.listdir(src))
+    out = spark.read.parquet(src)
+    assert "event_type" in out.columns
+    assert out.count() == n_before - want_deleted
+    assert out.filter(F.col("user_id").isin(users)).count() == 0
+    got = {
+        (r["event_type"], r["n"])
+        for r in out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
+
+
+def test_delete_propagation_keeps_null_keyed_rows(spark, tmp_path):
+    """NULL in the delete column is never an erasure target: the keep
+    predicate must be null-safe (`col.isNull() | ~col.isin(keys)`), not
+    the three-valued `~isin` that silently drops null rows."""
+    from etl_jlp_spark.ingest.maintenance import propagate_deletes
+
+    src = str(tmp_path / "withnulls")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (3, "e")],
+        "user_id bigint, payload string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    report = propagate_deletes(spark, src, "user_id", [2])
+    assert report.rows_deleted == 1
+    out = spark.read.parquet(src)
+    assert out.count() == 4
+    assert out.filter(F.col("user_id").isNull()).count() == 2

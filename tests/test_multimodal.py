@@ -41,9 +41,16 @@ def test_bmp_real_decode(spark):
 
 
 def test_real_decode_is_explicit_stub_for_undecodable_kinds(spark):
+    from pyspark.errors import PythonException
+
     media = synth_media_df(spark, n=2)  # kind='image' (no codec)
-    with pytest.raises(NotImplementedError):
-        decode_image(media, fake_decode=False)
+    # the raise is IN-BATCH (inside the Arrow task, so no extra
+    # pre-scan job over the media table) — it surfaces at action time
+    # wrapped as PythonException carrying the NotImplementedError
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_image(media, fake_decode=False).collect()
+    # and the lazy plan itself launches NO validation job
+    decode_image(media, fake_decode=False)
 
 
 def test_features_feed_vector_ops(spark):
@@ -177,8 +184,10 @@ def test_decode_audio_stub_boundary(spark):
     # fake path: plumbing works, signal stats null
     rows = decode_audio(mp3, fake_decode=True).collect()
     assert len(rows) == 4 and all(r["rms"] is None or r["rms"] != r["rms"] for r in rows)
-    with _pytest.raises(NotImplementedError):
-        decode_audio(mp3, fake_decode=False)
+    from pyspark.errors import PythonException
+
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        decode_audio(mp3, fake_decode=False).collect()
 
 
 def test_jpeg_roundtrip_means_within_tolerance():
@@ -450,8 +459,10 @@ def test_decode_video_frames_in_spark(spark):
     assert len(decode_video_frames(mp4).collect()) == 3
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        decode_video_frames(mp4, fake_decode=False)
+    from pyspark.errors import PythonException
+
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        decode_video_frames(mp4, fake_decode=False).collect()
 
 
 def test_avi_mjpeg_frames_decode_via_jpeg_codec():

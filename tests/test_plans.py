@@ -379,6 +379,30 @@ def test_cc_incremental_untouched_labels_move_by_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cc_incremental_tokenizes_batch_once(spark):
+    """The probe pairs and the new↔new self-join must share ONE
+    session-cached (shingles, bands) pair: batch_shingles_bands is
+    memoized per (app, store key) — same DataFrame objects back — and
+    the cc_incremental plan reads the batch through InMemoryTableScan,
+    never a second shingle pipeline over the documents scan."""
+    from etl_jlp_spark.operators.similarity import (
+        batch_shingles_bands,
+        ensure_minhash_store,
+    )
+
+    bands_path, _sh = ensure_minhash_store(spark, SF_SMALL)
+    p1 = batch_shingles_bands(spark, SF_SMALL, bands_path)
+    p2 = batch_shingles_bands(spark, SF_SMALL, bands_path)
+    assert p1[0] is p2[0] and p1[1] is p2[1]
+    # the probe's plan must read the batch through the cached relation
+    # (InMemoryTableScan), not re-run the shingle pipeline on the scan
+    # (dedup_cc_incremental's own plan can't be asserted here: at test
+    # scale the ≤100k-edge adaptive path solves on the driver, so its
+    # result plan is ExistingRDD — the probe IS its batch-side input)
+    plan = _plan(QS["dedup_minhash_prebuilt"](spark, SF_SMALL))
+    assert "InMemoryTableScan" in plan
+
+
 def test_bigram_lm_sides_are_aggregates_not_windows(spark):
     """All three LM sides must be groupBy aggregates joined back
     term-keyed (partial agg + AQE), never count-over-window on the
@@ -398,6 +422,19 @@ def test_ab_report_is_two_agg_passes_no_window(spark):
     plan = _plan(df)
     assert "Window" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_ab_report_reuses_per_user_exchange_without_persist(spark):
+    """The per_user aggregate feeds BOTH the moment row and the adjusted
+    readout; dedup must come from runtime exchange reuse (ReusedExchange
+    in the final adaptive plan), not from a persist() that would leak
+    cached blocks for the session lifetime (no InMemoryRelation)."""
+    df = QS["ab_test_report"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[-3000:]
+    assert "InMemoryRelation" not in plan
 
 
 def test_seasonal_naive_joins_prereduced_daily_only(spark):

@@ -163,3 +163,30 @@ def test_vacuum_keeps_unfolded_deltas(spark, tmp_path):
     vacuum_rollup(store)
     assert os.path.isdir(os.path.join(store, "deltas", "batch_id=1"))
     assert _got(spark, store) == _expected(spark)
+
+
+def test_time_travel_base_v0_does_not_double_count_delta_0(spark, tmp_path):
+    """Regression: after compact_rollup(retain=True) folds ONLY batch 0,
+    the base is version v0 and delta batch_id=0 is still on disk. Time
+    travel to watermark 0 must serve base v0 alone — the old
+    `(base_v or -1)` treated v0 as absent (0 is falsy) and re-applied
+    delta 0 on top of it, double-counting every batch-0 event."""
+    from etl_jlp_spark.streaming.rollup_sink import rollup_view_as_of
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    a, b = _halves(spark)
+    rollup_upsert_batch(a, store, 0)
+    assert compact_rollup(spark, store, retain=True) == 0  # base = v0
+    rollup_upsert_batch(b, store, 1)
+
+    got0 = {
+        (r["day"], r["event_type"], r["n_events"], round(r["sum_value"], 2))
+        for r in rollup_view_as_of(spark, store, 0).collect()
+    }
+    assert got0 == _rollup_of(spark, a)  # NOT 2× the batch-0 counts
+    got1 = {
+        (r["day"], r["event_type"], r["n_events"], round(r["sum_value"], 2))
+        for r in rollup_view_as_of(spark, store, 1).collect()
+    }
+    assert got1 == _expected(spark)
