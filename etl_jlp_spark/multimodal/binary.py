@@ -265,8 +265,13 @@ def synth_media_df(spark: SparkSession, n: int = 64, kind: str = "image") -> Dat
             px = lambda x, y, i=i: ((x * 7 + i) % 256, (y * 13) % 256, (x + y + i) % 256)
             if kind == "bmp":
                 payload = encode_bmp(w, h, px)
-            elif kind == "jpeg":
-                payload = encode_jpeg(w, h, px)
+            elif kind == "jpeg":  # every 3rd frame: arithmetic coding (SOF9)
+                if i % 3 == 2:
+                    from etl_jlp_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+                    payload = encode_jpeg_arith(w, h, px)
+                else:
+                    payload = encode_jpeg(w, h, px)
             elif kind == "gif":  # alternate progressive (interlaced) frames
                 payload = encode_gif(w, h, px, interlace=bool(i % 2))
             elif kind == "tiff":  # rotate byte order / LZW / predictor

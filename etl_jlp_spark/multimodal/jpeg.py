@@ -545,7 +545,9 @@ def _extend(v: int, size: int) -> int:
 
 def _entropy_end(data: bytes, start: int) -> int:
     """End of an entropy-coded segment: the first marker that is neither
-    a stuffed 0xFF00 nor a restart marker."""
+    a stuffed 0xFF00 nor a restart marker. Both entropy coders here use
+    the same 0xFF00 byte-stuffing convention, so one framing rule
+    covers Huffman and arithmetic scans."""
     i = start
     n = len(data)
     while i < n - 1:
@@ -562,19 +564,24 @@ def _entropy_end(data: bytes, start: int) -> int:
 @loud_codec
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     """Decode a baseline (SOF0 — 4:4:4 or chroma-subsampled,
-    interleaved scan, optional restart intervals) or progressive (SOF2 —
-    spectral selection + successive approximation, 4:4:4) JPEG:
+    interleaved scan, optional restart intervals), progressive (SOF2 —
+    spectral selection + successive approximation, 4:4:4), JPEG:
+    or arithmetic sequential (SOF9 — T.81 Annex D QM-coder + Annex F
+    conditioning, decoded in jpeg_arith.py) JPEG:
     (width, height, mean_r, mean_g, mean_b). Table-driven with per-scan
-    SOS-time table snapshots; subsampled-progressive and arithmetic
-    coding raise instead of mis-decoding."""
+    SOS-time table/conditioning snapshots; subsampled-progressive and
+    progressive-arithmetic (SOF10) raise instead of mis-decoding."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: AC table id -> Kx
     frame = None  # (h, w, [(comp_id, hi, vi, qt_id)])
     progressive = False
+    arithmetic = False
     restart_interval = 0
     # (scan comps, Ss, Se, Ah, Al, data, dc snapshot, ac snapshot, DRI snapshot)
     scans: list[tuple] = []
@@ -622,8 +629,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                 values = list(body[i + 17 : i + 17 + n])
                 (dc_tables if cls == 0 else ac_tables)[tid] = _HuffTable(bits, values)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith-seq
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             check_dims(w, h)
             comps = []
@@ -634,8 +642,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                     raise ValueError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, qid))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError(f"only SOF0/SOF2 supported (got SOF 0x{marker:02x})")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only SOF0/SOF2/SOF9 supported (got SOF 0x{marker:02x}; "
+                "progressive-arithmetic SOF10 and hierarchical modes are out of scope)"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                if cls == 0:
+                    dc_cond[tid] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tid] = cs  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI: MCUs between restart markers
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: scan header + entropy-coded data
@@ -655,7 +676,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
             scans.append(
                 (
                     sc, ss, se, ah, al, payload[pos:end],
-                    dict(dc_tables), dict(ac_tables), restart_interval,
+                    dict(dc_cond) if arithmetic else dict(dc_tables),
+                    dict(ac_cond) if arithmetic else dict(ac_tables),
+                    restart_interval,
                 )
             )
             pos = end
@@ -670,7 +693,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[_ZIGZAG] = np.arange(64)
 
-    if progressive:
+    if arithmetic:
+        from etl_jlp_spark.multimodal.jpeg_arith import decode_arith_sequential
+
+        planes = decode_arith_sequential(scans[0], comps, mcux, mcuy, qtables, inv_zz)
+    elif progressive:
         planes = _decode_progressive(scans, comps, mcux, mcuy, qtables, inv_zz, w, h)
     else:
         planes = _decode_sequential(scans[0], comps, mcux, mcuy, qtables, inv_zz)

@@ -653,3 +653,89 @@ def test_decode_image_real_tiff_in_spark(spark):
     for r in out:
         assert r["width"] >= 1 and r["height"] >= 1
         assert r["mean_r"] is not None and 0.0 <= r["mean_r"] <= 255.0
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9): T.81 Annex D QM-coder + Annex F models —
+# the round-5 verdict's last in-scope codec stub, now a real code path
+# ---------------------------------------------------------------------------
+
+
+def test_qm_coder_round_trips_random_bitstreams():
+    """Property: the QM encoder/decoder pair round-trips arbitrary
+    context-tagged bit sequences — including adaptive state transitions,
+    conditional exchange, carry propagation and 0xFF00 stuffing."""
+    import random
+
+    from etl_jlp_spark.multimodal.jpeg_arith import (
+        _ArithDecoder,
+        _ArithEncoder,
+        _new_stats,
+    )
+
+    rng = random.Random(99)
+    for _ in range(200):
+        n = rng.randint(1, 700)
+        p = rng.random()
+        bits = [1 if rng.random() < p else 0 for _ in range(n)]
+        nctx = rng.randint(1, 6)
+        ctxs = [rng.randrange(nctx) for _ in range(n)]
+        enc = _ArithEncoder()
+        st = _new_stats(nctx)
+        for b, c in zip(bits, ctxs):
+            enc.encode(b, st, c)
+        dec = _ArithDecoder(enc.flush())
+        st2 = _new_stats(nctx)
+        assert [dec.decode(st2, c) for c in ctxs] == bits
+
+
+def test_arith_jpeg_decodes_bit_identical_to_huffman_twin():
+    """The arithmetic-coded fixture must decode BIT-IDENTICAL to its
+    Huffman twin: both encoders share the DCT/quantization pipeline, so
+    any divergence is an entropy-coder defect. Also pins the compression
+    win arithmetic coding exists for."""
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from etl_jlp_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    def px(x, y):
+        return ((x * 7 + y * 3) % 256, (x * 5 + y * 11) % 256, (x * 13 + y * 2) % 256)
+
+    for w, h in [(8, 8), (24, 17), (33, 40), (64, 48)]:
+        hp = encode_jpeg(w, h, px)
+        ap = encode_jpeg_arith(w, h, px)
+        assert decode_jpeg(ap) == decode_jpeg(hp), (w, h)
+        assert len(ap) < len(hp), "arithmetic stream should be smaller"
+
+
+def test_arith_jpeg_flows_through_spark_decode(spark):
+    """synth_media_df mixes SOF9 frames among Huffman ones (every 3rd);
+    the Spark mapInPandas decode path must handle both transparently."""
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.binary import decode_image, synth_media_df
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg
+
+    media = synth_media_df(spark, n=9, kind="jpeg")
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert any(b"\xff\xc9" in p for p in src.values()), "no SOF9 fixture present"
+    out = {r["media_id"]: r for r in decode_image(media, fake_decode=False).collect()}
+    assert len(out) == 9
+    for mid, payload in src.items():
+        w, h, mr, mg, mb = decode_jpeg(payload)
+        row = out[mid]
+        assert (row["width"], row["height"]) == (w, h)
+        assert np.isclose(row["mean_r"], mr) and np.isclose(row["mean_b"], mb)
+
+
+def test_progressive_arithmetic_sof10_still_raises():
+    """Scope boundary: SOF10 (progressive-arithmetic) stays a loud stub."""
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg
+    from etl_jlp_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    payload = bytearray(encode_jpeg_arith(8, 8, lambda x, y: (x, y, 0)))
+    i = payload.index(b"\xff\xc9")
+    payload[i + 1] = 0xCA  # SOF9 -> SOF10
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(payload))
