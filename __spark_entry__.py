@@ -30,6 +30,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     corpus_stats,
     dedup,
     embeddings,
+    graph,
     ir,
     joins,
     keywords,
@@ -100,6 +101,8 @@ _R7_PRIORITY = [
     # NEW in round 7 — first driver row
     "propagate_deletes_report",
     "semantic_dedup_scaled",
+    "graph_pagerank",
+    "graph_triangle_stats",
     "minhash_spark_native",
     "tokenizer_fertility_report",
     "dedup_url_canonical",

