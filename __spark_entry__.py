@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Importing these modules populates the registry.
 from etl_jlp_spark import registry  # noqa: E402
-from etl_jlp_spark.ingest import loaders  # noqa: E402, F401
+from etl_jlp_spark.ingest import loaders, maintenance  # noqa: E402, F401
 from etl_jlp_spark.operators import (  # noqa: E402, F401
     audit,
     cdc,
@@ -49,6 +49,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
 )
 from etl_jlp_spark.plans import (  # noqa: E402, F401
     analytics,
+    attribution,
     curate,
     enrich,
     experiment,
@@ -105,17 +106,15 @@ _R7_PRIORITY = [
     "graph_triangle_stats",
     "minhash_spark_native",
     "tokenizer_fertility_report",
-    "dedup_url_canonical",
     "contamination_ngram_overlap",
     "quality_isolation_outliers",
     "gdpr_erasure_audit",
     "session_conversion_attribution",
     "entity_resolution_blocking",
-    "text_normalize_unicode",
+    "session_survival_km",
+    "cusum_changepoint",
     "docs_length_histogram",
     "embedding_pca_power",
-    "gram_language_confusables",
-    "window_rows_between_stats",
     "percentile_bucket_assign",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",

@@ -368,3 +368,114 @@ def propagate_deletes(
         files_linked=len(miss),
         rows_deleted=int(rows_deleted),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered erasure queries: the audit record every GDPR deletion job
+# files BEFORE erasing (oracle-backed), and an end-to-end exercise of
+# the stats-pruned delete propagation itself (rows-only: file-level
+# classification is invisible to a SQL view).
+# ---------------------------------------------------------------------------
+
+# Deterministic erasure cohort: user_ids whose md5 hex starts '0'
+# (~1/16 of users) — the RNG-free subset convention the sampling
+# operators already use, so the "deletion request list" is stable
+# across engines and testdata regenerations.
+ERASE_PREFIX = "0"
+
+
+def _register_erasure_queries() -> None:
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.registry import query
+
+    @query(
+        "gdpr_erasure_audit",
+        oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day,
+       CAST(max(CAST(ts AS DATE)) AS DATE) AS last_day,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '{ERASE_PREFIX}'
+GROUP BY user_id
+""",
+    )
+    def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pre-erasure audit record: for every user in the deletion
+        cohort, the row count, activity span, distinct event types and
+        total value about to be destroyed — the evidence row a
+        compliance job must file before ``propagate_deletes`` runs.
+        One map-side-combinable agg over a pushed-down hash filter;
+        at 100 TB a key-sorted layout prunes to ~#cohort files."""
+        from pyspark.sql import functions as F
+
+        events = load_table(spark, sf_dir, "events")
+        return (
+            events.filter(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == ERASE_PREFIX
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min(F.to_date("ts")).alias("first_day"),
+                F.max(F.to_date("ts")).alias("last_day"),
+                F.countDistinct("event_type").cast("long").alias("n_event_types"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    @query("propagate_deletes_report")  # rows-only: file classification isn't a SQL view
+    def propagate_deletes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end erasure drill on a THROWAWAY copy: write events
+        key-sorted (the layout that makes stats pruning work), erase
+        the md5-prefix cohort via the real ``propagate_deletes``
+        (footer-stats file classification, hardlinked carry-over,
+        atomic swap), and report what happened — files rewritten vs
+        linked, rows before/after, and that after-count cross-checked
+        by re-reading the swapped directory. The file-level split is
+        exactly what a SQL oracle CANNOT see, hence rows-only."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        events = load_table(spark, sf_dir, "events")
+        cohort = [
+            r["user_id"]
+            for r in events.select("user_id")
+            .distinct()
+            .filter(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == ERASE_PREFIX)
+            .collect()
+        ]
+        work = tempfile.mkdtemp(prefix="erasure_drill_")
+        store = os.path.join(work, "events_store")
+        (
+            events.repartitionByRange(8, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(store)
+        )
+        rows_before = spark.read.parquet(store).count()
+        audit = propagate_deletes(spark, store, "user_id", cohort)
+        rows_after = spark.read.parquet(store).count()
+        out = spark.createDataFrame(
+            [
+                (
+                    audit["files_total"],
+                    audit["files_rewritten"],
+                    audit["files_linked"],
+                    len(cohort),
+                    rows_before,
+                    audit["rows_deleted"],
+                    rows_after,
+                )
+            ],
+            "n_files long, n_files_rewritten long, n_files_linked long, "
+            "n_keys long, rows_before long, rows_deleted long, rows_after long",
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+
+_register_erasure_queries()

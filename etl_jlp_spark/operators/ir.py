@@ -587,9 +587,10 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 8  # first-iteration merge table applied by bpe_encode
 
 
-@query(
-    "bpe_encode",
-    oracle=f"""
+# the BPE pipeline as reusable CTE text (toks -> merges -> per-word token
+# counts) -- shared by bpe_encode and the fertility report so the two can
+# never drift on what a "token" is.
+_BPE_CTES = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
   FROM documents
@@ -614,7 +615,13 @@ WITH toks AS (
              (acc, m) -> replace(acc, substr(m, 1, 1) || ' ' || substr(m, 2, 1), m)),
            ' ')) AS wtok
   FROM words CROSS JOIN merges
-)
+)"""
+
+
+@query(
+    "bpe_encode",
+    oracle=_BPE_CTES
+    + """
 SELECT d.doc_id,
        CAST(sum(d.n * length(d.term)) AS BIGINT) AS n_chars_alpha,
        CAST(sum(d.n * e.wtok) AS BIGINT) AS n_tokens_bpe,
@@ -828,4 +835,64 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round("lp", 4).alias("avg_logprob"),
         F.round(F.exp(-F.col("lp")), 4).alias("ppl"),
+    )
+
+
+@query(
+    "tokenizer_fertility_report",
+    oracle=_BPE_CTES
+    + """
+, perdoc AS (
+  SELECT d.doc_id,
+         CAST(sum(d.n) AS BIGINT) AS n_words,
+         CAST(sum(d.n * length(d.term)) AS BIGINT) AS n_chars_alpha,
+         CAST(sum(d.n * e.wtok) AS BIGINT) AS n_tokens_bpe
+  FROM dtf d JOIN enc e USING (term)
+  GROUP BY d.doc_id
+)
+SELECT doc.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_tokens_bpe) AS BIGINT) AS n_tokens,
+       round(sum(p.n_tokens_bpe) * 1.0 / sum(p.n_words), 4) AS tokens_per_word,
+       round(sum(p.n_chars_alpha) * 1.0 / sum(p.n_tokens_bpe), 4) AS chars_per_token
+FROM perdoc p JOIN documents doc USING (doc_id)
+GROUP BY doc.lang
+""",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE tokens per word and chars
+    per token under the corpus-trained first-iteration merge table —
+    THE metric for judging whether a tokenizer under-serves a language
+    (high fertility = more tokens per word = less effective context
+    window and higher serving cost for that language; the mT5/XGLM
+    papers report exactly this table).
+
+    Scale shape: per-doc token counts are the registered `bpe_encode`
+    plan (vocab-sized segmentation broadcast back over (doc, term));
+    word counts ride the SAME dtf relation; the lang rollup adds one
+    broadcast join of doc metadata and a #langs-row agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtf = (
+        _words(docs, spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_doc_words = dtf.groupBy("doc_id").agg(F.sum("n").cast("long").alias("n_words"))
+    enc = bpe_encode(spark, sf_dir)  # doc_id, n_chars_alpha, n_tokens_bpe
+    per_doc = per_doc_words.join(enc, "doc_id")
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens_bpe").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tokens_bpe") * F.lit(1.0) / F.sum("n_words"), 4).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.sum("n_chars_alpha") * F.lit(1.0) / F.sum("n_tokens_bpe"), 4).alias(
+                "chars_per_token"
+            ),
+        )
     )

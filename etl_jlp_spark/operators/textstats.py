@@ -9,7 +9,7 @@ narrow-map + single-agg shapes; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -214,4 +214,80 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_min(transform(sequence(1, greatest(length(text) - {k - 1}, 1), {FINGERPRINT_STRIDE}), "
             f"i -> md5(substr(lower(text), i, {k}))))"
         ).alias("fingerprint"),
+    )
+
+
+@query(
+    "docs_length_histogram",
+    oracle="""
+WITH bucketed AS (
+  SELECT lang, n_chars,
+         CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket
+  FROM documents
+)
+SELECT lang, log2_bucket,
+       CAST(power(2, log2_bucket) AS BIGINT) AS bucket_lo,
+       CAST(power(2, log2_bucket + 1) AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM bucketed
+GROUP BY 1, 2
+""",
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2 document-length histogram — the curation
+    dashboard's first panel (truncation cliffs, boilerplate spikes and
+    chunking-pipeline bugs all show up as bucket anomalies before any
+    per-doc inspection). The bucket is the INTEGER log2 via binary
+    digit count (length(bin(x)) - 1), never floor(ln/ln2) — float log
+    misrounds exactly at the power-of-2 bucket edges.
+
+    One map-side-combinable agg over two metadata columns; the scan
+    never touches `text` (column pruning — plan-asserted pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin("n_chars")) - 1).cast("long")
+    return docs.groupBy("lang", bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).select(
+        "lang",
+        "log2_bucket",
+        F.pow(F.lit(2.0), F.col("log2_bucket")).cast("long").alias("bucket_lo"),
+        F.pow(F.lit(2.0), F.col("log2_bucket") + 1).cast("long").alias("bucket_hi"),
+        "n_docs",
+        "total_chars",
+    )
+
+
+N_QUALITY_BUCKETS = 10
+
+
+@query(
+    "percentile_bucket_assign",
+    oracle=f"""
+SELECT doc_id, source, n_chars,
+       CAST(ntile({N_QUALITY_BUCKETS})
+            OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+FROM documents
+""",
+)
+def percentile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source decile assignment by document length — the bucket
+    label curriculum samplers and quality-ablation splits key on
+    (quality_percentile_gate thresholds; this materializes the full
+    assignment). Ties broken by doc_id so the bucketing is total-order
+    deterministic in both engines.
+
+    Scale note: the window partitions by SOURCE — a skewed source puts
+    its whole partition through one task. For the 100 TB path the same
+    assignment is computable from per-source approx quantile cuts
+    (approx_percentile broadcast back, as quality_percentile_gate
+    documents); ntile is the exact small-partition form."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(N_QUALITY_BUCKETS).over(w).cast("long").alias("decile"),
     )

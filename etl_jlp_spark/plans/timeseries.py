@@ -297,3 +297,163 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ewma_daily_revenue.__doc__ = (ewma_daily_revenue.__doc__ or "").format(
     k=EWMA_LAGS, a=EWMA_ALPHA
 )
+
+
+from etl_jlp_spark.operators.sessionize import _SESSIONIZED_CTE as _SESS_CTE  # noqa: E402
+
+
+@query(
+    "session_survival_km",
+    oracle=f"""
+WITH sess AS ({_SESS_CTE}), per_sess AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS duration
+  FROM sess GROUP BY 1, 2
+), lasts AS (
+  SELECT user_id, max(session_id) AS last_sid FROM per_sess GROUP BY 1
+), dur AS (
+  SELECT p.duration,
+         CASE WHEN p.session_id < l.last_sid THEN 1 ELSE 0 END AS completed
+  FROM per_sess p JOIN lasts l USING (user_id)
+), grid AS (
+  SELECT duration,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(completed) AS BIGINT) AS d
+  FROM dur GROUP BY duration
+), risk AS (
+  SELECT duration, d,
+         CAST(sum(n_sessions) OVER (ORDER BY duration DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+  FROM grid
+), factored AS (
+  SELECT duration, d, n, 1.0 - d * 1.0 / n AS factor FROM risk
+), surv AS (
+  SELECT duration, d, n,
+         sum(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w AS zf,
+         sum(CASE WHEN factor > 0 THEN ln(factor) END) OVER w AS lnsum
+  FROM factored
+  WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(duration AS BIGINT) AS session_len_events,
+       n AS n_at_risk,
+       d AS n_completed,
+       CASE WHEN zf > 0 THEN 0.0 ELSE round(exp(coalesce(lnsum, 0.0)), 6) END AS survival
+FROM surv WHERE d > 0
+""",
+)
+def session_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over SESSION length (events per session):
+    S(k) = probability a session reaches more than k events. Each
+    user's FINAL session is right-censored — the corpus window cut it
+    off mid-flight, so it bounds the at-risk set without counting as a
+    completed length (the thing a naive length histogram gets wrong:
+    truncated sessions bias it short). All earlier sessions completed
+    by construction (a 30-min gap closed them).
+
+    S(k) = prod over completed lengths <= k of (1 - d_k/n_k), computed
+    as exp of a windowed ln-sum with an explicit zero-factor guard
+    (ln(0) is null in Spark and -inf in DuckDB — the CASE keeps both
+    engines on finite arithmetic).
+
+    Scale shape: sessionization is the standard per-user window (one
+    shuffle on the high-cardinality user key); everything after the
+    per-session count runs on the #distinct-lengths grid — dozens of
+    rows at any corpus size. No driver collect anywhere."""
+    from etl_jlp_spark.operators.sessionize import with_session_id
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    per_sess = (
+        with_session_id(events)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("duration"))
+    )
+    lasts = per_sess.groupBy("user_id").agg(F.max("session_id").alias("last_sid"))
+    dur = per_sess.join(lasts, "user_id").select(
+        "duration",
+        F.when(F.col("session_id") < F.col("last_sid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("completed"),
+    )
+    grid = dur.groupBy("duration").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("completed").cast("long").alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "duration", "d", F.sum("n_sessions").over(w_desc).cast("long").alias("n")
+    )
+    factored = risk.withColumn(
+        "factor", F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n")
+    )
+    w_asc = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = factored.select(
+        "duration",
+        "d",
+        "n",
+        F.sum(F.when(F.col("factor") == 0, 1).otherwise(0)).over(w_asc).alias("zf"),
+        F.sum(F.when(F.col("factor") > 0, F.log("factor"))).over(w_asc).alias("lnsum"),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        F.col("duration").cast("long").alias("session_len_events"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_completed"),
+        F.when(F.col("zf") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.coalesce("lnsum", F.lit(0.0))), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT avg(day_value) AS mu, stddev_pop(day_value) AS sd FROM daily
+), scored AS (
+  SELECT d.day, d.day_value,
+         CASE WHEN s.sd > 0 THEN
+           round(sum((d.day_value - s.mu) / s.sd)
+                 OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         END AS cusum
+  FROM daily d CROSS JOIN stats s
+)
+SELECT day, day_value, cusum,
+       abs(cusum) = max(abs(cusum)) OVER () AS is_changepoint
+FROM scored
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily event value: the cumulative
+    sum of standardized daily deviations peaks (in absolute value) at
+    the most likely mean-shift point — the classic offline CUSUM
+    statistic. Flags the argmax day(s); the comparison runs on the
+    ROUNDED statistic so both engines agree bit-for-bit.
+
+    Scale shape: raw events collapse in one map-side-combinable daily
+    agg; mean/std are a 1-row broadcast over the #days series; the
+    cumulative window and global max run on calendar-bounded rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_value")
+    )
+    stats = daily.agg(
+        F.avg("day_value").alias("mu"), F.stddev_pop("day_value").alias("sd")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "day_value",
+        F.when(
+            F.col("sd") > 0,
+            F.round(F.sum((F.col("day_value") - F.col("mu")) / F.col("sd")).over(w), 4),
+        ).alias("cusum"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.withColumn(
+        "is_changepoint", F.abs("cusum") == F.max(F.abs("cusum")).over(wall)
+    )
