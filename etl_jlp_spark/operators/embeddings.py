@@ -407,3 +407,97 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         return f"round(({expr}) / {_RP_SCALE}, 4) + 0.0 AS p{j}"
 
     return base.selectExpr("vec_id", *[proj_sql(j) for j in range(RP_OUT_DIM)])
+
+
+PCA_ITERS = 5  # fixed so the oracle can unroll the recurrence
+
+
+def _pca_oracle() -> str:
+    """Power iteration unrolled in chained CTEs: center once, then
+    d_k = C v_{k-1} per-vector dots, y_k = C^T d_k per-dim sums,
+    v_k = y_k / ||y_k||. Same IEEE recurrence the Spark side runs."""
+    sql = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), mu AS (
+  SELECT pos, avg(val) AS mu FROM x GROUP BY pos
+), c AS (
+  SELECT x.vec_id, x.pos, x.val - m.mu AS val FROM x JOIN mu m USING (pos)
+), nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM x
+), v0 AS (
+  SELECT pos, 1.0 / sqrt(CAST((SELECT count(*) FROM mu) AS DOUBLE)) AS val FROM mu
+)"""
+    for k in range(1, PCA_ITERS + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT c.vec_id, sum(c.val * v.val) AS dot
+  FROM c JOIN v{k - 1} v USING (pos) GROUP BY c.vec_id
+), y{k} AS (
+  SELECT c.pos, sum(c.val * d.dot) AS y
+  FROM c JOIN d{k} d USING (vec_id) GROUP BY c.pos
+), n{k} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{k})
+, v{k} AS (SELECT pos, y / (SELECT nrm FROM n{k}) AS val FROM y{k})"""
+    sql += f"""
+SELECT CAST(pos AS INTEGER) AS dim,
+       round(val, 5) + 0.0 AS loading,
+       round((SELECT nrm FROM n{PCA_ITERS}) / ((SELECT n FROM nn) - 1), 4) AS explained_variance
+FROM v{PCA_ITERS}
+"""
+    return sql
+
+
+@query("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by POWER
+    ITERATION ({it} fixed steps from the uniform start) — the
+    dominant drift/variance axis every embedding-health dashboard
+    tracks (a runaway first component = collapsed representation; its
+    explained variance is the alarm metric). Output: one row per
+    dimension with the unit-norm loading, plus the component's
+    explained variance (scatter-norm / (n-1)).
+
+    Scale shape: each iteration is two map-side-combinable aggregates
+    over the table — per-vector dot against the BROADCAST current
+    direction (a {d}-element literal), then per-dimension recombine —
+    never a d×d covariance materialization and never a driver-side
+    data copy; only the {d}-float direction vector leaves the cluster
+    each step. 2·{it}+1 linear passes total; at 100 TB persist the
+    centered projection once and the passes are columnar scans.
+
+    Centering subtracts the per-dimension mean (computed in the same
+    plan) so this is true PCA, not uncentered SVD."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    x = as_double_array(F.col("embedding"))
+    mu_row = emb.agg(
+        *[F.avg(x[j]).alias(f"m{j}") for j in range(dim)]
+    ).first()
+    mu = [mu_row[f"m{j}"] for j in range(dim)]
+    n = emb.count()
+    v = [1.0 / math.sqrt(dim)] * dim
+    nrm = 0.0
+    for _ in range(PCA_ITERS):
+        dot = None
+        for j in range(dim):
+            term = (x[j] - F.lit(mu[j])) * F.lit(v[j])
+            dot = term if dot is None else dot + term
+        y_row = emb.agg(
+            *[F.sum((x[j] - F.lit(mu[j])) * dot).alias(f"y{j}") for j in range(dim)]
+        ).first()
+        y = [y_row[f"y{j}"] for j in range(dim)]
+        nrm = math.sqrt(sum(c * c for c in y))
+        v = [c / nrm for c in y]
+    ev = round(nrm / (n - 1), 4)
+    return spark.createDataFrame(
+        [(j + 1, round(v[j], 5) + 0.0, ev) for j in range(dim)],
+        "dim int, loading double, explained_variance double",
+    )
+
+
+embedding_pca_power.__doc__ = (embedding_pca_power.__doc__ or "").format(
+    it=PCA_ITERS, d="dim"
+)

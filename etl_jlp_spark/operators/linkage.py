@@ -250,3 +250,94 @@ def fuzzy_join_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pfx_n", "pfx_o").cast("bigint").alias("dist"),
         )
     )
+
+
+BLOCK_PFX = 8  # prefix-blocking key length
+BLOCK_LEN_BAND = 5  # length-band width
+
+
+def _blocking_strategies():
+    """(name, duckdb_expr, spark_col_fn) per blocking scheme, over the
+    SAME pfx key universe the fuzzy join links on."""
+    return [
+        (
+            "prefix8",
+            f"substr(pfx, 1, {BLOCK_PFX})",
+            lambda: F.substring("pfx", 1, BLOCK_PFX),
+        ),
+        (
+            "length_band",
+            f"CAST(length(pfx) // {BLOCK_LEN_BAND} AS VARCHAR)",
+            lambda: (F.length("pfx").cast("long") / BLOCK_LEN_BAND).cast("long").cast("string"),
+        ),
+        (
+            "prefix8_len",
+            f"substr(pfx, 1, {BLOCK_PFX}) || ':' || CAST(length(pfx) AS VARCHAR)",
+            lambda: F.concat_ws(":", F.substring("pfx", 1, BLOCK_PFX), F.length("pfx").cast("string")),
+        ),
+    ]
+
+
+_ER_KEYS_CTE = f"""
+keys AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_PFX_LEN}) AS pfx
+  FROM documents WHERE length(substr(text, 1, {FUZZY_PFX_LEN})) >= {FUZZY_MIN_LEN}
+)"""
+
+
+def _er_oracle() -> str:
+    branches = []
+    for name, expr, _ in _blocking_strategies():
+        branches.append(f"""
+SELECT '{name}' AS strategy,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(k) AS BIGINT) AS max_block_size,
+       CAST(sum(k * (k - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+       round(1.0 - sum(k * (k - 1) / 2)
+             / ((SELECT count(*) FROM keys) * ((SELECT count(*) FROM keys) - 1) / 2.0), 6)
+         AS reduction_ratio
+FROM (SELECT {expr} AS bkey, CAST(count(*) AS BIGINT) AS k FROM keys GROUP BY 1)""")
+    return f"WITH {_ER_KEYS_CTE}" + " UNION ALL ".join(branches)
+
+
+@query("entity_resolution_blocking", oracle=_er_oracle())
+def entity_resolution_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme comparison — the sizing table every record-
+    linkage deployment builds BEFORE committing to a scheme: for each
+    candidate blocking key (8-char prefix, length band, prefix+length)
+    over the SAME key universe the fuzzy join links on, the block
+    count, the largest block (the skew that decides the worst task),
+    the candidate-pair volume Σ k(k-1)/2 (the verify-join cost), and
+    the reduction ratio vs the n(n-1)/2 all-pairs baseline. PassJoin
+    (the registered fuzzy join) replaces all of these at verify time —
+    this report is how you PROVE that on your own key distribution.
+
+    Plan: one #keys-sized projection feeding three map-side-combinable
+    group-counts (one per scheme) plus a 1-row total, unioned into a
+    3-row report. No pair ever materializes — the pair count is
+    arithmetic over block sizes."""
+    keys = _keys(spark, sf_dir).persist()
+    n_total = keys.count()
+    all_pairs = n_total * (n_total - 1) / 2.0
+    outs = []
+    for name, _expr, col_fn in _blocking_strategies():
+        blocks = keys.groupBy(col_fn().alias("bkey")).agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+        outs.append(
+            blocks.agg(
+                F.lit(name).alias("strategy"),
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.max("k").cast("long").alias("max_block_size"),
+                F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+                F.round(
+                    F.lit(1.0) - F.sum(F.col("k") * (F.col("k") - 1) / 2) / F.lit(all_pairs),
+                    6,
+                ).alias("reduction_ratio"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    keys.unpersist()
+    return result

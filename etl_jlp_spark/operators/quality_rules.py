@@ -399,3 +399,85 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(kept * 1.0 / F.col("n_docs"), 4).alias("keep_rate"),
         )
     )
+
+
+ISO_EPS = 1e-6  # rank-tail clamp so the extreme rank stays finite
+ISO_THRESHOLD = 9.0  # ~2 features simultaneously in their 1% tails
+
+
+@query(
+    "quality_isolation_outliers",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS f_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS f_words,
+         CAST(n_chars AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS f_wlen
+  FROM documents WHERE length(trim(text)) > 0
+), ranked AS (
+  SELECT doc_id,
+         percent_rank() OVER (ORDER BY f_chars, doc_id) AS p1,
+         percent_rank() OVER (ORDER BY f_words, doc_id) AS p2,
+         percent_rank() OVER (ORDER BY f_wlen, doc_id) AS p3
+  FROM feats
+)
+SELECT doc_id,
+       round(-(ln(2 * least(p1, 1 - p1) + {ISO_EPS})
+             + ln(2 * least(p2, 1 - p2) + {ISO_EPS})
+             + ln(2 * least(p3, 1 - p3) + {ISO_EPS})), 4) AS iso_score,
+       -(ln(2 * least(p1, 1 - p1) + {ISO_EPS})
+         + ln(2 * least(p2, 1 - p2) + {ISO_EPS})
+         + ln(2 * least(p3, 1 - p3) + {ISO_EPS})) >= {ISO_THRESHOLD} AS is_outlier
+FROM ranked
+""",
+)
+def quality_isolation_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-isolation outlier score — the model-free cousin of an
+    isolation forest: a document is anomalous when it sits in the TAIL
+    of several feature distributions at once. Per feature (length,
+    word count, mean word length) the two-sided tail mass is
+    2·min(p, 1-p) of the doc_id-tiebroken percent_rank; the score sums
+    -ln tail masses (independent-feature surprise, in nats), and
+    {thr}+ nats — roughly two simultaneous 1% tails — flags the doc.
+    Rank-based, so it needs no distributional assumptions and both
+    engines agree exactly (ranks are integers; ln differs below the
+    4-decimal round).
+
+    Scale note: exact global percent_rank is a single-partition sort —
+    fine for the registered exact form, and the documented 100 TB swap
+    is per-feature approx_percentile cut tables broadcast back (the
+    quality_percentile_gate pattern); the score algebra is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("f_words"),
+        (
+            F.col("n_chars").cast("double")
+            / F.size(F.split(F.trim("text"), r"\s+"))
+        ).alias("f_wlen"),
+    )
+    ps = []
+    ranked = feats
+    for i, c in enumerate(("f_chars", "f_words", "f_wlen"), start=1):
+        ranked = ranked.withColumn(
+            f"p{i}", F.percent_rank().over(Window.orderBy(c, "doc_id"))
+        )
+        ps.append(F.col(f"p{i}"))
+    surprise = None
+    for p in ps:
+        term = -F.log(F.lit(2.0) * F.least(p, F.lit(1.0) - p) + F.lit(ISO_EPS))
+        surprise = term if surprise is None else surprise + term
+    return ranked.select(
+        "doc_id",
+        F.round(surprise, 4).alias("iso_score"),
+        (surprise >= ISO_THRESHOLD).alias("is_outlier"),
+    )
+
+
+quality_isolation_outliers.__doc__ = (quality_isolation_outliers.__doc__ or "").format(
+    thr=ISO_THRESHOLD
+)

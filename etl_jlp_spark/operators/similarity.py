@@ -1435,3 +1435,135 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_containment.__doc__ = (doc_containment.__doc__ or "").format(
     tau=CONTAINMENT_TAU, ms=NGRAM_MIN_SHARED
 )
+
+
+CONTAM_MIN_SHARED = 2  # pair emitted when >= this many distinct shared shingles
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+  SELECT doc_id AS bench_doc, sh FROM shingles
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{DECON_BENCH_HEX}'
+), bsize AS (
+  SELECT bench_doc, CAST(count(*) AS BIGINT) AS n_bench_sh FROM bench GROUP BY 1
+), corpus AS (
+  SELECT doc_id AS train_doc, sh FROM shingles
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{DECON_BENCH_HEX}'
+), shared AS (
+  SELECT c.train_doc, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+  FROM corpus c JOIN bench b ON c.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT s.train_doc, s.bench_doc, s.n_shared,
+       round(s.n_shared * 1.0 / z.n_bench_sh, 4) AS bench_containment
+FROM shared s JOIN bsize z USING (bench_doc)
+WHERE s.n_shared >= {CONTAM_MIN_SHARED}
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level contamination attribution — the table the GPT-3/PaLM
+    appendices report: for every (train doc, benchmark doc) pair
+    sharing >= {ms} distinct word-3-grams, the shared count and the
+    CONTAINMENT of the benchmark doc (shared / its shingle count — the
+    fraction of the eval item that leaked). `decontaminate_docs`
+    answers "drop this train doc?"; this answers "which eval rows are
+    compromised and how badly" — the eval-integrity side of the same
+    join.
+
+    Scale shape: identical skeleton to decontaminate_docs — the
+    DOC-LABELED benchmark shingle relation is still benchmark-bounded
+    (broadcast); the pair agg's key space is bounded by actual shared
+    shingles, never train×bench. Output ∝ contamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < DECON_BENCH_HEX
+    bench = _word_shingles(docs.filter(is_bench)).select(
+        F.col("doc_id").alias("bench_doc"), "sh"
+    )
+    bsize = bench.groupBy("bench_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_sh")
+    )
+    corpus = _word_shingles(docs.filter(~is_bench)).select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    shared = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+    return shared.join(F.broadcast(bsize), "bench_doc").select(
+        "train_doc",
+        "bench_doc",
+        "n_shared",
+        F.round(F.col("n_shared") * F.lit(1.0) / F.col("n_bench_sh"), 4).alias(
+            "bench_containment"
+        ),
+    )
+
+
+contamination_ngram_overlap.__doc__ = (contamination_ngram_overlap.__doc__ or "").format(
+    ms=CONTAM_MIN_SHARED
+)
+
+
+def _minhash_bands_native(shingles: DataFrame) -> DataFrame:
+    """(doc_id, band, key) band index with xxhash64 instead of md5
+    strings: the signature mins and band keys stay entirely in JVM
+    64-bit integer codegen — no hex-string materialization, no md5
+    digest cost. This is the 100 TB hot path; the md5 variant exists
+    because DuckDB can replay it bit-for-bit (oracle gate)."""
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    sigs = shingles.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"s{i}") for i in range(k)]
+    )
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"s{b * r + j}") for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
+@query("minhash_spark_native")  # rows-only: xxhash64 has no DuckDB twin
+def minhash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_minhash_lsh` on the JVM-native hash path: identical
+    shingling, banding scheme (k={k}, {b} bands) and exact-Jaccard
+    verification at tau={tau}, but signatures/band keys are xxhash64
+    longs instead of md5 hex strings — whole-stage codegen end to end,
+    no per-shingle digest allocation. Every emitted pair is TRUE
+    (>= tau verified); only candidate RECALL depends on the hash
+    family, and test_similarity pins it against the md5 variant.
+    Rows-only at the driver gate (DuckDB cannot replay xxhash64);
+    the md5 twin carries the value-hash oracle for the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _word_shingles(docs).persist()
+    band_df = _minhash_bands_native(shingles)
+    a = band_df.alias("a")
+    b_ = band_df.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    out = _jaccard_on_candidates(shingles, cand, MINHASH_TAU)
+    shingles.unpersist()
+    return out
+
+
+minhash_spark_native.__doc__ = (minhash_spark_native.__doc__ or "").format(
+    k=MINHASH_K, b=MINHASH_BANDS, tau=MINHASH_TAU
+)

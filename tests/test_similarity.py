@@ -261,3 +261,33 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark, monkeypatch):
     # ...while symmetric Jaccard would never have flagged the pair
     assert r["jaccard"] < sim.NGRAM_TAU
     assert all(2 not in pair for pair in out)
+
+
+def test_minhash_native_matches_md5_variant(spark):
+    """The xxhash64 fast path must emit only TRUE pairs (>= tau by
+    construction), agree with the md5 variant on shared pairs' exact
+    Jaccard, and reach high recall on high-similarity pairs (band
+    collision probability at s >= 0.7 is ~93% per band set; requiring
+    80% of those pairs guards the hash plumbing without flaking)."""
+    from etl_jlp_spark.operators.similarity import (
+        MINHASH_TAU,
+        dedup_minhash_lsh,
+        minhash_spark_native,
+    )
+
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    native_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_spark_native(spark, SF_SMALL).collect()
+    }
+    assert native_pairs, "native path found no pairs on sf0.001"
+    assert all(j >= MINHASH_TAU for j in native_pairs.values())
+    for k in set(md5_pairs) & set(native_pairs):
+        assert md5_pairs[k] == native_pairs[k]  # verify is hash-independent
+    high = {k for k, j in md5_pairs.items() if j >= 0.7}
+    if high:
+        recall = len(high & set(native_pairs)) / len(high)
+        assert recall >= 0.8, f"native recall {recall} on high-sim pairs"
