@@ -449,3 +449,63 @@ def test_seasonal_naive_joins_prereduced_daily_only(spark):
     read_schema = [l for l in opt.splitlines() if "ReadSchema" in l]
     for line in read_schema:  # scans read only ts + event_type
         assert "props" not in line and "user_id" not in line
+
+
+def test_attribution_shares_sessionize_exchange(spark):
+    """Sessionize + the last-touch lookup + the channel rollup must run
+    on ONE user-key exchange (the window partition keys are a prefix of
+    the sessionize keys) plus one final agg exchange on the tiny channel
+    dimension."""
+    plan = _plan(QS["session_conversion_attribution"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    plan = _plan(QS["contamination_ngram_overlap"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_blocking_never_materializes_pairs(spark):
+    """The candidate-pair count is arithmetic over block sizes: no join
+    at all may appear in the plan."""
+    plan = _plan(QS["entity_resolution_blocking"](spark, SF_SMALL))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert op not in plan, op
+
+
+def test_erasure_audit_filter_reaches_scan(spark):
+    plan = _optimized(QS["gdpr_erasure_audit"](spark, SF_SMALL))
+    # the md5-prefix predicate is not pushable (expression on a column),
+    # but column pruning must hold: props/event payload never read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "props" not in read_schema
+
+
+def test_length_histogram_never_reads_text(spark):
+    plan = _optimized(QS["docs_length_histogram"](spark, SF_SMALL))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "text" not in read_schema
+    assert "n_chars" in read_schema
+
+
+def test_cusum_single_pass_over_events(spark):
+    """Daily reduce once; mean/std ride a 1-row broadcast; the events
+    scan must appear exactly once (ReusedExchange or a single scan)."""
+    plan = _plan(QS["cusum_changepoint"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+    # stats side joins as a broadcast (1 row), never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fertility_reuses_bpe_exchange(spark):
+    """The word-count branch and the bpe_encode branches hang off the
+    same tokenized (doc, term) shuffle — the FINAL adaptive plan must
+    dedupe them (same AQE runtime-reuse contract bpe_encode pins)."""
+    df = QS["tokenizer_fertility_report"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[-3000:]
+    assert "CartesianProduct" not in plan
