@@ -419,6 +419,7 @@ WITH daily AS (
          CASE WHEN s.sd > 0 THEN
            round(sum((d.day_value - s.mu) / s.sd)
                  OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           + 0.0
          END AS cusum
   FROM daily d CROSS JOIN stats s
 )
@@ -450,7 +451,10 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.when(
             F.col("sd") > 0,
-            F.round(F.sum((F.col("day_value") - F.col("mu")) / F.col("sd")).over(w), 4),
+            # + 0.0 canonicalizes IEEE -0.0 (round can emit it and the
+            # engines disagree on the sign of a zero)
+            F.round(F.sum((F.col("day_value") - F.col("mu")) / F.col("sd")).over(w), 4)
+            + F.lit(0.0),
         ).alias("cusum"),
     )
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
