@@ -326,7 +326,12 @@ def ensure_cc_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     verified pair list (the edges — needed so merges can re-resolve
     affected clusters) and its component labels. Same md5-slice corpus
     split, content+algo-keyed paths, and tmp+rename protocol as
-    ``ensure_minhash_store``."""
+    ``ensure_minhash_store``.
+
+    Single-writer contract + janitor: see ensure_minhash_store
+    (operators/similarity.py) — the canonical statement for the whole
+    ensure_*_store family.
+    """
     import os
     import shutil
 

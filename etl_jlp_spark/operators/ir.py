@@ -408,7 +408,12 @@ def ensure_ir_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
       matching the oracle's dl CTE).
 
     Build lands in a per-pid temp dir then renames into place, so a
-    concurrent builder can never expose a half-written store."""
+    concurrent builder can never expose a half-written store.
+
+    Single-writer contract + janitor: see ensure_minhash_store
+    (operators/similarity.py) — the canonical statement for the whole
+    ensure_*_store family.
+    """
     import os
     import shutil
 

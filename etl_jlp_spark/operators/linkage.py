@@ -170,7 +170,12 @@ def ensure_fuzzy_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     segment relation (seg_id, lb, seg, doc_id) probes equi-join
     against, and the key relation (doc_id, pfx) verification reads —
     content+algo-keyed paths, per-pid temp dir + rename, the same
-    protocol as the IVF/BM25/MinHash stores."""
+    protocol as the IVF/BM25/MinHash stores.
+
+    Single-writer contract + janitor: see ensure_minhash_store
+    (operators/similarity.py) — the canonical statement for the whole
+    ensure_*_store family.
+    """
     import os
     import shutil
 

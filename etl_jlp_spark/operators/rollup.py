@@ -109,7 +109,12 @@ def ensure_rollup_store(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Materialize the historical (day < cutoff) rollup once; returns
     (store path, cutoff nanos). Day-partitioned so an upsert refresh
     rewrites only touched day directories; per-pid temp dir + rename,
-    same race protocol as the other persisted stores."""
+    same race protocol as the other persisted stores.
+
+    Single-writer contract + janitor: see ensure_minhash_store
+    (operators/similarity.py) — the canonical statement for the whole
+    ensure_*_store family.
+    """
     final = _rollup_store_path(sf_dir)
     marker = os.path.join(final, "cutoff.txt")
     if os.path.exists(os.path.join(final, "agg", "_SUCCESS")) and os.path.exists(marker):

@@ -231,7 +231,17 @@ def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize the LSH index of the EXISTING corpus once: the band
     index (doc_id, band, key) and the shingle relation (doc_id, sh)
     needed for exact-Jaccard verification. Content+algo-keyed paths,
-    per-pid temp dir + rename — same protocol as the IVF/BM25 stores."""
+    per-pid temp dir + rename — same protocol as the IVF/BM25 stores.
+
+    Concurrency contract (applies to EVERY ensure_*_store family
+    member): the tmp+rename protocol is single-HOST atomic — two
+    concurrent sessions race benignly (the loser's rename fails and it
+    adopts the winner's store), but a builder that CRASHES mid-write
+    leaks its `.build-<pid>` temp dir. Cleanup is the explicit
+    janitor (`ingest.maintenance.sweep_stale_stores`), which removes
+    orphaned build temps and stores no live corpus resolves to; on a
+    shared filesystem without atomic rename semantics, run builds
+    single-writer (e.g. from the orchestrator's ingest step)."""
     import os
     import shutil
 
