@@ -565,12 +565,14 @@ def _entropy_end(data: bytes, start: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     """Decode a baseline (SOF0 — 4:4:4 or chroma-subsampled,
     interleaved scan, optional restart intervals), progressive (SOF2 —
-    spectral selection + successive approximation, 4:4:4), JPEG:
-    or arithmetic sequential (SOF9 — T.81 Annex D QM-coder + Annex F
-    conditioning, decoded in jpeg_arith.py) JPEG:
+    spectral selection + successive approximation, incl. subsampled),
+    arithmetic sequential (SOF9 — T.81 Annex D QM-coder + Annex F
+    conditioning) or arithmetic progressive (SOF10 — the Annex G.2
+    per-scan-kind models; both decoded in jpeg_arith.py) JPEG:
     (width, height, mean_r, mean_g, mean_b). Table-driven with per-scan
-    SOS-time table/conditioning snapshots; subsampled-progressive and
-    progressive-arithmetic (SOF10) raise instead of mis-decoding."""
+    SOS-time table/conditioning snapshots; the remaining SOF modes
+    (extended-sequential, lossless, hierarchical) raise instead of
+    mis-decoding."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -629,9 +631,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                 values = list(body[i + 17 : i + 17 + n])
                 (dc_tables if cls == 0 else ac_tables)[tid] = _HuffTable(bits, values)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith-seq
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/SOF2/SOF9/SOF10
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             check_dims(w, h)
             comps = []
@@ -642,10 +644,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
                     raise ValueError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, qid))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                f"only SOF0/SOF2/SOF9 supported (got SOF 0x{marker:02x}; "
-                "progressive-arithmetic SOF10 and hierarchical modes are out of scope)"
+                f"only SOF0/SOF2/SOF9/SOF10 supported (got SOF 0x{marker:02x}; "
+                "extended-sequential, lossless and hierarchical modes are out of scope)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             i = 0
@@ -693,7 +695,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, float, float]:
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[_ZIGZAG] = np.arange(64)
 
-    if arithmetic:
+    if arithmetic and progressive:
+        from etl_jlp_spark.multimodal.jpeg_arith import decode_arith_progressive
+
+        planes = decode_arith_progressive(scans, comps, mcux, mcuy, qtables, inv_zz, w, h)
+    elif arithmetic:
         from etl_jlp_spark.multimodal.jpeg_arith import decode_arith_sequential
 
         planes = decode_arith_sequential(scans[0], comps, mcux, mcuy, qtables, inv_zz)

@@ -1,11 +1,16 @@
-"""Arithmetic-coded sequential JPEG (ITU-T T.81 Annex D QM-coder +
-Annex F conditioning models), closing the last in-scope codec stub the
-round-5 verdict flagged (jpeg.py previously raised on SOF9).
+"""Arithmetic-coded JPEG (ITU-T T.81 Annex D QM-coder + Annex F/G.2
+conditioning models): sequential SOF9 and progressive SOF10, closing
+the arithmetic-coding codec stubs the round-5 verdict flagged.
 
-Scope: sequential DCT, arithmetic entropy coding (SOF9) — encoder and
-decoder, 4:4:4 or single-component, default conditioning bounds
-(DAC L=0 / U=1 for DC, Kx=5 for AC; a DAC segment is parsed when
-present). Progressive-arithmetic (SOF10) stays a loud stub.
+Scope: sequential (SOF9) AND progressive (SOF10) DCT with arithmetic
+entropy coding — encoder and decoder, 4:4:4 or single-component,
+default conditioning bounds (DAC L=0 / U=1 for DC, Kx=5 for AC; a DAC
+segment is parsed when present). SOF10 uses the Annex G.2 per-scan
+models: DC first scans run the F.1.4.1 difference model on the
+point-transformed values, DC refinements are fixed-estimate bits, AC
+first scans are the sequential band model over [Ss, Se], and AC
+refinement scans code EOB-extends / newly-nonzero / correction
+decisions in the same 3-bins-per-k layout.
 
 Design notes (all public spec material):
 
@@ -332,48 +337,10 @@ def _encode_dc(enc: _ArithEncoder, stats, ctx: int, diff: int, lo: int, up: int)
 
 
 def _encode_ac_block(enc: _ArithEncoder, stats, fixed, q_zz: np.ndarray, kx: int) -> None:
-    """Encode the 63 AC coefficients of one block (zig-zag order)."""
-    nz = np.flatnonzero(q_zz[1:64])
-    last = int(nz[-1]) + 1 if len(nz) else 0
-    k = 1
-    while k <= last:
-        s = 3 * (k - 1)
-        enc.encode(0, stats, s)  # not EOB
-        while int(q_zz[k]) == 0:
-            enc.encode(0, stats, s + 1)
-            k += 1
-            s += 3
-        enc.encode(1, stats, s + 1)
-        v = int(q_zz[k])
-        sign = 1 if v < 0 else 0
-        enc.encode(sign, fixed, 0)  # fixed ~0.5, non-adapting
-        sz = (-v if sign else v) - 1
-        s += 2
-        if sz == 0:
-            enc.encode(0, stats, s)
-            m_top = 0
-        else:
-            enc.encode(1, stats, s)
-            if sz == 1:
-                enc.encode(0, stats, s)
-                m_top = 1
-            else:
-                enc.encode(1, stats, s)
-                s = _AC_X_LO if k <= kx else _AC_X_HI
-                m_top = 2
-                while (m_top << 1) <= sz:
-                    enc.encode(1, stats, s)
-                    s += 1
-                    m_top <<= 1
-                enc.encode(0, stats, s)
-        s += 14
-        mb = m_top >> 1
-        while mb:
-            enc.encode(1 if sz & mb else 0, stats, s)
-            mb >>= 1
-        k += 1
-    if last < 63:
-        enc.encode(1, stats, 3 * (k - 1))  # EOB
+    """Encode the 63 AC coefficients of one block (zig-zag order) —
+    the band coder over the full spectrum (the sequential mode IS the
+    [1, 63] band at point transform 0; one implementation, no drift)."""
+    _encode_ac_band(enc, stats, fixed, q_zz, kx, 1, 63, 0)
 
 
 def encode_jpeg_arith(width: int, height: int, pixel_fn) -> bytes:
@@ -470,37 +437,8 @@ def _decode_dc(dec: _ArithDecoder, stats, ctx: int, lo: int, up: int) -> tuple[i
 
 
 def _decode_ac_block(dec: _ArithDecoder, stats, fixed, coef_zz: np.ndarray, kx: int) -> None:
-    k = 1
-    while k <= 63:
-        s = 3 * (k - 1)
-        if dec.decode(stats, s):
-            return  # EOB
-        while dec.decode(stats, s + 1) == 0:
-            k += 1
-            s += 3
-            if k > 63:
-                raise ValueError("arithmetic AC run past k=63")
-        sign = dec.decode(fixed, 0)
-        s += 2
-        m_top = dec.decode(stats, s)
-        if m_top:
-            if dec.decode(stats, s):
-                m_top = 2
-                s = _AC_X_LO if k <= kx else _AC_X_HI
-                while dec.decode(stats, s):
-                    m_top <<= 1
-                    if m_top >= 0x8000:
-                        raise ValueError("arithmetic AC magnitude overflow")
-                    s += 1
-        v = m_top
-        s += 14
-        mb = m_top
-        while mb := mb >> 1:
-            if dec.decode(stats, s):
-                v |= mb
-        v += 1
-        coef_zz[k] = -v if sign else v
-        k += 1
+    """Sequential AC decode — the [1, 63] band at point transform 0."""
+    _decode_ac_band(dec, stats, fixed, coef_zz, kx, 1, 63, 0)
 
 
 def decode_arith_sequential(scan0, comps, mcux, mcuy, qtables, inv_zz):
@@ -570,3 +508,373 @@ def _split_restart_segments(data: bytes, restart_interval: int) -> list[bytes]:
             i += 1
     segs.append(data[start:])
     return [s for s in segs if s or True]
+
+
+# ---------------------------------------------------------------------------
+# §G.2 progressive-arithmetic (SOF10): the sequential models re-used per
+# scan kind — DC first scans run the F.1.4.1 difference model on the
+# POINT-TRANSFORMED values, DC refinements are one fixed-estimate
+# decision per block, AC first scans are the sequential F.1.4.2 band
+# model over [Ss, Se] with the decoded magnitude left-shifted by Al,
+# and AC refinement scans code (EOB-extends / newly-nonzero / correction)
+# decisions in the same 3-bins-per-k layout. Statistics reset at every
+# scan start and every restart segment (F.2.1.3.1).
+# ---------------------------------------------------------------------------
+
+
+def _encode_ac_band(enc, stats, fixed, q_zz: np.ndarray, kx: int, ss: int, se: int, al: int) -> None:
+    """First-scan AC band encode: the sequential model over [ss, se] on
+    the point-transformed magnitudes (|v| >> al, T.81 G.1.2.2)."""
+    last = 0
+    for k in range(ss, se + 1):
+        if (abs(int(q_zz[k])) >> al) != 0:
+            last = k
+    k = ss
+    while k <= last:
+        s = 3 * (k - 1)
+        enc.encode(0, stats, s)  # not EOB
+        while (abs(int(q_zz[k])) >> al) == 0:
+            enc.encode(0, stats, s + 1)
+            k += 1
+            s += 3
+        enc.encode(1, stats, s + 1)
+        v = int(q_zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(sign, fixed, 0)
+        sz = (abs(v) >> al) - 1
+        s += 2
+        if sz == 0:
+            enc.encode(0, stats, s)
+            m_top = 0
+        else:
+            enc.encode(1, stats, s)
+            if sz == 1:
+                enc.encode(0, stats, s)
+                m_top = 1
+            else:
+                enc.encode(1, stats, s)
+                s = _AC_X_LO if k <= kx else _AC_X_HI
+                m_top = 2
+                while (m_top << 1) <= sz:
+                    enc.encode(1, stats, s)
+                    s += 1
+                    m_top <<= 1
+                enc.encode(0, stats, s)
+        s += 14
+        mb = m_top >> 1
+        while mb:
+            enc.encode(1 if sz & mb else 0, stats, s)
+            mb >>= 1
+        k += 1
+    if last < se:
+        enc.encode(1, stats, 3 * (k - 1))  # EOB
+
+
+def _decode_ac_band(dec, stats, fixed, coef_zz: np.ndarray, kx: int, ss: int, se: int, al: int) -> None:
+    """First-scan AC band decode — mirror of ``_encode_ac_band``."""
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if dec.decode(stats, s):
+            return  # EOB
+        while dec.decode(stats, s + 1) == 0:
+            k += 1
+            s += 3
+            if k > se:
+                raise ValueError("arithmetic AC run past end of band")
+        sign = dec.decode(fixed, 0)
+        s += 2
+        m_top = dec.decode(stats, s)
+        if m_top:
+            if dec.decode(stats, s):
+                m_top = 2
+                s = _AC_X_LO if k <= kx else _AC_X_HI
+                while dec.decode(stats, s):
+                    m_top <<= 1
+                    if m_top >= 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    s += 1
+        v = m_top
+        s += 14
+        mb = m_top
+        while mb := mb >> 1:
+            if dec.decode(stats, s):
+                v |= mb
+        v += 1
+        coef_zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _encode_ac_refine(enc, stats, fixed, q_zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """Refinement AC band encode (G.1.3.3 statistical procedure): per k
+    an EOB-extends decision once past the PREVIOUS precision's last
+    nonzero (kex), then run/newly-nonzero/correction decisions in the
+    3-per-k bins; correction bits carry bit Al of already-nonzero
+    coefficients, newly-nonzero signs use the fixed estimate."""
+    ke = se
+    while ke > 0 and (abs(int(q_zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex > 0 and (abs(int(q_zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if k > kex:
+            if k > ke:
+                enc.encode(1, stats, s)  # EOB: nothing further at this precision
+                return
+            enc.encode(0, stats, s)
+        while True:
+            v = int(q_zz[k])
+            a = abs(v) >> al
+            if a != 0 and (a >> 1) != 0:  # previously nonzero: correction bit
+                enc.encode(a & 1, stats, s + 2)
+                break
+            if a != 0:  # newly nonzero at this precision
+                enc.encode(1, stats, s + 1)
+                enc.encode(1 if v < 0 else 0, fixed, 0)
+                break
+            enc.encode(0, stats, s + 1)
+            s += 3
+            k += 1
+        k += 1
+
+
+def _decode_ac_refine(dec, stats, fixed, coef_zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """Refinement AC band decode — mirror of ``_encode_ac_refine``;
+    kex (the previous precision's end-of-block) is recovered from the
+    ACCUMULATED coefficient state, which is exactly what the encoder's
+    |v| >> (al+1) scan reproduces."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and coef_zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, s):
+                return  # EOB
+        while True:
+            if coef_zz[k] != 0:
+                if dec.decode(stats, s + 2):
+                    coef_zz[k] += m1 if coef_zz[k] < 0 else p1
+                break
+            if dec.decode(stats, s + 1):
+                coef_zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            s += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine run past end of band")
+        k += 1
+
+
+def decode_arith_progressive(scans, comps, mcux, mcuy, qtables, inv_zz, w: int, h: int):
+    """Progressive SOF10 entropy decode — the arithmetic counterpart of
+    jpeg._decode_progressive: identical scan addressing (interleaved
+    MCU grid for multi-component DC scans, the component's NOMINAL
+    ceil(dim/8) raster for non-interleaved scans), coefficients
+    accumulated across scans in int64, IDCT once at the end. Every
+    scan starts with fresh statistics areas; restart segments reset
+    the coder, statistics, DC predictors and conditioning classes."""
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    pad_shape = [(mcuy * vi, mcux * hi) for (_c, hi, vi, _q) in comps]
+    nom_shape = []
+    for _cid, hi, vi, _q in comps:
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        nom_shape.append((-(-ch // 8), -(-cw // 8)))
+    coefs = [np.zeros((bh, bw, 64), dtype=np.int64) for (bh, bw) in pad_shape]
+
+    for scan, ss, se, ah, al, data, dc_cond, ac_cond, restart_interval in scans:
+        segments = _split_restart_segments(data, restart_interval)
+        seg_i = 0
+        dec = _ArithDecoder(segments[0])
+        dc_stats = {t: _new_stats(DC_STAT_BINS) for t in {c[1] for c in scan}}
+        ac_stats = {t: _new_stats(AC_STAT_BINS) for t in {c[2] for c in scan}}
+        fixed = [[_FIXED_BIN, 0]]
+        idxs = [cid_to_ci[sid] for (sid, _dt, _at) in scan]
+        preds = {ci: 0 for ci in idxs}
+        dc_ctx = {ci: 0 for ci in idxs}
+        unit_n = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+        def maybe_restart():
+            nonlocal dec, dc_stats, ac_stats, seg_i
+            if restart_interval and unit_n and unit_n % restart_interval == 0:
+                seg_i += 1
+                dec = _ArithDecoder(segments[seg_i])
+                dc_stats = {t: _new_stats(DC_STAT_BINS) for t in dc_stats}
+                ac_stats = {t: _new_stats(AC_STAT_BINS) for t in ac_stats}
+                for ci in idxs:
+                    preds[ci] = 0
+                    dc_ctx[ci] = 0
+
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+
+            def dc_one(blk, dt, ci):
+                if ah == 0:
+                    lo, up = dc_cond.get(dt, (DEFAULT_DC_L, DEFAULT_DC_U))
+                    diff, dc_ctx[ci] = _decode_dc(dec, dc_stats[dt], dc_ctx[ci], lo, up)
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                elif dec.decode(fixed, 0):
+                    # refinement: bit Al via the fixed estimate (G.2.1)
+                    blk[0] |= 1 << al
+
+            if len(scan) > 1:  # interleaved MCU grid
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart()
+                        unit_n += 1
+                        for (sid, dt, _at), ci in zip(scan, idxs):
+                            _cid, hi, vi, _q = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    dc_one(coefs[ci][my * vi + by, mx * hi + bx], dt, ci)
+            else:
+                (sid, dt, _at) = scan[0]
+                ci = cid_to_ci[sid]
+                bh, bw = nom_shape[ci]
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        maybe_restart()
+                        unit_n += 1
+                        dc_one(coefs[ci][byy, bxx], dt, ci)
+        else:  # AC scan: one component, band ss..se
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            sid, _dt, at = scan[0]
+            ci = cid_to_ci[sid]
+            kx = ac_cond.get(at, DEFAULT_AC_KX)
+            bh, bw = nom_shape[ci]
+            for byy in range(bh):
+                for bxx in range(bw):
+                    maybe_restart()
+                    unit_n += 1
+                    coef = coefs[ci][byy, bxx]
+                    if ah == 0:
+                        _decode_ac_band(dec, ac_stats[at], fixed, coef, kx, ss, se, al)
+                    else:
+                        _decode_ac_refine(dec, ac_stats[at], fixed, coef, ss, se, al)
+
+    from etl_jlp_spark.multimodal.jpeg import _C
+
+    planes = []
+    for ci, (_cid, _hi, _vi, qid) in enumerate(comps):
+        qt = qtables[qid]
+        bh, bw = pad_shape[ci]
+        plane = np.zeros((bh * 8, bw * 8))
+        for byy in range(bh):
+            for bxx in range(bw):
+                coef = (coefs[ci][byy, bxx] * qt)[inv_zz].reshape(8, 8)
+                plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = (_C.T @ coef @ _C) + 128.0
+        planes.append(plane)
+    return planes
+
+
+def encode_jpeg_arith_progressive(
+    width: int, height: int, pixel_fn, successive: bool = False
+) -> bytes:
+    """Progressive arithmetic-coded JPEG (SOF10), 4:4:4 — the
+    arithmetic twin of ``jpeg.encode_jpeg_progressive``: scan 1 is the
+    interleaved DC pass, later scans carry one component's AC band;
+    ``successive=True`` sends every pass as an Al=1 first scan followed
+    by an Ah=1/Al=0 refinement. A lossless re-arrangement of the SAME
+    quantized coefficients the sequential arithmetic encoder writes, so
+    all four encodings of a fixture must decode bit-identically."""
+    from etl_jlp_spark.multimodal.jpeg import (
+        _QT_CHROMA,
+        _QT_LUMA,
+        _quantize_zz,
+        _rgb_to_ycbcr,
+    )
+
+    rgb = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            rgb[y, x] = pixel_fn(x, y)
+    ycc = _rgb_to_ycbcr(rgb)
+    mcux, mcuy = -(-width // 8), -(-height // 8)
+    padded = np.pad(ycc, ((0, mcuy * 8 - height), (0, mcux * 8 - width), (0, 0)), mode="edge")
+
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+    qzz = np.zeros((3, mcuy, mcux, 64), dtype=np.int64)
+    for ci in range(3):
+        for yb in range(mcuy):
+            for xb in range(mcux):
+                blk = padded[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8, ci]
+                qzz[ci, yb, xb] = _quantize_zz(blk, np.asarray(qts[ci], dtype=np.float64))
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(qt)
+    out += (
+        b"\xff\xca"  # SOF10: progressive DCT, arithmetic coding
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    dac = bytes(
+        [0x00, (DEFAULT_DC_U << 4) | DEFAULT_DC_L, 0x01, (DEFAULT_DC_U << 4) | DEFAULT_DC_L,
+         0x10, DEFAULT_AC_KX, 0x11, DEFAULT_AC_KX]
+    )
+    out += b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + dac
+
+    tbl = [(0, 0), (1, 1), (1, 1)]  # (dc table, ac table) per component
+    al1 = 1 if successive else 0
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        seg = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
+            [1, 0x00, 2, 0x11, 3, 0x11, 0, 0, (ah << 4) | al]
+        )
+        enc = _ArithEncoder()
+        dc_stats = {0: _new_stats(DC_STAT_BINS), 1: _new_stats(DC_STAT_BINS)}
+        fixed = [[_FIXED_BIN, 0]]
+        preds = [0, 0, 0]
+        ctx = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    dc = int(qzz[ci, my, mx, 0])
+                    if ah == 0:
+                        dt = tbl[ci][0]
+                        shifted = dc >> al  # arithmetic shift (A.4)
+                        ctx[ci] = _encode_dc(
+                            enc, dc_stats[dt], ctx[ci], shifted - preds[ci],
+                            DEFAULT_DC_L, DEFAULT_DC_U,
+                        )
+                        preds[ci] = shifted
+                    else:
+                        enc.encode((dc >> al) & 1, fixed, 0)
+        return seg + enc.flush()
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [ci + 1, tbl[ci][1] << 4 | tbl[ci][1], ss, se, (ah << 4) | al]
+        )
+        enc = _ArithEncoder()
+        ac_stats = _new_stats(AC_STAT_BINS)
+        fixed = [[_FIXED_BIN, 0]]
+        for yb in range(mcuy):
+            for xb in range(mcux):
+                if ah == 0:
+                    _encode_ac_band(enc, ac_stats, fixed, qzz[ci, yb, xb], DEFAULT_AC_KX, ss, se, al)
+                else:
+                    _encode_ac_refine(enc, ac_stats, fixed, qzz[ci, yb, xb], ss, se, al)
+        return seg + enc.flush()
+
+    out += dc_scan(0, al1)
+    for ci in range(3):
+        out += ac_scan(ci, 1, 63, 0, al1)
+    if successive:
+        out += dc_scan(1, 0)
+        for ci in range(3):
+            out += ac_scan(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -727,8 +727,48 @@ def test_arith_jpeg_flows_through_spark_decode(spark):
         assert np.isclose(row["mean_r"], mr) and np.isclose(row["mean_b"], mb)
 
 
-def test_progressive_arithmetic_sof10_still_raises():
-    """Scope boundary: SOF10 (progressive-arithmetic) stays a loud stub."""
+def test_progressive_arith_jpeg_decodes_bit_identical_to_all_twins():
+    """SOF10 must be a lossless re-arrangement of the same quantized
+    coefficients: spectral-selection-only AND successive-approximation
+    progressive arithmetic streams both decode bit-identical to the
+    Huffman baseline and the sequential-arithmetic twin."""
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from etl_jlp_spark.multimodal.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+
+    def px(x, y):
+        return ((x * 7 + y * 3) % 256, (x * 5 + y * 11) % 256, (x * 13 + y * 2) % 256)
+
+    for w, h in [(8, 8), (24, 17), (33, 40)]:
+        want = decode_jpeg(encode_jpeg(w, h, px))
+        assert decode_jpeg(encode_jpeg_arith(w, h, px)) == want, (w, h)
+        assert decode_jpeg(encode_jpeg_arith_progressive(w, h, px)) == want, (w, h)
+        assert (
+            decode_jpeg(encode_jpeg_arith_progressive(w, h, px, successive=True))
+            == want
+        ), (w, h, "successive")
+
+
+def test_progressive_arith_newly_nonzero_and_corrections_exercised():
+    """A fixture with strong high-frequency content makes the AC
+    refinement scan hit all three decision kinds (EOB-extends, newly
+    nonzero, correction bits on previously-nonzero coefficients)."""
+    from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from etl_jlp_spark.multimodal.jpeg_arith import encode_jpeg_arith_progressive
+
+    def px(x, y):  # checkerboard + gradient: dense AC spectrum
+        return (255 * ((x + y) % 2), (x * 31) % 256, (y * 17) % 256)
+
+    want = decode_jpeg(encode_jpeg(40, 24, px))
+    got = decode_jpeg(encode_jpeg_arith_progressive(40, 24, px, successive=True))
+    assert got == want
+
+
+def test_unsupported_sof_modes_still_raise():
+    """Scope boundary: lossless (SOF3) and hierarchical modes stay loud
+    stubs now that SOF10 is a real code path."""
     import pytest as _pytest
 
     from etl_jlp_spark.multimodal.jpeg import decode_jpeg
@@ -736,6 +776,6 @@ def test_progressive_arithmetic_sof10_still_raises():
 
     payload = bytearray(encode_jpeg_arith(8, 8, lambda x, y: (x, y, 0)))
     i = payload.index(b"\xff\xc9")
-    payload[i + 1] = 0xCA  # SOF9 -> SOF10
+    payload[i + 1] = 0xC3  # SOF9 -> SOF3 (lossless)
     with _pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(payload))
