@@ -67,6 +67,19 @@ DEFAULT = [
     "ab_test_report",
     "seasonal_naive_eval",
     "cohort_ltv",
+    # r7 additions — re-measure by default each round
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "contamination_ngram_overlap",
+    "minhash_spark_native",
+    "embedding_pca_power",
+    "quality_isolation_outliers",
+    "session_conversion_attribution",
+    "session_survival_km",
+    "cusum_changepoint",
+    "tokenizer_fertility_report",
+    "entity_resolution_blocking",
+    "semantic_dedup_scaled",
 ]
 
 
