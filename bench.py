@@ -166,6 +166,23 @@ HEADLINE = [
     "ab_test_report",
     "seasonal_naive_eval",
     "cohort_ltv",
+    # round-7 additions
+    "propagate_deletes_report",
+    "semantic_dedup_scaled",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "minhash_spark_native",
+    "tokenizer_fertility_report",
+    "contamination_ngram_overlap",
+    "quality_isolation_outliers",
+    "gdpr_erasure_audit",
+    "session_conversion_attribution",
+    "entity_resolution_blocking",
+    "session_survival_km",
+    "cusum_changepoint",
+    "docs_length_histogram",
+    "embedding_pca_power",
+    "percentile_bucket_assign",
 ]
 
 
