@@ -116,6 +116,7 @@ _R7_PRIORITY = [
     "docs_length_histogram",
     "embedding_pca_power",
     "percentile_bucket_assign",
+    "events_cube_report",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -183,6 +183,7 @@ HEADLINE = [
     "docs_length_histogram",
     "embedding_pca_power",
     "percentile_bucket_assign",
+    "events_cube_report",
 ]
 
 

@@ -488,3 +488,34 @@ def events_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         (F.grouping("event_type") + 2 * F.grouping("day")).cast("long").alias("gid"),
     )
+
+
+@query(
+    "events_cube_report",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(event_type) + 2 * grouping(date_trunc('day', ts)) AS BIGINT)
+         AS gid
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+""",
+)
+def events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets family next to
+    ``events_rollup_report``: all FOUR granularities — (type, day),
+    (type), (day), grand total — from one scan with partial
+    aggregation (the per-day margin is the level ROLLUP cannot give).
+    gid disambiguates NULL-as-total from a genuine NULL group value;
+    the expansion factor is the fixed 2^k grouping-set count, never
+    data-dependent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.grouping("event_type") + 2 * F.grouping("day")).cast("long").alias("gid"),
+    )
