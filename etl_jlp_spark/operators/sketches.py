@@ -120,3 +120,123 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.any_value("exact_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007), cross-engine
+# deterministic: the hash is md5-hex → 60-bit int (identical bytes in
+# Spark and DuckDB), so every register — and therefore the estimate —
+# is bit-identical in the oracle. m=64 registers here so BOTH the
+# raw-HLL branch (sf0.01: ~333 events/day > 2.5m) and the
+# linear-counting branch (sf0.001: ~33/day) are exercised by the test
+# matrix; production uses p=14 (16384 registers, ~0.8% error) — the
+# register relation stays ≤ groups × m rows either way.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p=6); production p=14 — same plan shape
+_HLL_ALPHA = 0.7093409548395029  # 0.7213/(1+1.079/m), inlined to full precision
+_HLL_REST_BITS = 60 - 6  # hash bits left after the bucket index
+
+
+def hll_registers(df: DataFrame, key: str, grain: list[str]) -> DataFrame:
+    """(grain…, bucket, m) register relation for HLL-estimating
+    ``count(DISTINCT key)`` per grain group.
+
+    MERGEABLE: registers of two batches/partitions combine by
+    ``max(m)`` — Spark's partial aggregation does exactly that map-side,
+    so the shuffle carries ≤ |groups|×64 rows no matter how many input
+    rows, the property that makes HLL the 100 TB distinct-count shape
+    (exact count(DISTINCT) shuffles every distinct key)."""
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast("long")
+    rest = F.expr(f"h div {HLL_M}")
+    rho = F.when(rest == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.withColumn("h", h)
+        .select(*grain, (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(*grain, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate(registers: DataFrame, grain: list[str]) -> DataFrame:
+    """Collapse a register relation to one estimate row per group,
+    with the standard small-range (linear counting) correction."""
+    agg = registers.groupBy(*grain).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    v = F.lit(HLL_M) - F.col("n_used")  # empty registers (2^-0 each)
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / (F.col("z_used") + v.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(F.lit(HLL_M) / v)
+    ).otherwise(raw)
+    return agg.select(*grain, (F.round(est, 4) + 0.0).alias("est_distinct"))
+
+_HLL_RAW = f"{_HLL_ALPHA * HLL_M * HLL_M} / (z_used + ({HLL_M} - n_used))"
+
+
+@query(
+    "hll_distinct_daily",
+    oracle=f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), reg_max AS (
+  SELECT day, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_REST_BITS + 1}
+             ELSE {_HLL_REST_BITS + 1} - length(bin(h // {HLL_M})) END) AS m
+  FROM hashed GROUP BY day, bucket
+), est AS (
+  SELECT day, sum(power(2.0, -m)) AS z_used, count(*) AS n_used
+  FROM reg_max GROUP BY day
+), sm AS (
+  SELECT day,
+         round(CASE WHEN {_HLL_RAW} <= {2.5 * HLL_M} AND {HLL_M} - n_used > 0
+               THEN {float(HLL_M)} * ln({HLL_M} / CAST({HLL_M} - n_used AS DOUBLE))
+               ELSE {_HLL_RAW} END, 4) + 0.0 AS est_distinct
+  FROM est
+), exact AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT exact.day AS day, est_distinct, exact_distinct, n_rows,
+       round((est_distinct - exact_distinct) / exact_distinct, 6) + 0.0 AS rel_err
+FROM sm JOIN exact ON sm.day = exact.day
+""",
+)
+def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event_ids per day, estimated by a 64-register
+    HyperLogLog next to the exact count, with the measured relative
+    error — the telemetry cardinality-monitor shape.
+
+    Plan: ONE scan → register relation (≤ days×64 rows after map-side
+    max-combine; exact count(DISTINCT) by contrast shuffles every
+    distinct key) → per-day estimate, joined to the exact side on the
+    ~30-row day key (broadcast). The estimate and the oracle's agree
+    bit-for-bit because the register hash is md5-hex (same bytes in
+    both engines) and 2^-m / the alpha constant are exact doubles.
+    At 100 TB only the exact branch (kept here to MEASURE the error)
+    grows; the sketch branch is the production shape and its merge is
+    `max` — associative, so partial aggregation and multi-batch
+    streaming merges are free."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day"), "event_id")
+    est = hll_estimate(hll_registers(days, "event_id", ["day"]), ["day"])
+    exact = days.groupBy("day").agg(
+        F.count_distinct("event_id").cast("long").alias("exact_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return est.join(F.broadcast(exact), "day").select(
+        "day",
+        "est_distinct",
+        "exact_distinct",
+        "n_rows",
+        (F.round((F.col("est_distinct") - F.col("exact_distinct")) / F.col("exact_distinct"), 6) + 0.0).alias(
+            "rel_err"
+        ),
+    )

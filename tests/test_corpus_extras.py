@@ -224,3 +224,37 @@ def test_referential_integrity_counts_orphans(spark, tmp_path):
     assert out["lineitem.l_partkey"]["n_orphan"] == 0
     assert out["supplier.s_nationkey"]["n_orphan"] == 0
     assert all(r["n_rows"] > 0 for r in out.values())
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL's scale contract: registers of two disjoint halves merged by
+    max(rho) must equal the whole-input registers (associative partial
+    agg ⇒ map-side combine and streaming merges are exact), and the
+    estimate must track the exact count within the m=64 error band."""
+    import pyspark.sql.functions as F
+
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_id"
+    )
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers(lo, "event_id", ["day"])
+        .unionByName(hll_registers(hi, "event_id", ["day"]))
+        .groupBy("day", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    whole = hll_registers(ev, "event_id", ["day"])
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    out = {r["day"]: r for r in __import__("__spark_entry__").queries()["hll_distinct_daily"](
+        spark, SF_SMALL
+    ).collect()}
+    for day, r in out.items():
+        assert r["exact_distinct"] > 0
+        # 64 registers ⇒ ~13% standard error; assert a generous 4σ band
+        assert abs(r["rel_err"]) < 0.55, (day, r["rel_err"])

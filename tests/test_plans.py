@@ -509,3 +509,12 @@ def test_fertility_reuses_bpe_exchange(spark):
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan[-3000:]
     assert "CartesianProduct" not in plan
+
+
+def test_hll_register_state_is_bounded(spark):
+    """The HLL sketch side must collapse map-side to (day, bucket)
+    registers — the shuffle never carries event_id for the estimate
+    branch — and the exact side joins back broadcast on the day key."""
+    plan = _plan(QS["hll_distinct_daily"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
