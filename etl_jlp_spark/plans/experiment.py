@@ -342,3 +342,145 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (floor_div.cast("double") / 10000.0).alias("ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U: the rank-sum companion to ab_test_report's Welch t.
+# Revenue-per-user is heavy-tailed; the t-test's mean contrast is
+# dominated by whales, while U compares the whole distributions and is
+# invariant to monotone transforms. Same md5 variant split and
+# per-user post-period metric as ab_test_report, so the two reports
+# disagree only when the tails do — which is the point.
+# ---------------------------------------------------------------------------
+
+
+def _erfc_sql(x: str) -> str:
+    """Abramowitz–Stegun 7.1.26 complementary error function, |err|<1.5e-7
+    — identical expression text in both engines."""
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741) * {t}"
+        f" - 0.284496736) * {t} + 0.254829592) * {t}"
+    )
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+_MW_PER_USER = f"""
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{AB_PERIOD_BOUNDARY}' THEN value ELSE 0 END) AS DOUBLE) AS y,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{AB_PERIOD_BOUNDARY}' THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+  FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "mann_whitney_ab",
+    oracle=f"""
+WITH pop AS (SELECT * FROM ({_MW_PER_USER}) WHERE n_post > 0),
+g AS (
+  SELECT y, CAST(count(*) AS DOUBLE) AS t,
+         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS ta
+  FROM pop GROUP BY y
+), r AS (
+  SELECT *, sum(t) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - (t - 1.0) / 2.0 AS avg_rank
+  FROM g
+), m AS (
+  SELECT sum(ta) AS na, sum(t - ta) AS nb, sum(ta * avg_rank) AS ra,
+         sum(t * t * t - t) AS tie3, sum(t) AS n
+  FROM r
+), s AS (
+  SELECT na, nb, ra, n,
+         na * nb / 2.0 AS mu,
+         sqrt(na * nb / 12.0 * ((n + 1.0) - tie3 / (n * (n - 1.0)))) AS sigma,
+         ra - na * (na + 1.0) / 2.0 AS u_a
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(u_a, 2) AS u_a,
+       round(ra / na, 4) AS mean_rank_a,
+       round((n * (n + 1.0) / 2.0 - ra) / nb, 4) AS mean_rank_b,
+       round((u_a - mu) / sigma, 4) + 0.0 AS z,
+       round({_erfc_sql("(abs((u_a - mu) / sigma) / sqrt(2.0))")}, 6) + 0.0
+         AS p_approx,
+       abs((u_a - mu) / sigma) > 1.959963984540054 AS significant
+FROM s
+""",
+)
+def mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Mann–Whitney U readout on per-user post-period revenue:
+    average ranks (tie-adjusted) per variant, U_A, normal-approximation
+    z with the tie-corrected variance, and the A&S-approximated
+    two-sided p.
+
+    Plan: events → per-user agg (shuffle on user_id), then the rank
+    machinery runs on the DISTINCT metric values (groupBy y before the
+    window), so the single-partition window sorts |distinct y| rows —
+    user-count-bounded — not raw events; everything after is one
+    combinable aggregate to a single row. At 100 TB the same shape
+    holds: the only growing stage is the per-user agg."""
+    from pyspark.sql import Window
+
+    boundary = F.lit(AB_PERIOD_BOUNDARY).cast("timestamp")
+    pop = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") >= boundary, F.col("value")).otherwise(0.0))
+            .cast("double")
+            .alias("y"),
+            F.sum(F.when(F.col("ts") >= boundary, 1).otherwise(0)).cast("long").alias("n_post"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+        .filter(F.col("n_post") > 0)
+    )
+    g = pop.groupBy("y").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).cast("double").alias("ta"),
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = g.withColumn("avg_rank", F.sum("t").over(w) - (F.col("t") - 1.0) / 2.0)
+    m = r.agg(
+        F.sum("ta").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).alias("nb"),
+        F.sum(F.col("ta") * F.col("avg_rank")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        F.sum("t").alias("n"),
+    )
+    s = m.select(
+        "na",
+        "nb",
+        "ra",
+        "n",
+        (F.col("na") * F.col("nb") / 2.0).alias("mu"),
+        F.sqrt(
+            F.col("na")
+            * F.col("nb")
+            / 12.0
+            * ((F.col("n") + 1.0) - F.col("tie3") / (F.col("n") * (F.col("n") - 1.0)))
+        ).alias("sigma"),
+        (F.col("ra") - F.col("na") * (F.col("na") + 1.0) / 2.0).alias("u_a"),
+    )
+    z = (F.col("u_a") - F.col("mu")) / F.col("sigma")
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("u_a", 2).alias("u_a"),
+        F.round(F.col("ra") / F.col("na"), 4).alias("mean_rank_a"),
+        F.round(
+            (F.col("n") * (F.col("n") + 1.0) / 2.0 - F.col("ra")) / F.col("nb"), 4
+        ).alias("mean_rank_b"),
+        (F.round(z, 4) + 0.0).alias("z"),
+        (
+            F.round(F.expr(_erfc_sql("(abs((u_a - mu) / sigma) / sqrt(2.0))")), 6) + 0.0
+        ).alias("p_approx"),
+        (F.abs(z) > 1.959963984540054).alias("significant"),
+    )

@@ -461,3 +461,130 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "is_changepoint", F.abs("cusum") == F.max(F.abs("cusum")).over(wall)
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral sequence analytics: first-order Markov transitions and
+# inter-arrival burstiness. Both run their window over user-partitioned
+# event order — the partition key IS the user, so at 100 TB the sort is
+# per-user-history-sized, never global.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 4)
+         AS p_next,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS p_joint
+FROM pairs
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: counts, row-conditional P(next|prev), and joint share —
+    the navigation-flow fingerprint product analytics reads to find
+    dominant loops and dead ends.
+
+    Plan: one user-partitioned lag window (sort bounded by each user's
+    history), a |types|²-bounded pair aggregate, then two windows over
+    that ≤25-row relation. Only the lag stage sees raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    wall = Window.partitionBy()
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 4).alias("p_next"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wall), 4).alias("p_joint"),
+    )
+
+
+@query(
+    "interarrival_burstiness",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(gap_us AS DECIMAL(38, 0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(gap_us AS DECIMAL(38, 0))
+                  * CAST(gap_us AS DECIMAL(38, 0))) AS DOUBLE) AS s2
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 2
+), st AS (
+  SELECT user_id, n_gaps, s1 / n_gaps AS mu,
+         sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) AS sd
+  FROM agg
+)
+SELECT user_id, n_gaps,
+       round(mu / 1e6, 2) AS mean_gap_s,
+       round(sd / 1e6, 2) AS std_gap_s,
+       round((sd - mu) / (sd + mu), 4) + 0.0 AS burstiness,
+       round(sd / mu, 4) AS cv
+FROM st
+""",
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: mean/std gap, the Goh–Barabási
+    burstiness B = (σ−μ)/(σ+μ) (−1 periodic, 0 Poisson, →1 bursty) and
+    the coefficient of variation — the signal that separates scripted
+    bot cadence (B≈−1) from bursty human sessions.
+
+    Plan: user-partitioned lag window over integer epoch-microseconds,
+    then exact DECIMAL(38) power sums per user (sum order can't perturb
+    integers, so both engines agree bit-for-bit before the final
+    float division) — one shuffle on user_id, output user-count-sized."""
+    from etl_jlp_spark.functions.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us(F.col("ts"))
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    d = F.col("gap_us").cast("decimal(38,0)")
+    agg = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(d).cast("double").alias("s1"),
+            F.sum(d * d).cast("double").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mu = F.col("s1") / F.col("n_gaps")
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_gaps")) / (F.col("n_gaps") - 1))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu / 1e6, 2).alias("mean_gap_s"),
+        F.round(sd / 1e6, 2).alias("std_gap_s"),
+        (F.round((sd - mu) / (sd + mu), 4) + 0.0).alias("burstiness"),
+        F.round(sd / mu, 4).alias("cv"),
+    )

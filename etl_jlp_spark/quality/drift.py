@@ -137,3 +137,131 @@ def psi_against_reference(batch_counts: DataFrame, ref_counts: DataFrame) -> Dat
             F.sum("n_cur").cast("long").alias("n_cur"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov: the nonparametric complement to PSI.
+# PSI sees only bucket shares (coarse, vocabulary-bounded); KS compares
+# the FULL empirical CDFs — it catches a mean shift inside one bucket
+# that PSI smooths away. Computation: per (event_type, value) counts,
+# cumulative sums ordered by value give both ECDFs in one window pass,
+# KS = max |F_ref − F_cur| over the jump points. The asymptotic
+# Kolmogorov p-value uses the first {_KS_TERMS} series terms —
+# convergence is geometric, so the tail beyond that is < 1e-12 for any
+# λ the test can produce.
+# ---------------------------------------------------------------------------
+
+_KS_TERMS = 5
+
+
+def _ks_p_terms(lam: str) -> str:
+    """Σ (-1)^(k-1) exp(-2 k² λ²) — identical text both engines."""
+    return " + ".join(
+        f"({(-1) ** (k - 1)}) * exp(-2.0 * {k * k} * {lam} * {lam})"
+        for k in range(1, _KS_TERMS + 1)
+    )
+
+
+@query(
+    "ks_drift_report",
+    oracle=f"""
+WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+lab AS (
+  SELECT event_type, value,
+         CAST(ts AS DATE) < d0 + {PSI_REF_DAYS} AS is_ref
+  FROM events CROSS JOIN span
+), g AS (
+  SELECT event_type, value,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cur
+  FROM lab GROUP BY 1, 2
+), cum AS (
+  SELECT event_type,
+         sum(c_ref) OVER w AS cum_ref, sum(c_cur) OVER w AS cum_cur,
+         sum(c_ref) OVER t AS n_ref, sum(c_cur) OVER t AS n_cur
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY event_type)
+), ks AS (
+  SELECT event_type,
+         CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+         CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+         max(abs(CAST(cum_ref AS DOUBLE) / n_ref
+                 - CAST(cum_cur AS DOUBLE) / n_cur)) AS d
+  FROM cum GROUP BY event_type
+), lamt AS (
+  SELECT event_type, n_ref, n_cur, d,
+         (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
+  FROM (SELECT *, CAST(n_ref AS DOUBLE) * n_cur / (n_ref + n_cur) AS ne FROM ks)
+)
+SELECT event_type, n_ref, n_cur, round(d, 6) AS ks_stat,
+       round(greatest(0.0, least(1.0, 2.0 * ({_ks_p_terms("lam")}))), 6) + 0.0
+         AS p_value,
+       2.0 * ({_ks_p_terms("lam")}) < 0.05 AS drifted
+FROM lamt
+""",
+)
+def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample KS test of the value distribution:
+    reference window = first {PSI_REF_DAYS} days, current = the rest.
+
+    Plan: one scan labels rows, a (event_type, value) pre-aggregate
+    collapses ties BEFORE the window sort (the window then ranks
+    distinct values, not raw rows), one window pass produces both
+    ECDFs, and a final 5-row agg takes the sup. The per-type sort is
+    the honest cost of an exact KS; the 100 TB variant runs the same
+    algebra on quantile-bucketed values (ECDF on ~1e4 bin edges,
+    identical downstream), trading sup exactness for a bounded sort —
+    PSI above is that coarse fast path."""
+    events = load_table(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    lab = events.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        "value",
+        (F.to_date("ts") < F.date_add("d0", PSI_REF_DAYS)).alias("is_ref"),
+    )
+    g = lab.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.sum("c_ref").over(t).alias("n_ref"),
+        F.sum("c_cur").over(t).alias("n_cur"),
+    )
+    ks = cum.groupBy("event_type").agg(
+        F.any_value("n_ref").cast("long").alias("n_ref"),
+        F.any_value("n_cur").cast("long").alias("n_cur"),
+        F.max(
+            F.abs(
+                F.col("cum_ref").cast("double") / F.col("n_ref")
+                - F.col("cum_cur").cast("double") / F.col("n_cur")
+            )
+        ).alias("d"),
+    )
+    ne = F.col("n_ref").cast("double") * F.col("n_cur") / (F.col("n_ref") + F.col("n_cur"))
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("d")
+    series = sum(
+        ((-1) ** (k - 1)) * F.exp(-2.0 * (k * k) * lam * lam)
+        for k in range(1, _KS_TERMS + 1)
+    )
+    p = 2.0 * series
+    return ks.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round("d", 6).alias("ks_stat"),
+        (F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), p)), 6) + 0.0).alias("p_value"),
+        (p < 0.05).alias("drifted"),
+    )

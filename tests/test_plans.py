@@ -518,3 +518,24 @@ def test_hll_register_state_is_bounded(spark):
     plan = _plan(QS["hll_distinct_daily"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_statistical_tests_are_single_row_pipelines(spark):
+    """KS runs its window on the (event_type, value) pre-aggregate (tie
+    collapse before the sort); MW ranks distinct metric values only.
+    Neither may cartesian; KS's scalar-span side broadcasts."""
+    for name in ("ks_drift_report", "mann_whitney_ab"):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sequence_windows_partition_by_user(spark):
+    """Transition matrix / burstiness lag windows must be keyed on
+    user_id — the sort is per-user-history, never global — and the
+    events scan must not read the props payload column."""
+    for name in ("event_transition_matrix", "interarrival_burstiness"):
+        df = QS[name](spark, SF_SMALL)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        read_schema = [l for l in _optimized(df).splitlines() if "ReadSchema" in l][-1]
+        assert "props" not in read_schema, name

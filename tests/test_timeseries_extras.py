@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import datetime as dt
 
+import __spark_entry__ as ent
 from etl_jlp_spark.plans import timeseries as ts
+from tests.conftest import SF_SMALL
+
+QS = ent.queries()
 
 
 def _events(spark, day_counts, event_type="view"):
@@ -82,3 +86,32 @@ def test_ewma_known_two_day_answer(spark, monkeypatch):
     assert abs(out[dt.date(2024, 1, 1)] - 100.0) < 1e-9
     expect = round((200.0 + 100.0 * (1 - a)) / (1 + (1 - a)), 4)
     assert abs(out[dt.date(2024, 1, 2)] - expect) < 1e-9
+
+
+def test_transition_matrix_rows_are_conditional_distributions(spark):
+    rows = QS["event_transition_matrix"](spark, SF_SMALL).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+        assert 0.0 <= r["p_next"] <= 1.0 and 0.0 <= r["p_joint"] <= 1.0
+    for prev, grp in by_prev.items():
+        assert abs(sum(g["p_next"] for g in grp) - 1.0) < 0.01, prev
+    assert abs(sum(r["p_joint"] for r in rows) - 1.0) < 0.01
+
+
+def test_burstiness_bounds_and_ks_sanity(spark):
+    for r in QS["interarrival_burstiness"](spark, SF_SMALL).collect():
+        assert -1.0 <= r["burstiness"] < 1.0
+        assert r["n_gaps"] >= 2 and r["mean_gap_s"] > 0
+    for r in QS["ks_drift_report"](spark, SF_SMALL).collect():
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_mann_whitney_rank_identity(spark):
+    r = QS["mann_whitney_ab"](spark, SF_SMALL).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    total = r["n_a"] * r["mean_rank_a"] + r["n_b"] * r["mean_rank_b"]
+    assert abs(total - n * (n + 1) / 2.0) < 1.0
+    assert 0.0 <= r["p_approx"] <= 1.0
+    assert 0 <= r["u_a"] <= r["n_a"] * r["n_b"]
