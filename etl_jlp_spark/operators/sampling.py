@@ -413,3 +413,124 @@ def per_source_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Budget-aware document selection: Pareto frontier and weighted
+# reservoir sampling (Efraimidis–Spirakis). Both pick training docs
+# under a token budget; the frontier gives the non-dominated
+# quality/cost set, ES gives a size-k sample whose inclusion odds are
+# proportional to weight — deterministic here because the "uniform"
+# is an md5-derived rational, not an RNG (re-runs and both engines
+# agree bit-for-bit on who is sampled).
+# ---------------------------------------------------------------------------
+
+ES_SAMPLE_K = 50
+_ALPHA_EXPR = (
+    "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE) / length(text)"
+)
+_ALPHA_SQL = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)"
+
+
+@query(
+    "pareto_frontier_docs",
+    oracle=f"""
+WITH sc AS (
+  SELECT doc_id, round({_ALPHA_SQL}, 4) AS alpha_ratio,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE length(text) > 0
+)
+SELECT a.doc_id, a.alpha_ratio, a.n_tokens
+FROM sc a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sc b
+  WHERE b.alpha_ratio >= a.alpha_ratio AND b.n_tokens <= a.n_tokens
+    AND (b.alpha_ratio > a.alpha_ratio OR b.n_tokens < a.n_tokens)
+)
+""",
+)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of documents on (maximize alpha_ratio, minimize
+    n_tokens): the non-dominated quality-vs-token-cost set a budgeted
+    curation sweep starts from.
+
+    Plan: the 2-D skyline needs NO pair join — score each doc in the
+    scan projection, collapse to per-quality min-tokens (quality
+    rounded to 4dp ⇒ ≤10⁴ groups at ANY corpus size), one running-min
+    window over that bounded relation marks the frontier, and a
+    semi-join brings back the surviving doc_ids. The oracle is the
+    O(n²) NOT EXISTS dominance definition — a different algorithm
+    entirely, so the hash match doubles as an algebraic proof of the
+    window formulation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    sc = docs.select(
+        "doc_id",
+        F.round(F.expr(_ALPHA_EXPR), 4).alias("alpha_ratio"),
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    per_q = sc.groupBy("alpha_ratio").agg(F.min("n_tokens").alias("t_min"))
+    w = Window.orderBy(F.desc("alpha_ratio")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_q = (
+        per_q.withColumn("prev_min", F.min("t_min").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("t_min") < F.col("prev_min")))
+        .select(F.col("alpha_ratio").alias("f_q"), F.col("t_min").alias("f_t"))
+    )
+    return sc.join(
+        F.broadcast(frontier_q),
+        (sc["alpha_ratio"] == F.col("f_q")) & (sc["n_tokens"] == F.col("f_t")),
+    ).select("doc_id", "alpha_ratio", "n_tokens")
+
+
+@query(
+    "weighted_sample_es",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) + 1
+           AS w,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+            / 1152921504606846976.0)
+           / (CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) + 1)
+           AS k
+  FROM documents
+)
+SELECT doc_id, source, w, round(k, 8) + 0.0 AS es_key
+FROM keyed
+ORDER BY k DESC, doc_id LIMIT {ES_SAMPLE_K}
+""",
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: k docs
+    with inclusion probability ∝ token count (weight), via the
+    one-pass keying u^(1/w) — here in log space, with u an md5-derived
+    rational in (0,1], so the sample is a pure function of the data.
+
+    Plan: key each doc in the scan projection (zero shuffle), then ONE
+    TakeOrdered(k) — the distributed top-k that never materializes a
+    global sort, the property that makes ES THE weighted-sampling
+    shape for 100 TB (each partition keeps its local top-k; the driver
+    merges p×k rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_col = (
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]")).cast("long") + 1
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = (h + 1) / F.lit(1152921504606846976.0)  # 2^60; u ∈ (0, 1]
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w_col.alias("w"),
+        (F.log(u) / w_col).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(ES_SAMPLE_K)
+        .select("doc_id", "source", "w", (F.round("k", 8) + 0.0).alias("es_key"))
+    )

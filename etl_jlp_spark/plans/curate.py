@@ -450,3 +450,119 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
     )
     return out.filter(F.col("split_a") != F.col("split_b"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-table corpus summary (size, composition,
+# duplication, quality spread) that ships next to a training dataset.
+# ---------------------------------------------------------------------------
+
+_CARD_TOKENS = "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))"
+
+
+@query(
+    "dataset_card_report",
+    oracle=f"""
+WITH scalars AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+         CAST(sum({_CARD_TOKENS}) AS DOUBLE) AS total_tokens,
+         1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate,
+         avg(CASE WHEN length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END) AS empty_rate,
+         quantile_cont(CAST({_CARD_TOKENS} AS DOUBLE), 0.5) AS tokens_p50,
+         quantile_cont(CAST({_CARD_TOKENS} AS DOUBLE), 0.9) AS tokens_p90
+  FROM documents
+)
+SELECT metric, round(value, 4) AS value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM scalars
+  UNION ALL SELECT 'n_sources', n_sources FROM scalars
+  UNION ALL SELECT 'n_langs', n_langs FROM scalars
+  UNION ALL SELECT 'total_chars', total_chars FROM scalars
+  UNION ALL SELECT 'total_bpe_tokens', total_tokens FROM scalars
+  UNION ALL SELECT 'exact_dup_rate', dup_rate FROM scalars
+  UNION ALL SELECT 'empty_doc_rate', empty_rate FROM scalars
+  UNION ALL SELECT 'tokens_p50', tokens_p50 FROM scalars
+  UNION ALL SELECT 'tokens_p90', tokens_p90 FROM scalars
+  UNION ALL
+  SELECT 'lang_share:' || lang, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'source_share:' || source, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()
+  FROM documents GROUP BY source
+)
+""",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format dataset card: corpus size, token mass, exact-dup
+    rate, empty rate, token-count quantiles, and the lang/source
+    composition — the summary table a dataset release publishes and a
+    drift monitor diffs between snapshots.
+
+    Plan: THREE aggregates over one cached scan projection (a global
+    scalar pass incl. exact percentiles, a 5-row lang rollup, a 20-row
+    source rollup), unioned into (metric, value) rows. Every output is
+    vocabulary-sized; only the scalar pass touches full text, and its
+    heavy inputs (token counts, md5) are computed once in the
+    projection. At 100 TB the exact count(DISTINCT md5) and
+    percentile are the growing stages — the documented swap-ins are
+    the repo's own HLL registers (operators/sketches.py) and
+    approx_percentile, same report shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "text",
+        F.length("text").cast("double").alias("n_chars"),
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+        .cast("double")
+        .alias("n_tok"),
+        F.md5("text").alias("text_md5"),
+    )
+    scalars = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+        (1.0 - F.count_distinct("text_md5") / F.count(F.lit(1))).alias("dup_rate"),
+        F.avg(F.when(F.length(F.trim("text")) == 0, 1.0).otherwise(0.0)).alias(
+            "empty_rate"
+        ),
+        F.expr("percentile(n_tok, 0.5D)").alias("tokens_p50"),
+        F.expr("percentile(n_tok, 0.9D)").alias("tokens_p90"),
+    )
+    long_scalars = scalars.select(
+        F.explode(
+            F.create_map(
+                F.lit("n_docs"), F.col("n_docs"),
+                F.lit("n_sources"), F.col("n_sources"),
+                F.lit("n_langs"), F.col("n_langs"),
+                F.lit("total_chars"), F.col("total_chars"),
+                F.lit("total_bpe_tokens"), F.col("total_tokens"),
+                F.lit("exact_dup_rate"), F.col("dup_rate"),
+                F.lit("empty_doc_rate"), F.col("empty_rate"),
+                F.lit("tokens_p50"), F.col("tokens_p50"),
+                F.lit("tokens_p90"), F.col("tokens_p90"),
+            )
+        ).alias("metric", "value")
+    )
+    wall = Window.partitionBy()
+    lang_rows = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+            (F.col("c") / F.sum("c").over(wall)).alias("value"),
+        )
+    )
+    source_rows = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .select(
+            F.concat(F.lit("source_share:"), F.col("source")).alias("metric"),
+            (F.col("c") / F.sum("c").over(wall)).alias("value"),
+        )
+    )
+    out = long_scalars.unionByName(lang_rows).unionByName(source_rows)
+    return out.select("metric", F.round("value", 4).alias("value"))

@@ -12,6 +12,10 @@ from etl_jlp_spark.operators.sampling import MIX_QUANT, source_mix_temperature
 from etl_jlp_spark.operators.spans import SPAN_K, dup_span_report
 from tests.conftest import SF_SMALL
 
+import __spark_entry__ as ent
+
+QS = ent.queries()
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(
@@ -258,3 +262,63 @@ def test_hll_registers_merge_by_max(spark):
         assert r["exact_distinct"] > 0
         # 64 registers ⇒ ~13% standard error; assert a generous 4σ band
         assert abs(r["rel_err"]) < 0.55, (day, r["rel_err"])
+
+
+def test_pareto_frontier_matches_dominance_definition(spark):
+    """Brute-force check: no frontier doc is dominated, and every
+    non-frontier doc IS dominated by someone (the window algorithm
+    equals the O(n²) definition)."""
+    import pyspark.sql.functions as F
+
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.sampling import _ALPHA_EXPR
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.length("text") > 0)
+    sc = docs.select(
+        "doc_id",
+        F.round(F.expr(_ALPHA_EXPR), 4).alias("q"),
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]")).alias("t"),
+    ).collect()
+    pts = {r["doc_id"]: (r["q"], r["t"]) for r in sc}
+
+    def dominated(a):
+        qa, ta = pts[a]
+        return any(
+            (qb >= qa and tb <= ta and (qb > qa or tb < ta))
+            for b, (qb, tb) in pts.items()
+        )
+
+    frontier = {
+        r["doc_id"] for r in QS["pareto_frontier_docs"](spark, SF_SMALL).collect()
+    }
+    assert frontier == {d for d in pts if not dominated(d)}
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """ES inclusion odds ∝ weight: the deterministic sample's mean
+    token weight must exceed the corpus mean, and size must be k."""
+    import pyspark.sql.functions as F
+
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.sampling import ES_SAMPLE_K
+
+    out = QS["weighted_sample_es"](spark, SF_SMALL).collect()
+    assert len(out) == ES_SAMPLE_K
+    corpus_mean = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(
+            (F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]")) + 1).alias("w")
+        )
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    assert sum(r["w"] for r in out) / len(out) > corpus_mean
+
+
+def test_dataset_card_shares_sum_to_one(spark):
+    rows = {r["metric"]: r["value"] for r in QS["dataset_card_report"](spark, SF_SMALL).collect()}
+    for fam in ("lang_share:", "source_share:"):
+        assert abs(sum(v for m, v in rows.items() if m.startswith(fam)) - 1.0) < 0.01, fam
+    assert 0.0 <= rows["exact_dup_rate"] <= 1.0
+    assert rows["n_docs"] == 500.0
+    assert rows["tokens_p50"] <= rows["tokens_p90"]

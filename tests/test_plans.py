@@ -539,3 +539,14 @@ def test_sequence_windows_partition_by_user(spark):
         assert "CartesianProduct" not in plan, name
         read_schema = [l for l in _optimized(df).splitlines() if "ReadSchema" in l][-1]
         assert "props" not in read_schema, name
+
+
+def test_pareto_and_es_sampling_plan_shapes(spark):
+    """Pareto joins its ≤10⁴-row frontier grid broadcast (no pair
+    join anywhere); ES sampling must be a TakeOrdered top-k, never a
+    global Sort+Limit over all docs."""
+    plan = _plan(QS["pareto_frontier_docs"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(QS["weighted_sample_es"](spark, SF_SMALL))
+    assert "TakeOrdered" in plan
