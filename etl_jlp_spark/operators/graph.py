@@ -225,3 +225,126 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_nodes, n_edges, tri, coeff)],
         "n_nodes long, n_edges long, n_triangles long, clustering_coeff double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (Raghavan et al. 2007), synchronous variant with a
+# deterministic tie-break — community labels for the near-dup graph
+# without CC's full transitive closure: after k rounds every node holds
+# the (max-frequency, then min) label of its neighborhood, which
+# separates template clusters that CC would merge through one weak
+# bridge pair.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4  # fixed so the oracle can unroll it
+DRIVER_LPA_MAX_EDGES = 100_000
+
+
+def _lpa_iter_ctes() -> str:
+    out = """
+, l0 AS (SELECT node, node AS label FROM nodes)"""
+    for i in range(1, LPA_ITERS + 1):
+        out += f"""
+, l{i} AS (
+  SELECT node, label FROM (
+    SELECT t.node, t.label,
+           row_number() OVER (PARTITION BY t.node ORDER BY t.c DESC, t.label) AS rn
+    FROM (
+      SELECT e.b AS node, l.label, count(*) AS c
+      FROM edges e JOIN l{i - 1} l ON e.a = l.node
+      GROUP BY e.b, l.label
+    ) t
+  ) q WHERE rn = 1
+)"""
+    return out
+
+
+def _driver_lpa(rows: list) -> list[tuple[int, int]]:
+    """Synchronous LPA over collected (src, dst) rows — the tiny-graph
+    shortcut, same update rule as the distributed loop and the oracle."""
+    nbrs: dict[int, list[int]] = {}
+    for s, d in rows:
+        nbrs.setdefault(d, []).append(s)
+    labels = {v: v for v in nbrs}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for v, ins in nbrs.items():
+            freq: dict[int, int] = {}
+            for u in ins:
+                lab = labels[u]
+                freq[lab] = freq.get(lab, 0) + 1
+            nxt[v] = min(lab for lab, c in freq.items() if c == max(freq.values()))
+        labels = nxt
+    return sorted(labels.items())
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_GRAPH_CTES
+    + _lpa_iter_ctes()
+    + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l{LPA_ITERS}
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LPA_ITERS} synchronous label-propagation rounds over the
+    near-dup graph: each node adopts its neighborhood's
+    (max-frequency, min-on-tie) label; output is (node, community,
+    community_size).
+
+    Plan: per round ONE edges⋈labels join + a (node, label) count +
+    a per-node top-1 window — all keyed on the match-bounded edge
+    list, with ``localCheckpoint`` truncating lineage between rounds.
+    Graphs ≤ {DRIVER_LPA_MAX_EDGES:,} measured edges short-circuit to
+    the driver (the count is paid anyway to size the shuffle). The
+    oracle unrolls the same {LPA_ITERS} rounds as chained CTEs."""
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    n_edges = edges.count()
+    if n_edges <= DRIVER_LPA_MAX_EDGES:
+        labs = _driver_lpa([(r["src"], r["dst"]) for r in edges.collect()])
+        edges.unpersist()
+        sizes: dict[int, int] = {}
+        for _, lab in labs:
+            sizes[lab] = sizes.get(lab, 0) + 1
+        return spark.createDataFrame(
+            [(n, lab, sizes[lab]) for n, lab in labs],
+            "node long, community long, community_size long",
+        )
+    sc = edges.sparkSession.sparkContext
+    n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(n_part, "dst")
+    labels = (
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ITERS):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("node2", "node")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    wsize = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+        F.count(F.lit(1)).over(wsize).cast("long").alias("community_size"),
+    )

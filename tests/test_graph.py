@@ -10,6 +10,10 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMALL
 from etl_jlp_spark.operators import graph
 
+import __spark_entry__ as ent
+
+QS = ent.queries()
+
 
 def test_driver_pagerank_two_cliques_hand_values():
     """A 3-clique and an isolated edge: within a connected regular
@@ -73,3 +77,45 @@ def test_triangle_stats_counts_a_known_clique(spark):
         .count()
     )
     assert tri == 4
+
+
+def test_driver_lpa_two_cliques_hand_values():
+    """Two disjoint triangles: after any number of rounds each clique
+    converges to its min node id as the community label."""
+    edges = []
+    for a, b in [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9)]:
+        edges += [(a, b), (b, a)]
+    out = dict(graph._driver_lpa(edges))
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_lpa_distributed_path_matches_driver(spark, monkeypatch):
+    """Force the distributed loop (threshold 0): identical communities
+    to the driver shortcut on the same corpus."""
+    want = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in graph.graph_label_propagation(spark, SF_SMALL).collect()
+    }
+    assert want, "sf0.001 near-dup graph should not be empty"
+    monkeypatch.setattr(graph, "DRIVER_LPA_MAX_EDGES", 0)
+    got = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in graph.graph_label_propagation(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_lpa_communities_refine_or_match_components(spark):
+    """Every LPA community must sit inside one connected component
+    (propagation can't cross components)."""
+    comp = {
+        r["node"]: r["component"]
+        for r in QS["dedup_connected_components"](spark, SF_SMALL).collect()
+    }
+    seen = {}
+    for r in graph.graph_label_propagation(spark, SF_SMALL).collect():
+        lab = r["community"]
+        if lab in seen:
+            assert seen[lab] == comp.get(r["node"]), r
+        else:
+            seen[lab] = comp.get(r["node"])
