@@ -377,3 +377,154 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count(F.lit(1)).cast("long").alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer-value and market-basket analytics over the order history —
+# the CRM pair to the event-stream behavioral operators.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+WITH ref AS (SELECT max(o_orderdate) AS d_ref FROM orders),
+per_cust AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), any_value(d_ref)) AS days_since,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders CROSS JOIN ref GROUP BY o_custkey
+), seg AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY days_since ASC, custkey) AS r_seg,
+         ntile(5) OVER (ORDER BY n_orders DESC, custkey) AS f_seg,
+         ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_seg
+  FROM per_cust
+)
+SELECT s.custkey, c.c_mktsegment AS mktsegment,
+       CAST(s.days_since AS BIGINT) AS days_since, s.n_orders, s.monetary,
+       s.r_seg, s.f_seg, s.m_seg,
+       CAST(s.r_seg AS VARCHAR) || CAST(s.f_seg AS VARCHAR)
+         || CAST(s.m_seg AS VARCHAR) AS rfm
+FROM seg s JOIN customer c ON s.custkey = c.c_custkey
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM quintiles per customer (1 = best on each axis):
+    days since last order vs the corpus reference date, order count,
+    and lifetime spend, with the concatenated 'rfm' cell marketing
+    targets ('111' = champions, '555' = lost).
+
+    Plan: orders collapse to one row per customer FIRST, so the three
+    ntile windows sort the customer-bounded aggregate, never raw
+    orders; the reference date rides a broadcast 1-row cross join and
+    the mktsegment enrichment broadcasts the customer dim. At 100 TB
+    the global ntile sort is the honest cost — the documented swap is
+    approx_percentile quintile cutoffs (the repo's
+    quality_percentile_gate pattern), identical output contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ref = orders.agg(F.max("o_orderdate").alias("d_ref"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.any_value("d_ref"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("days_since"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    seg = per_cust.select(
+        "*",
+        F.ntile(5).over(Window.orderBy(F.asc("days_since"), "custkey")).alias("r_seg"),
+        F.ntile(5).over(Window.orderBy(F.desc("n_orders"), "custkey")).alias("f_seg"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey")).alias("m_seg"),
+    )
+    return seg.join(
+        F.broadcast(cust), seg.custkey == cust.c_custkey
+    ).select(
+        "custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        "days_since",
+        "n_orders",
+        "monetary",
+        "r_seg",
+        "f_seg",
+        "m_seg",
+        F.concat(
+            F.col("r_seg").cast("string"),
+            F.col("f_seg").cast("string"),
+            F.col("m_seg").cast("string"),
+        ).alias("rfm"),
+    )
+
+
+@query(
+    "assoc_rules_events",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM u GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       round(p.n_both / n.n_users, 4) AS support,
+       round(CAST(p.n_both AS DOUBLE) / ta.n_t, 4) AS confidence,
+       round((CAST(p.n_both AS DOUBLE) / ta.n_t) / (tb.n_t / n.n_users), 4) AS lift
+FROM p
+JOIN t ta ON p.antecedent = ta.event_type
+JOIN t tb ON p.consequent = tb.event_type
+CROSS JOIN n
+""",
+)
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules over per-user event-type baskets:
+    support P(A∧B), confidence P(B|A), lift — which behaviors predict
+    which (lift > 1 = positive association), the cross-sell /
+    feature-adoption readout.
+
+    Plan: baskets collapse to DISTINCT (user, type) first (≤ 5 rows
+    per user), the pair join is user-keyed on that reduced relation
+    (≤ |types|² output per user), and the per-type / total sides are
+    vocabulary-sized broadcasts. Nothing downstream of the first
+    distinct scales with raw event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").cast("double").alias("n_users"))
+    t = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a, b = u.alias("a"), u.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = t.select(F.col("event_type").alias("antecedent"), F.col("n_t").alias("n_a"))
+    tb = t.select(F.col("event_type").alias("consequent"), F.col("n_t").alias("n_b"))
+    conf = F.col("n_both").cast("double") / F.col("n_a")
+    return (
+        p.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_users"), 4).alias("support"),
+            F.round(conf, 4).alias("confidence"),
+            F.round(conf / (F.col("n_b") / F.col("n_users")), 4).alias("lift"),
+        )
+    )

@@ -265,3 +265,86 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), p)), 6) + 0.0).alias("p_value"),
         (p < 0.05).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: fabricated or systematically-generated
+# monetary data departs from the log-uniform first-digit law; the
+# chi-square distance is the fraud/ETL-defect tripwire auditors run
+# over financial fact tables. First digit extracted via STRING ops on
+# the truncated integer part — never floor(log10(x)), whose float
+# misround at exact powers of ten would misbucket 1000.00.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CAST(CASE digit "
+    + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+    + " END AS DOUBLE)"
+)
+
+
+@query(
+    "benford_digit_report",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1.0
+), c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT c.digit, c.n,
+       round(c.n / t.total, 6) AS share,
+       round({_BENFORD_CASE.replace("digit", "c.digit")}, 6) AS benford_share,
+       round(c.n / t.total - {_BENFORD_CASE.replace("digit", "c.digit")}, 6) + 0.0
+         AS deviation,
+       round(sum(power(c.n - t.total * ({_BENFORD_CASE.replace("digit", "c.digit")}), 2)
+                 / (t.total * ({_BENFORD_CASE.replace("digit", "c.digit")})))
+             OVER (), 4) AS chi2_total
+FROM c CROSS JOIN t
+""",
+)
+def benford_digit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of l_extendedprice vs
+    Benford's law: per-digit observed/expected share and deviation,
+    plus the table-level chi-square statistic (repeated on each of the
+    9 rows so the report stays one relation).
+
+    Plan: digit extraction is a scan-side string projection, the
+    distribution is one 9-group aggregate, and the total/chi-square
+    ride a broadcast 1-row side + a 9-row window — nothing after the
+    first aggregate scales with the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1.0)
+    digits = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    from pyspark.sql import Window
+
+    exp_share = F.expr(_BENFORD_CASE)
+    wall = Window.partitionBy()
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(exp_share, 6).alias("benford_share"),
+            (F.round(F.col("n") / F.col("total") - exp_share, 6) + 0.0).alias("deviation"),
+            F.round(
+                F.sum(
+                    F.pow(F.col("n") - F.col("total") * exp_share, 2)
+                    / (F.col("total") * exp_share)
+                ).over(wall),
+                4,
+            ).alias("chi2_total"),
+        )
+    )

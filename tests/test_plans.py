@@ -550,3 +550,19 @@ def test_pareto_and_es_sampling_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     plan = _plan(QS["weighted_sample_es"](spark, SF_SMALL))
     assert "TakeOrdered" in plan
+
+
+def test_rfm_windows_sort_customer_aggregate_only(spark):
+    """ntile windows must run over the per-customer aggregate (orders
+    collapse first); the customer dim joins broadcast."""
+    plan = _plan(QS["rfm_segmentation"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_pair_join_is_user_keyed(spark):
+    """The basket pair join must be an equi-join on user_id over the
+    DISTINCT (user, type) relation — never a cartesian."""
+    plan = _plan(QS["assoc_rules_events"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
