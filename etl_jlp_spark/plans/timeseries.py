@@ -588,3 +588,121 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((sd - mu) / (sd + mu), 4) + 0.0).alias("burstiness"),
         F.round(sd / mu, 4).alias("cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing: the level+trend upgrade of
+# ewma_daily_revenue, with one-step-ahead forecast evaluation. The
+# recursion l_t = αy + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b has no
+# closed form, so Spark runs it as a sequential `aggregate` HOF fold
+# over the day-ordered per-type series and the oracle runs the SAME
+# recurrence as a WITH RECURSIVE step join — same init (l₀=y₀, b₀=0),
+# same IEEE ops from the same pre-update state, same order ⇒
+# bit-identical. (DuckDB's list_reduce is NOT usable here: its struct
+# constructor updates accumulator fields sequentially, so later field
+# expressions see already-updated values — a different recurrence.)
+# The folded array is DAYS-sized (the daily pre-aggregate does the
+# heavy reduction), so per-group state is bounded at any corpus scale.
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+_HOLT_A = f"CAST({HOLT_ALPHA} AS DOUBLE)"
+_HOLT_1A = f"CAST({1 - HOLT_ALPHA} AS DOUBLE)"
+_HOLT_B = f"CAST({HOLT_BETA} AS DOUBLE)"
+_HOLT_1B = f"CAST({1 - HOLT_BETA} AS DOUBLE)"
+_HOLT_L2 = f"{_HOLT_A} * x.y + {_HOLT_1A} * (a.l + a.b)"
+_HOLT_ERR = "(x.y - (a.l + a.b))"
+_HOLT_FIELDS = (
+    f"'y', x.y, "
+    f"'l', {_HOLT_L2}, "
+    f"'b', {_HOLT_B} * (({_HOLT_L2}) - a.l) + {_HOLT_1B} * a.b, "
+    f"'sae', a.sae + abs({_HOLT_ERR}), "
+    f"'sse', a.sse + {_HOLT_ERR} * {_HOLT_ERR}, "
+    f"'n', a.n + 1"
+)
+
+
+@query(
+    "holt_linear_eval",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(sum(value), 2) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM daily
+), spans AS (
+  SELECT event_type, max(i) AS n_days FROM idx GROUP BY event_type
+), rec AS (
+  SELECT event_type, i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS sse,
+         CAST(0 AS BIGINT) AS n
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT a.event_type, x.i,
+         {_HOLT_L2},
+         {_HOLT_B} * (({_HOLT_L2}) - a.l) + {_HOLT_1B} * a.b,
+         a.sae + abs({_HOLT_ERR}),
+         a.sse + {_HOLT_ERR} * {_HOLT_ERR},
+         a.n + 1
+  FROM rec a JOIN idx x ON x.event_type = a.event_type AND x.i = a.i + 1
+)
+SELECT r.event_type, s.n_days,
+       round(r.sae / r.n, 4) AS mae_holt,
+       round(sqrt(r.sse / r.n), 4) AS rmse_holt,
+       round(r.l, 4) AS level,
+       round(r.b, 4) + 0.0 AS trend,
+       round(r.l + r.b, 4) AS forecast_next
+FROM rec r JOIN spans s ON r.event_type = s.event_type AND r.i = s.n_days
+WHERE s.n_days >= 2
+""",
+)
+def holt_linear_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Holt linear smoothing of daily revenue with
+    one-step-ahead error accounting: MAE/RMSE of the rolling forecast
+    l+b, final level/trend, and tomorrow's forecast.
+
+    Plan: events reduce to (type, day) FIRST (map-side combinable);
+    the fold then runs over a ≤days-length array per type — constant
+    memory per group at any event volume. The oracle replays the same
+    recurrence as a recursive CTE, proving it cross-engine."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("y"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("y").cast("double").alias("y")))
+        ).alias("dayseq")
+    )
+    elems = (
+        "transform(dayseq, s -> named_struct("
+        "'y', s.y, 'l', s.y, 'b', CAST(0.0 AS DOUBLE), "
+        "'sae', CAST(0.0 AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE), 'n', CAST(0 AS BIGINT)))"
+    )
+    folded = (
+        ser.withColumn("seq", F.expr(elems))
+        .filter(F.size("seq") >= 2)
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(slice(seq, 2, size(seq) - 1), seq[0], "
+                f"(a, x) -> named_struct({_HOLT_FIELDS}))"
+            ),
+        )
+    )
+    return folded.select(
+        "event_type",
+        F.size("seq").cast("long").alias("n_days"),
+        F.round(F.col("st.sae") / F.col("st.n"), 4).alias("mae_holt"),
+        F.round(F.sqrt(F.col("st.sse") / F.col("st.n")), 4).alias("rmse_holt"),
+        F.round("st.l", 4).alias("level"),
+        (F.round("st.b", 4) + 0.0).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+    )

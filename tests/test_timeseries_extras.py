@@ -115,3 +115,45 @@ def test_mann_whitney_rank_identity(spark):
     assert abs(total - n * (n + 1) / 2.0) < 1.0
     assert 0.0 <= r["p_approx"] <= 1.0
     assert 0 <= r["u_a"] <= r["n_a"] * r["n_b"]
+
+
+def test_holt_linear_series_learns_the_slope(spark, monkeypatch):
+    """On an exactly linear daily series y = 100 + 10t, Holt's trend
+    converges to the slope and the one-step forecast to the next
+    value; with l0=y0, b0=0 the transient decays geometrically, so by
+    t=40 the trend is within 0.1 of 10."""
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i), "view", 100.0 + 10.0 * i, "{}")
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: ev)
+    out = ts.holt_linear_eval(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 40
+    assert abs(r["trend"] - 10.0) < 0.1
+    assert abs(r["forecast_next"] - (100.0 + 10.0 * 40)) < 0.5
+    assert abs(r["level"] - (100.0 + 10.0 * 39)) < 0.5
+
+
+def test_holt_two_day_hand_answer(spark, monkeypatch):
+    """y = [100, 200]: l1 = α·200 + (1−α)·100, b1 = β(l1−100),
+    err = 100."""
+    rows = [
+        (0, 1, dt.datetime(2024, 1, 1, 12), "view", 100.0, "{}"),
+        (1, 1, dt.datetime(2024, 1, 2, 12), "view", 200.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: ev)
+    r = ts.holt_linear_eval(spark, "unused").collect()[0]
+    a, b = ts.HOLT_ALPHA, ts.HOLT_BETA
+    l1 = a * 200.0 + (1 - a) * 100.0
+    assert abs(r["level"] - round(l1, 4)) < 1e-9
+    assert abs(r["trend"] - round(b * (l1 - 100.0), 4)) < 1e-9
+    assert abs(r["mae_holt"] - 100.0) < 1e-9
+    assert abs(r["rmse_holt"] - 100.0) < 1e-9
