@@ -750,3 +750,45 @@ def cc_state_labels(spark: SparkSession, state_dir: str) -> DataFrame:
 
     with open(os.path.join(state_dir, "_POINTER.json")) as fh:
         return spark.read.parquet(json.load(fh)["labels"])
+
+
+def streaming_hll_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous cardinality state: each micro-batch writes its OWN
+    ≤ days×64 HLL register relation (operators.sketches.hll_registers)
+    to a per-batch_id partition — idempotent under replay — and the
+    serving estimate MAX-merges register partitions (``hll_view``),
+    exact by the max-merge property of HLL registers. State on disk is
+    #batches × days×64 rows at ANY event-id cardinality; the merged
+    estimate is identical to a batch build over the same rows
+    (test-pinned)."""
+    from etl_jlp_spark.operators.sketches import hll_registers
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        days = batch_df.select(F.col("ts").cast("date").alias("day"), "event_id")
+        write_batch_idempotent(hll_registers(days, "event_id", ["day"]), dest_dir, batch_id)
+
+    return (
+        stream_events(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_view(spark: SparkSession, dest_dir: str) -> DataFrame:
+    """The merged registers + estimate: max over batch partitions,
+    then the standard small-range-corrected estimate per day."""
+    from etl_jlp_spark.operators.sketches import hll_estimate
+
+    regs = (
+        spark.read.parquet(dest_dir)
+        .groupBy("day", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    return hll_estimate(regs, ["day"])

@@ -412,3 +412,30 @@ def test_streaming_cms_merges_to_batch_sketch(spark, events_dir, tmp_path):
     q2 = streaming_cms_monitor(spark, events_dir, dest, ckpt)  # replay
     q2.awaitTermination(120)
     assert {(r["r"], r["bucket"]): r["c"] for r in cms_view(spark, dest).collect()} == want
+
+
+def test_streaming_hll_merges_to_batch_registers(spark, events_dir, tmp_path):
+    """Per-batch HLL registers max-merged across batches must equal the
+    batch-built estimate EXACTLY (max-merge property), and replay must
+    not change the registers."""
+    import pyspark.sql.functions as F
+
+    from etl_jlp_spark.operators.sketches import hll_estimate, hll_registers
+    from etl_jlp_spark.streaming.pipeline import hll_view, streaming_hll_monitor
+
+    dest = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+    q = streaming_hll_monitor(spark, events_dir, dest, ckpt)
+    q.awaitTermination(120)
+    days = load_table(spark, SF_SMALL, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_id"
+    )
+    want = {
+        r["day"]: r["est_distinct"]
+        for r in hll_estimate(hll_registers(days, "event_id", ["day"]), ["day"]).collect()
+    }
+    got = {r["day"]: r["est_distinct"] for r in hll_view(spark, dest).collect()}
+    assert got == want
+    q2 = streaming_hll_monitor(spark, events_dir, dest, ckpt)  # replay
+    q2.awaitTermination(120)
+    assert {r["day"]: r["est_distinct"] for r in hll_view(spark, dest).collect()} == want
