@@ -1577,3 +1577,53 @@ def minhash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 minhash_spark_native.__doc__ = (minhash_spark_native.__doc__ or "").format(
     k=MINHASH_K, b=MINHASH_BANDS, tau=MINHASH_TAU
 )
+
+
+@query(
+    "neardup_rate_by_source",
+    oracle=_MINHASH_PAIRS_CTES
+    + """
+, dup_docs AS (
+  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup,
+       round(avg(CASE WHEN dd.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS neardup_rate
+FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+GROUP BY d.source
+""",
+)
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication pressure per source: share of each source's
+    docs that sit in ≥1 verified minhash pair — the table that tells a
+    curation owner WHICH feed is pumping boilerplate (domain_mix_report
+    says who is big; this says who is redundant).
+
+    Plan: reuses the shared minhash pair pipeline, collapses pairs to
+    a distinct member set (match-bounded), and LEFT-joins it broadcast
+    onto a doc_id+source projection — the only corpus-sized stage is
+    that final scan-side join."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_neardup"),
+            F.round(
+                F.avg(F.when(F.col("is_dup").isNotNull(), 1.0).otherwise(0.0)), 4
+            ).alias("neardup_rate"),
+        )
+    )

@@ -706,3 +706,112 @@ def holt_linear_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("st.b", 4) + 0.0).alias("trend"),
         F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
     )
+
+
+@query(
+    "weekday_seasonality_index",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS rev
+  FROM events GROUP BY 1
+), wk AS (
+  SELECT CAST(isodow(day) - 1 AS INT) AS weekday,
+         CAST(count(*) AS BIGINT) AS n_days,
+         round(avg(rev), 4) AS avg_revenue
+  FROM daily GROUP BY 1
+), o AS (SELECT avg(rev) AS overall FROM daily)
+SELECT weekday, n_days, avg_revenue,
+       round(avg_revenue / overall, 4) AS seasonality_index
+FROM wk CROSS JOIN o
+""",
+)
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: average daily revenue per weekday
+    (0=Monday) over the mean day, the multiplicative index a seasonal
+    forecaster (seasonal_naive_eval, holt_linear_eval) divides out.
+
+    Plan: events reduce to ~30 daily rows first; everything after is
+    7-row arithmetic with the overall mean on a broadcast 1-row side."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    wk = daily.groupBy(F.weekday("day").alias("weekday")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("rev"), 4).alias("avg_revenue"),
+    )
+    o = daily.agg(F.avg("rev").alias("overall"))
+    return wk.crossJoin(F.broadcast(o)).select(
+        "weekday",
+        "n_days",
+        "avg_revenue",
+        F.round(F.col("avg_revenue") / F.col("overall"), 4).alias("seasonality_index"),
+    )
+
+
+# Iglewicz–Hoberg modified z-score: 0.6745·(x−med)/MAD, |z| > 3.5 flags.
+MAD_THRESHOLD = 3.5
+
+
+@query(
+    "anomaly_mad_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med FROM daily GROUP BY 1
+), mad AS (
+  SELECT d.event_type, any_value(m.med) AS med,
+         quantile_cont(abs(d.n - m.med), 0.5) AS mad
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+  GROUP BY d.event_type
+)
+SELECT d.event_type, d.day, d.n, round(a.med, 2) AS med, round(a.mad, 2) AS mad,
+       CASE WHEN a.mad > 0 THEN round(0.6745 * (d.n - a.med) / a.mad, 4) + 0.0 END
+         AS robust_z,
+       CASE WHEN a.mad > 0 THEN abs(0.6745 * (d.n - a.med) / a.mad) > {MAD_THRESHOLD}
+            ELSE d.n <> a.med END AS is_anomaly
+FROM daily d JOIN mad a ON d.event_type = a.event_type
+""",
+)
+def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-count outliers: the Iglewicz–Hoberg modified
+    z-score (median/MAD instead of mean/std) — one spike day can't
+    drag the baseline after it, the failure mode anomaly_zscore's
+    trailing mean has; degenerate MAD=0 falls back to flagging any
+    deviation from the median.
+
+    Plan: the only full-data stage is the (type, day) count; both
+    medians run over the ≤ types×days daily relation, joined back on
+    the 5-row type key (broadcast). At 100 TB swap quantile_cont for
+    approx_percentile — same relation sizes."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(CAST(n AS DOUBLE), 0.5D)").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.expr("percentile(abs(n - med), 0.5D)").alias("mad"),
+        )
+    )
+    rz = 0.6745 * (F.col("n") - F.col("med")) / F.col("mad")
+    return daily.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round("med", 2).alias("med"),
+        F.round("mad", 2).alias("mad"),
+        F.when(F.col("mad") > 0, F.round(rz, 4) + 0.0).alias("robust_z"),
+        F.when(F.col("mad") > 0, F.abs(rz) > MAD_THRESHOLD)
+        .otherwise(F.col("n") != F.col("med"))
+        .alias("is_anomaly"),
+    )

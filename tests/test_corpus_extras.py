@@ -322,3 +322,15 @@ def test_dataset_card_shares_sum_to_one(spark):
     assert 0.0 <= rows["exact_dup_rate"] <= 1.0
     assert rows["n_docs"] == 500.0
     assert rows["tokens_p50"] <= rows["tokens_p90"]
+
+
+def test_neardup_rate_counts_pair_members(spark):
+    from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, SF_SMALL).collect()
+    members = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    rows = QS["neardup_rate_by_source"](spark, SF_SMALL).collect()
+    assert sum(r["n_neardup"] for r in rows) == len(members)
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert 0.0 <= r["neardup_rate"] <= 1.0

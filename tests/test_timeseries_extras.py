@@ -157,3 +157,24 @@ def test_holt_two_day_hand_answer(spark, monkeypatch):
     assert abs(r["trend"] - round(b * (l1 - 100.0), 4)) < 1e-9
     assert abs(r["mae_holt"] - 100.0) < 1e-9
     assert abs(r["rmse_holt"] - 100.0) < 1e-9
+
+
+def test_weekday_index_averages_to_one(spark):
+    rows = QS["weekday_seasonality_index"](spark, SF_SMALL).collect()
+    assert {r["weekday"] for r in rows} <= set(range(7))
+    # weighted by day counts, indices must average to 1
+    tot = sum(r["n_days"] for r in rows)
+    wavg = sum(r["seasonality_index"] * r["n_days"] for r in rows) / tot
+    assert abs(wavg - 1.0) < 0.01
+
+
+def test_mad_anomaly_is_robust_to_one_spike(spark, monkeypatch):
+    """49 calm days at 5±1 events + one 40x day: the spike must be the
+    ONLY flag (the trailing-mean zscore would widen its own baseline)."""
+    counts = {i: 5 + (i % 2) for i in range(49)}
+    counts[49] = 200
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: _events(spark, counts))
+    out = {r["day"]: r for r in ts.anomaly_mad_daily(spark, "unused").collect()}
+    flagged = [d for d, r in out.items() if r["is_anomaly"]]
+    assert flagged == [dt.date(2024, 1, 1) + dt.timedelta(days=49)]
+    assert out[flagged[0]]["robust_z"] > ts.MAD_THRESHOLD
