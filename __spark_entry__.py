@@ -117,6 +117,26 @@ _R7_PRIORITY = [
     "embedding_pca_power",
     "percentile_bucket_assign",
     "events_cube_report",
+    # NEW in round 7, second wave — first driver row (past-window names
+    # are covered by the committed PARITY sweep)
+    "hll_distinct_daily",
+    "ks_drift_report",
+    "mann_whitney_ab",
+    "event_transition_matrix",
+    "interarrival_burstiness",
+    "pareto_frontier_docs",
+    "weighted_sample_es",
+    "dataset_card_report",
+    "graph_label_propagation",
+    "rfm_segmentation",
+    "assoc_rules_events",
+    "benford_digit_report",
+    "holt_linear_eval",
+    "weekday_seasonality_index",
+    "anomaly_mad_daily",
+    "neardup_rate_by_source",
+    "window_funnel_steps",
+    "source_logodds_terms",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -205,3 +205,111 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source distinctive terms: weighted log-odds with an informative
+# Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words").
+# Raw per-source frequency ranking surfaces stopwords; the prior
+# (scaled corpus distribution) shrinks common words to zero and the
+# variance-normalized z puts rare-but-exclusive and common-but-skewed
+# terms on one scale — the "what does this feed talk about" table a
+# source-mix owner reads next to domain_mix_report.
+# ---------------------------------------------------------------------------
+
+LOGODDS_ALPHA0 = 100.0  # total prior mass (pseudo-tokens)
+LOGODDS_MIN_COUNT = 3  # min in-source occurrences to report
+LOGODDS_TOP_K = 5  # terms per source
+
+
+@query(
+    "source_logodds_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), ts_c AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS y_ts FROM toks GROUP BY 1, 2
+), t_c AS (
+  SELECT term, CAST(sum(y_ts) AS BIGINT) AS y_t FROM ts_c GROUP BY term
+), s_c AS (
+  SELECT source, CAST(sum(y_ts) AS BIGINT) AS n_s FROM ts_c GROUP BY source
+), tot AS (SELECT CAST(sum(y_ts) AS DOUBLE) AS n FROM ts_c),
+sc AS (
+  SELECT c.source, c.term, c.y_ts,
+         {LOGODDS_ALPHA0} * t.y_t / tot.n AS a_t,
+         t.y_t - c.y_ts AS y_rest,
+         s.n_s, tot.n - s.n_s AS n_rest
+  FROM ts_c c JOIN t_c t ON c.term = t.term
+  JOIN s_c s ON c.source = s.source CROSS JOIN tot
+  WHERE c.y_ts >= {LOGODDS_MIN_COUNT}
+), z AS (
+  SELECT source, term, y_ts,
+         round((ln((y_ts + a_t) / (n_s + {LOGODDS_ALPHA0} - y_ts - a_t))
+                - ln((y_rest + a_t) / (n_rest + {LOGODDS_ALPHA0} - y_rest - a_t)))
+               / sqrt(1.0 / (y_ts + a_t) + 1.0 / (y_rest + a_t)), 4) + 0.0 AS z
+  FROM sc
+)
+SELECT source, term, y_ts, z, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY z DESC, term) AS rk
+  FROM z
+) WHERE rk <= {LOGODDS_TOP_K}
+""",
+)
+def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LOGODDS_TOP_K} distinctive terms per source by
+    prior-shrunk, variance-normalized log-odds vs the rest of the
+    corpus (Monroe et al. 2008).
+
+    Plan: ONE tokenize pass collapses to (source, term) counts
+    map-side; term/source totals derive from that vocab-bounded
+    relation (ReusedExchange, no second corpus pass); the z algebra
+    and the per-source top-k window run entirely on vocab-sized rows.
+    Ranking sorts the ROUNDED z (identical in both engines) with the
+    term as tiebreak, so the report is engine-deterministic."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)).alias(
+            "term"
+        ),
+    )
+    ts_c = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("y_ts")
+    )
+    t_c = ts_c.groupBy("term").agg(F.sum("y_ts").cast("long").alias("y_t"))
+    s_c = ts_c.groupBy("source").agg(F.sum("y_ts").cast("long").alias("n_s"))
+    tot = ts_c.agg(F.sum("y_ts").cast("double").alias("n"))
+    a0 = F.lit(LOGODDS_ALPHA0)
+    sc = (
+        ts_c.filter(F.col("y_ts") >= LOGODDS_MIN_COUNT)
+        .join(t_c, "term")
+        .join(F.broadcast(s_c), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            "y_ts",
+            (a0 * F.col("y_t") / F.col("n")).alias("a_t"),
+            (F.col("y_t") - F.col("y_ts")).alias("y_rest"),
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_rest"),
+        )
+    )
+    delta = F.log(
+        (F.col("y_ts") + F.col("a_t")) / (F.col("n_s") + a0 - F.col("y_ts") - F.col("a_t"))
+    ) - F.log(
+        (F.col("y_rest") + F.col("a_t"))
+        / (F.col("n_rest") + a0 - F.col("y_rest") - F.col("a_t"))
+    )
+    sigma = F.sqrt(
+        1.0 / (F.col("y_ts") + F.col("a_t")) + 1.0 / (F.col("y_rest") + F.col("a_t"))
+    )
+    z = sc.select(
+        "source", "term", "y_ts", (F.round(delta / sigma, 4) + 0.0).alias("z")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z"), "term")
+    return (
+        z.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= LOGODDS_TOP_K)
+        .select("source", "term", "y_ts", "z", "rk")
+    )

@@ -528,3 +528,121 @@ def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(conf / (F.col("n_b") / F.col("n_users")), 4).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel (ClickHouse-windowFunnel-style, greedy-first-start):
+# users must hit the steps IN ORDER, all within FUNNEL_WINDOW_DAYS of
+# their FIRST step-0 event. Greedy semantics (first qualifying event
+# per step) keep the whole computation expressible as a chain of
+# per-user min() aggregates — no per-event state machine — so each
+# stage is one combinable agg + one user-keyed join.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_DAYS = 7
+_FUNNEL_W_US = FUNNEL_WINDOW_DAYS * 86_400 * 1_000_000
+
+
+@query(
+    "window_funnel_steps",
+    oracle=f"""
+WITH t0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS u0 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), t1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS u1
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+    AND epoch_us(e.ts) > t0.u0 AND epoch_us(e.ts) <= t0.u0 + {_FUNNEL_W_US}
+  GROUP BY e.user_id
+), t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS u2
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+    AND epoch_us(e.ts) > t1.u1 AND epoch_us(e.ts) <= t0.u0 + {_FUNNEL_W_US}
+  GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM t0) AS n0,
+         (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n2
+)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name, n0 AS n_users,
+       CAST(1.0 AS DOUBLE) AS conv_from_prev, CAST(1.0 AS DOUBLE) AS conv_from_first
+FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', n1,
+       round(CAST(n1 AS DOUBLE) / n0, 4), round(CAST(n1 AS DOUBLE) / n0, 4) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', n2,
+       round(CAST(n2 AS DOUBLE) / n1, 4), round(CAST(n2 AS DOUBLE) / n0, 4) FROM c
+""",
+)
+def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel ({' → '.join(FUNNEL_STEPS)}, all
+    within {FUNNEL_WINDOW_DAYS} days of the user's first step-0
+    event, strictly ordered): users per step plus step-over-step and
+    from-first conversion rates.
+
+    Plan: k chained (filter → per-user min-agg → user-keyed join)
+    stages — every stage's operand after the first agg is
+    user-count-sized, and each agg is map-side combinable. No state
+    machine, no window over raw events; at 100 TB the user-keyed
+    joins co-partition on the same key so AQE coalesces them onto one
+    exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("us")
+    )
+    t0 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u0"))
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t0, "user_id")
+        .filter((F.col("us") > F.col("u0")) & (F.col("us") <= F.col("u0") + _FUNNEL_W_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t0, "user_id")
+        .join(t1, "user_id")
+        .filter((F.col("us") > F.col("u1")) & (F.col("us") <= F.col("u0") + _FUNNEL_W_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u2"))
+    )
+    c = (
+        t0.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+        .crossJoin(F.broadcast(t1.agg(F.count(F.lit(1)).cast("long").alias("n1"))))
+        .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).cast("long").alias("n2"))))
+    )
+    rows = [
+        c.select(
+            F.lit(1).alias("step"),
+            F.lit(FUNNEL_STEPS[0]).alias("step_name"),
+            F.col("n0").alias("n_users"),
+            F.lit(1.0).alias("conv_from_prev"),
+            F.lit(1.0).alias("conv_from_first"),
+        ),
+        c.select(
+            F.lit(2).alias("step"),
+            F.lit(FUNNEL_STEPS[1]).alias("step_name"),
+            F.col("n1").alias("n_users"),
+            F.round(F.col("n1").cast("double") / F.col("n0"), 4).alias("conv_from_prev"),
+            F.round(F.col("n1").cast("double") / F.col("n0"), 4).alias("conv_from_first"),
+        ),
+        c.select(
+            F.lit(3).alias("step"),
+            F.lit(FUNNEL_STEPS[2]).alias("step_name"),
+            F.col("n2").alias("n_users"),
+            F.round(F.col("n2").cast("double") / F.col("n1"), 4).alias("conv_from_prev"),
+            F.round(F.col("n2").cast("double") / F.col("n0"), 4).alias("conv_from_first"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

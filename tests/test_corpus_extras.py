@@ -334,3 +334,59 @@ def test_neardup_rate_counts_pair_members(spark):
     assert sum(r["n_docs"] for r in rows) == 500
     for r in rows:
         assert 0.0 <= r["neardup_rate"] <= 1.0
+
+
+def test_logodds_shrinks_common_words(spark):
+    """Stopword-class terms (high corpus frequency, spread across
+    sources) must never outrank source-exclusive terms, and every
+    source reports at most TOP_K ranked 1..k."""
+    from etl_jlp_spark.operators.corpus_stats import LOGODDS_TOP_K
+
+    rows = QS["source_logodds_terms"](spark, SF_SMALL).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, grp in per_src.items():
+        rks = sorted(g["rk"] for g in grp)
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= LOGODDS_TOP_K, src
+        zs = [g["z"] for g in sorted(grp, key=lambda g: g["rk"])]
+        assert zs == sorted(zs, reverse=True), src
+
+
+def test_window_funnel_is_monotone(spark):
+    rows = {r["step"]: r for r in QS["window_funnel_steps"](spark, SF_SMALL).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    for s in (2, 3):
+        assert 0.0 <= rows[s]["conv_from_prev"] <= 1.0
+        assert rows[s]["conv_from_first"] <= rows[s - 1]["conv_from_first"] + 1e-9
+
+
+def test_window_funnel_strict_order_and_deadline(spark, monkeypatch):
+    """Hand case: user 1 converts fully in-window; user 2 clicks BEFORE
+    viewing (order violation); user 3 purchases after the 7-day window."""
+    import datetime as dt
+
+    from etl_jlp_spark.plans import enrich
+
+    t = dt.datetime(2024, 1, 1, 12)
+
+    def d(days):
+        return t + dt.timedelta(days=days)
+
+    rows = [
+        (1, 1, d(0), "view", 1.0, "{}"),
+        (2, 1, d(1), "click", 1.0, "{}"),
+        (3, 1, d(2), "purchase", 1.0, "{}"),
+        (4, 2, d(0), "click", 1.0, "{}"),
+        (5, 2, d(1), "view", 1.0, "{}"),
+        (6, 3, d(0), "view", 1.0, "{}"),
+        (7, 3, d(1), "click", 1.0, "{}"),
+        (8, 3, d(10), "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(enrich, "load_table", lambda s, dd, n: ev)
+    out = {r["step"]: r["n_users"] for r in enrich.window_funnel_steps(spark, "unused").collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
