@@ -29,11 +29,13 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     components,
     corpus_stats,
     dedup,
+    diff,
     embeddings,
     graph,
     ir,
     joins,
     keywords,
+    layout,
     linkage,
     quality_rules,
     rollup,
@@ -53,6 +55,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     curate,
     enrich,
     experiment,
+    materialized,
     pipeline,
     timeseries,
     tpch_extra,
@@ -137,6 +140,11 @@ _R7_PRIORITY = [
     "neardup_rate_by_source",
     "window_funnel_steps",
     "source_logodds_terms",
+    "kmeans_lloyd_assign",
+    "zorder_layout_report",
+    "mv_join_incremental",
+    "stl_decompose_daily",
+    "snapshot_diff",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

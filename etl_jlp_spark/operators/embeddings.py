@@ -517,3 +517,132 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pca_power.__doc__ = (embedding_pca_power.__doc__ or "").format(
     it=PCA_ITERS, d="dim"
 )
+
+
+# ---------------------------------------------------------------------------
+# Full Lloyd k-means (the to-convergence complement of ann_ivf's
+# hash-sampled quantizer training): fixed k and iteration count so the
+# oracle can unroll the loop, deterministic min-vec_id seeding, and
+# per-iteration 6dp centroid rounding in BOTH engines so grouped-sum
+# association order (which differs between engines) cannot compound
+# across rounds. Distances use the identical three-dot expansion
+# |v|²−2v·c+|c|² with index-sequential dots in both engines.
+# ---------------------------------------------------------------------------
+
+KM_K = 4
+KM_ITERS = 3
+_KM_DOT_SPARK = "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+
+
+def _km_d2_spark() -> str:
+    vv = _KM_DOT_SPARK.format(a="v", b="v")
+    vc = _KM_DOT_SPARK.format(a="v", b="cv")
+    cc = _KM_DOT_SPARK.format(a="cv", b="cv")
+    return f"({vv}) - 2 * ({vc}) + ({cc})"
+
+
+def _km_oracle() -> str:
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS cv
+  FROM e ORDER BY vec_id LIMIT {KM_K}
+)"""
+    d2 = (
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    for i in range(1, KM_ITERS + 1):
+        sql += f"""
+, a{i} AS (
+  SELECT vec_id, cl, v FROM (
+    SELECT e.vec_id, c.cl, e.v,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cl) AS rn
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+), m{i} AS (
+  SELECT cl, pos, round(avg(val), 6) AS mval FROM (
+    SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a{i}
+  ) GROUP BY cl, pos
+), c{i} AS (
+  SELECT cl, list(mval ORDER BY pos) AS cv FROM m{i} GROUP BY cl
+)"""
+    sql += f"""
+SELECT fin.vec_id, CAST(fin.cl AS INT) AS cluster,
+       round(fin.d2, 4) AS d2,
+       CAST(count(*) OVER (PARTITION BY fin.cl) AS BIGINT) AS cluster_size
+FROM (
+  SELECT vec_id, cl, d2 FROM (
+    SELECT e.vec_id, c.cl, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cl) AS rn
+    FROM e CROSS JOIN c{KM_ITERS} c
+  ) WHERE rn = 1
+) fin
+"""
+    return sql
+
+
+@query("kmeans_lloyd_assign", oracle=_km_oracle())
+def kmeans_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means over the embedding table ({k} clusters,
+    {it} fixed rounds, min-vec_id seeding): final assignment with the
+    squared distance and cluster sizes — the clustering that feeds
+    topic/quality stratification when labels don't exist.
+
+    Plan: ONE lazy composed plan, no driver-side centroid collect —
+    each round is a k-way broadcast cross join (k rows of centroids)
+    + per-vector top-1 window + a (cl, pos) mean re-pack. At 100 TB
+    each round is two linear passes; k and d bound every non-scan
+    relation. The oracle unrolls the identical rounds; 6dp centroid
+    rounding per round keeps grouped-sum association order from
+    diverging the engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    # Seeds: the k smallest vec_ids via TakeOrderedAndProject (distributed
+    # top-k, no single-partition global window), numbered after the limit
+    # when the relation is already k rows.
+    cent = (
+        e.orderBy("vec_id")
+        .limit(KM_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .select((F.col("rn") - 1).cast("int").alias("cl"), F.col("v").alias("cv"))
+    )
+    d2 = _km_d2_spark()
+    wv = Window.partitionBy("vec_id").orderBy(F.expr(d2), "cl")
+    for _ in range(KM_ITERS):
+        asg = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl", "v")
+        )
+        cent = (
+            asg.select("cl", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("cl")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("cv")
+            )
+        )
+    fin = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cl", F.expr(d2).alias("d2"))
+    )
+    wsz = Window.partitionBy("cl")
+    return fin.select(
+        "vec_id",
+        F.col("cl").cast("int").alias("cluster"),
+        F.round("d2", 4).alias("d2"),
+        F.count(F.lit(1)).over(wsz).cast("long").alias("cluster_size"),
+    )
+
+
+kmeans_lloyd_assign.__doc__ = (kmeans_lloyd_assign.__doc__ or "").format(
+    k=KM_K, it=KM_ITERS
+)

@@ -1,0 +1,174 @@
+"""Z-order data layout: multi-dimensional clustering for file skipping.
+
+At 100 TB the dominant cost of a selective query is the files it can
+NOT skip. Range-partitioning clusters ONE column; predicates on any
+other column read everything. Z-ordering interleaves the bits of
+several normalized key columns into one sort key, so files cover small
+hyper-rectangles of the combined key space and min/max footer stats
+prune scans on EVERY interleaved column.
+
+``zorder_value`` is the reusable scan-side primitive (pure integer
+arithmetic — stays inside whole-stage codegen; in production you
+``repartitionByRange`` on it and write). ``zorder_layout_report``
+registers the effectiveness report: the same rows filed two ways
+(z-order vs single-column ranges), with each file's min/max span per
+dimension — exactly the quantity a min/max-stats pruner uses. The
+DuckDB oracle re-derives the identical interleave, so the driver's
+hash match proves the layout math cross-engine.
+
+The reference ships data ordered however the extract produced it
+(general_lib.py write paths); this is the layout layer it lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+Z_BITS = 8  # bits per dimension → z in [0, 2^(2*Z_BITS))
+Z_FILES = 16  # simulated file count per layout
+
+
+def _interleave_sql(bx: str, by: str) -> str:
+    """Bit-interleave expression valid in BOTH Spark SQL and DuckDB
+    (only ``>> << & |`` and ``+`` on integers)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _bucket_sql(col: str, lo: str, hi: str) -> tuple[str, str]:
+    """(spark_expr, duckdb_expr) mapping ``col`` into [0, 2^Z_BITS)
+    by exact integer arithmetic — identical results in both engines
+    because every operand is a non-negative integer."""
+    n = 1 << Z_BITS
+    spark = f"(({col} - {lo}) * {n}) div ({hi} - {lo} + 1)"
+    duck = f"(({col} - {lo}) * {n}) // ({hi} - {lo} + 1)"
+    return spark, duck
+
+
+def zorder_value(df: DataFrame, x: str, y: str, bounds: DataFrame) -> Column:
+    """Z-value column for (x, y) given a broadcast 1-row ``bounds``
+    relation with columns lo_x/hi_x/lo_y/hi_y. Callers crossJoin the
+    bounds first; the expression itself is codegen-only arithmetic."""
+    bx, _ = _bucket_sql(x, "lo_x", "hi_x")
+    by, _ = _bucket_sql(y, "lo_y", "hi_y")
+    return F.expr(_interleave_sql(f"({bx})", f"({by})"))
+
+
+def _oracle() -> str:
+    bx_d = _bucket_sql("l_partkey", "lo_x", "hi_x")[1]
+    by_d = _bucket_sql("l_suppkey", "lo_y", "hi_y")[1]
+    z = _interleave_sql(f"({bx_d})", f"({by_d})")
+    files_shift = 2 * Z_BITS  # z range bits
+    z_div = (1 << files_shift) // Z_FILES
+    p_div = (1 << Z_BITS) // Z_FILES
+    return f"""
+WITH b AS (
+  SELECT min(l_partkey) AS lo_x, max(l_partkey) AS hi_x,
+         min(l_suppkey) AS lo_y, max(l_suppkey) AS hi_y
+  FROM lineitem
+), keyed AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         ({z}) // {z_div} AS zfile,
+         ({bx_d}) // {p_div} AS pfile
+  FROM lineitem l CROSS JOIN b
+), stacked AS (
+  SELECT 'zorder' AS layout, zfile AS file_id, l_partkey, l_suppkey FROM keyed
+  UNION ALL
+  SELECT 'partkey' AS layout, pfile AS file_id, l_partkey, l_suppkey FROM keyed
+)
+SELECT s.layout, CAST(s.file_id AS INT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp,
+       round((max(l_partkey) - min(l_partkey) + 1)
+             / CAST(any_value(b.hi_x) - any_value(b.lo_x) + 1 AS DOUBLE), 4)
+         AS span_part,
+       round((max(l_suppkey) - min(l_suppkey) + 1)
+             / CAST(any_value(b.hi_y) - any_value(b.lo_y) + 1 AS DOUBLE), 4)
+         AS span_supp
+FROM stacked s CROSS JOIN b
+GROUP BY s.layout, s.file_id
+"""
+
+
+@query("zorder_layout_report", oracle=_oracle())
+def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness of a z-order layout vs single-column
+    range layout over lineitem (l_partkey × l_suppkey): per simulated
+    file, the min/max span each dimension's footer stats would expose
+    to a pruner (span ≈ 1/Z_FILES per dim for z-order on BOTH columns;
+    the single-column layout leaves span_supp ≈ 1).
+
+    Plan: bounds are one 1-row agg broadcast onto the scan; the
+    z-value is pure integer codegen; the two layouts share one scan
+    via an Expand (explode of two labeled assignments) and one
+    hash aggregate. At 100 TB: compute z, repartitionByRange(z),
+    write — the report itself stays file-count-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("lo_x"),
+        F.max("l_partkey").alias("hi_x"),
+        F.min("l_suppkey").alias("lo_y"),
+        F.max("l_suppkey").alias("hi_y"),
+    )
+    bx = _bucket_sql("l_partkey", "lo_x", "hi_x")[0]
+    by = _bucket_sql("l_suppkey", "lo_y", "hi_y")[0]
+    z = _interleave_sql(f"({bx})", f"({by})")
+    z_div = (1 << (2 * Z_BITS)) // Z_FILES
+    p_div = (1 << Z_BITS) // Z_FILES
+    keyed = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        "lo_x",
+        "hi_x",
+        "lo_y",
+        "hi_y",
+        F.expr(f"({z}) div {z_div}").alias("zfile"),
+        F.expr(f"({bx}) div {p_div}").alias("pfile"),
+    )
+    stacked = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id")),
+                F.struct(F.lit("partkey").alias("layout"), F.col("pfile").alias("file_id")),
+            )
+        ).alias("a"),
+        "l_partkey",
+        "l_suppkey",
+        "lo_x",
+        "hi_x",
+        "lo_y",
+        "hi_y",
+    )
+    return (
+        stacked.groupBy(
+            F.col("a.layout").alias("layout"),
+            F.col("a.file_id").cast("int").alias("file_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+            F.round(
+                (F.max("l_partkey") - F.min("l_partkey") + 1)
+                / (F.first("hi_x") - F.first("lo_x") + 1).cast("double"),
+                4,
+            ).alias("span_part"),
+            F.round(
+                (F.max("l_suppkey") - F.min("l_suppkey") + 1)
+                / (F.first("hi_y") - F.first("lo_y") + 1).cast("double"),
+                4,
+            ).alias("span_supp"),
+        )
+    )

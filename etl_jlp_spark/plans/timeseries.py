@@ -815,3 +815,91 @@ def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n") != F.col("med"))
         .alias("is_anomaly"),
     )
+
+
+# STL-lite: 7-day centered moving-average trend + additive weekday
+# seasonal + residual. Window length must cover one full season.
+STL_HALF = 3  # centered window: 3 preceding + self + 3 following
+
+
+@query(
+    "stl_decompose_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS rev
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, rev,
+         CASE WHEN count(*) OVER w = {2 * STL_HALF + 1}
+              THEN round(avg(rev) OVER w, 4) + 0.0 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+), s AS (
+  SELECT day, rev, trend, CAST(isodow(day) - 1 AS INT) AS weekday,
+         rev - trend AS det
+  FROM t
+), w AS (
+  SELECT day, weekday, rev, trend,
+         round(avg(det) OVER (PARTITION BY weekday), 4) + 0.0 AS seasonal
+  FROM s
+)
+SELECT day, weekday, rev AS revenue, trend, seasonal,
+       CASE WHEN trend IS NOT NULL
+            THEN round(rev - trend - seasonal, 4) + 0.0 END AS resid
+FROM w
+""",
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of daily revenue: trend = 7-day
+    centered moving average (null at the series edges where the window
+    is short), seasonal = per-weekday mean of the detrended values,
+    residual = what neither explains — the decomposition behind
+    weekday_seasonality_index's multiplicative cousin, and the input a
+    forecaster residual-tests.
+
+    Plan: events reduce to ~|days| rows first; the centered window and
+    the weekday partition both run over that bounded daily relation
+    (the global-ordered window is |days|-sized — same justification as
+    ewma_daily_revenue). Rounding + the ``+ 0.0`` −0.0 guard applied
+    identically in both engines."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    span = 2 * STL_HALF + 1
+    w = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    t = daily.select(
+        "day",
+        "rev",
+        F.when(
+            F.count(F.lit(1)).over(w) == span, F.round(F.avg("rev").over(w), 4) + 0.0
+        ).alias("trend"),
+    )
+    s = t.select(
+        "day",
+        "rev",
+        "trend",
+        F.weekday("day").alias("weekday"),
+        (F.col("rev") - F.col("trend")).alias("det"),
+    )
+    wk = Window.partitionBy("weekday")
+    out = s.select(
+        "day",
+        "weekday",
+        "rev",
+        "trend",
+        (F.round(F.avg("det").over(wk), 4) + 0.0).alias("seasonal"),
+    )
+    return out.select(
+        "day",
+        "weekday",
+        F.col("rev").alias("revenue"),
+        "trend",
+        "seasonal",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(F.col("rev") - F.col("trend") - F.col("seasonal"), 4) + 0.0,
+        ).alias("resid"),
+    )
