@@ -145,6 +145,9 @@ _R7_PRIORITY = [
     "mv_join_incremental",
     "stl_decompose_daily",
     "snapshot_diff",
+    "bloom_join_prune_report",
+    "session_paths_topk",
+    "time_to_convert_stats",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

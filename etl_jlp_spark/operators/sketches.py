@@ -240,3 +240,128 @@ def hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: the runtime-filter primitive, measured.
+# m bits / k md5-derived hash functions, sized so the report actually
+# exhibits false positives at test scale.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 512  # bits
+BLOOM_K = 3  # hash functions
+BLOOM_BUILD_SIZE = 15  # build side: parts with p_size = 15
+
+
+def _bloom_bit(i: int, key) -> F.Column:
+    h = F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))), 1, 8)
+    return (F.conv(h, 16, 10).cast("long") % BLOOM_M).alias("bit")
+
+
+def _bloom_bit_sql(i: int, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('bloom{i}:' || CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BLOOM_M})"
+    )
+
+
+@query(
+    "bloom_join_prune_report",
+    oracle=f"""
+WITH build AS (
+  SELECT p_partkey FROM part WHERE p_size = {BLOOM_BUILD_SIZE}
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_bit_sql(i, 'p_partkey')} AS bit FROM build" for i in range(BLOOM_K))}
+  )
+), probe AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+), probe_bits AS (
+  {" UNION ALL ".join(f"SELECT l_partkey, {_bloom_bit_sql(i, 'l_partkey')} AS bit FROM probe" for i in range(BLOOM_K))}
+), passed AS (
+  SELECT l_partkey FROM probe_bits pb JOIN bits USING (bit)
+  GROUP BY l_partkey HAVING count(*) = {BLOOM_K}
+), exact AS (
+  SELECT l_partkey FROM probe WHERE l_partkey IN (SELECT p_partkey FROM build)
+)
+SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build_keys,
+       CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe_keys,
+       CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_bloom_pass,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_match,
+       CAST((SELECT count(*) FROM passed) - (SELECT count(*) FROM exact) AS BIGINT)
+         AS n_false_pos,
+       round(((SELECT count(*) FROM passed) - (SELECT count(*) FROM exact))
+             / CAST((SELECT count(*) FROM probe) - (SELECT count(*) FROM exact)
+                    AS DOUBLE), 4) + 0.0 AS fpr
+""",
+)
+def bloom_join_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter effectiveness report: build a BLOOM_M-bit /
+    BLOOM_K-hash Bloom filter over a selective dimension key set
+    (p_size = {sz} parts) and measure, against the exact semi-join,
+    how many probe-side lineitem keys it admits — the number that
+    decides whether pushing the filter to the fact scan is worth it.
+
+    Plan: the bit set is ≤ m distinct ints (broadcast); the probe side
+    is ONE distinct-reduce of the fact keys, then k codegen md5 bits
+    per key and a broadcast semi-match counted per key. At 100 TB the
+    filter rides the scan (Spark's own runtime bloom does exactly
+    this); the report costs one extra distinct. The md5-derived bits
+    make the filter bit-identical in both engines, so the driver's
+    hash match proves filter, pass set, and FPR."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = part.filter(F.col("p_size") == BLOOM_BUILD_SIZE).select("p_partkey")
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_bloom_bit(i, F.col("p_partkey")) for i in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = li.select("l_partkey").distinct()
+    probe_bits = probe.select(
+        "l_partkey",
+        F.explode(
+            F.array(*[_bloom_bit(i, F.col("l_partkey")) for i in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    passed = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+    )
+    n_build = build.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
+    n_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe_keys"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_pass"))
+    n_exact = (
+        probe.join(F.broadcast(build), probe.l_partkey == build.p_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_match"))
+    )
+    return (
+        n_build.crossJoin(n_probe)
+        .crossJoin(n_pass)
+        .crossJoin(n_exact)
+        .select(
+            "n_build_keys",
+            "n_probe_keys",
+            "n_bloom_pass",
+            "n_exact_match",
+            (F.col("n_bloom_pass") - F.col("n_exact_match")).cast("long").alias("n_false_pos"),
+            (
+                F.round(
+                    (F.col("n_bloom_pass") - F.col("n_exact_match"))
+                    / (F.col("n_probe_keys") - F.col("n_exact_match")).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("fpr"),
+        )
+    )
+
+
+bloom_join_prune_report.__doc__ = (bloom_join_prune_report.__doc__ or "").format(
+    sz=BLOOM_BUILD_SIZE
+)

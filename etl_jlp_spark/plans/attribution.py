@@ -74,3 +74,115 @@ def session_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
         F.round(F.sum("value"), 2).alias("attributed_value"),
     )
+
+
+PATH_DEPTH = 3  # leading events kept per session path
+PATH_TOPK = 20
+
+
+@query(
+    "session_paths_topk",
+    oracle=f"""
+WITH sess AS ({_SESSIONIZED_CTE}), typed AS (
+  SELECT s.user_id, s.session_id, s.ts, s.event_id, e.event_type,
+         row_number() OVER (PARTITION BY s.user_id, s.session_id
+                            ORDER BY s.ts, s.event_id) AS rn
+  FROM sess s JOIN events e USING (event_id)
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM typed WHERE rn <= {PATH_DEPTH} GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+""",
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-travelled opening paths: the first PATH_DEPTH event types
+    of every session joined with '>', counted, top PATH_TOPK — the
+    entry-flow report a funnel designer reads before picking steps for
+    window_funnel_steps.
+
+    Plan: sessionize + rank ride ONE (user_id) sort/exchange; the path
+    build is a per-session agg over ≤ PATH_DEPTH rows (array_sort of a
+    bounded collect_list — never the whole session); the final top-k is
+    TakeOrdered over the path dimension (≤ |event_types|^depth rows),
+    no global sort of sessions."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = with_session_id(events)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_DEPTH)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+@query(
+    "time_to_convert_stats",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS first_us,
+         min(CASE WHEN event_type = '{CONVERSION_TYPE}' THEN epoch_us(ts) END)
+           AS conv_us
+  FROM events GROUP BY user_id
+), dt AS (
+  SELECT (conv_us - first_us) / 1000000.0 AS dt_s
+  FROM per_user WHERE conv_us IS NOT NULL AND conv_us > first_us
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(dt_s, 0.5), 4) AS median_s,
+       round(quantile_cont(dt_s, 0.9), 4) AS p90_s,
+       round(avg(dt_s), 4) AS avg_s
+FROM dt
+""",
+)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long from a user's first event to their first purchase:
+    count, median, p90, mean (seconds) — the latency half of the
+    funnel picture (window_funnel_steps counts WHO converts; this
+    measures HOW FAST).
+
+    Plan: one map-side-combinable (user_id) agg with the conversion
+    timestamp as a conditional min — no self-join of events; the
+    percentile runs over the converted-users relation (∝ users, not
+    events). At 100 TB swap percentile → approx_percentile, same
+    relation sizes (the exact form is kept here so the oracle can
+    hash-match)."""
+    from etl_jlp_spark.functions.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == CONVERSION_TYPE, epoch_us(F.col("ts")))
+        ).alias("conv_us"),
+    )
+    dt = per_user.filter(
+        F.col("conv_us").isNotNull() & (F.col("conv_us") > F.col("first_us"))
+    ).select(((F.col("conv_us") - F.col("first_us")) / 1_000_000.0).alias("dt_s"))
+    return dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(dt_s, 0.5D)"), 4).alias("median_s"),
+        F.round(F.expr("percentile(dt_s, 0.9D)"), 4).alias("p90_s"),
+        F.round(F.avg("dt_s"), 4).alias("avg_s"),
+    )
