@@ -56,6 +56,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     enrich,
     experiment,
     materialized,
+    ops_metrics,
     pipeline,
     timeseries,
     tpch_extra,
@@ -148,6 +149,9 @@ _R7_PRIORITY = [
     "bloom_join_prune_report",
     "session_paths_topk",
     "time_to_convert_stats",
+    "skey_collision_audit",
+    "revenue_gini_by_nation",
+    "open_orders_timeline",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -58,3 +58,75 @@ def audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type", "value", "props"
     )
     return with_audit_columns(events)
+
+
+# ---------------------------------------------------------------------------
+# Surrogate-key collision audit: hash-based surrogate keys are the only
+# surrogate scheme that works distributed (no sequence bottleneck, no
+# zipWithIndex re-shuffle) — IF collisions are audited. SKEY_HEX is
+# deliberately small here so the audit exhibits real collisions at test
+# scale; production uses the full 128-bit md5 (or 64-bit xxhash) where
+# the same report proves zero.
+# ---------------------------------------------------------------------------
+
+SKEY_HEX = 4  # 16-bit surrogate space → collisions guaranteed at 10k keys
+
+
+@query(
+    "skey_collision_audit",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT event_id FROM events
+), skeyed AS (
+  SELECT event_id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, {SKEY_HEX}))::BIGINT
+           AS skey
+  FROM keys
+), buckets AS (
+  SELECT skey, CAST(count(*) AS BIGINT) AS n FROM skeyed GROUP BY skey
+)
+SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+       CAST(count(*) AS BIGINT) AS n_skeys,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_colliding_keys,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       round(1.0 - count(*) / CAST((SELECT count(*) FROM keys) AS DOUBLE), 6) + 0.0
+         AS collision_rate
+FROM buckets
+""",
+)
+def skey_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a hash-based surrogate-key assignment: how many natural
+    keys, how many distinct surrogates, how many keys share a
+    surrogate, the worst bucket, and the collision rate — the check a
+    dimension build runs before trusting hash surrogates as join keys.
+
+    Plan: one distinct over the natural key, one codegen md5
+    projection, one count-per-skey agg and a 1-row summary — every
+    relation after the distinct is ≤ |keys|. The birthday bound says
+    ~10k keys in a 2^16 space collide heavily — visible here by
+    design; widening SKEY_HEX to 16+ hex digits is the production
+    setting and drives the rate to ~0."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("event_id").distinct()
+    skeyed = keys.select(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, SKEY_HEX), 16, 10)
+        .cast("long")
+        .alias("skey")
+    )
+    buckets = skeyed.groupBy("skey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_skeys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_colliding_keys"),
+        F.max("n").cast("long").alias("max_bucket"),
+    ).crossJoin(F.broadcast(n_keys)).select(
+        "n_keys",
+        "n_skeys",
+        "n_colliding_keys",
+        "max_bucket",
+        (
+            F.round(1.0 - F.col("n_skeys") / F.col("n_keys").cast("double"), 6) + 0.0
+        ).alias("collision_rate"),
+    )

@@ -1,0 +1,149 @@
+"""Business-operations metrics: revenue concentration and order backlog.
+
+Two report shapes the reference's pandas marts can't reach at scale:
+
+- ``revenue_gini_by_nation``: the Gini coefficient of customer revenue
+  within each nation — the concentration number behind "top 1% of
+  customers drive X%" dashboards. Computed by the rank formula
+  G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over revenue-ranked customers,
+  in EXACT integer cents so the two engines' sum orders can't drift.
+
+- ``open_orders_timeline``: how many orders are open (placed but not
+  fully received) on each day — the interval-counting pattern: every
+  order contributes a +1 delta at its start and a −1 after its end,
+  and a running sum over the (bounded, ~|days|) delta relation yields
+  the timeline without ever joining orders × days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+
+@query(
+    "revenue_gini_by_nation",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c.c_nationkey, cr.rev_c,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY cr.rev_c, cr.o_custkey) AS i
+  FROM cr JOIN customer c ON cr.o_custkey = c.c_custkey
+), g AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         sum(rev_c) AS sum_rev,
+         sum(i * rev_c) AS sum_irev
+  FROM ranked GROUP BY 1
+)
+SELECT n.n_name,
+       g.n_customers,
+       sum_rev / 100.0 AS total_revenue,
+       round((2.0 * sum_irev) / (n_customers * CAST(sum_rev AS DOUBLE))
+             - (n_customers + 1.0) / n_customers, 4) + 0.0 AS gini
+FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+""",
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation customer-revenue concentration (Gini, 0 = equal,
+    →1 = one customer is the book of business).
+
+    Plan: orders reduce to per-customer cents (map-side combinable,
+    EXACT longs — rank·revenue products and their sums never touch
+    float association order); one shuffle join to customer for the
+    nation key; the rank window and final agg ride the same
+    nation-hash exchange; the 25-row nation name join broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev_c")
+    )
+    ranked = cr.join(cust, cr.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        "rev_c",
+        F.row_number()
+        .over(Window.partitionBy("c_nationkey").orderBy("rev_c", "o_custkey"))
+        .alias("i"),
+    )
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_c").alias("sum_rev"),
+        F.sum(F.col("i") * F.col("rev_c")).alias("sum_irev"),
+    )
+    return g.join(F.broadcast(nation), g.c_nationkey == nation.n_nationkey).select(
+        "n_name",
+        "n_customers",
+        (F.col("sum_rev") / 100.0).alias("total_revenue"),
+        (
+            F.round(
+                (2.0 * F.col("sum_irev"))
+                / (F.col("n_customers") * F.col("sum_rev").cast("double"))
+                - (F.col("n_customers") + 1.0) / F.col("n_customers"),
+                4,
+            )
+            + 0.0
+        ).alias("gini"),
+    )
+
+
+@query(
+    "open_orders_timeline",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_d,
+         max(CAST(l.l_shipdate AS DATE)) AS end_d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT start_d AS day, 1 AS d FROM spans
+  UNION ALL
+  SELECT end_d + 1 AS day, -1 AS d FROM spans
+), daily AS (
+  SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY day
+)
+SELECT day, delta,
+       CAST(sum(delta) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+FROM daily
+""",
+)
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in flight per day (placed, not yet fully shipped):
+    interval counting by ±1 boundary deltas + running sum — never the
+    orders × days blowup.
+
+    Plan: one join to find each order's last shipment, then the delta
+    relation is ≤ 2·|orders| rows that immediately collapse to
+    ≤ |days| rows (map-side combinable) BEFORE the running sum — the
+    only global-ordered window runs over the bounded day axis (same
+    justification as ewma_daily_revenue). All-integer arithmetic:
+    the driver hash can't drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("start_d"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "start_d")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    )
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_d").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.date_add("end_d", 1).alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "delta", F.sum("delta").over(w).cast("long").alias("n_open")
+    )
