@@ -37,6 +37,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     keywords,
     layout,
     linkage,
+    profiling,
     quality_rules,
     rollup,
     sampling,
@@ -152,6 +153,8 @@ _R7_PRIORITY = [
     "skey_collision_audit",
     "revenue_gini_by_nation",
     "open_orders_timeline",
+    "fd_profile_report",
+    "column_entropy_report",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",
