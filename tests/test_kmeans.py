@@ -34,28 +34,40 @@ def test_kmeans_cluster_sizes_reconcile(spark):
     assert sum(by_cl.values()) == len(rows)
 
 
-def test_kmeans_assignment_is_nearest_final_centroid(spark):
-    """Recompute the round-3 centroids from the round-3 assignments and
-    verify every vector sits with (one of) its nearest centroid(s)."""
-    rows = QS["kmeans_lloyd_assign"](spark, SF_SMALL).collect()
-    from etl_jlp_spark.catalog import load_table
+def test_kmeans_matches_numpy_replica(spark):
+    """Replay the exact Lloyd recipe (min-vec_id seeds, per-round 6dp
+    centroid rounding, (d2, cl) tie-break) in NumPy and require the
+    identical final assignment and 4dp-rounded distances."""
+    import numpy as np
 
-    emb = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.embeddings import KM_ITERS, KM_K
+
+    rows = {r["vec_id"]: r for r in QS["kmeans_lloyd_assign"](spark, SF_SMALL).collect()}
+    data = sorted(
+        (r["vec_id"], np.array([float(x) for x in r["embedding"]], dtype=np.float64))
         for r in load_table(spark, SF_SMALL, "embeddings")
         .select("vec_id", "embedding")
         .collect()
-    }
-    # centroids implied by the final assignment are NOT the assignment
-    # centroids (Lloyd is one step behind), so check the weaker, always
-    # -true invariant instead: every cluster is nonempty and d2 matches
-    # a real squared distance to SOME point set mean within the spread.
-    import math
+    )
+    ids = [i for i, _ in data]
+    X = np.stack([v for _, v in data])
+    cent = X[:KM_K].copy()  # data is vec_id-sorted → min-vec_id seeds
 
-    for r in rows:
-        v = emb[r["vec_id"]]
-        assert r["d2"] <= 4.0 * sum(x * x for x in v) + 4.0  # loose sanity
-        assert not math.isnan(r["d2"])
+    def assign(c):
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2  # argmin takes lowest cl on ties
+
+    for _ in range(KM_ITERS):
+        a, _ = assign(cent)
+        cent = np.stack(
+            [np.round(X[a == k].mean(axis=0), 6) for k in range(KM_K)]
+        )
+    a, d2 = assign(cent)
+    for idx, vid in enumerate(ids):
+        r = rows[vid]
+        assert r["cluster"] == int(a[idx]), vid
+        assert abs(r["d2"] - round(float(d2[idx, a[idx]]), 4)) <= 1e-3, vid
 
 
 def test_kmeans_plan_broadcasts_centroids_no_cartesian(spark):
