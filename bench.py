@@ -184,6 +184,38 @@ HEADLINE = [
     "embedding_pca_power",
     "percentile_bucket_assign",
     "events_cube_report",
+    # round-7 second wave + late additions
+    "hll_distinct_daily",
+    "ks_drift_report",
+    "mann_whitney_ab",
+    "event_transition_matrix",
+    "interarrival_burstiness",
+    "pareto_frontier_docs",
+    "weighted_sample_es",
+    "dataset_card_report",
+    "graph_label_propagation",
+    "rfm_segmentation",
+    "assoc_rules_events",
+    "benford_digit_report",
+    "holt_linear_eval",
+    "weekday_seasonality_index",
+    "anomaly_mad_daily",
+    "neardup_rate_by_source",
+    "window_funnel_steps",
+    "source_logodds_terms",
+    "kmeans_lloyd_assign",
+    "zorder_layout_report",
+    "mv_join_incremental",
+    "stl_decompose_daily",
+    "snapshot_diff",
+    "bloom_join_prune_report",
+    "session_paths_topk",
+    "time_to_convert_stats",
+    "skey_collision_audit",
+    "revenue_gini_by_nation",
+    "open_orders_timeline",
+    "fd_profile_report",
+    "column_entropy_report",
 ]
 
 
