@@ -59,6 +59,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     materialized,
     ops_metrics,
     pipeline,
+    regression,
     timeseries,
     tpch_extra,
 )

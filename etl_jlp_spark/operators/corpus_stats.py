@@ -313,3 +313,95 @@ def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LOGODDS_TOP_K)
         .select("source", "term", "y_ts", "z", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — corpus health in one number. Natural text
+# follows count ∝ rank^s with s ≈ −1; template/boilerplate-heavy or
+# synthetic corpora bend the log-log line (|s| far from 1, low R²), so
+# the fitted slope is a cheap whole-corpus drift alarm to run beside
+# the per-document quality gates (quality_rules.py).
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 1000  # fit over the head of the rank-frequency curve
+
+
+@query(
+    "zipf_rank_slope",
+    oracle=f"""
+WITH term_counts AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS t(term)
+  GROUP BY t.term
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+  FROM term_counts
+), pts AS (
+  SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM ranked WHERE rk <= {ZIPF_TOP_N}
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM term_counts) AS n_terms,
+       CAST(n AS BIGINT) AS n_fit,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+       round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n, 6) + 0.0
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+FROM s
+""",
+)
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit: OLS slope of ln(count) on ln(rank) over the corpus's
+    top-{ZIPF_TOP_N} terms (rank ties broken by term so both engines
+    rank identically), plus intercept and R². One row out.
+
+    Plan: one tokenize pass → (term, count) groupBy with partial
+    aggregation; the head is TakeOrdered-{ZIPF_TOP_N} (per-partition
+    heap + driver merge, no global sort); the OLS runs over the
+    {ZIPF_TOP_N}-row result. Log sums are engine-stable at 6 decimals:
+    ≤1 ulp libm noise × 1k terms ≪ the rounding quantum."""
+    tok = _tok_arrays(spark, sf_dir)
+    term_counts = (
+        tok.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # No persist: term_counts appears as an IDENTICAL subtree under both
+    # consumers (vocabulary count + TakeOrdered head), so ReusedExchange
+    # dedupes the shuffle at runtime — same rationale as ab_test_report.
+    totals = term_counts.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    head = term_counts.orderBy(F.desc("cnt"), F.asc("term")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    pts = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.crossJoin(F.broadcast(totals)).select(
+        "n_terms",
+        n.cast("long").alias("n_fit"),
+        (F.round(slope, 6) + 0.0).alias("zipf_slope"),
+        (F.round(sy / n - slope * sx / n, 6) + 0.0).alias("intercept"),
+        (
+            F.round(
+                (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            )
+            + 0.0
+        ).alias("r2"),
+    )

@@ -348,3 +348,219 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("community"),
         F.count(F.lit(1)).over(wsize).cast("long").alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-hop reachability + common-neighbor link prediction — the two
+# remaining standard graph reports over the near-dup pair graph: how
+# FAR the duplication neighborhood of each document extends (revision
+# chains keep growing with k; template cliques saturate at hop 1), and
+# WHICH non-edges the wedge structure predicts (a pair sharing many
+# verified neighbors is a near-dup the banding step missed — a recall
+# probe for the LSH parameters).
+# ---------------------------------------------------------------------------
+
+KHOP_ITERS = 4  # fixed relaxation rounds so the oracle can unroll them
+# Multi-source BFS is O(sum |component| * |component edges|) on the
+# driver, not O(E) — cap far lower than the single-source ops.
+DRIVER_KHOP_MAX_EDGES = 5_000
+
+
+def _khop_iter_ctes() -> str:
+    """d1..dK chained CTEs, each one (root, node) min-distance
+    relaxation round, seeded from EVERY node at distance 0.
+
+    Each round references the previous CTE exactly ONCE: the
+    keep-your-distance case rides along as zero-weight self-loops in
+    ``eplus`` instead of a second d_{i-1} reference in a UNION — DuckDB
+    inlines CTEs per reference, so a two-reference round would expand
+    the upstream minhash pipeline 2^K times (measured: the UNION form
+    never finished at sf0.001; this form runs in seconds)."""
+    out = """
+, eplus AS (
+  SELECT a, b, 1 AS w FROM edges
+  UNION ALL
+  SELECT node, node, 0 AS w FROM nodes
+), d0 AS (SELECT node AS root, node, 0 AS dist FROM nodes)"""
+    for i in range(1, KHOP_ITERS + 1):
+        out += f"""
+, d{i} AS (
+  SELECT d.root, e.b AS node, min(d.dist + e.w) AS dist
+  FROM d{i - 1} d JOIN eplus e ON e.a = d.node
+  GROUP BY d.root, e.b
+)"""
+    return out
+
+
+def _driver_khop(rows: list) -> list[tuple]:
+    """Per-node BFS over collected (src, dst) rows — the tiny-graph
+    shortcut; identical semantics to the distributed loop and the
+    unrolled oracle. Cost is bounded by component sizes, which is why
+    the driver cap for this op is lower than the single-source ones."""
+    nbrs: dict[int, list[int]] = {}
+    for s, d in rows:
+        nbrs.setdefault(s, []).append(d)
+    out = []
+    for source in nbrs:
+        dist = {source: 0}
+        frontier = [source]
+        reach = [0] * KHOP_ITERS
+        for depth in range(1, KHOP_ITERS + 1):
+            nxt = []
+            for u in frontier:
+                for v in nbrs.get(u, ()):
+                    if v not in dist:
+                        dist[v] = depth
+                        nxt.append(v)
+            reach[depth - 1] = len(dist) - 1  # exclude self
+            frontier = nxt
+        out.append((source, *reach))
+    return sorted(out)
+
+
+_KHOP_REACH_COLS = ", ".join(
+    f"CAST(sum(CASE WHEN dist BETWEEN 1 AND {k} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS reach_{k}"
+    for k in range(1, KHOP_ITERS + 1)
+)
+
+
+@query(
+    "graph_khop_reach",
+    oracle=_GRAPH_CTES
+    + _khop_iter_ctes()
+    + f"""
+SELECT CAST(root AS BIGINT) AS node, {_KHOP_REACH_COLS}
+FROM d{KHOP_ITERS} GROUP BY root
+""",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop neighborhood profile of the near-dup graph: for EVERY
+    node, how many other documents are within 1, 2, ... {KHOP_ITERS}
+    hops — the geodesic shape of each duplicate cluster (a clique
+    saturates at hop 1; a revision chain keeps growing), and a
+    standard structural feature for downstream cluster triage.
+
+    Plan: multi-source min-dist relaxation keyed (root, node) — state
+    is bounded by Σ component², i.e. by duplication, never the corpus.
+    Per round ONE state⋈edges join + a min aggregate with
+    ``localCheckpoint`` truncating lineage; ≤
+    {DRIVER_KHOP_MAX_EDGES:,} measured edges short-circuits to a
+    driver BFS (the count is paid anyway to size the shuffle). The
+    oracle unrolls the same rounds as chained single-reference CTEs
+    seeded from every node."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    n_edges = edges.count()
+    schema = "node long, " + ", ".join(f"reach_{k} long" for k in range(1, KHOP_ITERS + 1))
+    if n_edges <= DRIVER_KHOP_MAX_EDGES:
+        out = _driver_khop([(r["src"], r["dst"]) for r in edges.collect()])
+        edges.unpersist()
+        return spark.createDataFrame(out, schema)
+    sc = edges.sparkSession.sparkContext
+    n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = edges.repartition(n_part, "src")
+    dist = (
+        edges.select(F.col("src").alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KHOP_ITERS):
+        dist = (
+            edges.join(dist, edges.src == dist.node)
+            .select("root", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionAll(dist)
+            .groupBy("root", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return dist.groupBy(F.col("root").cast("long").alias("node")).agg(
+        *[
+            F.sum(F.when(F.col("dist").between(1, k), 1).otherwise(0))
+            .cast("long")
+            .alias(f"reach_{k}")
+            for k in range(1, KHOP_ITERS + 1)
+        ]
+    )
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_GRAPH_CTES
+    + """
+, und AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+, wedge AS (
+  SELECT e1.b AS a, e2.b AS c, CAST(count(*) AS BIGINT) AS cn
+  FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT wedge.* FROM wedge
+  LEFT JOIN und ON und.a = wedge.a AND und.b = wedge.c
+  WHERE und.a IS NULL
+)
+SELECT m.a AS doc_a, m.c AS doc_b, m.cn AS common_neighbors,
+       round(CAST(m.cn AS DOUBLE)
+             / (CAST(da.deg AS DOUBLE) + CAST(dc.deg AS DOUBLE) - m.cn), 6) AS jaccard
+FROM nonedge m
+JOIN deg da ON da.node = m.a
+JOIN deg dc ON dc.node = m.c
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the near-dup graph: every
+    non-edge pair sharing >= 1 verified neighbor, scored by common
+    count and neighborhood Jaccard cn/(deg_a+deg_b-cn). High scores
+    are near-dups the LSH banding missed — an offline recall probe.
+
+    Plan: one wedge self-join on the shared-neighbor key (cost
+    Σ deg(v)² over the match-bounded graph, NOT the corpus), an
+    anti-join against existing edges, then two degree joins against
+    the node-count-sized degree table. No all-pairs anywhere."""
+    # No persist: this function returns a lazy plan (no action before
+    # return), so the repeated pair/edge subtrees are left as IDENTICAL
+    # plan fragments for ReusedExchange to dedupe at runtime — same
+    # rationale as ab_test_report.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e1 = edges.select(F.col("doc_a").alias("mid"), F.col("doc_b").alias("a"))
+    e2 = edges.select(F.col("doc_a").alias("mid"), F.col("doc_b").alias("c"))
+    cand = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    missing = cand.join(
+        pairs,
+        (cand.a == pairs.doc_a) & (cand.c == pairs.doc_b),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    dc = deg.select(F.col("node").alias("c"), F.col("deg").alias("deg_c"))
+    out = (
+        missing.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a").cast("double") + F.col("deg_c").cast("double") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out

@@ -1,0 +1,280 @@
+"""Closed-form regression analytics: OLS elasticity, series
+autocorrelation, and a difference-in-differences experiment readout.
+
+Reference tie-in: the reference's analytics stop at groupby summaries
+(dwh_lab/dwh/quality_report.py aggregates; preprocessing chain in
+dwh/preprocessing_streaming_incremental_load.py) — any trend/effect
+estimate was done downstream by hand. These operators close that gap
+with estimators that reduce to *sufficient statistics*, i.e. one
+map-side-combinable aggregate over the fact table followed by O(1)
+scalar algebra — the only regression shapes that make sense at 100 TB
+(no gradient iterations, no driver-side matrices).
+
+Cross-engine exactness strategy (see also cohort_ltv in
+plans/experiment.py): every SUM that feeds an estimator is taken over
+INTEGERS (dollars / e4-scaled values / day counts), so the aggregate is
+bit-exact in both engines regardless of partitioning or visit order.
+The final estimator formula is then the *same* scalar double expression
+evaluated from the same exact inputs — IEEE ops on identical operands
+agree bit-for-bit. Autocorrelation deviation products overflow int64,
+so they run in DECIMAL(38,0) (exact in Spark and DuckDB) and convert to
+double only for the final ratio.
+
+Scale shapes:
+- OLS: one shuffle (groupBy year) with partial aggregation; 7 output
+  rows. At 100 TB the int64 headroom for Σy² shrinks — the dollars
+  scaling keeps it safe to ~10B rows/group; past that the same sums
+  move to DECIMAL(38,0) unchanged.
+- ACF: one groupBy day (span-bounded output), then a lag-offset
+  self-join of the 2.4k-row daily series — broadcast, never a shuffle
+  of the fact table.
+- DiD: one groupBy (variant, period, event_type) — 4×|types| cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.registry import query
+
+OLS_ROUND = 6
+ACF_MAX_LAG = 14
+DID_SPLIT_HEX = "8"  # md5(user_id)[0] < '8' → treatment (same as ab_test)
+DID_PERIOD_BOUNDARY = "2024-01-16 00:00:00"  # pre/post split (ab_test's)
+
+
+@query(
+    "ols_discount_elasticity",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT ship_year,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY ship_year
+), est AS (
+  SELECT ship_year, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cov_n2,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS varx_n2,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vary_n2,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+  FROM s
+)
+SELECT ship_year, n,
+       round(cov_n2 / varx_n2, {OLS_ROUND}) + 0.0 AS slope_usd_per_pct,
+       round(my - (cov_n2 / varx_n2) * mx, {OLS_ROUND}) + 0.0 AS intercept_usd,
+       round((cov_n2 * cov_n2) / (varx_n2 * vary_n2), {OLS_ROUND}) + 0.0 AS r2
+FROM est
+""",
+)
+def ols_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ship-year OLS of line revenue (whole dollars) on the discount
+    level (percentage points 0..10): slope = how many dollars of line
+    revenue each extra discount point is associated with, plus
+    intercept and R². Single map-side-combinable aggregate producing
+    the five sufficient statistics as EXACT int64 sums (Σy² bounded by
+    rows·(1.1e5)² — safe through sf10 per year-group), then the
+    closed-form estimator in doubles, identical expression shape in
+    both engines.
+
+    Reference: the reference has no regression layer; this is part of
+    the beyond-reference analytics surface (SURVEY §2.B)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = pts.groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    est = s.select(
+        "ship_year",
+        "n",
+        (d("n") * d("sxy") - d("sx") * d("sy")).alias("cov_n2"),
+        (d("n") * d("sxx") - d("sx") * d("sx")).alias("varx_n2"),
+        (d("n") * d("syy") - d("sy") * d("sy")).alias("vary_n2"),
+        (d("sx") / d("n")).alias("mx"),
+        (d("sy") / d("n")).alias("my"),
+    )
+    slope = F.col("cov_n2") / F.col("varx_n2")
+    return est.select(
+        "ship_year",
+        "n",
+        (F.round(slope, OLS_ROUND) + 0.0).alias("slope_usd_per_pct"),
+        (F.round(F.col("my") - slope * F.col("mx"), OLS_ROUND) + 0.0).alias("intercept_usd"),
+        (
+            F.round(
+                (F.col("cov_n2") * F.col("cov_n2")) / (F.col("varx_n2") * F.col("vary_n2")),
+                OLS_ROUND,
+            )
+            + 0.0
+        ).alias("r2"),
+    )
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s FROM daily
+), dev AS (
+  SELECT day, CAST(tot.n * daily.rev - tot.s AS DECIMAL(38,0)) AS dv
+  FROM daily CROSS JOIN tot
+), den AS (
+  SELECT sum(dv * dv) AS d FROM dev
+), lags AS (
+  SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag
+), num AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs, sum(a.dv * b.dv) AS nm
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       round(CAST(nm AS DOUBLE) / CAST((SELECT d FROM den) AS DOUBLE), 6) + 0.0 AS acf
+FROM num
+""",
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags
+    1..{ACF_MAX_LAG}: ACF_k = Σ dev_t·dev_{{t+k}} / Σ dev_t², with
+    dev_t = n·x_t − Σx (mean-centering scaled by n so every term stays
+    an exact integer — the n² factor cancels in the ratio). Deviation
+    products reach ~1e20, so they run in DECIMAL(38,0) — exact in both
+    engines — and convert to double only for the final ratio.
+
+    Plan: one groupBy(day) over orders (span-bounded, ~2.4k rows), a
+    1-row total, then the lag self-join of the tiny daily series —
+    broadcast both sides; the fact table is scanned exactly once."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev").cast("long").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("rev") - F.col("s")).cast("decimal(38,0)").alias("dv"),
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("d"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.expr("b.day = date_add(a.day, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("a.dv") * F.col("b.dv")).alias("nm"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (F.round(F.col("nm").cast("double") / F.col("d").cast("double"), 6) + 0.0).alias("acf"),
+    )
+
+
+@query(
+    "did_lift_report",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{DID_SPLIT_HEX}'
+              THEN 1 ELSE 0 END AS treated,
+         CASE WHEN ts >= TIMESTAMP '{DID_PERIOD_BOUNDARY}' THEN 1 ELSE 0 END AS post,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+), agg AS (
+  SELECT event_type, treated, post,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(v_e4) AS BIGINT) AS s
+  FROM cells GROUP BY 1, 2, 3
+), wide AS (
+  SELECT event_type,
+         sum(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_t_pre,
+         sum(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_t_post,
+         sum(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_c_pre,
+         sum(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_c_post,
+         CAST(sum(n) AS BIGINT) AS n_events
+  FROM agg GROUP BY event_type
+)
+SELECT event_type, n_events,
+       round(m_t_pre / 10000, 4) + 0.0 AS mean_treat_pre,
+       round(m_t_post / 10000, 4) + 0.0 AS mean_treat_post,
+       round(m_c_pre / 10000, 4) + 0.0 AS mean_ctrl_pre,
+       round(m_c_post / 10000, 4) + 0.0 AS mean_ctrl_post,
+       round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / 10000, 4) + 0.0 AS did_estimate
+FROM wide
+""",
+)
+def did_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout per event type: deterministic
+    md5 50/50 assignment (same convention as ab_test_report), pre/post
+    split at the experiment boundary, cell means of event value, and
+    DiD = (treat post−pre) − (control post−pre) — the parallel-trends
+    estimate of the treatment effect. Values aggregate as exact e4
+    integers; means divide once per cell (4·|types| rows)."""
+    boundary = F.lit(DID_PERIOD_BOUNDARY).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < DID_SPLIT_HEX, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("ts") >= boundary, 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    agg = cells.groupBy("event_type", "treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v_e4").cast("long").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    t, p = F.col("treated"), F.col("post")
+    wide = agg.groupBy("event_type").agg(
+        F.sum(F.when((t == 1) & (p == 0), mean)).alias("m_t_pre"),
+        F.sum(F.when((t == 1) & (p == 1), mean)).alias("m_t_post"),
+        F.sum(F.when((t == 0) & (p == 0), mean)).alias("m_c_pre"),
+        F.sum(F.when((t == 0) & (p == 1), mean)).alias("m_c_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    r4 = lambda c: F.round(c / 10000, 4) + 0.0  # noqa: E731
+    return wide.select(
+        "event_type",
+        "n_events",
+        r4(F.col("m_t_pre")).alias("mean_treat_pre"),
+        r4(F.col("m_t_post")).alias("mean_treat_post"),
+        r4(F.col("m_c_pre")).alias("mean_ctrl_pre"),
+        r4(F.col("m_c_post")).alias("mean_ctrl_post"),
+        r4((F.col("m_t_post") - F.col("m_t_pre")) - (F.col("m_c_post") - F.col("m_c_pre"))).alias(
+            "did_estimate"
+        ),
+    )
