@@ -53,6 +53,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
 from etl_jlp_spark.plans import (  # noqa: E402, F401
     analytics,
     attribution,
+    calendar,
     curate,
     enrich,
     experiment,

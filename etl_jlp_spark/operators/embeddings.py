@@ -646,3 +646,82 @@ def kmeans_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 kmeans_lloyd_assign.__doc__ = (kmeans_lloyd_assign.__doc__ or "").format(
     k=KM_K, it=KM_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out 1-NN label accuracy — the standard embedding-quality
+# gate: if an embedding space is any good, a vector's nearest neighbor
+# usually shares its label. Run per label to catch classes whose
+# neighborhoods collapsed (e.g. after quantization or a projection —
+# compare against the ann_recall_report family).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_loo_accuracy",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id, a.label AS true_label, b.label AS pred_label,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS c6,
+         b.vec_id AS nb
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT vec_id, true_label, pred_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, nb ASC) AS rk
+  FROM scored
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS accuracy
+FROM nn WHERE rk = 1
+GROUP BY true_label
+""",
+)
+def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN classification accuracy per label: each
+    vector's nearest OTHER vector by cosine (rounded to 6 before
+    ranking, neighbor-id tie-break — the engine-stable ordering the
+    whole ANN family uses) votes with its label.
+
+    Plan: brute-force all-pairs with one side broadcast — explicitly
+    the EVAL baseline, like ann_topk_cosine: it gates embedding /
+    quantization changes offline. The serving-scale paths are the
+    bucketed LSH/IVF operators; at 100 TB this report runs on a
+    deterministic md5 sample, same as ann_recall_report's exact side.
+    Cosine via ``static_dot`` (whole-stage codegen, no Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    v = as_double_array(F.col("embedding"))
+    base = emb.select("vec_id", "label", v.alias("v"))
+    a = base.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"), F.col("v").alias("qv")
+    )
+    b = base.select(
+        F.col("vec_id").alias("nb"), F.col("label").alias("pred_label"), F.col("v").alias("nv")
+    )
+    scored = a.join(F.broadcast(b), F.col("qid") != F.col("nb")).select(
+        "qid",
+        "true_label",
+        "pred_label",
+        "nb",
+        F.round(
+            static_dot(F.col("qv"), F.col("nv"), dim)
+            / (
+                F.sqrt(static_dot(F.col("qv"), F.col("qv"), dim))
+                * F.sqrt(static_dot(F.col("nv"), F.col("nv"), dim))
+            ),
+            6,
+        ).alias("c6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c6"), F.asc("nb"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    correct = F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+    return nn.groupBy(F.col("true_label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        correct.cast("long").alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 4).alias("accuracy"),
+    )
