@@ -119,3 +119,52 @@ def test_lpa_communities_refine_or_match_components(spark):
             assert seen[lab] == comp.get(r["node"]), r
         else:
             seen[lab] = comp.get(r["node"])
+
+
+def test_driver_khop_path_graph_hand_values():
+    """Path 1-2-3-4-5-6: the end node's reach grows by one per hop
+    (capped at KHOP_ITERS); the middle sees both directions."""
+    path = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]]
+    und = path + [(b, a) for a, b in path]
+    out = {r[0]: r[1:] for r in graph._driver_khop(und)}
+    assert out[1] == (1, 2, 3, 4)
+    assert out[3] == (2, 4, 5, 5)
+    assert out[6] == (1, 2, 3, 4)
+
+
+def test_khop_distributed_path_matches_driver(spark, monkeypatch):
+    """Force the distributed loop (threshold 0) and compare against
+    the driver BFS on the same corpus — identical reach profiles."""
+    want = {r["node"]: tuple(r)[1:] for r in graph.graph_khop_reach(spark, SF_SMALL).collect()}
+    assert want, "sf0.001 near-dup graph should not be empty"
+    monkeypatch.setattr(graph, "DRIVER_KHOP_MAX_EDGES", 0)
+    got = {r["node"]: tuple(r)[1:] for r in graph.graph_khop_reach(spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_link_prediction_open_wedge(spark, monkeypatch):
+    """Constructed graph: an open wedge 1-2-3 must predict exactly
+    (1,3) with cn=1 and Jaccard 1.0; the 5-6-7 clique predicts
+    nothing (no non-edge with a common neighbor). The sf0.001/sf0.01
+    dup graphs are pure cliques, so this is the non-degenerate proof
+    the oracle rows can't give."""
+    pair_rows = [(1, 2), (2, 3), (5, 6), (5, 7), (6, 7)]
+
+    def fake_pairs(spark_, sf_dir_):
+        return spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+
+    monkeypatch.setattr(graph, "dedup_minhash_lsh", fake_pairs)
+    rows = graph.graph_link_prediction(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["common_neighbors"]) == (1, 3, 1)
+    assert r["jaccard"] == 1.0
+
+
+def test_khop_reach_monotone_and_bounded(spark):
+    """reach_k is non-decreasing in k and bounded by the component
+    size implied by the final hop."""
+    for r in graph.graph_khop_reach(spark, SF_SMALL).collect():
+        reaches = [r[f"reach_{k}"] for k in range(1, graph.KHOP_ITERS + 1)]
+        assert all(a <= b for a, b in zip(reaches, reaches[1:]))
+        assert reaches[0] >= 1  # every node in the pair graph has a neighbor

@@ -1,0 +1,172 @@
+"""NumPy replicas for the closed-form regression family: the Spark
+sufficient-statistic estimators must agree with a from-scratch
+float computation on the same raw rows (independent of the DuckDB
+oracle, which shares the estimator's formula shape)."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.plans import regression
+
+import __spark_entry__ as ent
+
+QS = ent.queries()
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.year("l_shipdate").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("v"),
+    )
+    rows = li.collect()
+    got = {r["ship_year"]: r for r in QS["ols_discount_elasticity"](spark, SF_SMALL).collect()}
+    years = {r["y"] for r in rows}
+    assert set(got) == years
+    for yr in years:
+        xs = np.array([r["x"] for r in rows if r["y"] == yr], dtype=float)
+        ys = np.array([r["v"] for r in rows if r["y"] == yr], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert math.isclose(got[yr]["slope_usd_per_pct"], slope, rel_tol=1e-6, abs_tol=1e-4)
+        assert math.isclose(got[yr]["intercept_usd"], intercept, rel_tol=1e-6, abs_tol=1e-3)
+        assert math.isclose(got[yr]["r2"], r * r, rel_tol=1e-6, abs_tol=1e-6)
+        assert got[yr]["n"] == len(xs)
+
+
+def test_acf_matches_numpy(spark):
+    daily = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).alias("rev"))
+        .orderBy("day")
+        .collect()
+    )
+    days = {r["day"]: r["rev"] for r in daily}
+    xs = np.array([r["rev"] for r in daily], dtype=float)
+    dev = xs - xs.mean()
+    den = float((dev * dev).sum())
+    got = {r["lag"]: r for r in QS["acf_daily_revenue"](spark, SF_SMALL).collect()}
+    assert set(got) == set(range(1, regression.ACF_MAX_LAG + 1))
+    ordered_days = [r["day"] for r in daily]
+    idx = {d: i for i, d in enumerate(ordered_days)}
+    for lag in got:
+        num = 0.0
+        n_pairs = 0
+        for d, i in idx.items():
+            from datetime import timedelta
+
+            d2 = d + timedelta(days=lag)
+            if d2 in days:
+                num += dev[i] * dev[idx[d2]]
+                n_pairs += 1
+        assert got[lag]["n_pairs"] == n_pairs
+        assert math.isclose(got[lag]["acf"], num / den, rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_acf_lag_zero_would_be_one_and_bounds(spark):
+    """|ACF| <= 1 for every reported lag (Cauchy-Schwarz on the
+    truncated sums can exceed 1 only via the missing-day truncation;
+    the series is day-dense so the bound holds)."""
+    for r in QS["acf_daily_revenue"](spark, SF_SMALL).collect():
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] > 0
+
+
+def test_did_cell_means_match_pandas(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id", "ts", "value")
+    pdf = ev.toPandas()
+    import hashlib
+
+    pdf["treated"] = [
+        1 if hashlib.md5(str(u).encode()).hexdigest()[0] < regression.DID_SPLIT_HEX else 0
+        for u in pdf["user_id"]
+    ]
+    boundary = np.datetime64(regression.DID_PERIOD_BOUNDARY.replace(" ", "T"))
+    pdf["post"] = (pdf["ts"].values >= boundary).astype(int)
+    pdf["v_e4"] = np.round(pdf["value"].values * 10000).astype("int64")
+    got = {r["event_type"]: r for r in QS["did_lift_report"](spark, SF_SMALL).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        cells = {}
+        for (t, p), sub in grp.groupby(["treated", "post"]):
+            cells[(t, p)] = sub["v_e4"].mean() / 10000.0
+        r = got[et]
+        assert math.isclose(r["mean_treat_pre"], cells[(1, 0)], abs_tol=5e-5)
+        assert math.isclose(r["mean_treat_post"], cells[(1, 1)], abs_tol=5e-5)
+        assert math.isclose(r["mean_ctrl_pre"], cells[(0, 0)], abs_tol=5e-5)
+        assert math.isclose(r["mean_ctrl_post"], cells[(0, 1)], abs_tol=5e-5)
+        did = (cells[(1, 1)] - cells[(1, 0)]) - (cells[(0, 1)] - cells[(0, 0)])
+        assert math.isclose(r["did_estimate"], did, abs_tol=1e-4)
+        assert r["n_events"] == len(grp)
+
+
+def test_zipf_slope_matches_numpy(spark):
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    counts = Counter()
+    for r in docs:
+        counts.update(re.findall("[a-z]+", r["text"].lower()))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    xs = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    ys = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    row = QS["zipf_rank_slope"](spark, SF_SMALL).first()
+    assert row["n_terms"] == len(counts)
+    assert row["n_fit"] == len(ranked)
+    assert math.isclose(row["zipf_slope"], slope, rel_tol=1e-5, abs_tol=1e-5)
+    assert math.isclose(row["intercept"], intercept, rel_tol=1e-5, abs_tol=1e-4)
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+
+
+def test_knn_loo_matches_numpy(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    labels = np.array([r["label"] for r in emb])
+    V = np.array([list(r["embedding"]) for r in emb], dtype=float)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vn @ Vn.T, 6)
+    order = np.argsort(ids)
+    ids, labels, cos = ids[order], labels[order], cos[np.ix_(order, order)]
+    np.fill_diagonal(cos, -2.0)
+    correct = {}
+    n = {}
+    for i in range(len(ids)):
+        # max cosine, tie-break by smallest neighbor id (ids sorted asc)
+        j = int(np.argmax(cos[i]))
+        lab = int(labels[i])
+        n[lab] = n.get(lab, 0) + 1
+        if labels[j] == lab:
+            correct[lab] = correct.get(lab, 0) + 1
+    got = {r["label"]: r for r in QS["knn_loo_accuracy"](spark, SF_SMALL).collect()}
+    assert set(got) == set(n)
+    for lab in n:
+        assert got[lab]["n"] == n[lab]
+        assert got[lab]["n_correct"] == correct.get(lab, 0)
+
+
+def test_calendar_dim_iso_conventions(spark):
+    from datetime import date
+
+    rows = QS["calendar_dim"](spark, SF_SMALL).collect()
+    assert len(rows) == len({r["day"] for r in rows})
+    by_day = {r["day"]: r for r in rows}
+    # span is contiguous
+    assert (max(by_day) - min(by_day)).days + 1 == len(rows)
+    for d in list(sorted(by_day))[:400]:
+        r = by_day[d]
+        iso = d.isocalendar()
+        assert r["iso_dow"] == iso[2]
+        assert r["iso_week"] == iso[1]
+        assert r["yr"] == d.year and r["mo"] == d.month and r["dom"] == d.day
+        assert r["qtr"] == (d.month - 1) // 3 + 1
+        assert r["is_weekend"] == (iso[2] >= 6)
+        nxt = date(d.year + (d.month == 12), d.month % 12 + 1, 1)
+        from datetime import timedelta
+
+        assert r["days_in_month"] == (nxt - timedelta(days=1)).day
