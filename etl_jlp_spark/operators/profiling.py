@@ -23,7 +23,7 @@ scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -135,3 +135,187 @@ def column_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-entity behavioral entropy + equi-depth histogram — the profiling
+# pair the column-level reports don't cover: HOW diverse each user's
+# behavior is (a bot replays one event type; entropy ≈ 0), and where
+# the value mass actually sits (equi-depth deciles adapt to skew that
+# fixed-width value_histogram bins smear).
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "user_event_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS total,
+         count(*) OVER (PARTITION BY user_id) AS n_types
+  FROM counts
+)
+SELECT user_id,
+       CAST(max(total) AS BIGINT) AS n_events,
+       CAST(max(n_types) AS BIGINT) AS n_types,
+       round(-sum((c / CAST(total AS DOUBLE)) * ln(c / CAST(total AS DOUBLE))), 4)
+         + 0.0 AS entropy_nats
+FROM tot GROUP BY user_id
+""",
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix, with
+    event and distinct-type counts — the single-number behavioral
+    diversity signal (≈0 flags single-action bots/replays; ln(#types)
+    is the uniform ceiling). Same p·ln p shape as
+    column_entropy_report, keyed per user: one combinable groupBy to
+    (user, type) counts, per-user totals as a partition window over
+    the ≤|types|-row groups, never a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id")
+    tot = counts.select(
+        "user_id",
+        "c",
+        F.sum("c").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_types"),
+    )
+    p = F.col("c") / F.col("total").cast("double")
+    return tot.groupBy("user_id").agg(
+        F.max("total").cast("long").alias("n_events"),
+        F.max("n_types").cast("long").alias("n_types"),
+        (F.round(-F.sum(p * F.log(p)), 4) + 0.0).alias("entropy_nats"),
+    )
+
+
+@query(
+    "equidepth_histogram",
+    oracle=f"""
+WITH ranked AS (
+  SELECT value, ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM ranked GROUP BY bucket
+""",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of the event value: {EQUIDEPTH_BUCKETS}
+    buckets of (near-)equal row count with their value ranges — the
+    skew-adaptive complement to the fixed-width value_histogram, and
+    the boundary source for range-partition tuning. ntile over the
+    unique (value, event_id) order is engine-identical.
+
+    Scale: the exact form global-sorts once (rangepartitioning —
+    Spark samples boundaries, so data is NOT funneled through one
+    task, but the sort is still the cost). At 100 TB the swap-in is
+    approx_percentile boundaries + a bin-assign projection, same
+    output shape; the exact form is the correctness anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "event_weekday_mi",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS x, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS y FROM events
+), cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), m AS (
+  SELECT x, y, c,
+         sum(c) OVER (PARTITION BY x) AS rx,
+         sum(c) OVER (PARTITION BY y) AS ry,
+         sum(c) OVER () AS total
+  FROM cells
+), mi AS (
+  SELECT CAST(max(total) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         sum((c / CAST(total AS DOUBLE)) * ln((c * total) / CAST(rx * ry AS DOUBLE)))
+           AS mi
+  FROM m
+), hx AS (
+  SELECT -sum((cx / CAST(t AS DOUBLE)) * ln(cx / CAST(t AS DOUBLE))) AS h
+  FROM (SELECT x, sum(c) AS cx, sum(sum(c)) OVER () AS t FROM cells GROUP BY x)
+), hy AS (
+  SELECT -sum((cy / CAST(t AS DOUBLE)) * ln(cy / CAST(t AS DOUBLE))) AS h
+  FROM (SELECT y, sum(c) AS cy, sum(sum(c)) OVER () AS t FROM cells GROUP BY y)
+)
+SELECT n_events, n_cells,
+       round(mi, 4) + 0.0 AS mi_nats,
+       round((SELECT h FROM hx), 4) + 0.0 AS h_event_type,
+       round((SELECT h FROM hy), 4) + 0.0 AS h_weekday,
+       round(mi / sqrt((SELECT h FROM hx) * (SELECT h FROM hy)), 4) + 0.0 AS nmi
+FROM mi
+""",
+)
+def event_weekday_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and ISO weekday,
+    with the two marginal entropies and the normalized MI — the
+    dependence detector for categorical column pairs (0 ⟺ behavior is
+    day-independent), extending the per-column entropy report to
+    pairwise structure.
+
+    Plan: ONE combinable groupBy to the ≤|x|·|y| contingency cells;
+    margins are windows over that tiny relation; the fact table is
+    scanned once. Same shape profiles any categorical pair at any
+    scale — cost is the groupBy, output is O(cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("x"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(Window.partitionBy("x")).alias("rx"),
+        F.sum("c").over(Window.partitionBy("y")).alias("ry"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    mi = m.agg(
+        F.max("total").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(
+            (F.col("c") / F.col("total").cast("double"))
+            * F.log((F.col("c") * F.col("total")) / (F.col("rx") * F.col("ry")).cast("double"))
+        ).alias("mi"),
+    )
+
+    def _marg(col: str) -> DataFrame:
+        cx = cells.groupBy(col).agg(F.sum("c").alias("cx"))
+        cx = cx.select("cx", F.sum("cx").over(Window.partitionBy()).alias("t"))
+        p = F.col("cx") / F.col("t").cast("double")
+        return cx.agg((-F.sum(p * F.log(p))).alias("h"))
+
+    hx = _marg("x").select(F.col("h").alias("h_x"))
+    hy = _marg("y").select(F.col("h").alias("h_y"))
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_events",
+            "n_cells",
+            (F.round("mi", 4) + 0.0).alias("mi_nats"),
+            (F.round("h_x", 4) + 0.0).alias("h_event_type"),
+            (F.round("h_y", 4) + 0.0).alias("h_weekday"),
+            (F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 4) + 0.0).alias("nmi"),
+        )
+    )

@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -483,4 +483,117 @@ def mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(_erfc_sql("(abs((u_a - mu) / sigma) / sqrt(2.0))")), 6) + 0.0
         ).alias("p_approx"),
         (F.abs(z) > 1.959963984540054).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap — interval estimates without distributional
+# assumptions, reproducible across engines and re-runs: resample b
+# draws row indices as a pure md5 function of (b, i), so the "random"
+# resamples are data-derived constants. B fixed-size resamples of the
+# full population is the exact textbook form (the correctness anchor);
+# the 100 TB swap-in is the Poisson bootstrap (per-row Binomial(1/n)
+# weights in ONE pass, no index join) with identical downstream shape.
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_B = 50  # resamples
+BOOTSTRAP_CI = (0.025, 0.975)
+
+
+@query(
+    "bootstrap_ci_mean",
+    oracle=f"""
+WITH ranked AS (
+  SELECT CAST(round(value * 10000) AS BIGINT) AS v_e4,
+         row_number() OVER (ORDER BY event_id) AS rk
+  FROM events
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+draws AS (
+  SELECT b.b, r.rk AS i,
+         (('0x' || substr(md5(b.b || ':' || r.rk), 1, 15))::BIGINT % nn.n) + 1 AS idx
+  FROM ranked r
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(generate_series(1, {BOOTSTRAP_B})) AS b) b
+), means AS (
+  SELECT d.b,
+         CAST(sum(r.v_e4) AS DOUBLE) / max(nn.n) / 10000 AS m
+  FROM draws d JOIN ranked r ON r.rk = d.idx CROSS JOIN nn
+  GROUP BY d.b
+)
+SELECT (SELECT n FROM nn) AS n_events,
+       CAST({BOOTSTRAP_B} AS BIGINT) AS n_resamples,
+       round((SELECT CAST(sum(v_e4) AS DOUBLE) / max(nn.n) / 10000
+              FROM ranked CROSS JOIN nn), 4) + 0.0 AS mean_value,
+       round(quantile_cont(m, {BOOTSTRAP_CI[0]}), 4) + 0.0 AS ci_lo,
+       round(quantile_cont(m, {BOOTSTRAP_CI[1]}), 4) + 0.0 AS ci_hi,
+       round(stddev_samp(m), 4) + 0.0 AS se_boot
+FROM means
+""",
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the mean event value: {BOOTSTRAP_B}
+    deterministic resamples (row index = md5(b:i) mod n — a pure
+    function of the data, so the interval is reproducible anywhere),
+    resample means from exact e4-integer sums, interval = interpolated
+    quantiles over the {BOOTSTRAP_B} means.
+
+    Plan: rank rows once (the exact anchor pays one global sort; the
+    Poisson-bootstrap swap-in for 100 TB needs NO ranks), fan out
+    B draws per row as a projection, one equi-join back on rank, one
+    B-group aggregate. Join traffic is B×n rows of two longs."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.select(
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+        F.row_number().over(Window.orderBy("event_id")).alias("rk"),
+    )
+    nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bs = spark.range(1, BOOTSTRAP_B + 1).select(F.col("id").alias("b"))
+    draws = (
+        ranked.select(F.col("rk").alias("i"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            "b",
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("b"), F.col("i"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.col("n"),
+                )
+                + 1
+            ).alias("idx"),
+        )
+    )
+    means = (
+        draws.join(ranked, draws.idx == ranked.rk)
+        .crossJoin(F.broadcast(nn))
+        .groupBy("b")
+        .agg((F.sum("v_e4").cast("double") / F.max("n") / 10000).alias("m"))
+    )
+    overall = ranked.crossJoin(F.broadcast(nn)).agg(
+        (F.round(F.sum("v_e4").cast("double") / F.max("n") / 10000, 4) + 0.0).alias(
+            "mean_value"
+        )
+    )
+    return (
+        means.agg(
+            (F.round(F.expr(f"percentile(m, {BOOTSTRAP_CI[0]}D)"), 4) + 0.0).alias("ci_lo"),
+            (F.round(F.expr(f"percentile(m, {BOOTSTRAP_CI[1]}D)"), 4) + 0.0).alias("ci_hi"),
+            (F.round(F.stddev_samp("m"), 4) + 0.0).alias("se_boot"),
+        )
+        .crossJoin(F.broadcast(nn.select(F.col("n").alias("n_events"))))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "n_events",
+            F.lit(BOOTSTRAP_B).cast("long").alias("n_resamples"),
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+            "se_boot",
+        )
     )

@@ -278,3 +278,95 @@ def did_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_estimate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix — the one-pass profiling companion to
+# the estimators above: all 6 correlations among the lineitem numeric
+# measures from a single aggregate of exact integer sufficient
+# statistics (the same cents/points scaling discipline).
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = [
+    ("qty", "CAST(l_quantity AS BIGINT)", "l_quantity"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)", "l_extendedprice"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)", "l_discount"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)", "l_tax"),
+]
+_CORR_PAIRS = [
+    (a, b) for i, (a, _, _) in enumerate(_CORR_COLS) for b, _, _ in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    proj = ", ".join(f"{expr} AS {k}" for k, expr, _ in _CORR_COLS)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for k, _, _ in _CORR_COLS:
+        sums.append(f"CAST(sum({k}) AS BIGINT) AS s_{k}")
+        sums.append(f"CAST(sum({k} * {k}) AS BIGINT) AS ss_{k}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    parts = []
+    names = {k: src for k, _, src in _CORR_COLS}
+    for a, b in _CORR_PAIRS:
+        corr = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        parts.append(
+            f"SELECT '{names[a]}' AS col_x, '{names[b]}' AS col_y,"
+            f" round({corr}, 6) + 0.0 AS corr FROM s"
+        )
+    return (
+        f"WITH pts AS (SELECT {proj} FROM lineitem),"
+        f" s AS (SELECT {', '.join(sums)} FROM pts) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("lineitem_corr_matrix", oracle=_corr_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 6 Pearson correlations among the lineitem measures
+    (quantity, revenue dollars, discount points, tax points) in ONE
+    map-side-combinable aggregate: 15 exact int64 sufficient sums,
+    then the closed-form correlation in doubles with identical
+    expression shape in both engines. Spark's built-in ``corr`` is
+    avoided deliberately — its float partials are partition-order
+    dependent, which breaks cross-engine hashing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for k, _, _ in _CORR_COLS:
+        aggs.append(F.sum(k).cast("long").alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).cast("long").alias(f"ss_{k}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}"))
+    s = pts.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    names = {k: src for k, _, src in _CORR_COLS}
+    outs = []
+    for a, b in _CORR_PAIRS:
+        corr = (d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")) / F.sqrt(
+            (d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"))
+            * (d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"))
+        )
+        outs.append(
+            s.select(
+                F.lit(names[a]).alias("col_x"),
+                F.lit(names[b]).alias("col_y"),
+                (F.round(corr, 6) + 0.0).alias("corr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
