@@ -170,3 +170,131 @@ def test_calendar_dim_iso_conventions(spark):
         from datetime import timedelta
 
         assert r["days_in_month"] == (nxt - timedelta(days=1)).day
+
+
+def test_corr_matrix_matches_numpy(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    pdf = li.toPandas()
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in QS["lineitem_corr_matrix"](spark, SF_SMALL).collect()
+    }
+    names = {
+        "qty": "l_quantity",
+        "price": "l_extendedprice",
+        "disc": "l_discount",
+        "tax": "l_tax",
+    }
+    cols = list(names)
+    assert len(got) == 6
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            want = np.corrcoef(pdf[a].values.astype(float), pdf[b].values.astype(float))[0, 1]
+            assert math.isclose(got[(names[a], names[b])], want, abs_tol=1e-6)
+
+
+def test_user_event_entropy_matches_numpy(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "event_type").collect()
+    from collections import Counter, defaultdict
+
+    per_user = defaultdict(Counter)
+    for r in ev:
+        per_user[r["user_id"]][r["event_type"]] += 1
+    got = {r["user_id"]: r for r in QS["user_event_entropy"](spark, SF_SMALL).collect()}
+    assert set(got) == set(per_user)
+    for u, cnt in per_user.items():
+        n = sum(cnt.values())
+        ps = np.array(list(cnt.values()), dtype=float) / n
+        h = float(-(ps * np.log(ps)).sum())
+        assert got[u]["n_events"] == n
+        assert got[u]["n_types"] == len(cnt)
+        assert math.isclose(got[u]["entropy_nats"], h, abs_tol=5e-5)
+        assert 0.0 <= got[u]["entropy_nats"] <= math.log(max(len(cnt), 1)) + 1e-9
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    rows = sorted(QS["equidepth_histogram"](spark, SF_SMALL).collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    counts = [r["n"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance property
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"] + 1e-9  # ranges are ordered
+        assert a["lo"] <= a["hi"]
+
+
+def test_event_weekday_mi_matches_numpy(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", (F.weekday(F.to_date("ts")) + 1).alias("wd")
+    ).collect()
+    from collections import Counter
+
+    cells = Counter((r["event_type"], r["wd"]) for r in ev)
+    n = sum(cells.values())
+    rx = Counter()
+    ry = Counter()
+    for (x, y), c in cells.items():
+        rx[x] += c
+        ry[y] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (rx[x] * ry[y])) for (x, y), c in cells.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in rx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in ry.values())
+    row = QS["event_weekday_mi"](spark, SF_SMALL).first()
+    assert row["n_events"] == n and row["n_cells"] == len(cells)
+    assert math.isclose(row["mi_nats"], mi, abs_tol=5e-5)
+    assert math.isclose(row["h_event_type"], hx, abs_tol=5e-5)
+    assert math.isclose(row["h_weekday"], hy, abs_tol=5e-5)
+    assert math.isclose(row["nmi"], mi / math.sqrt(hx * hy), abs_tol=5e-5)
+    assert 0.0 <= row["nmi"] <= 1.0
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """Two invocations must agree exactly (md5 resampling is a pure
+    function of the data), and the interval must bracket the
+    population mean for this well-behaved distribution."""
+    a = QS["bootstrap_ci_mean"](spark, SF_SMALL).first()
+    b = QS["bootstrap_ci_mean"](spark, SF_SMALL).first()
+    assert a == b
+    assert a["ci_lo"] <= a["mean_value"] <= a["ci_hi"]
+    assert a["se_boot"] > 0
+    assert a["n_resamples"] == 50
+
+
+def test_bootstrap_replicates_python_resampling(spark):
+    """Replicate the md5 index stream in pure Python for one resample
+    and match the implied resample mean by reconstructing ALL resample
+    means: the CI endpoints must equal the quantiles of the Python
+    means."""
+    import hashlib
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", F.round(F.col("value") * 10000).cast("long").alias("v_e4"))
+        .orderBy("event_id")
+        .collect()
+    )
+    v = [r["v_e4"] for r in ev]
+    n = len(v)
+    means = []
+    for b in range(1, 51):
+        s = 0
+        for i in range(1, n + 1):
+            h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:15], 16)
+            s += v[h % n]
+        means.append(s / n / 10000)
+    means.sort()
+
+    def qcont(xs, p):
+        k = (len(xs) - 1) * p
+        lo, hi = int(math.floor(k)), int(math.ceil(k))
+        return xs[lo] + (xs[hi] - xs[lo]) * (k - lo)
+
+    row = QS["bootstrap_ci_mean"](spark, SF_SMALL).first()
+    assert math.isclose(row["ci_lo"], qcont(means, 0.025), abs_tol=1e-4)
+    assert math.isclose(row["ci_hi"], qcont(means, 0.975), abs_tol=1e-4)
