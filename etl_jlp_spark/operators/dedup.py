@@ -67,3 +67,55 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_copies"),
         )
     )
+
+
+PREFIX_LEN = 120  # chars of normalized text that define a prefix group
+
+
+@query(
+    "dedup_prefix",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, {PREFIX_LEN}))
+           AS prefix_hash
+  FROM documents
+)
+SELECT prefix_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM keyed
+GROUP BY prefix_hash
+HAVING count(*) > 1
+""",
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups: documents whose first
+    {PREFIX_LEN} whitespace-normalized characters agree — the
+    crawl-artifact case (boilerplate headers, mirrored pages with
+    divergent tails) that whole-text exact dedup misses and MinHash
+    only catches when the tail is short. Same keep-min survivorship
+    convention as dedup_exact_docs.
+
+    Plan: one projection (normalize → md5 prefix key) + one
+    combinable groupBy — the cheapest member of the dedup family, ∝
+    #docs at any scale with a {PREFIX_LEN}-char bounded key."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.substring(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, PREFIX_LEN
+            )
+        ).alias("prefix_hash"),
+    )
+    return (
+        keyed.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -291,3 +291,62 @@ def percentile_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.ntile(N_QUALITY_BUCKETS).over(w).cast("long").alias("decile"),
     )
+
+
+@query(
+    "char_bigram_entropy",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE length(trim(text)) >= 2
+), grams AS (
+  SELECT doc_id, substr(t, i, 2) AS bg
+  FROM norm, unnest(generate_series(1, length(t) - 1)) AS g(i)
+), counts AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS total,
+         count(*) OVER (PARTITION BY doc_id) AS n_distinct
+  FROM counts
+)
+SELECT doc_id,
+       CAST(max(total) AS BIGINT) AS n_bigrams,
+       CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+       round(-sum((c / CAST(total AS DOUBLE)) * ln(c / CAST(total AS DOUBLE))), 4)
+         + 0.0 AS entropy_nats
+FROM tot GROUP BY doc_id
+""",
+)
+def char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the gibberish /
+    degenerate-text detector that complements the word-level quality
+    gates: random byte soup scores near the uniform ceiling, repeated
+    template strings score near zero, and natural language sits in a
+    stable band per language. Canonical in crawl filtering pipelines.
+
+    Plan: bigrams come from a position explode (sequence 1..len-1) —
+    output is ∝ total characters, grouped per doc with a partition
+    window over the ≤|alphabet|²-row per-doc count relation. One scan,
+    two shuffles (doc-keyed), everything codegen — no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", F.lower(F.trim("text")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, length(t) - 1)")).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("substring(t, i, 2)").alias("bg"))
+    counts = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("doc_id")
+    tot = counts.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("total").cast("double")
+    return tot.groupBy("doc_id").agg(
+        F.max("total").cast("long").alias("n_bigrams"),
+        F.max("n_distinct").cast("long").alias("n_distinct"),
+        (F.round(-F.sum(p * F.log(p)), 4) + 0.0).alias("entropy_nats"),
+    )

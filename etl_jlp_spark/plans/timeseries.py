@@ -903,3 +903,67 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev") - F.col("trend") - F.col("seasonal"), 4) + 0.0,
         ).alias("resid"),
     )
+
+
+@query(
+    "markov_next_event_eval",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type FROM ordered WHERE prev_type IS NOT NULL
+), counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM trans GROUP BY 1, 2
+), best AS (
+  SELECT prev_type, next_type AS predicted_next, n AS n_pred,
+         row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type ASC) AS rk,
+         sum(n) OVER (PARTITION BY prev_type) AS n_total
+  FROM counts
+)
+SELECT prev_type, predicted_next,
+       CAST(n_total AS BIGINT) AS n_transitions,
+       n_pred AS n_correct,
+       round(CAST(n_pred AS DOUBLE) / n_total, 4) AS accuracy
+FROM best WHERE rk = 1
+""",
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class next-event baseline: for each current event type,
+    predict the most frequent successor (deterministic count-then-name
+    tie-break) and report its resubstitution accuracy — the floor any
+    sequence model must beat, and the companion eval to
+    event_transition_matrix (same lag window, same counts; accuracy =
+    the row maximum of P(next|prev)).
+
+    Plan: identical cost shape to the transition matrix — one
+    user-partitioned lag, a |types|²-bounded aggregate, windows over
+    that tiny relation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wbest = Window.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    wtot = Window.partitionBy("prev_type")
+    best = counts.select(
+        "prev_type",
+        F.col("next_type").alias("predicted_next"),
+        F.col("n").alias("n_pred"),
+        F.row_number().over(wbest).alias("rk"),
+        F.sum("n").over(wtot).alias("n_total"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "prev_type",
+        "predicted_next",
+        F.col("n_total").cast("long").alias("n_transitions"),
+        F.col("n_pred").alias("n_correct"),
+        F.round(F.col("n_pred").cast("double") / F.col("n_total"), 4).alias("accuracy"),
+    )

@@ -552,3 +552,88 @@ def q12_ship_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+COPURCHASE_TOP_K = 40
+COPURCHASE_MIN_N = 2
+
+
+@query(
+    "part_copurchase_lift",
+    oracle=f"""
+WITH pf AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem
+), pk AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), pcount AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS c FROM pk GROUP BY pk
+), pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_co
+  FROM pk a JOIN pk b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {COPURCHASE_MIN_N}
+), scored AS (
+  SELECT p.part_a, p.part_b, p.n_co, ca.c AS n_a, cb.c AS n_b,
+         round(CAST(p.n_co AS DOUBLE) * (SELECT n_orders FROM pf)
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 4) AS lift
+  FROM pairs p
+  JOIN pcount ca ON p.part_a = ca.pk
+  JOIN pcount cb ON p.part_b = cb.pk
+)
+SELECT part_a, part_b, n_co, n_a, n_b, lift,
+       CAST(row_number() OVER (ORDER BY n_co DESC, lift DESC, part_a, part_b)
+            AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {COPURCHASE_TOP_K}
+""",
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis on order contents: the top part pairs
+    bought in the same order, with co-occurrence count and lift
+    n_co·N/(n_a·n_b) (>1 ⇒ bought together more than chance). The
+    events-side association rules (assoc_rules_events) get their
+    retail-side twin here.
+
+    Plan: the pair self-join runs per order key, so its width is
+    Σ lines(order)² — bounded by the ≤7-line order format, ∝ orders,
+    never parts². Part marginals join the pair relation (part-count
+    sized); final top-k is TakeOrdered with a fully deterministic
+    (count, lift, pair) ordering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    n_orders = pk.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    pcount = pk.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = pk.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = pk.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= COPURCHASE_MIN_N)
+    )
+    ca = pcount.select(F.col("pk").alias("part_a"), F.col("c").alias("n_a"))
+    cb = pcount.select(F.col("pk").alias("part_b"), F.col("c").alias("n_b"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_co").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_co"), F.desc("lift"), "part_a", "part_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= COPURCHASE_TOP_K)
+    )
