@@ -124,6 +124,27 @@ _R7_PRIORITY = [
     "embedding_pca_power",
     "percentile_bucket_assign",
     "events_cube_report",
+    # NEW in round 7, third wave (regression/graph/profiling batch) —
+    # first driver row; whatever falls past the ~50-row window is
+    # covered by the committed PARITY sweep
+    "ols_discount_elasticity",
+    "acf_daily_revenue",
+    "did_lift_report",
+    "zipf_rank_slope",
+    "graph_khop_reach",
+    "graph_link_prediction",
+    "calendar_dim",
+    "ship_delay_profile",
+    "knn_loo_accuracy",
+    "user_event_entropy",
+    "equidepth_histogram",
+    "lineitem_corr_matrix",
+    "bootstrap_ci_mean",
+    "event_weekday_mi",
+    "markov_next_event_eval",
+    "dedup_prefix",
+    "char_bigram_entropy",
+    "part_copurchase_lift",
     # NEW in round 7, second wave — first driver row (past-window names
     # are covered by the committed PARITY sweep)
     "hll_distinct_daily",

@@ -353,20 +353,22 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = pts.agg(*aggs)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     names = {k: src for k, _, src in _CORR_COLS}
-    outs = []
+    # One row with all six correlations, exploded to (col_x, col_y,
+    # corr) rows. A 6-way UNION of per-pair selects would let projection
+    # pushdown specialize the stats aggregate per branch (measured: 12
+    # lineitem scans, zero ReusedExchange) — the struct-array explode
+    # keeps ONE scan and ONE aggregate by construction.
+    rows = []
     for a, b in _CORR_PAIRS:
         corr = (d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")) / F.sqrt(
             (d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"))
             * (d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"))
         )
-        outs.append(
-            s.select(
+        rows.append(
+            F.struct(
                 F.lit(names[a]).alias("col_x"),
                 F.lit(names[b]).alias("col_y"),
                 (F.round(corr, 6) + 0.0).alias("corr"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -566,3 +566,71 @@ def test_assoc_rules_pair_join_is_user_keyed(spark):
     plan = _plan(QS["assoc_rules_events"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ols_single_scan_pruned(spark):
+    """OLS reads exactly the three lineitem columns it needs and plans
+    ONE hash aggregate pair (partial+final) — the sufficient-statistic
+    shape."""
+    df = QS["ols_discount_elasticity"](spark, SF_SMALL)
+    plan = _optimized(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "l_shipdate" in read_schema and "l_discount" in read_schema
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    phys = _plan(df)
+    assert phys.count("Exchange") == 1, phys
+
+
+def test_corr_matrix_single_stats_scan(spark):
+    """All 6 correlations come from ONE statistics aggregate: the
+    struct-array explode keeps a single lineitem scan (a 6-way UNION of
+    per-pair selects measured 12 scans — projection pushdown
+    specializes the aggregate per branch and defeats ReusedExchange)."""
+    df = QS["lineitem_corr_matrix"](spark, SF_SMALL)
+    df.collect()
+    phys = _plan(df)
+    assert "isFinalPlan=true" in phys
+    assert phys.count("Scan parquet") <= 2, phys
+
+
+def test_acf_reuses_daily_series_exchange(spark):
+    """The daily aggregate subtree appears under dev/den/tot consumers;
+    the final adaptive plan must dedupe it via ReusedExchange rather
+    than re-scanning orders per consumer."""
+    df = QS["acf_daily_revenue"](spark, SF_SMALL)
+    df.collect()
+    phys = _plan(df)
+    assert "isFinalPlan=true" in phys
+    assert phys.count("ReusedExchange") >= 3, phys
+
+
+def test_copurchase_no_cartesian_and_pair_join_on_orderkey(spark):
+    phys = _plan(QS["part_copurchase_lift"](spark, SF_SMALL))
+    assert "CartesianProduct" not in phys
+    # the pair join is an equi-join (SortMerge or Hash) on the order key
+    assert "ok" in phys and ("SortMergeJoin" in phys or "ShuffledHashJoin" in phys or "BroadcastHashJoin" in phys)
+
+
+def test_calendar_dim_single_scalar_scan(spark):
+    """The grid derives from ONE 1-row min/max aggregate; the orders
+    scan reads only o_orderdate."""
+    df = QS["calendar_dim"](spark, SF_SMALL)
+    plan = _optimized(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "o_orderdate" in read_schema and "o_custkey" not in read_schema
+
+
+def test_bootstrap_join_is_equi_join(spark):
+    """The draws→ranked join must be an equi-join on the rank key (the
+    B×n fan-out is a projection, never a nested-loop pairing)."""
+    phys = _plan(QS["bootstrap_ci_mean"](spark, SF_SMALL))
+    assert "CartesianProduct" not in phys
+    assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys or "BroadcastHashJoin" in phys
+
+
+def test_user_entropy_single_events_exchange(spark):
+    """user_event_entropy: one shuffle to (user,type) groups; the
+    window runs over the grouped relation partitioned by the same key
+    (no extra events-wide exchange)."""
+    phys = _plan(QS["user_event_entropy"](spark, SF_SMALL))
+    assert phys.count("Scan parquet") - phys.count("ReusedExchange") <= 1, phys
