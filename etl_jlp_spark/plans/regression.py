@@ -203,6 +203,53 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def did_cells(events: DataFrame) -> DataFrame:
+    """(event_type, treated, post) → exact (n, s) e4-integer cell sums.
+    Additive across event slices — the mergeable state the streaming
+    twin (streaming/pipeline.py streaming_did_monitor) persists per
+    micro-batch; summing per-batch cells equals one batch pass."""
+    boundary = F.lit(DID_PERIOD_BOUNDARY).cast("timestamp")
+    cells = events.select(
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < DID_SPLIT_HEX, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("ts") >= boundary, 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    return cells.groupBy("event_type", "treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v_e4").cast("long").alias("s")
+    )
+
+
+def did_readout(agg: DataFrame) -> DataFrame:
+    """Cell sums → per-type DiD report (shared by batch + streaming)."""
+    mean = F.col("s").cast("double") / F.col("n")
+    t, p = F.col("treated"), F.col("post")
+    wide = agg.groupBy("event_type").agg(
+        F.sum(F.when((t == 1) & (p == 0), mean)).alias("m_t_pre"),
+        F.sum(F.when((t == 1) & (p == 1), mean)).alias("m_t_post"),
+        F.sum(F.when((t == 0) & (p == 0), mean)).alias("m_c_pre"),
+        F.sum(F.when((t == 0) & (p == 1), mean)).alias("m_c_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    r4 = lambda c: F.round(c / 10000, 4) + 0.0  # noqa: E731
+    return wide.select(
+        "event_type",
+        "n_events",
+        r4(F.col("m_t_pre")).alias("mean_treat_pre"),
+        r4(F.col("m_t_post")).alias("mean_treat_post"),
+        r4(F.col("m_c_pre")).alias("mean_ctrl_pre"),
+        r4(F.col("m_c_post")).alias("mean_ctrl_post"),
+        r4((F.col("m_t_post") - F.col("m_t_pre")) - (F.col("m_c_post") - F.col("m_c_pre"))).alias(
+            "did_estimate"
+        ),
+    )
+
+
+
 @query(
     "did_lift_report",
     oracle=f"""
@@ -242,42 +289,7 @@ def did_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DiD = (treat post−pre) − (control post−pre) — the parallel-trends
     estimate of the treatment effect. Values aggregate as exact e4
     integers; means divide once per cell (4·|types| rows)."""
-    boundary = F.lit(DID_PERIOD_BOUNDARY).cast("timestamp")
-    ev = load_table(spark, sf_dir, "events")
-    cells = ev.select(
-        "event_type",
-        F.when(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < DID_SPLIT_HEX, 1
-        )
-        .otherwise(0)
-        .alias("treated"),
-        F.when(F.col("ts") >= boundary, 1).otherwise(0).alias("post"),
-        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
-    )
-    agg = cells.groupBy("event_type", "treated", "post").agg(
-        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v_e4").cast("long").alias("s")
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    t, p = F.col("treated"), F.col("post")
-    wide = agg.groupBy("event_type").agg(
-        F.sum(F.when((t == 1) & (p == 0), mean)).alias("m_t_pre"),
-        F.sum(F.when((t == 1) & (p == 1), mean)).alias("m_t_post"),
-        F.sum(F.when((t == 0) & (p == 0), mean)).alias("m_c_pre"),
-        F.sum(F.when((t == 0) & (p == 1), mean)).alias("m_c_post"),
-        F.sum("n").cast("long").alias("n_events"),
-    )
-    r4 = lambda c: F.round(c / 10000, 4) + 0.0  # noqa: E731
-    return wide.select(
-        "event_type",
-        "n_events",
-        r4(F.col("m_t_pre")).alias("mean_treat_pre"),
-        r4(F.col("m_t_post")).alias("mean_treat_post"),
-        r4(F.col("m_c_pre")).alias("mean_ctrl_pre"),
-        r4(F.col("m_c_post")).alias("mean_ctrl_post"),
-        r4((F.col("m_t_post") - F.col("m_t_pre")) - (F.col("m_c_post") - F.col("m_c_pre"))).alias(
-            "did_estimate"
-        ),
-    )
+    return did_readout(did_cells(load_table(spark, sf_dir, "events")))
 
 
 # ---------------------------------------------------------------------------

@@ -792,3 +792,45 @@ def hll_view(spark: SparkSession, dest_dir: str) -> DataFrame:
         .agg(F.max("m").alias("m"))
     )
     return hll_estimate(regs, ["day"])
+
+
+def streaming_did_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous experiment readout state: each micro-batch writes its
+    OWN (event_type, treated, post) exact e4-integer cell sums
+    (plans.regression.did_cells) to a per-batch_id partition —
+    idempotent under replay — and the serving readout sums the cells
+    across batch partitions (``did_view``), exact by additivity of
+    (n, Σv). The merged readout is row-identical to running
+    ``did_lift_report`` over the union of arrived events
+    (test-pinned), so the dashboard watching the experiment never
+    diverges from the offline analysis."""
+    from etl_jlp_spark.plans.regression import did_cells
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(did_cells(batch_df), dest_dir, batch_id)
+
+    return (
+        stream_events(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def did_view(spark: SparkSession, dest_dir: str) -> DataFrame:
+    """The merged experiment readout: sum per-batch cells, then the
+    shared batch readout algebra."""
+    from etl_jlp_spark.plans.regression import did_readout
+
+    cells = (
+        spark.read.parquet(dest_dir)
+        .groupBy("event_type", "treated", "post")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("s").cast("long").alias("s"))
+    )
+    return did_readout(cells)

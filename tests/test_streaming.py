@@ -439,3 +439,22 @@ def test_streaming_hll_merges_to_batch_registers(spark, events_dir, tmp_path):
     q2 = streaming_hll_monitor(spark, events_dir, dest, ckpt)  # replay
     q2.awaitTermination(120)
     assert {r["day"]: r["est_distinct"] for r in hll_view(spark, dest).collect()} == want
+
+
+def test_streaming_did_merges_to_batch_readout(spark, events_dir, tmp_path):
+    """Per-batch DiD cell sums merged across batches must reproduce the
+    batch did_lift_report EXACTLY (additivity of (n, Σv_e4)); replay
+    must not double-count."""
+    from etl_jlp_spark.plans.regression import did_lift_report
+    from etl_jlp_spark.streaming.pipeline import did_view, streaming_did_monitor
+
+    dest = str(tmp_path / "did_out")
+    ckpt = str(tmp_path / "did_ckpt")
+    q = streaming_did_monitor(spark, events_dir, dest, ckpt)
+    q.awaitTermination(120)
+    want = sorted(map(tuple, did_lift_report(spark, SF_SMALL).collect()))
+    read_out = lambda: sorted(map(tuple, did_view(spark, dest).collect()))
+    assert read_out() == want
+    q2 = streaming_did_monitor(spark, events_dir, dest, ckpt)  # replay
+    q2.awaitTermination(120)
+    assert read_out() == want
