@@ -470,3 +470,44 @@ def merge_pairs_into_clusters(
         untouched.unionByName(merged)
         .select(F.col("node").cast("long"), F.col("component").cast("long"))
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=_CC_CTES
+    + """
+, comp AS (
+  SELECT n.a AS node, least(n.a, min(r.b)) AS component
+  FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
+  GROUP BY n.a
+), csizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size
+""",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes: how many clusters of 2,
+    of 3, ... — the single chart that separates a pairwise-noise corpus
+    (all size 2) from a template-farm corpus (heavy tail). Operates on
+    the same verified components as dedup_connected_components, so the
+    histogram always reconciles with the cluster assignment.
+
+    Plan: two tiny aggregates downstream of the match-bounded
+    component relation — output ∝ distinct cluster sizes."""
+    from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+    )

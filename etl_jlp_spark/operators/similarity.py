@@ -1627,3 +1627,125 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neardup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding recall gate (round 6 third wave) — the dedup-family
+# analog of ann_recall_report: exact pairwise Jaccard ground truth on a
+# deterministic md5 sample of the corpus, compared against the
+# LSH-banded pipeline restricted to the same sample. Because the
+# banded pipeline VERIFIES exact Jaccard on its candidates, precision
+# is 1.0 by construction — the number under test is RECALL, i.e. the
+# band-miss rate the (K, bands) choice trades for candidate sparsity.
+# ---------------------------------------------------------------------------
+
+MINHASH_RECALL_SAMPLE_HEX = "4"  # md5(doc_id)[0] < '4' → 25% eval sample
+
+
+@query(
+    "minhash_recall_report",
+    oracle=_MINHASH_PAIRS_CTES
+    + f"""
+, samp AS (
+  SELECT doc_id FROM sizes
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{MINHASH_RECALL_SAMPLE_HEX}'
+), exact_inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM shingles x
+  JOIN samp sa ON x.doc_id = sa.doc_id
+  JOIN shingles y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  JOIN samp sb ON y.doc_id = sb.doc_id
+  GROUP BY 1, 2
+), true_pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM exact_inter i
+  JOIN sizes a ON i.doc_a = a.doc_id JOIN sizes b ON i.doc_b = b.doc_id
+  WHERE round(i.i * 1.0 / (a.n_sh + b.n_sh - i.i), 4) >= {MINHASH_TAU}
+), pred AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN samp a ON p.doc_a = a.doc_id JOIN samp b ON p.doc_b = b.doc_id
+), hit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM pred JOIN true_pairs USING (doc_a, doc_b)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred_pairs,
+       (SELECT n FROM hit) AS n_hit,
+       CASE WHEN (SELECT CAST(count(*) AS BIGINT) FROM pred) > 0
+            THEN round((SELECT n FROM hit) * 1.0
+                       / (SELECT count(*) FROM pred), 4) END AS precision,
+       CASE WHEN (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) > 0
+            THEN round((SELECT n FROM hit) * 1.0
+                       / (SELECT count(*) FROM true_pairs), 4) END AS recall
+""",
+)
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash pipeline against exact pairwise
+    Jaccard ground truth on a deterministic 25% md5 doc sample — the
+    offline gate that justifies the (K={MINHASH_K}, bands=
+    {MINHASH_BANDS}) choice, mirroring ann_recall_report for the ANN
+    family. Precision is 1.0 by construction (candidates are
+    exact-verified); recall < 1 measures band misses.
+
+    Scale: the exact side is an inverted-index self-join WITHIN the
+    sample (cost Σ df² over sample shingles) — the sample fraction is
+    the declared cost knob, exactly like the ANN gate's exact side.
+    The predicted side reuses the production pair pipeline unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)  # (doc_id, sh), distinct
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    samp = sizes.select("doc_id").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < MINHASH_RECALL_SAMPLE_HEX
+    )
+    ssh = sh.join(samp, "doc_id")
+    x = ssh.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = ssh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        x.join(y, (x.sh == y.sh) & (F.col("doc_b") > F.col("doc_a")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    true_pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.round(F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 4)
+            >= MINHASH_TAU
+        )
+        .select("doc_a", "doc_b")
+    )
+    pred = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(samp.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(samp.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    n_samp = samp.agg(F.count(F.lit(1)).cast("long").alias("n_sample_docs"))
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_pred = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred_pairs"))
+    n_hit = pred.join(true_pairs, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        n_samp.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_pred_pairs",
+            "n_hit",
+            F.when(
+                F.col("n_pred_pairs") > 0,
+                F.round(F.col("n_hit") * 1.0 / F.col("n_pred_pairs"), 4),
+            ).alias("precision"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.round(F.col("n_hit") * 1.0 / F.col("n_true_pairs"), 4),
+            ).alias("recall"),
+        )
+    )

@@ -646,3 +646,70 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "revenue_concentration_curve",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_c, ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile FROM cust
+), agg AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev_c) AS BIGINT) AS decile_rev_cents
+  FROM ranked GROUP BY decile
+)
+SELECT decile, n_customers, decile_rev_cents,
+       round(CAST(decile_rev_cents AS DOUBLE)
+             / CAST(sum(decile_rev_cents) OVER () AS DOUBLE), 6) AS rev_share,
+       round(CAST(sum(decile_rev_cents) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(sum(decile_rev_cents) OVER () AS DOUBLE), 6) AS cum_rev_share
+FROM agg
+""",
+)
+def revenue_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 curve: customers ranked into revenue deciles (ntile
+    over the unique (revenue desc, custkey) order), each decile's
+    share and cumulative share of total revenue in EXACT integer
+    cents — the concentration readout that complements the per-nation
+    Gini coefficient with actual curve points.
+
+    Plan: one customer aggregate (combinable), ntile over the
+    customer-count-sized relation, then windows over 10 rows."""
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    ranked = cust.select(
+        "rev_c",
+        F.ntile(10).over(Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))).alias("decile"),
+    )
+    agg = ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_c").cast("long").alias("decile_rev_cents"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile")
+    return agg.select(
+        "decile",
+        "n_customers",
+        "decile_rev_cents",
+        F.round(
+            F.col("decile_rev_cents").cast("double")
+            / F.sum("decile_rev_cents").over(wall).cast("double"),
+            6,
+        ).alias("rev_share"),
+        F.round(
+            F.sum("decile_rev_cents").over(wcum).cast("double")
+            / F.sum("decile_rev_cents").over(wall).cast("double"),
+            6,
+        ).alias("cum_rev_share"),
+    )
