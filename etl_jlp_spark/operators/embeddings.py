@@ -696,7 +696,11 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
     v = as_double_array(F.col("embedding"))
-    base = emb.select("vec_id", "label", v.alias("v"))
+    # widen the STREAMED side: a single parquet file scans as one input
+    # partition, serializing the N x broadcast-N pair fan-out
+    base = widen(spark, emb, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", v.alias("v")
+    )
     a = base.select(
         F.col("vec_id").alias("qid"), F.col("label").alias("true_label"), F.col("v").alias("qv")
     )
@@ -717,9 +721,25 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c6"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("c6"), F.asc("nb"))
-    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    correct = F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+    # Rank-1 via a map-side-combinable max over (c6, -nb) — NEVER a
+    # row_number window, which would shuffle and sort the full N²
+    # pair relation (measured: the window form ground for 30+ min at
+    # 4x corpus in rehearsal; the aggregate form reduces per-partition
+    # before any exchange). Struct max compares fields in order, so
+    # ties on rounded cosine resolve to the smallest neighbor id —
+    # identical semantics to the oracle's (c6 DESC, nb ASC) ranking.
+    nn = scored.groupBy("qid", "true_label").agg(
+        F.max(
+            F.struct(
+                F.col("c6"),
+                (-F.col("nb")).alias("neg_nb"),
+                F.col("pred_label"),
+            )
+        ).alias("m")
+    )
+    correct = F.sum(
+        F.when(F.col("m.pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
     return nn.groupBy(F.col("true_label").cast("long").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         correct.cast("long").alias("n_correct"),
