@@ -967,3 +967,112 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pred").alias("n_correct"),
         F.round(F.col("n_pred").cast("double") / F.col("n_total"), 4).alias("accuracy"),
     )
+
+
+@query(
+    "orders_monthly_yoy",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT cur.month, cur.rev_cents,
+       prev.rev_cents AS prev_year_cents,
+       CASE WHEN prev.rev_cents > 0
+            THEN round((CAST(cur.rev_cents AS DOUBLE) - prev.rev_cents)
+                       / prev.rev_cents, 6) END AS yoy_growth
+FROM monthly cur
+LEFT JOIN monthly prev ON prev.month = cur.month - INTERVAL 12 MONTH
+""",
+)
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth: exact integer-cent
+    monthly sums, matched to the same month a year earlier by an
+    explicit add_months self-join (robust to missing months, unlike a
+    lag-12 window). One combinable aggregate; the self-join operand is
+    the months-sized relation."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    prev = monthly.select(
+        F.add_months("month", 12).alias("month"), F.col("rev_cents").alias("prev_year_cents")
+    )
+    return monthly.join(F.broadcast(prev), "month", "left").select(
+        "month",
+        "rev_cents",
+        "prev_year_cents",
+        F.when(
+            F.col("prev_year_cents") > 0,
+            F.round(
+                (F.col("rev_cents").cast("double") - F.col("prev_year_cents"))
+                / F.col("prev_year_cents"),
+                6,
+            ),
+        ).alias("yoy_growth"),
+    )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM activity),
+contrib7 AS (
+  SELECT DISTINCT d.obs_day, a.user_id
+  FROM activity a, LATERAL (
+    SELECT unnest(generate_series(a.day, a.day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+      AS obs_day
+  ) d
+), contrib30 AS (
+  SELECT DISTINCT d.obs_day, a.user_id
+  FROM activity a, LATERAL (
+    SELECT unnest(generate_series(a.day, a.day + INTERVAL 29 DAY, INTERVAL 1 DAY))::DATE
+      AS obs_day
+  ) d
+)
+SELECT dy.day,
+       (SELECT CAST(count(*) AS BIGINT) FROM activity a WHERE a.day = dy.day) AS dau,
+       (SELECT CAST(count(*) AS BIGINT) FROM contrib7 c WHERE c.obs_day = dy.day) AS wau,
+       (SELECT CAST(count(*) AS BIGINT) FROM contrib30 c WHERE c.obs_day = dy.day) AS mau
+FROM days dy
+""",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily/weekly/monthly active users per observed day: each
+    (day, user) activity row CONTRIBUTES itself forward to the 7/30
+    trailing windows via a sequence explode, then one distinct count
+    per observation day — linear fan-out (×7/×30), never a
+    day×activity range join. The correctness anchor for the HLL
+    streaming monitor (hll_distinct_daily); at 100 TB swap the
+    distinct for per-day HLL register merges with identical output
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = activity.select("day").distinct()
+
+    def trailing(n_days: int, name: str) -> DataFrame:
+        contrib = activity.select(
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n_days - 1}), interval 1 day)")
+            ).alias("obs_day"),
+            "user_id",
+        ).distinct()
+        return contrib.groupBy(F.col("obs_day").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    dau = activity.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        days.join(dau, "day", "left")
+        .join(trailing(7, "wau"), "day", "left")
+        .join(trailing(30, "mau"), "day", "left")
+        .select("day", "dau", "wau", "mau")
+    )
