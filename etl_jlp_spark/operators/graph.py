@@ -564,3 +564,96 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "graph_modularity",
+    oracle=_GRAPH_CTES
+    + _lpa_iter_ctes()
+    + f"""
+, und AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+, m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und)
+, intra AS (
+  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM und u
+  JOIN l{LPA_ITERS} la ON u.a = la.node
+  JOIN l{LPA_ITERS} lb ON u.b = lb.node AND la.label = lb.label
+  GROUP BY la.label
+), degs AS (
+  SELECT l.label AS community,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM l{LPA_ITERS} l JOIN deg d ON l.node = d.node
+  GROUP BY l.label
+)
+SELECT CAST(dg.community AS BIGINT) AS community,
+       dg.n_nodes,
+       COALESCE(i.intra_edges, 0) AS intra_edges,
+       dg.degree_sum,
+       round(CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+                  - dg.degree_sum * dg.degree_sum AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE), 8) + 0.0 AS q_contrib
+FROM degs dg LEFT JOIN intra i ON dg.community = i.community
+CROSS JOIN m mm
+""",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the LPA communities over the
+    near-dup graph: per community, its node count, intra-community
+    edge count, degree mass, and exact contribution
+    (4·m·m_c − d_c²)/(4m²) — all-integer numerator so the sum of
+    q_contrib IS the graph's modularity Q without float-association
+    drift. Q near the maximum ⇒ LPA found real cluster structure; Q≈0
+    ⇒ the near-dup graph is one blob and community-level curation
+    decisions are unsafe.
+
+    Plan: labels ride the LPA machinery (driver shortcut / distributed
+    loop); modularity itself is two joins + two aggregates over the
+    match-bounded edge and label relations."""
+    labels = graph_label_propagation(spark, sf_dir).select("node", "community")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("community").alias("cb"))
+    intra = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    degs = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        degs.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.round(
+                    (
+                        4 * F.col("m") * F.coalesce("intra_edges", F.lit(0))
+                        - F.col("degree_sum") * F.col("degree_sum")
+                    ).cast("double")
+                    / (4 * F.col("m") * F.col("m")).cast("double"),
+                    8,
+                )
+                + 0.0
+            ).alias("q_contrib"),
+        )
+    )

@@ -319,3 +319,58 @@ def event_weekday_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 4) + 0.0).alias("nmi"),
         )
     )
+
+
+# candidate key combos over events: the true PK, a plausible composite,
+# a near-key, and a clearly non-unique combo — the report must order them
+KEY_CANDIDATES = [
+    ["event_id"],
+    ["user_id", "ts"],
+    ["user_id", "event_type", "ts"],
+    ["event_type", "ts"],
+]
+
+
+def _candidate_key_oracle() -> str:
+    parts = []
+    for combo in KEY_CANDIDATES:
+        name = "+".join(combo)
+        cols = ", ".join(combo)
+        parts.append(f"""
+SELECT '{name}' AS candidate,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       count(*) = (SELECT count(*) FROM events) AS is_key,
+       round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS uniqueness
+FROM (SELECT DISTINCT {cols} FROM events)""")
+    return " UNION ALL ".join(parts)
+
+
+@query("candidate_key_report", oracle=_candidate_key_oracle())
+def candidate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over events: for each column combo, its
+    distinct-combination count, exact-key verdict, and uniqueness
+    ratio — the profiling step before trusting a natural key or
+    choosing a merge key (complements fd_profile_report's pairwise
+    FDs with multi-column uniqueness).
+
+    Plan: one distinct-count aggregate per candidate (map-side
+    combinable); at 100 TB swap approx_count_distinct per candidate
+    into ONE pass — same output shape, documented error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    out = None
+    for combo in KEY_CANDIDATES:
+        one = (
+            ev.select(*combo)
+            .distinct()
+            .agg(
+                F.lit("+".join(combo)).alias("candidate"),
+                F.lit(total).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                (F.count(F.lit(1)) == total).alias("is_key"),
+                F.round(F.count(F.lit(1)) * 1.0 / total, 6).alias("uniqueness"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
