@@ -350,3 +350,65 @@ def char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_distinct").cast("long").alias("n_distinct"),
         (F.round(-F.sum(p * F.log(p)), 4) + 0.0).alias("entropy_nats"),
     )
+
+
+@query(
+    "langid_confusion_report",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_LANGID_HITS_SQL}
+  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+), pred AS (
+  SELECT lang AS declared_lang, {_LANGID_CASE_SQL} AS predicted_lang FROM scored
+)
+SELECT declared_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY declared_lang), 4) AS row_share
+FROM pred GROUP BY 1, 2
+""",
+)
+def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language detector against
+    the declared ``lang`` column: per (declared, predicted) cell, the
+    doc count and row-normalized share — the eval that tells you WHICH
+    languages the detector confuses (off-diagonal mass) before trusting
+    langid-based corpus routing. Same marker expressions as
+    text_langid, so the two can never disagree.
+
+    Plan: the same shuffle-free scoring projection, then one
+    |langs|²-bounded aggregate with a partition window over the tiny
+    cell relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(LANG_MARKERS)
+    scored = docs.select(
+        "lang",
+        *[
+            F.expr(
+                "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ("
+                + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+                + ")))"
+            ).alias(f"h_{lang}")
+            for lang in langs
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"h_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{other}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    cells = scored.select(
+        F.col("lang").alias("declared_lang"), pred.otherwise("unknown").alias("predicted_lang")
+    ).groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias("row_share"),
+    )
