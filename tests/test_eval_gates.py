@@ -128,3 +128,79 @@ def test_dau_wau_mau_matches_python(spark):
         assert rows[d]["wau"] == len(wau)
         assert rows[d]["mau"] == len(mau)
         assert rows[d]["dau"] <= rows[d]["wau"] <= rows[d]["mau"]
+
+
+def test_modularity_reconciles_with_lpa_and_sums_to_Q(spark):
+    """Per-community contributions must rebuild from the LPA labels and
+    raw pairs, and their sum is the graph modularity (bounded by 1)."""
+    labels = {
+        r["node"]: r["community"]
+        for r in QS["graph_label_propagation"](spark, SF_SMALL).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in QS["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    ]
+    m = len(pairs)
+    deg = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    intra = defaultdict(int)
+    dsum = defaultdict(int)
+    nnodes = defaultdict(int)
+    for a, b in pairs:
+        if labels[a] == labels[b]:
+            intra[labels[a]] += 1
+    for n, c in labels.items():
+        dsum[c] += deg[n]
+        nnodes[c] += 1
+    rows = QS["graph_modularity"](spark, SF_SMALL).collect()
+    assert {r["community"] for r in rows} == set(dsum)
+    q = 0.0
+    for r in rows:
+        c = r["community"]
+        assert r["n_nodes"] == nnodes[c]
+        assert r["intra_edges"] == intra.get(c, 0)
+        assert r["degree_sum"] == dsum[c]
+        want = (4 * m * intra.get(c, 0) - dsum[c] ** 2) / (4 * m * m)
+        assert math.isclose(r["q_contrib"], want, abs_tol=1e-8)
+        q += r["q_contrib"]
+    assert q <= 1.0 + 1e-9
+
+
+def test_candidate_key_report_verdicts(spark):
+    rows = {r["candidate"]: r for r in QS["candidate_key_report"](spark, SF_SMALL).collect()}
+    ev = load_table(spark, SF_SMALL, "events")
+    n = ev.count()
+    assert rows["event_id"]["is_key"] is True
+    assert rows["event_id"]["n_distinct"] == n
+    assert rows["event_id"]["uniqueness"] == 1.0
+    # a combo's distinct count can never exceed a superset combo's
+    assert (
+        rows["event_type+ts"]["n_distinct"]
+        <= rows["user_id+event_type+ts"]["n_distinct"]
+        <= n
+    )
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert (r["n_distinct"] == n) == r["is_key"]
+
+
+def test_langid_confusion_reconciles_with_text_langid(spark):
+    pred = {r["doc_id"]: r["lang_pred"] for r in QS["text_langid"](spark, SF_SMALL).collect()}
+    declared = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    }
+    cells = defaultdict(int)
+    for d, p in pred.items():
+        cells[(declared[d], p)] += 1
+    rows = QS["langid_confusion_report"](spark, SF_SMALL).collect()
+    got = {(r["declared_lang"], r["predicted_lang"]): r["n_docs"] for r in rows}
+    assert got == dict(cells)
+    # row shares sum to 1 per declared language
+    by_decl = defaultdict(float)
+    for r in rows:
+        by_decl[r["declared_lang"]] += r["row_share"]
+    for v in by_decl.values():
+        assert math.isclose(v, 1.0, abs_tol=5e-3)
