@@ -145,6 +145,14 @@ _R7_PRIORITY = [
     "dedup_prefix",
     "char_bigram_entropy",
     "part_copurchase_lift",
+    "minhash_recall_report",
+    "dup_cluster_size_histogram",
+    "graph_modularity",
+    "candidate_key_report",
+    "langid_confusion_report",
+    "revenue_concentration_curve",
+    "orders_monthly_yoy",
+    "events_dau_wau_mau",
     # NEW in round 7, second wave — first driver row (past-window names
     # are covered by the committed PARITY sweep)
     "hll_distinct_daily",

@@ -92,7 +92,7 @@ HAVING count(*) > 1
 )
 def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-prefix duplicate groups: documents whose first
-    {PREFIX_LEN} whitespace-normalized characters agree — the
+    PREFIX_LEN (120) whitespace-normalized characters agree — the
     crawl-artifact case (boilerplate headers, mirrored pages with
     divergent tails) that whole-text exact dedup misses and MinHash
     only catches when the tail is short. Same keep-min survivorship
@@ -100,7 +100,7 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one projection (normalize → md5 prefix key) + one
     combinable groupBy — the cheapest member of the dedup family, ∝
-    #docs at any scale with a {PREFIX_LEN}-char bounded key."""
+    #docs at any scale with a PREFIX_LEN-char bounded key."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",

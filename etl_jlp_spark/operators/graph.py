@@ -59,6 +59,27 @@ _GRAPH_CTES = (
 )
 
 
+def _sym_edges(pairs):
+    """Symmetrized distinct (src, dst) edge relation from an a<b pair
+    list — the single Spark-side edge canonicalization every graph
+    operator shares (mirror of the oracle-side ``edges`` CTE in
+    ``_GRAPH_CTES``)."""
+    return (
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _degrees(edges):
+    """(node, deg) from a symmetrized edge relation."""
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+
+
 def _pagerank_iter_ctes() -> str:
     """r1..rK chained CTEs, each one power-iteration step. The float
     expressions are written so BOTH engines evaluate the identical IEEE
@@ -122,20 +143,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating lineage per round (the iterative-Spark pitfall CC
     already documents)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .distinct()
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
-    )
-    n_edges = edges.count()
+    cached = _sym_edges(pairs).persist()
+    n_edges = cached.count()
     if n_edges <= DRIVER_PR_MAX_EDGES:
-        out = _driver_pagerank([(r["src"], r["dst"]) for r in edges.collect()])
-        edges.unpersist()
+        out = _driver_pagerank([(r["src"], r["dst"]) for r in cached.collect()])
+        cached.unpersist()
         return spark.createDataFrame(out, "node long, pagerank double")
-    sc = edges.sparkSession.sparkContext
+    sc = cached.sparkSession.sparkContext
     n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    edges = edges.repartition(n_part, "src")
+    # keep the persisted handle: unpersisting the REPARTITIONED plan is
+    # a no-op (Dataset.unpersist matches the exact logical plan), which
+    # leaked the cached edge blocks for the session lifetime
+    edges = cached.repartition(n_part, "src")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     n_nodes = deg.count()
     ranks = deg.select(
@@ -160,7 +179,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    edges.unpersist()
+    cached.unpersist()
     return ranks.select(
         F.col("node").cast("long").alias("node"),
         F.round("rank", PR_ROUND).alias("pagerank"),
@@ -303,16 +322,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .distinct()
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
-    )
-    n_edges = edges.count()
+    cached = _sym_edges(pairs).persist()
+    n_edges = cached.count()
     if n_edges <= DRIVER_LPA_MAX_EDGES:
-        labs = _driver_lpa([(r["src"], r["dst"]) for r in edges.collect()])
-        edges.unpersist()
+        labs = _driver_lpa([(r["src"], r["dst"]) for r in cached.collect()])
+        cached.unpersist()
         sizes: dict[int, int] = {}
         for _, lab in labs:
             sizes[lab] = sizes.get(lab, 0) + 1
@@ -320,9 +334,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(n, lab, sizes[lab]) for n, lab in labs],
             "node long, community long, community_size long",
         )
-    sc = edges.sparkSession.sparkContext
+    sc = cached.sparkSession.sparkContext
     n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    edges = edges.repartition(n_part, "dst")
+    edges = cached.repartition(n_part, "dst")  # keep `cached` for unpersist
     labels = (
         edges.select(F.col("dst").alias("node"))
         .distinct()
@@ -341,7 +355,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
-    edges.unpersist()
+    cached.unpersist()
     wsize = Window.partitionBy("label")
     return labels.select(
         F.col("node").cast("long").alias("node"),
@@ -450,21 +464,16 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same rounds as chained single-reference CTEs
     seeded from every node."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .distinct()
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
-    )
-    n_edges = edges.count()
+    cached = _sym_edges(pairs).persist()
+    n_edges = cached.count()
     schema = "node long, " + ", ".join(f"reach_{k} long" for k in range(1, KHOP_ITERS + 1))
     if n_edges <= DRIVER_KHOP_MAX_EDGES:
-        out = _driver_khop([(r["src"], r["dst"]) for r in edges.collect()])
-        edges.unpersist()
+        out = _driver_khop([(r["src"], r["dst"]) for r in cached.collect()])
+        cached.unpersist()
         return spark.createDataFrame(out, schema)
-    sc = edges.sparkSession.sparkContext
+    sc = cached.sparkSession.sparkContext
     n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    edges = edges.repartition(n_part, "src")
+    edges = cached.repartition(n_part, "src")  # keep `cached` for unpersist
     dist = (
         edges.select(F.col("src").alias("root"))
         .distinct()
@@ -480,7 +489,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-    edges.unpersist()
+    cached.unpersist()
     return dist.groupBy(F.col("root").cast("long").alias("node")).agg(
         *[
             F.sum(F.when(F.col("dist").between(1, k), 1).otherwise(0))
@@ -528,14 +537,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan fragments for ReusedExchange to dedupe at runtime — same
     # rationale as ab_test_report.
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionAll(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    e1 = edges.select(F.col("doc_a").alias("mid"), F.col("doc_b").alias("a"))
-    e2 = edges.select(F.col("doc_a").alias("mid"), F.col("doc_b").alias("c"))
+    edges = _sym_edges(pairs)
+    deg = _degrees(edges)
+    e1 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("c"))
     cand = (
         e1.join(e2, "mid")
         .filter(F.col("a") < F.col("c"))
@@ -612,12 +617,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     match-bounded edge and label relations."""
     labels = graph_label_propagation(spark, sf_dir).select("node", "community")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionAll(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    deg = _degrees(_sym_edges(pairs))
     m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
     la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
     lb = labels.select(F.col("node").alias("doc_b"), F.col("community").alias("cb"))

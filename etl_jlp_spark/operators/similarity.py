@@ -1683,8 +1683,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample_docs,
 def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the banded MinHash pipeline against exact pairwise
     Jaccard ground truth on a deterministic 25% md5 doc sample — the
-    offline gate that justifies the (K={MINHASH_K}, bands=
-    {MINHASH_BANDS}) choice, mirroring ann_recall_report for the ANN
+    offline gate that justifies the (K, bands) = (8, 4) choice, mirroring ann_recall_report for the ANN
     family. Precision is 1.0 by construction (candidates are
     exact-verified); recall < 1 measures band misses.
 

@@ -140,6 +140,32 @@ _LANGID_HITS_SQL, _LANGID_CASE_SQL = _langid_case_sql()
 _LANGID_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(LANG_MARKERS)) + ", 0)"
 
 
+def _langid_scored(docs, *extra_cols):
+    """(scored_df, pred_column) — the shared marker-scoring projection
+    and tie-broken CASE chain used by both text_langid and
+    langid_confusion_report, so the two can never disagree. Alphabetical
+    language order wins ties (deterministic in both engines)."""
+    langs = sorted(LANG_MARKERS)
+    scored = docs.select(
+        *extra_cols,
+        *[
+            F.expr(
+                "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ("
+                + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+                + ")))"
+            ).alias(f"h_{lang}")
+            for lang in langs
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"h_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{other}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored, pred.otherwise("unknown")
+
+
 @query(
     "text_langid",
     oracle=f"""
@@ -160,29 +186,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a narrow projection: no explode, no join, no shuffle. Ties go to
     the alphabetically-first language (deterministic in both engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    langs = sorted(LANG_MARKERS)
-    scored = docs.select(
-        "doc_id",
-        *[
-            F.expr(
-                "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ("
-                + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
-                + ")))"
-            ).alias(f"h_{lang}")
-            for lang in langs
-        ],
-    )
-    pred = None
-    for i, lang in enumerate(langs):
-        cond = F.col(f"h_{lang}") > 0
-        for other in langs[i + 1 :]:
-            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{other}"))
-        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    pred = pred.otherwise("unknown")
+    scored, pred = _langid_scored(docs, "doc_id")
     return scored.select(
         "doc_id",
         pred.alias("lang_pred"),
-        F.greatest(*[F.col(f"h_{lang}") for lang in langs], F.lit(0))
+        F.greatest(*[F.col(f"h_{lang}") for lang in sorted(LANG_MARKERS)], F.lit(0))
         .cast("long")
         .alias("marker_hits"),
     )
@@ -382,26 +390,9 @@ def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|²-bounded aggregate with a partition window over the tiny
     cell relation."""
     docs = load_table(spark, sf_dir, "documents")
-    langs = sorted(LANG_MARKERS)
-    scored = docs.select(
-        "lang",
-        *[
-            F.expr(
-                "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ("
-                + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
-                + ")))"
-            ).alias(f"h_{lang}")
-            for lang in langs
-        ],
-    )
-    pred = None
-    for i, lang in enumerate(langs):
-        cond = F.col(f"h_{lang}") > 0
-        for other in langs[i + 1 :]:
-            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{other}"))
-        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    scored, pred = _langid_scored(docs, "lang")
     cells = scored.select(
-        F.col("lang").alias("declared_lang"), pred.otherwise("unknown").alias("predicted_lang")
+        F.col("lang").alias("declared_lang"), pred.alias("predicted_lang")
     ).groupBy("declared_lang", "predicted_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )

@@ -162,7 +162,7 @@ FROM num
 )
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the daily order-revenue series at lags
-    1..{ACF_MAX_LAG}: ACF_k = Σ dev_t·dev_{{t+k}} / Σ dev_t², with
+    1..ACF_MAX_LAG (14): ACF_k = Σ dev_t·dev_(t+k) / Σ dev_t², with
     dev_t = n·x_t − Σx (mean-centering scaled by n so every term stays
     an exact integer — the n² factor cancels in the ratio). Deviation
     products reach ~1e20, so they run in DECIMAL(38,0) — exact in both

@@ -51,7 +51,9 @@ def test_dedup_prefix_matches_python(spark):
     docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
     groups = defaultdict(list)
     for r in docs:
-        key = re.sub(r"\s+", " ", r["text"].lower().strip())[:120]
+        # Spark/DuckDB trim() strips ASCII spaces only — match it, not
+        # Python's all-whitespace .strip()
+        key = re.sub(r"\s+", " ", r["text"].lower().strip(" "))[:120]
         groups[key].append(r["doc_id"])
     dups = {k: sorted(v) for k, v in groups.items() if len(v) > 1}
     rows = QS["dedup_prefix"](spark, SF_SMALL).collect()
@@ -66,7 +68,7 @@ def test_char_bigram_entropy_matches_python(spark):
     got = {r["doc_id"]: r for r in QS["char_bigram_entropy"](spark, SF_SMALL).collect()}
     checked = 0
     for r in docs[:60]:
-        t = r["text"].strip().lower()
+        t = r["text"].strip(" ").lower()  # trim() = spaces only
         if len(t) < 2:
             assert r["doc_id"] not in got
             continue
