@@ -166,6 +166,63 @@ def ingest_full_load_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUNDTRIP_ORACLE = f"""
+SELECT event_id, user_id, ts, event_type, value, props,
+       'batch-full-load' AS source_name,
+       CAST(1 AS BIGINT) AS source_id,
+       FALSE AS is_update, FALSE AS is_delete,
+       TIMESTAMP '2024-02-01 00:00:00' AS created_time,
+       DATE '2024-02-01' AS created_date
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '{SAMPLE_PREFIX_BOUND}'
+"""
+
+
+def _roundtrip_entity(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Full-load sample → {fmt} landzone → sniffed read-back, compared
+    by the oracle against the parquet source — the fidelity harness the
+    jsonl twin established, parameterized over the sink format."""
+    import tempfile
+
+    from etl_jlp_spark.ingest.readers import read_entity
+    from etl_jlp_spark.ingest.writers import write_entity
+
+    df = ingest_full_load(spark, sf_dir)
+    container = os.path.join(
+        tempfile.gettempdir(),
+        "etl_jlp_medallion",
+        f"{sf_dir.strip('/').replace('/', '_')}-{fmt}-{os.getpid()}",
+    )
+    write_entity(df, container, "01landzone", "events_sample", fmt, "20240201")
+    return read_entity(
+        spark, container, "01landzone", "events_sample", "20240201", schema=df.schema
+    )
+
+
+@query("ingest_full_load_csv", oracle=_ROUNDTRIP_ORACLE)
+def ingest_full_load_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landzone round trip (reference write_dls csv branch,
+    general_lib.py:325-360): header + explicit schema read-back, with
+    microsecond timestampFormat pinned on BOTH sides — the oracle
+    hash-compares every column against the parquet source, so quoting
+    (props holds JSON with commas/quotes), double precision and
+    timestamp micros are all proven lossless, not assumed. At 100 TB
+    CSV is the interchange format a lake still has to ACCEPT; the
+    explicit-schema read keeps it one pass (no inference scan)."""
+    return _roundtrip_entity(spark, sf_dir, "csv")
+
+
+@query("ingest_full_load_orc", oracle=_ROUNDTRIP_ORACLE)
+def ingest_full_load_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC landzone round trip: the second columnar lake format Spark
+    ships natively (vectorized reader, predicate pushdown, min/max
+    stripe stats — the parquet story with a different container). The
+    oracle proves type fidelity through the ORC writer/reader pair;
+    format sniffing recognizes the ORC magic bytes so the read side
+    needs no hint."""
+    return _roundtrip_entity(spark, sf_dir, "orc")
+
+
 def stage_entity_jdbc(
     spark: SparkSession, df: DataFrame, url: str, table: str, driver: str
 ) -> None:

@@ -25,6 +25,7 @@ from etl_jlp_spark.catalog import _ensure_session_confs
 from etl_jlp_spark.ingest.writers import FORMATS, TIMESTAMP_FORMAT_US, medallion_path
 
 _MAGIC_PARQUET = b"PAR1"
+_MAGIC_ORC = b"ORC"
 
 
 _SNIFF_SAMPLE = 8  # magic-byte fallback inspects up to this many files
@@ -52,7 +53,13 @@ def sniff_format(path: str) -> str:
             for f in files
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         ]
-    by_ext = {".parquet": "parquet", ".csv": "csv", ".json": "jsonline", ".jsonl": "jsonline"}
+    by_ext = {
+        ".parquet": "parquet",
+        ".orc": "orc",
+        ".csv": "csv",
+        ".json": "jsonline",
+        ".jsonl": "jsonline",
+    }
     votes = {fmt for f in data_files for ext, fmt in by_ext.items() if f.endswith(ext)}
     if len(votes) > 1:
         raise ValueError(f"mixed formats {sorted(votes)} under {path!r}; pass fmt=")
@@ -64,6 +71,8 @@ def sniff_format(path: str) -> str:
             head = fh.read(4)
         if head[:4] == _MAGIC_PARQUET:
             votes.add("parquet")
+        elif head[:3] == _MAGIC_ORC:
+            votes.add("orc")
         elif head[:1] in (b"{", b"["):
             votes.add("jsonline")
         else:
@@ -101,6 +110,8 @@ def read_entity(
         reader = reader.schema(schema)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
     if fmt == "csv":
         return reader.option("header", "true").option(
             "timestampFormat", TIMESTAMP_FORMAT_US

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FORMATS = ("parquet", "csv", "json", "jsonline")
+FORMATS = ("parquet", "orc", "csv", "json", "jsonline")
 
 # microsecond-precision timestamps for text formats (JSON/CSV default to
 # millis, which silently truncates parquet-sourced micros)
@@ -51,7 +51,14 @@ def write_entity(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # micros-precision timestamps on the WRITE side too — the
+        # default CSV timestamp pattern is millisecond-only, which
+        # would silently truncate parquet-sourced micros on the
+        # landzone round trip (same fidelity bug the json branch
+        # already guards against)
+        writer = writer.option("header", "true").option(
+            "timestampFormat", TIMESTAMP_FORMAT_US
+        )
     if fmt in ("json", "jsonline"):
         # default JSON timestampFormat is millisecond-only — micros
         # would be silently truncated on the landzone round trip

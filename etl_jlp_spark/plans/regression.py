@@ -384,3 +384,228 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend: median-of-pairwise-slopes over the daily
+# revenue series. OLS (above) is moment-based and one outlier day can
+# swing the slope; Theil–Sen has a 29% breakdown point and is the
+# estimator a revenue-trend monitor should alarm on. The pair relation
+# is days², which is TIME-bounded (2.4k days → 2.9M pairs) and
+# independent of fact-table volume — the series itself is the output of
+# one map-side-combinable groupBy(day), so the 100 TB cost is one scan.
+# ---------------------------------------------------------------------------
+
+_TS_DAILY = """
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH daily AS ({_TS_DAILY}),
+d0 AS (SELECT min(day) AS day0 FROM daily),
+idx AS (
+  SELECT datediff('day', day0, day) AS di, rev FROM daily CROSS JOIN d0
+), slopes AS (
+  SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.di - a.di AS DOUBLE) AS slope,
+         a.di AS ai, b.di AS bi
+  FROM idx a JOIN idx b ON b.di > a.di
+), ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, ai, bi) AS rn,
+         count(*) OVER () AS n
+  FROM slopes
+), med AS (
+  SELECT round(avg(slope), 6) + 0.0 AS slope_med
+  FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+), resid AS (
+  SELECT CAST(rev AS DOUBLE) - slope_med * CAST(di AS DOUBLE) AS r,
+         di, row_number() OVER (ORDER BY CAST(rev AS DOUBLE)
+           - slope_med * CAST(di AS DOUBLE), di) AS rn,
+         count(*) OVER () AS n
+  FROM idx CROSS JOIN med
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+       (SELECT slope_med FROM med) AS slope_per_day,
+       (SELECT round(avg(r), 2) + 0.0 FROM resid
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)) AS intercept
+""",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope + intercept of daily order revenue: the median
+    of all pairwise slopes, intercept = median residual at that slope.
+
+    Exactness: daily revenues and day indexes are exact integers, so
+    every slope is the SAME double in both engines (one int-int
+    division); the median is exact rank selection (average of the two
+    middle order statistics under a fully deterministic (slope, i, j)
+    order), not an interpolating percentile whose rounding could
+    diverge. Plan: one groupBy(day) over orders, then all joins/windows
+    run on the ≤2.4k-row series (pairs ∝ days², not data volume)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"))
+    )
+    d0 = daily.agg(F.min("day").alias("day0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "day0").alias("di"), "rev"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("b.di") > F.col("a.di")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.di") - F.col("a.di")).cast("double")
+        ).alias("slope"),
+        F.col("a.di").alias("ai"),
+        F.col("b.di").alias("bi"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("slope", "ai", "bi")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    ).agg((F.round(F.avg("slope"), 6) + F.lit(0.0)).alias("slope_med"))
+    resid = idx.crossJoin(F.broadcast(med)).select(
+        (F.col("rev").cast("double") - F.col("slope_med") * F.col("di").cast("double")).alias("r"),
+        "di",
+    )
+    wr = Window.orderBy("r", "di")
+    rranked = resid.select(
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    intercept = rranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    ).agg((F.round(F.avg("r"), 2) + F.lit(0.0)).alias("intercept"))
+    n_days = idx.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    n_pairs = slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        n_days.crossJoin(n_pairs)
+        .crossJoin(med.select(F.col("slope_med").alias("slope_per_day")))
+        .crossJoin(intercept)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — the distributed-rank shape. A naive rank()
+# needs a GLOBAL sort of the fact table; instead each column's ranks
+# come from its VALUE HISTOGRAM (groupBy value → cumulative count →
+# average tie rank), a domain-bounded relation joined back onto the
+# rows. No global sort ever touches the 600k (or 100 TB) row set.
+# ---------------------------------------------------------------------------
+
+_SP_COLS = (
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+_SP_PAIRS = tuple(
+    (a[0], b[0]) for i, a in enumerate(_SP_COLS) for b in _SP_COLS[i + 1 :]
+)
+
+
+def _spearman_oracle() -> str:
+    proj = ", ".join(f"{expr} AS {k}" for k, expr in _SP_COLS)
+    ctes = [f"pts AS (SELECT {proj} FROM lineitem)"]
+    # per-column tie-averaged rank tables, doubled to stay integer:
+    # rank2 = 2*(#rows with smaller value) + (#ties + 1)
+    for k, _ in _SP_COLS:
+        ctes.append(
+            f"r_{k} AS (SELECT {k}, 2 * (sum(c) OVER (ORDER BY {k}) - c) + c + 1 AS rk2 "
+            f"FROM (SELECT {k}, count(*) AS c FROM pts GROUP BY {k}))"
+        )
+    joins = " ".join(f"JOIN r_{k} USING ({k})" for k, _ in _SP_COLS)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for k, _ in _SP_COLS:
+        sums.append(f"sum(CAST(r_{k}.rk2 AS DECIMAL(38,0))) AS s_{k}")
+        sums.append(
+            f"sum(CAST(r_{k}.rk2 AS DECIMAL(38,0)) * CAST(r_{k}.rk2 AS DECIMAL(38,0))) AS ss_{k}"
+        )
+    for x, y in _SP_PAIRS:
+        sums.append(
+            f"sum(CAST(r_{x}.rk2 AS DECIMAL(38,0)) * CAST(r_{y}.rk2 AS DECIMAL(38,0))) AS sp_{x}_{y}"
+        )
+    ctes.append(f"s AS (SELECT {', '.join(sums)} FROM pts {joins})")
+    parts = []
+    for x, y in _SP_PAIRS:
+        rho = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{x}_{y} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{x} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{y} AS DOUBLE)"
+            f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE)))"
+        )
+        parts.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, round({rho}, 6) + 0.0 AS rho FROM s"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+@query("spearman_corr_matrix", oracle=_spearman_oracle())
+def spearman_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 6 Spearman rank correlations among the lineitem measures —
+    the monotone-association twin of lineitem_corr_matrix (Pearson),
+    robust to the heavy-tailed price column.
+
+    Rank transform WITHOUT a global sort: each column's tie-averaged
+    rank is derived from its value histogram (groupBy value → window
+    cumsum over the value-DOMAIN-sized relation → rank2 = 2·below +
+    ties + 1, doubled so it stays an exact integer), then joined back
+    on the value key. Sufficient sums run in DECIMAL(38,0) — rank
+    products reach n·(2n)² ≈ 8.6e20 at sf1 — so both engines aggregate
+    bit-exactly; the closed-form rho is the same double expression."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    joined = pts
+    for k, _ in _SP_COLS:
+        hist = pts.groupBy(k).agg(F.count(F.lit(1)).alias("c"))
+        rk = hist.select(
+            k,
+            (
+                2 * (F.sum("c").over(Window.orderBy(k)) - F.col("c")) + F.col("c") + 1
+            ).alias(f"rk2_{k}"),
+        )
+        joined = joined.join(rk, k)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for k, _ in _SP_COLS:
+        aggs.append(F.sum(dec(f"rk2_{k}")).alias(f"s_{k}"))
+        aggs.append(F.sum(dec(f"rk2_{k}") * dec(f"rk2_{k}")).alias(f"ss_{k}"))
+    for x, y in _SP_PAIRS:
+        aggs.append(F.sum(dec(f"rk2_{x}") * dec(f"rk2_{y}")).alias(f"sp_{x}_{y}"))
+    s = joined.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rows = []
+    for x, y in _SP_PAIRS:
+        rho = (d("n") * d(f"sp_{x}_{y}") - d(f"s_{x}") * d(f"s_{y}")) / F.sqrt(
+            (d("n") * d(f"ss_{x}") - d(f"s_{x}") * d(f"s_{x}"))
+            * (d("n") * d(f"ss_{y}") - d(f"s_{y}") * d(f"s_{y}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                (F.round(rho, 6) + 0.0).alias("rho"),
+            )
+        )
+    return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

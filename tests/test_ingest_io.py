@@ -146,3 +146,35 @@ def test_sniff_rejects_mixed_dir_and_ignores_entity_named_json(tmp_path):
     (raw / "part-000").write_text('{"k": 1}\n')
     (raw / "part-001").write_text('{"k": 2}\n')
     assert sniff_format(str(raw)) == "jsonline"
+
+
+def test_orc_csv_roundtrip_exact(spark, tmp_path):
+    """ORC and CSV landzone round trips are value-exact for every
+    column type in events (timestamps keep micros, doubles keep bits,
+    quoted JSON in props survives CSV quoting); the ORC read side
+    sniffs the format from the magic bytes when the layout hint is
+    stripped."""
+    from etl_jlp_spark.ingest.readers import read_entity, sniff_format
+
+    ev = load_table(spark, SF_SMALL, "events").limit(200)
+    src = {r["event_id"]: r for r in ev.collect()}
+    for fmt in ("orc", "csv"):
+        write_entity(ev, str(tmp_path / "lz"), "b", "events", fmt, "20240201")
+        back = read_entity(
+            spark, str(tmp_path / "lz"), "b", "events", "20240201",
+            fmt=fmt, schema=ev.schema,
+        )
+        assert back.schema == ev.schema
+        got = {r["event_id"]: r for r in back.collect()}
+        assert got == src
+    # magic-byte sniff: ORC files start with b"ORC"
+    orc_dir = str(tmp_path / "lz" / "b" / "events" / "orc" / "20240201")
+    import os
+    import shutil
+
+    flat = str(tmp_path / "flat_orc")
+    os.makedirs(flat)
+    for f in os.listdir(orc_dir):
+        if not f.startswith(("_", ".")) and not f.endswith(".crc"):
+            shutil.copy2(os.path.join(orc_dir, f), os.path.join(flat, f + ".data"))
+    assert sniff_format(flat) == "orc"

@@ -298,3 +298,69 @@ def test_bootstrap_replicates_python_resampling(spark):
     row = QS["bootstrap_ci_mean"](spark, SF_SMALL).first()
     assert math.isclose(row["ci_lo"], qcont(means, 0.025), abs_tol=1e-4)
     assert math.isclose(row["ci_hi"], qcont(means, 0.975), abs_tol=1e-4)
+
+
+def test_theil_sen_matches_python(spark):
+    """From-scratch pairwise-slope median replica (pure Python, exact
+    rank selection) for the Theil-Sen trend row."""
+    daily = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"))
+        .collect()
+    )
+    day0 = min(r["day"] for r in daily)
+    pts = sorted(((r["day"] - day0).days, r["rev"]) for r in daily)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (ai, arev), (bi, brev) = pts[i], pts[j]
+            slopes.append(((brev - arev) / (bi - ai), ai, bi))
+    slopes.sort()
+    n = len(slopes)
+    mids = {(n + 1) // 2, (n + 2) // 2}
+    slope = round(sum(slopes[r - 1][0] for r in mids) / len(mids), 6)
+    resid = sorted((rev - slope * di, di) for di, rev in pts)
+    m = len(resid)
+    rmids = {(m + 1) // 2, (m + 2) // 2}
+    intercept = round(sum(resid[r - 1][0] for r in rmids) / len(rmids), 2)
+    row = QS["theil_sen_trend"](spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == len(pts)
+    assert row["n_pairs"] == n
+    assert math.isclose(row["slope_per_day"], slope, rel_tol=0, abs_tol=1e-9)
+    assert math.isclose(row["intercept"], intercept, rel_tol=0, abs_tol=1e-9)
+
+
+def test_spearman_matches_scipy_style_numpy(spark):
+    """Tie-averaged rank correlation replica via numpy argsort ranks —
+    independent of both the value-histogram rank derivation and the
+    DuckDB oracle."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    rows = li.collect()
+    cols = {}
+    for k in ("qty", "price", "disc", "tax"):
+        v = np.array([r[k] for r in rows], dtype=float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1  # average tie rank
+            i = j + 1
+        cols[k] = ranks
+    got = {
+        (r["col_x"], r["col_y"]): r["rho"]
+        for r in QS["spearman_corr_matrix"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == 6
+    for (x, y), rho in got.items():
+        expect = np.corrcoef(cols[x], cols[y])[0, 1]
+        assert math.isclose(rho, expect, rel_tol=0, abs_tol=1e-6), (x, y)
