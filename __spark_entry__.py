@@ -124,6 +124,15 @@ _R7_PRIORITY = [
     "embedding_pca_power",
     "percentile_bucket_assign",
     "events_cube_report",
+    # NEW this session — first row anywhere (not even a PARITY_r6 line)
+    "ingest_full_load_csv",
+    "ingest_full_load_orc",
+    "theil_sen_trend",
+    "spearman_corr_matrix",
+    "hll_weekly_union",
+    "nb_langid_confusion",
+    "doc_similarity_tfidf_topk",
+    "script_char_profile",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

@@ -901,3 +901,121 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical more-like-this: TF-IDF cosine top-k over a deterministic
+# query sample. The lexical twin of ann_topk_cosine (embeddings) —
+# retrieval by sparse term vectors via the inverted index, no
+# embeddings needed.
+# ---------------------------------------------------------------------------
+
+MLT_QUERY_PREFIX = "08"  # md5(doc_id)[:2] < '08' → ~3% query sample
+MLT_TOP_K = 3
+
+_MLT_TF = f"""
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+"""
+
+
+@query(
+    "doc_similarity_tfidf_topk",
+    oracle=f"""
+WITH tf AS ({_MLT_TF}),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), q AS (
+  SELECT * FROM w WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{MLT_QUERY_PREFIX}'
+), dots AS (
+  SELECT q.doc_id AS query_doc, w.doc_id AS match_doc, sum(q.w * w.w) AS dot
+  FROM q JOIN w ON q.term = w.term AND q.doc_id <> w.doc_id
+  GROUP BY 1, 2
+), cos AS (
+  SELECT query_doc, match_doc,
+         round(dot / (nq.nrm * nm.nrm), 4) AS cos_sim
+  FROM dots
+  JOIN nrm nq ON nq.doc_id = query_doc
+  JOIN nrm nm ON nm.doc_id = match_doc
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_doc
+             ORDER BY cos_sim DESC, match_doc) AS rk
+  FROM cos
+)
+SELECT query_doc, match_doc, cos_sim, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {MLT_TOP_K}
+""",
+)
+def doc_similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval: for each query document (deterministic
+    ~3% md5 sample) the top-{K} most cosine-similar documents under
+    L2-normalized smooth TF-IDF term vectors — lexical similarity
+    through the inverted index, the sparse twin of the embedding-space
+    ``ann_topk_cosine`` baseline.
+
+    Plan: the (doc, term, w) relation is built once (same tf/df shape
+    as tfidf_top_terms — groupBy + vocab-sized join, no windows on the
+    Zipf term key); the QUERY side is a pushed-down md5 filter over it,
+    so the term-keyed join is sample × posting-list, broadcast on the
+    query side — cost ∝ |queries|·N_term-overlap, never corpus².
+    Ranking uses the ROUNDED cosine (+ match_doc tiebreak) so the
+    cross-engine order is deterministic (parity discipline of
+    tfidf_top_terms). At 100 TB the same plan serves with the query
+    sample swapped for the live query batch; all-pairs similarity on a
+    dense-overlap corpus is inherently quadratic and stays routed to
+    the MinHash/embedding dedup family instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _words(docs, spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    w = (
+        _with_df(tf)
+        .crossJoin(F.broadcast(_n_docs(docs)))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    q = w.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < MLT_QUERY_PREFIX
+    ).select(F.col("doc_id").alias("query_doc"), "term", F.col("w").alias("qw"))
+    dots = (
+        F.broadcast(q)
+        .join(w, (q.term == w.term) & (F.col("query_doc") != w.doc_id))
+        .groupBy("query_doc", F.col("doc_id").alias("match_doc"))
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    cos = (
+        dots.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("query_doc"), F.col("nrm").alias("nq"))),
+            "query_doc",
+        )
+        .join(nrm.select(F.col("doc_id").alias("match_doc"), F.col("nrm").alias("nm")), "match_doc")
+        .select(
+            "query_doc",
+            "match_doc",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nm")), 4).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_doc").orderBy(F.desc("cos_sim"), "match_doc")
+    return (
+        cos.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= MLT_TOP_K)
+    )
+
+
+doc_similarity_tfidf_topk.__doc__ = (doc_similarity_tfidf_topk.__doc__ or "").format(
+    K=MLT_TOP_K
+)

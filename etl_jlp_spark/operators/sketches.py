@@ -365,3 +365,80 @@ def bloom_join_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_join_prune_report.__doc__ = (bloom_join_prune_report.__doc__ or "").format(
     sz=BLOOM_BUILD_SIZE
 )
+
+
+@query(
+    "hll_weekly_union",
+    oracle=f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), daily_reg AS (
+  SELECT day, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_REST_BITS + 1}
+             ELSE {_HLL_REST_BITS + 1} - length(bin(h // {HLL_M})) END) AS m
+  FROM hashed GROUP BY day, bucket
+), weekly_reg AS (
+  SELECT date_trunc('week', day) AS week, bucket, max(m) AS m
+  FROM daily_reg GROUP BY 1, bucket
+), est AS (
+  SELECT week, sum(power(2.0, -m)) AS z_used, count(*) AS n_used
+  FROM weekly_reg GROUP BY week
+), sm AS (
+  SELECT week,
+         round(CASE WHEN {_HLL_RAW} <= {2.5 * HLL_M} AND {HLL_M} - n_used > 0
+               THEN {float(HLL_M)} * ln({HLL_M} / CAST({HLL_M} - n_used AS DOUBLE))
+               ELSE {_HLL_RAW} END, 4) + 0.0 AS est_distinct
+  FROM est
+), exact AS (
+  SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY 1
+)
+SELECT CAST(exact.week AS DATE) AS week, n_days, est_distinct, exact_distinct,
+       round((est_distinct - exact_distinct) / exact_distinct, 6) + 0.0 AS rel_err
+FROM sm JOIN exact ON sm.week = exact.week
+""",
+)
+def hll_weekly_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct event_ids estimated by UNIONING the daily HLL
+    registers (bucket-wise max) — never re-reading raw events — next to
+    the exact weekly distinct and the measured error.
+
+    This is the property that makes sketches the 100 TB re-aggregation
+    shape: a rollup tree (day → week → month → all-time) merges
+    fixed-size register relations with `max`, so each coarser grain
+    costs |groups|×64 rows of input instead of a fresh fact-table scan,
+    and the SAME stored daily registers serve every grain. Contrast
+    exact count(DISTINCT): not mergeable — every re-grain shuffles all
+    distinct keys again. Plan: one scan builds the daily registers
+    (shared subtree with hll_distinct_daily), one |days|×64-row max
+    merge per week, and a broadcast join to the exact side (kept only
+    to MEASURE the estimate's error)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day"), "event_id")
+    daily_reg = hll_registers(days, "event_id", ["day"])
+    weekly_reg = (
+        daily_reg.select(F.date_trunc("week", "day").alias("week"), "bucket", "m")
+        .groupBy("week", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est = hll_estimate(weekly_reg, ["week"])
+    exact = days.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.count_distinct("event_id").cast("long").alias("exact_distinct"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+    )
+    return est.join(F.broadcast(exact), "week").select(
+        F.col("week").cast("date").alias("week"),
+        "n_days",
+        "est_distinct",
+        "exact_distinct",
+        (
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            )
+            + 0.0
+        ).alias("rel_err"),
+    )

@@ -403,3 +403,198 @@ def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias("row_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language ID — the LEARNED counterpart of the
+# marker-list detector above. The model is nothing but word-count
+# aggregates (the canonical "ML as one groupBy" shape), so training is
+# a single pass and scoring is a vocabulary join — no gradient loop, no
+# driver-side matrices, and it parallelizes to 100 TB exactly like any
+# other agg+join plan.
+# ---------------------------------------------------------------------------
+
+_NB_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "nb_langid_confusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_NB_TOKS}) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), cnt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok
+), lstats AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY lang
+), priors AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang
+), gstats AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks
+), dtok AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, c.lang, sum(ln(CAST(c.c + 1 AS DOUBLE))) AS sumln
+  FROM toks t JOIN cnt c ON t.tok = c.tok
+  GROUP BY t.doc_id, c.lang
+), grid AS (
+  SELECT d.doc_id, d.lang AS declared_lang, p.lang, d.n_tok,
+         coalesce(h.sumln, 0.0) AS sumln
+  FROM (SELECT doc_id, any_value(lang) AS lang, any_value(n_tok) AS n_tok
+        FROM dtok JOIN documents USING (doc_id) GROUP BY doc_id) d
+  CROSS JOIN priors p
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = p.lang
+), scored AS (
+  SELECT g.doc_id, g.declared_lang, g.lang,
+         ln(CAST(p.nd AS DOUBLE)) + g.sumln
+           - g.n_tok * ln(CAST(l.total + s.v AS DOUBLE)) AS score
+  FROM grid g
+  JOIN priors p ON p.lang = g.lang
+  JOIN lstats l ON l.lang = g.lang
+  CROSS JOIN gstats s
+), pred AS (
+  SELECT doc_id, declared_lang, lang AS predicted_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+  FROM scored
+)
+SELECT declared_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY declared_lang), 4) AS row_share
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+""",
+)
+def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a multinomial Naive Bayes language
+    classifier (Laplace-smoothed word likelihoods, log-space scoring)
+    trained on the declared ``lang`` labels and evaluated on the same
+    corpus — the learned-detector eval next to the rule-based
+    ``langid_confusion_report``, and the operator shape for any
+    bag-of-words classifier at scale.
+
+    score(d, l) = ln(prior_l) + Σ_w ln(c_wl + 1) − n_d·ln(T_l + V):
+    the Σ runs ONLY over (word, lang) pairs the model has seen (absent
+    pairs contribute ln(1) = 0), so scoring is one inner join of the
+    token stream against the vocab×langs count table (broadcast-able:
+    vocab-bounded) followed by a (doc, lang) sum — never a dense
+    doc×vocab product. Argmax is a |langs|-deep row_number with a
+    deterministic (score DESC, lang) order in both engines.
+
+    Plan: train = two aggs over one token explode; eval = one join +
+    agg + 4-row-per-doc window; everything downstream of the explode
+    is vocab- or langs-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lstats = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("total"))
+    priors = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    v = toks.agg(F.count_distinct("tok").cast("long").alias("v"))
+    dtok = toks.groupBy("doc_id").agg(
+        F.any_value("lang").alias("declared_lang"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
+    hits = (
+        toks.select("doc_id", "tok")
+        .join(cnt.select("tok", F.col("lang").alias("model_lang"), "c"), "tok")
+        .groupBy("doc_id", "model_lang")
+        .agg(F.sum(F.log((F.col("c") + 1).cast("double"))).alias("sumln"))
+    )
+    grid = (
+        dtok.crossJoin(F.broadcast(priors.select(F.col("lang").alias("model_lang"), "nd")))
+        .join(hits, ["doc_id", "model_lang"], "left")
+        .join(F.broadcast(lstats.select(F.col("lang").alias("model_lang"), "total")), "model_lang")
+        .crossJoin(F.broadcast(v))
+    )
+    scored = grid.select(
+        "doc_id",
+        "declared_lang",
+        F.col("model_lang").alias("lang"),
+        (
+            F.log(F.col("nd").cast("double"))
+            + F.coalesce(F.col("sumln"), F.lit(0.0))
+            - F.col("n_tok") * F.log((F.col("total") + F.col("v")).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    pred = scored.select(
+        "declared_lang",
+        F.col("lang").alias("predicted_lang"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    cells = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wd = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(wd), 4).alias("row_share"),
+    )
+
+
+@query(
+    "script_char_profile",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_letter,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_letter) / CAST(sum(n_chars) AS DOUBLE), 4) AS letter_ratio,
+       round(sum(n_digit) / CAST(sum(n_chars) AS DOUBLE), 4) AS digit_ratio,
+       round(sum(n_space) / CAST(sum(n_chars) AS DOUBLE), 4) AS space_ratio,
+       round((sum(n_chars) - sum(n_letter) - sum(n_digit) - sum(n_space))
+             / CAST(sum(n_chars) AS DOUBLE), 4) AS other_ratio
+FROM per_doc GROUP BY source
+""",
+)
+def script_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: letter / digit /
+    whitespace / other shares of the raw bytes — the cheapest
+    crawl-quality signal there is (binary junk, markup soup and
+    number-dump pages all move these ratios before any tokenizer
+    runs), reported at the source grain a mix policy acts on.
+
+    Exactness + scale: per-class counts are exact BIGINT length deltas
+    per doc, summed map-side; the ratios divide the SUMS (micro
+    average), so no float accumulates across rows in either engine —
+    one projection + one combinable agg, ∝ corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("long").alias("n_letter"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("n_space"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_letter").alias("s_letter"),
+        F.sum("n_digit").alias("s_digit"),
+        F.sum("n_space").alias("s_space"),
+    )
+    tc = F.col("total_chars").cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("s_letter") / tc, 4).alias("letter_ratio"),
+        F.round(F.col("s_digit") / tc, 4).alias("digit_ratio"),
+        F.round(F.col("s_space") / tc, 4).alias("space_ratio"),
+        F.round(
+            (F.col("total_chars") - F.col("s_letter") - F.col("s_digit") - F.col("s_space")) / tc,
+            4,
+        ).alias("other_ratio"),
+    )

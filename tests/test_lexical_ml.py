@@ -1,0 +1,159 @@
+"""Pure-Python/NumPy replicas for the round-6 lexical/ML batch:
+Naive-Bayes langid, TF-IDF more-like-this, HLL register union, and the
+char-class profile — each checked against an implementation that shares
+NO code (and no SQL) with the Spark side or the DuckDB oracle."""
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from etl_jlp_spark.catalog import load_table
+
+import __spark_entry__ as ent
+
+QS = ent.queries()
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).collect()
+
+
+def test_nb_langid_confusion_matches_python(spark):
+    rows = _docs(spark)
+    toks = {}
+    for r in rows:
+        t = re.split(r"\s+", r["text"].lower().strip(" "))
+        toks[r["doc_id"]] = [w for w in t if w] if r["text"].strip(" ") else []
+    cnt = defaultdict(Counter)  # lang -> word -> c
+    nd = Counter()
+    for r in rows:
+        nd[r["lang"]] += 1
+        cnt[r["lang"]].update(toks[r["doc_id"]])
+    vocab = set(w for c in cnt.values() for w in c)
+    totals = {l: sum(c.values()) for l, c in cnt.items()}
+    v = len(vocab)
+    confusion = Counter()
+    for r in rows:
+        tk = toks[r["doc_id"]]
+        if not tk:
+            continue
+        best = None
+        for lang in sorted(nd):
+            s = math.log(nd[lang]) - len(tk) * math.log(totals[lang] + v)
+            s += sum(math.log(cnt[lang][w] + 1) for w in tk if cnt[lang][w] > 0)
+            if best is None or s > best[0] + 1e-12:
+                best = (s, lang)
+        confusion[(r["lang"], best[1])] += 1
+    got = {
+        (r["declared_lang"], r["predicted_lang"]): r
+        for r in QS["nb_langid_confusion"](spark, SF_SMALL).collect()
+    }
+    assert {k: v for k, v in confusion.items()} == {
+        k: r["n_docs"] for k, r in got.items()
+    }
+    per_declared = Counter()
+    for (d, _), n in confusion.items():
+        per_declared[d] += n
+    for (d, p), r in got.items():
+        assert math.isclose(
+            r["row_share"], round(confusion[(d, p)] / per_declared[d], 4), abs_tol=1e-9
+        )
+
+
+def test_doc_similarity_tfidf_matches_numpy(spark):
+    rows = _docs(spark)
+    tf = {}
+    df = Counter()
+    for r in rows:
+        terms = Counter(re.findall(r"[a-z]+", r["text"].lower()))
+        tf[r["doc_id"]] = terms
+        df.update(terms.keys())
+    n = float(len(rows))
+    vecs = {}
+    for d, terms in tf.items():
+        v = {t: c * (math.log((1 + n) / (1 + df[t])) + 1.0) for t, c in terms.items()}
+        nrm = math.sqrt(sum(x * x for x in v.values()))
+        vecs[d] = (v, nrm)
+    queries = [
+        d for d in tf if hashlib.md5(str(d).encode()).hexdigest()[:2] < "08"
+    ]
+    got = defaultdict(list)
+    for r in QS["doc_similarity_tfidf_topk"](spark, SF_SMALL).collect():
+        got[r["query_doc"]].append((r["rk"], r["match_doc"], r["cos_sim"]))
+    assert set(got) <= set(queries)
+    for q in queries:
+        qv, qn = vecs[q]
+        sims = []
+        for d, (dv, dn) in vecs.items():
+            if d == q or dn == 0 or qn == 0:
+                continue
+            dot = sum(w * dv.get(t, 0.0) for t, w in qv.items())
+            sims.append((round(dot / (qn * dn), 4), d))
+        if not sims:
+            assert q not in got
+            continue
+        sims.sort(key=lambda x: (-x[0], x[1]))
+        expect = [(i + 1, d, s) for i, (s, d) in enumerate(sims[:3])]
+        assert sorted(got[q]) == expect, q
+
+
+def test_hll_weekly_union_is_register_max(spark):
+    """The weekly estimate must equal an estimate computed from
+    Python-replicated md5 registers unioned by max — and sit within
+    the m=64 error envelope of the exact count."""
+    from etl_jlp_spark.operators.sketches import HLL_M, _HLL_ALPHA, _HLL_REST_BITS
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(F.col("ts").cast("date").alias("day"), "event_id")
+        .collect()
+    )
+    regs = defaultdict(dict)  # week -> bucket -> max rho
+    exact = defaultdict(set)
+    for r in ev:
+        day = r["day"]
+        week = day - __import__("datetime").timedelta(days=day.weekday())
+        h = int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:15], 16)
+        bucket, rest = h % HLL_M, h // HLL_M
+        rho = (_HLL_REST_BITS + 1) if rest == 0 else (_HLL_REST_BITS + 1 - rest.bit_length())
+        regs[week][bucket] = max(regs[week].get(bucket, 0), rho)
+        exact[week].add(r["event_id"])
+    got = {r["week"]: r for r in QS["hll_weekly_union"](spark, SF_SMALL).collect()}
+    assert set(got) == set(regs)
+    for week, reg in regs.items():
+        z = sum(2.0 ** -m for m in reg.values())
+        v = HLL_M - len(reg)
+        raw = _HLL_ALPHA * HLL_M * HLL_M / (z + v)
+        est = HLL_M * math.log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+        assert math.isclose(got[week]["est_distinct"], round(est, 4), abs_tol=1e-9)
+        assert got[week]["exact_distinct"] == len(exact[week])
+        # 64-register HLL: ~1.04/sqrt(64) = 13% std error; allow 4 sigma
+        assert abs(got[week]["rel_err"]) < 0.52
+
+
+def test_script_char_profile_matches_python(spark):
+    rows = _docs(spark)
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, chars, letter, digit, space
+    for r in rows:
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += len(r["text"])
+        a[2] += sum(1 for ch in r["text"].lower() if "a" <= ch <= "z")
+        a[3] += sum(1 for ch in r["text"] if ch.isdigit())
+        a[4] += r["text"].count(" ")
+    got = {r["source"]: r for r in QS["script_char_profile"](spark, SF_SMALL).collect()}
+    assert set(got) == set(agg)
+    for src, (n, c, le, di, sp) in agg.items():
+        g = got[src]
+        assert (g["n_docs"], g["total_chars"]) == (n, c)
+        assert math.isclose(g["letter_ratio"], round(le / c, 4), abs_tol=1e-9)
+        assert math.isclose(g["digit_ratio"], round(di / c, 4), abs_tol=1e-9)
+        assert math.isclose(g["space_ratio"], round(sp / c, 4), abs_tol=1e-9)
+        assert math.isclose(g["other_ratio"], round((c - le - di - sp) / c, 4), abs_tol=1e-9)
