@@ -423,19 +423,22 @@ _NB_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 WITH toks AS (
   SELECT doc_id, lang, unnest({_NB_TOKS}) AS tok
   FROM documents WHERE length(trim(text)) > 0
+), tfd AS (
+  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS cd
+  FROM toks GROUP BY doc_id, lang, tok
 ), cnt AS (
-  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok
+  SELECT lang, tok, CAST(sum(cd) AS BIGINT) AS c FROM tfd GROUP BY lang, tok
 ), lstats AS (
   SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY lang
 ), priors AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang
 ), gstats AS (
-  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt
 ), dtok AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+  SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_tok FROM tfd GROUP BY doc_id
 ), hits AS (
-  SELECT t.doc_id, c.lang, sum(ln(CAST(c.c + 1 AS DOUBLE))) AS sumln
-  FROM toks t JOIN cnt c ON t.tok = c.tok
+  SELECT t.doc_id, c.lang, sum(t.cd * ln(CAST(c.c + 1 AS DOUBLE))) AS sumln
+  FROM tfd t JOIN cnt c ON t.tok = c.tok
   GROUP BY t.doc_id, c.lang
 ), grid AS (
   SELECT d.doc_id, d.lang AS declared_lang, p.lang, d.n_tok,
@@ -480,28 +483,51 @@ def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc×vocab product. Argmax is a |langs|-deep row_number with a
     deterministic (score DESC, lang) order in both engines.
 
-    Plan: train = two aggs over one token explode; eval = one join +
-    agg + 4-row-per-doc window; everything downstream of the explode
-    is vocab- or langs-bounded."""
+    Plan: ONE tokenize pass feeds a (doc, lang, tok, c) term-frequency
+    relation; the model counts, the Laplace totals, the vocabulary size
+    and the per-doc token counts are all aggregates OF that relation
+    (shared exchange), and scoring joins it back against the model on
+    the tok key weighted by the per-doc multiplicity — Σ over token
+    POSITIONS collapses to Σ c_dw·ln(c_wl+1) over unique (doc, word)
+    pairs, so the join input shrinks before it shuffles. Everything
+    downstream of the explode is vocab- or langs-bounded."""
+    from etl_jlp_spark.catalog import widen
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+    # widen the single-file local scan across cores (catalog.widen is a
+    # no-op on an already-split cluster-scale input) before the explode
+    toks = widen(spark, docs, sf_dir, "documents", "doc_id").filter(
+        F.length(F.trim("text")) > 0
+    ).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     )
-    cnt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # unique (doc, tok) term frequencies — the single tokenize pass
+    # every other relation derives from. localCheckpoint-ed: the four
+    # consumers prune different column subsets, which specializes the
+    # subtree under each and defeats ReusedExchange, so without the cut
+    # the corpus would be re-tokenized four times (the round-5 verdict's
+    # double-shingle finding, same class). At 100 TB this materializes
+    # the (doc, term, tf) relation once — exactly what the ir.py index
+    # stores persist, here kept session-local because the model is
+    # query-scoped.
+    tfd = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cd")
+    ).localCheckpoint(eager=True)
+    cnt = tfd.groupBy("lang", "tok").agg(F.sum("cd").cast("long").alias("c"))
     lstats = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("total"))
     priors = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
-    v = toks.agg(F.count_distinct("tok").cast("long").alias("v"))
-    dtok = toks.groupBy("doc_id").agg(
+    v = cnt.agg(F.count_distinct("tok").cast("long").alias("v"))
+    dtok = tfd.groupBy("doc_id").agg(
         F.any_value("lang").alias("declared_lang"),
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("cd").cast("long").alias("n_tok"),
     )
     hits = (
-        toks.select("doc_id", "tok")
+        tfd.select("doc_id", "tok", "cd")
         .join(cnt.select("tok", F.col("lang").alias("model_lang"), "c"), "tok")
         .groupBy("doc_id", "model_lang")
-        .agg(F.sum(F.log((F.col("c") + 1).cast("double"))).alias("sumln"))
+        .agg(F.sum(F.col("cd") * F.log((F.col("c") + 1).cast("double"))).alias("sumln"))
     )
     grid = (
         dtok.crossJoin(F.broadcast(priors.select(F.col("lang").alias("model_lang"), "nd")))

@@ -445,11 +445,16 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle order statistics under a fully deterministic (slope, i, j)
     order), not an interpolating percentile whose rounding could
     diverge. Plan: one groupBy(day) over orders, then all joins/windows
-    run on the ≤2.4k-row series (pairs ∝ days², not data volume)."""
+    run on the ≤2.4k-row series (pairs ∝ days², not data volume). The
+    series is localCheckpoint-ed after the agg: the estimator's four
+    branches (pair join, two medians, counts) would otherwise each
+    replant the orders scan — one fact scan total instead of ~16, the
+    same lineage-truncation discipline as the graph iterations."""
     daily = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
     )
     d0 = daily.agg(F.min("day").alias("day0"))
     idx = daily.crossJoin(F.broadcast(d0)).select(
@@ -488,10 +493,13 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = rranked.filter(
         (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
     ).agg((F.round(F.avg("r"), 2) + F.lit(0.0)).alias("intercept"))
-    n_days = idx.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    n_pairs = slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    # n_pairs is n·(n−1)/2 by construction (one row per distinct day),
+    # so it needs no second pass over the pair relation
+    n_days = idx.agg(F.count(F.lit(1)).cast("long").alias("n_days")).select(
+        "n_days", F.expr("n_days * (n_days - 1) div 2").cast("long").alias("n_pairs")
+    )
     return (
-        n_days.crossJoin(n_pairs)
+        n_days
         .crossJoin(med.select(F.col("slope_med").alias("slope_per_day")))
         .crossJoin(intercept)
     )
@@ -576,13 +584,35 @@ def spearman_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
         F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
     )
+    # ONE histogram pass for all 4 columns: explode each row into
+    # (col, val) labels and aggregate. The result is value-DOMAIN-sized
+    # (~104k rows for price, ≤50 for the rest), so it is
+    # localCheckpoint-ed — the per-column filters below the rank
+    # windows would otherwise each be pushed beneath the aggregate and
+    # replant their own fact scan (filter pushdown specializes the
+    # subtrees, defeating ReusedExchange). Net: 2 fact scans total —
+    # histogram build + the join chain — instead of 5.
+    hists = (
+        pts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(k).alias("col"), F.col(k).alias("val"))
+                        for k, _ in _SP_COLS
+                    ]
+                )
+            ).alias("cv")
+        )
+        .groupBy(F.col("cv.col").alias("col"), F.col("cv.val").alias("val"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     joined = pts
     for k, _ in _SP_COLS:
-        hist = pts.groupBy(k).agg(F.count(F.lit(1)).alias("c"))
-        rk = hist.select(
-            k,
+        rk = hists.filter(F.col("col") == k).select(
+            F.col("val").alias(k),
             (
-                2 * (F.sum("c").over(Window.orderBy(k)) - F.col("c")) + F.col("c") + 1
+                2 * (F.sum("c").over(Window.orderBy("val")) - F.col("c")) + F.col("c") + 1
             ).alias(f"rk2_{k}"),
         )
         joined = joined.join(rk, k)
