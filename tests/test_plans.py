@@ -634,3 +634,64 @@ def test_user_entropy_single_events_exchange(spark):
     (no extra events-wide exchange)."""
     phys = _plan(QS["user_event_entropy"](spark, SF_SMALL))
     assert phys.count("Scan parquet") - phys.count("ReusedExchange") <= 1, phys
+
+
+def _distinct_scans(plan: str, table: str | None = None) -> int:
+    import re
+
+    scans = set()
+    for m in re.finditer(r"FileScan parquet \[[^\]]*\][^\n]*", plan):
+        if table is None or f"{table}.parquet" in m.group(0) or table in m.group(0):
+            scans.add(m.group(0)[:70])
+    return len(scans)
+
+
+def test_theil_sen_no_repeated_orders_scan(spark):
+    """The checkpointed daily series must leave ZERO parquet scans in
+    the final plan (the one orders scan happens at checkpoint build);
+    without the cut each of the estimator's branches replants it."""
+    df = QS["theil_sen_trend"](spark, SF_SMALL)
+    df.collect()
+    assert _distinct_scans(_plan(df)) == 0, _plan(df)[-2000:]
+
+
+def test_spearman_single_fact_scan(spark):
+    """One lineitem scan in the join chain; the 4 rank tables come from
+    the checkpointed one-pass histogram, not per-column scans."""
+    df = QS["spearman_corr_matrix"](spark, SF_SMALL)
+    df.collect()
+    assert _distinct_scans(_plan(df)) == 1, _plan(df)[-2000:]
+
+
+def test_nb_langid_single_tokenize(spark):
+    """All model/eval relations derive from the checkpointed tf
+    relation: at most the tiny lang-only priors scan may remain."""
+    df = QS["nb_langid_confusion"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert _distinct_scans(plan) <= 1, plan[-2000:]
+    # and whatever scan remains must NOT re-read the text column
+    import re
+
+    for m in re.finditer(r"FileScan parquet \[[^\]]*\]", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_doc_similarity_broadcasts_query_side(spark):
+    """The md5 query sample must reach the term join as a broadcast
+    (sample × posting-list, never corpus²) and no cartesian product
+    may appear."""
+    df = QS["doc_similarity_tfidf_topk"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_weekly_union_single_register_build(spark):
+    """The weekly estimate merges the daily register relation; the
+    events table is scanned once for registers and once for the exact
+    side that measures the error — never a third time."""
+    df = QS["hll_weekly_union"](spark, SF_SMALL)
+    df.collect()
+    assert _distinct_scans(_plan(df)) <= 2, _plan(df)[-2000:]
