@@ -133,6 +133,8 @@ _R7_PRIORITY = [
     "nb_langid_confusion",
     "doc_similarity_tfidf_topk",
     "script_char_profile",
+    "minhash_band_sweep",
+    "cosine_threshold_sweep",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

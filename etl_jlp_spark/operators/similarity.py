@@ -1748,3 +1748,307 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Band-configuration sweep: the design-choice curve behind the
+# (K=8, bands=4) production setting. One signature pass, every banding
+# of the same 8 minhashes evaluated against the same exact ground truth.
+# ---------------------------------------------------------------------------
+
+MINHASH_SWEEP_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))  # (bands, rows)
+
+
+def _sweep_bands_sql() -> str:
+    parts = []
+    for bands, r in MINHASH_SWEEP_CONFIGS:
+        for b in range(bands):
+            cols = " || ".join(f"s{b * r + j}" for j in range(r))
+            parts.append(
+                f"SELECT {bands} AS bands, doc_id, {b} AS band, md5({cols}) AS key FROM ssigs"
+            )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "minhash_band_sweep",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+), samp AS (
+  SELECT doc_id FROM sizes
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{MINHASH_RECALL_SAMPLE_HEX}'
+), ssh AS (
+  SELECT s.* FROM shingles s JOIN samp USING (doc_id)
+), hashed AS (
+  SELECT s.doc_id, h.h, min(md5(CAST(h.h AS VARCHAR) || ':' || s.sh)) AS sig
+  FROM ssh s CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS h) h
+  GROUP BY s.doc_id, h.h
+), ssigs AS (
+  SELECT doc_id,
+         min(CASE WHEN h = 0 THEN sig END) AS s0, min(CASE WHEN h = 1 THEN sig END) AS s1,
+         min(CASE WHEN h = 2 THEN sig END) AS s2, min(CASE WHEN h = 3 THEN sig END) AS s3,
+         min(CASE WHEN h = 4 THEN sig END) AS s4, min(CASE WHEN h = 5 THEN sig END) AS s5,
+         min(CASE WHEN h = 6 THEN sig END) AS s6, min(CASE WHEN h = 7 THEN sig END) AS s7
+  FROM hashed GROUP BY doc_id
+), keys AS ({_sweep_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.bands = b.bands AND a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+), exact_inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM ssh x JOIN ssh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  GROUP BY 1, 2
+), true_pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM exact_inter i
+  JOIN sizes a ON i.doc_a = a.doc_id JOIN sizes b ON i.doc_b = b.doc_id
+  WHERE round(i.i * 1.0 / (a.n_sh + b.n_sh - i.i), 4) >= {MINHASH_TAU}
+), cfg AS (
+  {" UNION ALL ".join(f"SELECT {b} AS bands, {r} AS rows_per_band" for b, r in MINHASH_SWEEP_CONFIGS)}
+), per AS (
+  SELECT c.bands,
+         CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(count(*) FILTER (WHERE t.doc_a IS NOT NULL) AS BIGINT) AS n_hit
+  FROM cand c
+  LEFT JOIN true_pairs t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+  GROUP BY c.bands
+)
+SELECT cfg.bands AS bands, cfg.rows_per_band,
+       coalesce(per.n_candidate_pairs, 0) AS n_candidate_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+       coalesce(per.n_hit, 0) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM true_pairs) > 0
+            THEN round(coalesce(per.n_hit, 0) * 1.0
+                       / (SELECT count(*) FROM true_pairs), 4) END AS recall,
+       CASE WHEN coalesce(per.n_candidate_pairs, 0) > 0
+            THEN round(coalesce(per.n_hit, 0) * 1.0
+                       / per.n_candidate_pairs, 4) END AS candidate_precision
+FROM cfg LEFT JOIN per ON cfg.bands = per.bands
+""",
+)
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall / candidate-precision of EVERY banding of the K=8
+    MinHash signature — (1×8, 2×4, 4×2, 8×1) — against exact Jaccard
+    ground truth on the 25% md5 sample: the measured curve that
+    justifies the production bands=4 point (more bands → higher
+    recall, more candidates to verify; fewer bands → cheaper, blinder).
+
+    One signature pass serves all four configs: the 8 per-doc minhashes
+    are aggregated once, then all 15 (config, band) keys come out of a
+    single posexplode — the sweep costs one extra explode over the
+    sample, not four pipelines. Candidates self-join on (config, band,
+    key); ground truth is the same inverted-index exact side as
+    minhash_recall_report (sample-bounded, the declared cost knob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    samp = sizes.select("doc_id").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < MINHASH_RECALL_SAMPLE_HEX
+    )
+    ssh = sh.join(samp, "doc_id")
+    sigs = ssh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"s{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    key_structs = []
+    for bands, r in MINHASH_SWEEP_CONFIGS:
+        for b in range(bands):
+            key_structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])).alias("key"),
+                )
+            )
+    keys = sigs.select(
+        "doc_id", F.explode(F.array(*key_structs)).alias("k")
+    ).select("doc_id", "k.bands", "k.band", "k.key")
+    a = keys.select(F.col("bands"), F.col("band"), F.col("key"), F.col("doc_id").alias("doc_a"))
+    b = keys.select(F.col("bands"), F.col("band"), F.col("key"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["bands", "band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("bands", "doc_a", "doc_b")
+        .distinct()
+    )
+    x = ssh.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = ssh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        x.join(y, (x.sh == y.sh) & (F.col("doc_b") > F.col("doc_a")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    true_pairs = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .filter(
+            F.round(F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 4)
+            >= MINHASH_TAU
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # sample-bounded; reused by all 4 configs
+    )
+    per = (
+        cand.join(true_pairs.withColumn("is_true", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    cfg = spark.createDataFrame(
+        list(MINHASH_SWEEP_CONFIGS), "bands int, rows_per_band int"
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    return (
+        cfg.join(per, "bands", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidate_pairs", F.lit(0)).cast("long").alias("n_candidate_pairs"),
+            "n_true_pairs",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.round(F.coalesce("n_hit", F.lit(0)) * 1.0 / F.col("n_true_pairs"), 4),
+            ).alias("recall"),
+            F.when(
+                F.coalesce("n_candidate_pairs", F.lit(0)) > 0,
+                F.round(F.coalesce("n_hit", F.lit(0)) * 1.0 / F.col("n_candidate_pairs"), 4),
+            ).alias("candidate_precision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine-threshold sweep: the dedup aggressiveness curve. The τ in
+# dedup_embedding_cosine decides how much of the corpus a semantic
+# dedup erases — this measures pairs and affected vectors at every
+# candidate τ in ONE pass over the LSH candidate set.
+# ---------------------------------------------------------------------------
+
+COSINE_SWEEP_TAUS = (0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60)
+
+
+@query(
+    "cosine_threshold_sweep",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bands AS (
+  {_COSINE_ORACLE_BANDS}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+  FROM cand c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id
+  WHERE round(list_dot_product(x.v, y.v) /
+              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)
+        >= {min(COSINE_SWEEP_TAUS)}
+), best AS (
+  SELECT vid, max(cos) AS best_cos FROM (
+    SELECT id_a AS vid, cos FROM scored UNION ALL SELECT id_b, cos FROM scored
+  ) GROUP BY vid
+), taus AS (
+  {" UNION ALL ".join(f"SELECT CAST({t} AS DOUBLE) AS tau" for t in COSINE_SWEEP_TAUS)}
+), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM e)
+SELECT t.tau,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE cos >= t.tau) AS n_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM best WHERE best_cos >= t.tau) AS n_vectors_dup,
+       round((SELECT count(*) FROM best WHERE best_cos >= t.tau)
+             / CAST(nv.n_vectors AS DOUBLE), 4) AS dup_share
+FROM taus t CROSS JOIN nv
+""",
+)
+def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup volume as a function of the cosine threshold: for each
+    τ in {COSINE_SWEEP_TAUS}, the surviving LSH-candidate pairs, the
+    vectors whose best match clears τ, and the corpus share a semantic
+    dedup at that τ would touch — the measured curve behind choosing
+    COSINE_TAU, the embedding-space twin of minhash_band_sweep.
+
+    One pass: the candidate set and exact cosines are computed once
+    (same sign-bucket LSH equi-join as dedup_embedding_cosine, floored
+    at the smallest swept τ); per-τ counts are conditional aggregates
+    over that single scored relation and the per-vector best-match
+    relation — the sweep adds |τs| counters, not |τs| pipelines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    base = _with_norm(emb, dim, "vec_id", "v")
+    bands = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_sign_bucket("v", bnd) for bnd in range(SIGN_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    a = bands.withColumnsRenamed({"vec_id": "id_a"})
+    b = bands.withColumnsRenamed({"vec_id": "id_b"})
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = base.withColumnsRenamed({"vec_id": "id_a", "v": "va", "nrm_vec_id": "nrm_id_a"})
+    y = base.withColumnsRenamed({"vec_id": "id_b", "v": "vb", "nrm_vec_id": "nrm_id_b"})
+    scored = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _pair_cosine(F.col("va"), F.col("vb"), F.col("nrm_id_a"), F.col("nrm_id_b"), dim),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min(COSINE_SWEEP_TAUS))
+        # match-bounded (pairs above the floor τ); reused by |τs|
+        # conditional counters and the per-vector best relation
+        .localCheckpoint(eager=True)
+    )
+    pair_aggs = scored.agg(
+        *[
+            F.sum(F.when(F.col("cos") >= t, 1).otherwise(0)).cast("long").alias(f"p_{i}")
+            for i, t in enumerate(COSINE_SWEEP_TAUS)
+        ]
+    )
+    best = (
+        scored.select(F.col("id_a").alias("vid"), "cos")
+        .unionAll(scored.select(F.col("id_b").alias("vid"), "cos"))
+        .groupBy("vid")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    vec_aggs = best.agg(
+        *[
+            F.sum(F.when(F.col("best_cos") >= t, 1).otherwise(0)).cast("long").alias(f"v_{i}")
+            for i, t in enumerate(COSINE_SWEEP_TAUS)
+        ]
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    wide = pair_aggs.crossJoin(F.broadcast(vec_aggs)).crossJoin(F.broadcast(nv))
+    rows = [
+        F.struct(
+            F.lit(t).alias("tau"),
+            F.col(f"p_{i}").alias("n_pairs"),
+            F.col(f"v_{i}").alias("n_vectors_dup"),
+            F.round(F.col(f"v_{i}") / F.col("n_vectors").cast("double"), 4).alias("dup_share"),
+        )
+        for i, t in enumerate(COSINE_SWEEP_TAUS)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+cosine_threshold_sweep.__doc__ = (cosine_threshold_sweep.__doc__ or "").format(
+    COSINE_SWEEP_TAUS=COSINE_SWEEP_TAUS
+)
