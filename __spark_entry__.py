@@ -135,6 +135,8 @@ _R7_PRIORITY = [
     "script_char_profile",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
+    "customer_order_concurrency",
+    "contrastive_triplets",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

@@ -534,3 +534,114 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ES_SAMPLE_K)
         .select("doc_id", "source", "w", (F.round("k", 8) + 0.0).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining: (anchor, positive, negative) training
+# examples for a similarity/embedding model, built ENTIRELY from
+# deterministic relational ops — positives from the MinHash near-dup
+# pairs, negatives from a fixed md5-ordered pool anti-joined against
+# each anchor's known partners.
+# ---------------------------------------------------------------------------
+
+TRIPLET_NEG_POOL = 64  # fixed-size deterministic negative pool
+
+
+def _triplets_oracle() -> str:
+    from etl_jlp_spark.operators.similarity import _MINHASH_PAIRS_CTES
+
+    return (
+        _MINHASH_PAIRS_CTES
+        + f"""
+, partners AS (
+  SELECT doc_a AS anchor, doc_b AS partner, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, jaccard FROM pairs
+), pos AS (
+  SELECT anchor, partner AS positive, jaccard AS pos_jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+               ORDER BY jaccard DESC, partner) AS rk FROM partners)
+  WHERE rk = 1
+), pool AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {TRIPLET_NEG_POOL}
+), neg_cand AS (
+  SELECT p.anchor, pl.doc_id AS cand
+  FROM pos p CROSS JOIN pool pl
+  WHERE pl.doc_id <> p.anchor
+    AND NOT EXISTS (SELECT 1 FROM partners x
+                    WHERE x.anchor = p.anchor AND x.partner = pl.doc_id)
+), neg AS (
+  SELECT anchor, cand AS negative
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+               ORDER BY md5(CAST(anchor AS VARCHAR) || ':' || CAST(cand AS VARCHAR)), cand)
+               AS rk FROM neg_cand)
+  WHERE rk = 1
+)
+SELECT pos.anchor, pos.positive, pos.pos_jaccard, neg.negative
+FROM pos JOIN neg USING (anchor)
+"""
+    )
+
+
+@query("contrastive_triplets", oracle=_triplets_oracle())
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training:
+    positive = the anchor's highest-Jaccard MinHash near-dup partner,
+    negative = a deterministic draw from a fixed {N}-doc md5-ordered
+    pool, anti-filtered against everything the anchor is near-dup with
+    (so a negative can never be a known positive).
+
+    Scale: anchors ∝ near-dup pairs (match-bounded); the negative pool
+    is a {N}-row TakeOrdered broadcast, so negative assignment is a
+    |anchors|×{N} broadcast product filtered by an anti-join — no
+    corpus-sized shuffle anywhere, and every choice is md5-determined
+    (reproducible across engines, partitionings and reruns)."""
+    from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    partners = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("partner"), "jaccard"
+        )
+    )
+    wpos = Window.partitionBy("anchor").orderBy(F.desc("jaccard"), "partner")
+    pos = (
+        partners.withColumn("rk", F.row_number().over(wpos))
+        .filter(F.col("rk") == 1)
+        .select("anchor", F.col("partner").alias("positive"), F.col("jaccard").alias("pos_jaccard"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    pool = (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(TRIPLET_NEG_POOL)
+        .select("doc_id")
+    )
+    neg_cand = (
+        pos.select("anchor")
+        .crossJoin(F.broadcast(pool.withColumnsRenamed({"doc_id": "cand"})))
+        .filter(F.col("cand") != F.col("anchor"))
+        .join(
+            partners.select("anchor", F.col("partner").alias("cand")),
+            ["anchor", "cand"],
+            "left_anti",
+        )
+    )
+    wneg = Window.partitionBy("anchor").orderBy(
+        F.md5(F.concat(F.col("anchor").cast("string"), F.lit(":"), F.col("cand").cast("string"))),
+        "cand",
+    )
+    neg = (
+        neg_cand.withColumn("rk", F.row_number().over(wneg))
+        .filter(F.col("rk") == 1)
+        .select("anchor", F.col("cand").alias("negative"))
+    )
+    return pos.join(neg, "anchor")
+
+
+contrastive_triplets.__doc__ = (contrastive_triplets.__doc__ or "").format(
+    N=TRIPLET_NEG_POOL
+)

@@ -147,3 +147,84 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "delta", F.sum("delta").over(w).cast("long").alias("n_open")
     )
+
+
+@query(
+    "customer_order_concurrency",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_d,
+         max(CAST(l.l_shipdate AS DATE)) AS end_d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2, 3
+), deltas AS (
+  SELECT o_custkey, start_d AS day, 1 AS d FROM spans
+  UNION ALL
+  SELECT o_custkey, end_d + 1 AS day, -1 AS d FROM spans
+), daily AS (
+  SELECT o_custkey, day, CAST(sum(d) AS BIGINT) AS delta
+  FROM deltas GROUP BY o_custkey, day
+), running AS (
+  SELECT o_custkey,
+         sum(delta) OVER (PARTITION BY o_custkey ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
+  FROM daily
+), per_cust AS (
+  SELECT o_custkey, CAST(max(n_open) AS BIGINT) AS max_open FROM running
+  GROUP BY o_custkey
+)
+SELECT max_open,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS customer_share
+FROM per_cust GROUP BY max_open
+""",
+)
+def customer_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders a customer has in flight AT ONCE: per-customer
+    sweep-line over order lifespans (placed → last shipment), reported
+    as a histogram of each customer's peak concurrency — the
+    interval-overlap analytics shape keyed per entity (the global twin
+    is open_orders_timeline).
+
+    Plan: ±1 boundary deltas collapse to ≤2 rows per (customer, day)
+    BEFORE any window; the running sum partitions BY CUSTOMER — a
+    key-partitioned window, never a global sort, so it scales with the
+    per-customer order count (format-bounded) at any corpus size. The
+    overlap pair join alternative is Σ per-customer orders² — the
+    sweep line is linear. All-integer arithmetic end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.select(
+            "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("start_d")
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "start_d")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    )
+    deltas = spans.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(F.col("start_d").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.date_add("end_d", 1).alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("x"),
+    ).select("o_custkey", "x.day", "x.d")
+    daily = deltas.groupBy("o_custkey", "day").agg(F.sum("d").cast("long").alias("delta"))
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = daily.select("o_custkey", F.sum("delta").over(wrun).alias("n_open"))
+    per_cust = running.groupBy("o_custkey").agg(F.max("n_open").cast("long").alias("max_open"))
+    hist = per_cust.groupBy("max_open").agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    wall = Window.partitionBy()
+    return hist.select(
+        "max_open",
+        "n_customers",
+        F.round(F.col("n_customers") * 1.0 / F.sum("n_customers").over(wall), 4).alias(
+            "customer_share"
+        ),
+    )

@@ -157,3 +157,72 @@ def test_script_char_profile_matches_python(spark):
         assert math.isclose(g["digit_ratio"], round(di / c, 4), abs_tol=1e-9)
         assert math.isclose(g["space_ratio"], round(sp / c, 4), abs_tol=1e-9)
         assert math.isclose(g["other_ratio"], round((c - le - di - sp) / c, 4), abs_tol=1e-9)
+
+
+def test_customer_order_concurrency_matches_python(spark):
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    last_ship = {}
+    for r in li:
+        k = r["l_orderkey"]
+        d = r["l_shipdate"]
+        if hasattr(d, "date"):
+            d = d.date()
+        last_ship[k] = max(last_ship.get(k, d), d)
+    from datetime import timedelta
+
+    spans = defaultdict(list)
+    for r in orders:
+        if r["o_orderkey"] in last_ship:
+            od = r["o_orderdate"]
+            if hasattr(od, "date"):
+                od = od.date()
+            spans[r["o_custkey"]].append((od, last_ship[r["o_orderkey"]]))
+    hist = Counter()
+    for cust, ivs in spans.items():
+        deltas = Counter()
+        for s, e in ivs:
+            deltas[s] += 1
+            deltas[e + timedelta(days=1)] -= 1
+        run = best = 0
+        for d in sorted(deltas):
+            run += deltas[d]
+            best = max(best, run)
+        hist[best] += 1
+    got = {r["max_open"]: r for r in QS["customer_order_concurrency"](spark, SF_SMALL).collect()}
+    assert {k: r["n_customers"] for k, r in got.items()} == dict(hist)
+    total = sum(hist.values())
+    for k, r in got.items():
+        assert math.isclose(r["customer_share"], round(hist[k] / total, 4), abs_tol=1e-9)
+
+
+def test_contrastive_triplets_properties(spark):
+    """Positives are the anchor's best near-dup partner; negatives come
+    from the md5 pool, are never the anchor, and never a known partner."""
+    from etl_jlp_spark.operators.sampling import TRIPLET_NEG_POOL
+
+    pairs = QS["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    partners = defaultdict(dict)
+    for r in pairs:
+        partners[r["doc_a"]][r["doc_b"]] = r["jaccard"]
+        partners[r["doc_b"]][r["doc_a"]] = r["jaccard"]
+    all_docs = [r["doc_id"] for r in _docs(spark)]
+    pool = sorted(all_docs, key=lambda d: (_md5_hex(str(d)), d))[:TRIPLET_NEG_POOL]
+    got = QS["contrastive_triplets"](spark, SF_SMALL).collect()
+    assert {r["anchor"] for r in got} == set(partners)
+    for r in got:
+        a = r["anchor"]
+        best_j = max(partners[a].values())
+        expect_pos = min(p for p, j in partners[a].items() if j == best_j)
+        assert (r["positive"], r["pos_jaccard"]) == (expect_pos, best_j)
+        cands = [
+            c for c in pool if c != a and c not in partners[a]
+        ]
+        expect_neg = min(cands, key=lambda c: (_md5_hex(f"{a}:{c}"), c))
+        assert r["negative"] == expect_neg
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
