@@ -137,6 +137,8 @@ _R7_PRIORITY = [
     "cosine_threshold_sweep",
     "customer_order_concurrency",
     "contrastive_triplets",
+    "term_freq_spectrum",
+    "source_vocab_overlap",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

@@ -405,3 +405,186 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency-of-frequencies spectrum + Good-Turing unseen mass — the
+# count-of-counts view a smoothing/coverage analysis starts from.
+# ---------------------------------------------------------------------------
+
+FREQ_SPECTRUM_MAX_K = 10
+
+# spectrum runs over word-TRIGRAM document frequencies: the unigram
+# vocabulary of the synthetic corpus is ~31 types all with huge counts
+# (empty spectrum below k=10), while trigram DF has the Zipf head/tail
+# a Good-Turing analysis is about. Same shingle relation as the
+# MinHash family.
+from etl_jlp_spark.operators.similarity import (  # noqa: E402
+    _SHINGLES_CTE as _FS_SHINGLES_CTE,
+    _word_shingles as _fs_word_shingles,
+)
+
+
+@query(
+    "term_freq_spectrum",
+    oracle="WITH "
+    + _FS_SHINGLES_CTE
+    + f""",
+tc AS (
+  SELECT sh AS term, CAST(count(*) AS BIGINT) AS c
+  FROM shingles
+  GROUP BY sh
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types FROM tc
+), spec AS (
+  SELECT c AS k, CAST(count(*) AS BIGINT) AS n_types_k
+  FROM tc WHERE c <= {FREQ_SPECTRUM_MAX_K} GROUP BY c
+)
+SELECT spec.k, spec.n_types_k,
+       round(spec.n_types_k * 1.0 / tot.n_types, 6) AS type_share,
+       round(spec.k * spec.n_types_k * 1.0 / tot.n_tokens, 6) AS token_share,
+       round((spec.k + 1.0)
+             * coalesce((SELECT n_types_k FROM spec s2 WHERE s2.k = spec.k + 1), 0)
+             / spec.n_types_k / tot.n_tokens, 8) + 0.0 AS gt_prob_per_type
+FROM spec CROSS JOIN tot
+""",
+)
+def term_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum N_k over word-trigram document
+    frequencies (how many trigram types appear in exactly k documents,
+    k ≤ {K}) with each class's type/token share and the Good-Turing
+    re-estimated per-type probability p_GT(k) = (k+1)·N_(k+1)/(N_k·N):
+    the relation every smoothing / coverage / "how much mass would an
+    unseen phrase get" analysis is built from (k=1's token_share is the
+    hapax mass; gt_prob at k=1 estimates what a NEW unseen type
+    deserves).
+
+    Plan: one shingle pass (shared shape with the MinHash family) →
+    type-bounded counts → a ≤{K}-row count-of-counts aggregate; the
+    N_(k+1) self-lookup is a lead window over that tiny relation.
+    Everything after the first groupBy is vocabulary- then k-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        _fs_word_shingles(docs)
+        .groupBy(F.col("sh").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # vocab-sized; feeds both the totals and the spectrum without
+        # re-tokenizing (column pruning would otherwise specialize the
+        # two subtrees and replant the corpus scan)
+        .localCheckpoint(eager=True)
+    )
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    spec = (
+        tc.filter(F.col("c") <= FREQ_SPECTRUM_MAX_K)
+        .groupBy(F.col("c").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types_k"))
+    )
+    wlead = Window.orderBy("k")
+    spec2 = spec.select(
+        "k",
+        "n_types_k",
+        F.when(F.lead("k").over(wlead) == F.col("k") + 1, F.lead("n_types_k").over(wlead))
+        .otherwise(F.lit(0))
+        .alias("n_next"),
+    )
+    return spec2.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_types_k",
+        F.round(F.col("n_types_k") * 1.0 / F.col("n_types"), 6).alias("type_share"),
+        F.round(F.col("k") * F.col("n_types_k") * 1.0 / F.col("n_tokens"), 6).alias(
+            "token_share"
+        ),
+        (
+            F.round(
+                (F.col("k") + 1.0)
+                * F.col("n_next")
+                / F.col("n_types_k")
+                / F.col("n_tokens"),
+                8,
+            )
+            + 0.0
+        ).alias("gt_prob_per_type"),
+    )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=f"""
+WITH sv AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+        FROM documents)
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_terms FROM sv GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS i
+  FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.n_terms AS terms_a, sb.n_terms AS terms_b, i AS n_shared,
+       round(i * 1.0 / (sa.n_terms + sb.n_terms - i), 4) AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+""",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the mix-design
+    signal for "are these two crawls the same text?" (near-1 overlap →
+    candidates for source-level dedup; near-0 → genuinely new domain).
+
+    Plan: the corpus collapses to the DISTINCT (source, term) relation
+    first (vocab × sources bounded — this is what makes a sources²
+    comparison safe at 100 TB: the pair join runs on vocabularies, not
+    documents); intersections via a term-keyed self-join, sizes
+    broadcast back onto the ≤ sources² result."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = (
+        widen(spark, docs, sf_dir, "documents", "doc_id")
+        .select(
+            "source",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)).alias(
+                "term"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # vocab×sources-bounded, reused 3×
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    a = sv.withColumnsRenamed({"source": "source_a"})
+    b = sv.withColumnsRenamed({"source": "source_b"})
+    inter = (
+        a.join(b, ["term"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n_terms": "terms_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n_terms": "terms_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "terms_a",
+            "terms_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * 1.0 / (F.col("terms_a") + F.col("terms_b") - F.col("n_shared")),
+                4,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+term_freq_spectrum.__doc__ = (term_freq_spectrum.__doc__ or "").format(
+    K=FREQ_SPECTRUM_MAX_K
+)

@@ -226,3 +226,52 @@ def test_contrastive_triplets_properties(spark):
 
 def _md5_hex(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_term_freq_spectrum_matches_python(spark):
+    from etl_jlp_spark.operators.corpus_stats import FREQ_SPECTRUM_MAX_K
+
+    rows = _docs(spark)
+    df_counts = Counter()
+    for r in rows:
+        toks = [t for t in r["text"].lower().strip(" ").split() if t]
+        df_counts.update({" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)})
+    spec = Counter(c for c in df_counts.values() if c <= FREQ_SPECTRUM_MAX_K)
+    n_tokens = sum(df_counts.values())
+    n_types = len(df_counts)
+    got = {r["k"]: r for r in QS["term_freq_spectrum"](spark, SF_SMALL).collect()}
+    assert set(got) == set(spec)
+    for k, nk in spec.items():
+        g = got[k]
+        assert g["n_types_k"] == nk
+        assert math.isclose(g["type_share"], round(nk / n_types, 6), abs_tol=1e-9)
+        assert math.isclose(g["token_share"], round(k * nk / n_tokens, 6), abs_tol=1e-9)
+        gt = round((k + 1) * spec.get(k + 1, 0) / nk / n_tokens, 8)
+        assert math.isclose(g["gt_prob_per_type"], gt, abs_tol=1e-12), k
+
+
+def test_source_vocab_overlap_matches_python(spark):
+    rows = _docs(spark)
+    vocab = defaultdict(set)
+    for r in rows:
+        vocab[r["source"]].update(re.findall(r"[a-z]+", r["text"].lower()))
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in QS["source_vocab_overlap"](spark, SF_SMALL).collect()
+    }
+    srcs = sorted(vocab)
+    expect_pairs = {
+        (a, b)
+        for i, a in enumerate(srcs)
+        for b in srcs[i + 1 :]
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        i = len(vocab[a] & vocab[b])
+        assert (r["terms_a"], r["terms_b"], r["n_shared"]) == (
+            len(vocab[a]), len(vocab[b]), i,
+        )
+        assert math.isclose(
+            r["vocab_jaccard"], round(i / len(vocab[a] | vocab[b]), 4), abs_tol=1e-9
+        )
