@@ -139,6 +139,8 @@ _R7_PRIORITY = [
     "contrastive_triplets",
     "term_freq_spectrum",
     "source_vocab_overlap",
+    "session_gap_sweep",
+    "cross_source_neardup_matrix",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

@@ -305,3 +305,83 @@ def time_on_page_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("next_ts"))
     )
     return patch_time_on_page(batch, next_head)
+
+
+# ---------------------------------------------------------------------------
+# Gap-threshold sweep: how the session count depends on the inactivity
+# cutoff — the measured basis for SESSION_GAP_S, same design-curve
+# family as minhash_band_sweep / cosine_threshold_sweep.
+# ---------------------------------------------------------------------------
+
+GAP_SWEEP_S = (300, 900, 1800, 3600, 7200)
+
+
+@query(
+    "session_gap_sweep",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_us
+  FROM events
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events
+), sweep AS (
+  {" UNION ALL ".join(f"SELECT {t} AS gap_s" for t in GAP_SWEEP_S)}
+)
+SELECT s.gap_s,
+       (SELECT CAST(count(*) AS BIGINT) FROM gaps
+        WHERE gap_us > CAST(s.gap_s AS BIGINT) * 1000000) + tot.n_users AS n_sessions,
+       (SELECT CAST(count(*) AS BIGINT) FROM gaps
+        WHERE gap_us > CAST(s.gap_s AS BIGINT) * 1000000) AS n_gap_breaks,
+       round(tot.n_events * 1.0 /
+             ((SELECT count(*) FROM gaps WHERE gap_us > CAST(s.gap_s AS BIGINT) * 1000000)
+              + tot.n_users), 4) AS avg_events_per_session
+FROM sweep s CROSS JOIN tot
+""",
+)
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session count / average session size as a function of the
+    inactivity cutoff (5 min … 2 h): every threshold evaluated from ONE
+    gap computation — n_sessions(T) = n_users + #{gaps > T}, so the
+    sweep is |T| conditional counters over the same lag window, not |T|
+    re-sessionizations. The curve's elbow is the evidence behind the
+    reference's 30-minute SESSION_GAP_S (dwh_lab preprocessing line
+    317), measured instead of inherited.
+
+    Plan: one user-partitioned lag window (the sessionize shuffle), one
+    row per event into a single conditional aggregate; output is
+    |thresholds| rows."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(*_USER_ORDER)
+    us = epoch_us(F.col("ts"))
+    gaps = events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    counts = gaps.agg(
+        *[
+            F.sum(F.when(F.col("gap_us") > t * 1_000_000, 1).otherwise(0))
+            .cast("long")
+            .alias(f"b_{t}")
+            for t in GAP_SWEEP_S
+        ]
+    )
+    tot = events.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    wide = counts.crossJoin(F.broadcast(tot))
+    rows = [
+        F.struct(
+            F.lit(t).cast("int").alias("gap_s"),
+            (F.col(f"b_{t}") + F.col("n_users")).cast("long").alias("n_sessions"),
+            F.col(f"b_{t}").alias("n_gap_breaks"),
+            F.round(
+                F.col("n_events") * 1.0 / (F.col(f"b_{t}") + F.col("n_users")), 4
+            ).alias("avg_events_per_session"),
+        )
+        for t in GAP_SWEEP_S
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -2052,3 +2052,54 @@ def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 cosine_threshold_sweep.__doc__ = (cosine_threshold_sweep.__doc__ or "").format(
     COSINE_SWEEP_TAUS=COSINE_SWEEP_TAUS
 )
+
+
+@query(
+    "cross_source_neardup_matrix",
+    oracle=_MINHASH_PAIRS_CTES
+    + """
+, labeled AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS pair_share
+FROM labeled GROUP BY source_x, source_y
+""",
+)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate each other: the verified MinHash pair
+    set labeled with both members' sources, aggregated to a symmetric
+    (source_x ≤ source_y) matrix with each cell's share of all near-dup
+    pairs. Off-diagonal mass = mirror/syndication between feeds (the
+    cross-source complement of neardup_rate_by_source's per-source
+    rate, and the near-dup counterpart of source_vocab_overlap).
+
+    Plan: pairs are match-bounded; the two doc_id→source lookups are
+    broadcast-able projections of the corpus (only the pair members are
+    joined, not documents²); the matrix is ≤ sources² rows."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            docs.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"}), "doc_a"
+        )
+        .join(docs.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"}), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+    )
+    cells = labeled.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    wall = Window.partitionBy()
+    return cells.select(
+        "source_x",
+        "source_y",
+        "n_pairs",
+        F.round(F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(wall), 4).alias("pair_share"),
+    )

@@ -275,3 +275,47 @@ def test_source_vocab_overlap_matches_python(spark):
         assert math.isclose(
             r["vocab_jaccard"], round(i / len(vocab[a] | vocab[b]), 4), abs_tol=1e-9
         )
+
+
+def test_session_gap_sweep_matches_python(spark):
+    from etl_jlp_spark.operators.sessionize import GAP_SWEEP_S
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "ts").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    gaps = []
+    for u, rows in by_user.items():
+        rows.sort()
+        for (t0, _), (t1, _) in zip(rows, rows[1:]):
+            gaps.append((t1 - t0).total_seconds() * 1e6)
+    got = {r["gap_s"]: r for r in QS["session_gap_sweep"](spark, SF_SMALL).collect()}
+    assert set(got) == set(GAP_SWEEP_S)
+    n_events, n_users = len(ev), len(by_user)
+    for t in GAP_SWEEP_S:
+        breaks = sum(1 for g in gaps if g > t * 1e6)
+        g = got[t]
+        assert (g["n_sessions"], g["n_gap_breaks"]) == (breaks + n_users, breaks)
+        assert math.isclose(
+            g["avg_events_per_session"], round(n_events / (breaks + n_users), 4), abs_tol=1e-9
+        )
+    # monotone: larger cutoff → fewer sessions
+    ns = [got[t]["n_sessions"] for t in sorted(GAP_SWEEP_S)]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_cross_source_neardup_matrix_matches_pairs(spark):
+    src = {r["doc_id"]: r["source"] for r in _docs(spark)}
+    pairs = QS["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    cells = Counter()
+    for r in pairs:
+        a, b = src[r["doc_a"]], src[r["doc_b"]]
+        cells[(min(a, b), max(a, b))] += 1
+    got = {
+        (r["source_x"], r["source_y"]): r
+        for r in QS["cross_source_neardup_matrix"](spark, SF_SMALL).collect()
+    }
+    assert {k: r["n_pairs"] for k, r in got.items()} == dict(cells)
+    total = sum(cells.values())
+    for k, r in got.items():
+        assert math.isclose(r["pair_share"], round(cells[k] / total, 4), abs_tol=1e-9)
