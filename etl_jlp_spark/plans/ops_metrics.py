@@ -228,3 +228,63 @@ def customer_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_share"
         ),
     )
+
+
+@query(
+    "event_count_dispersion",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, user_id
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n_users,
+       round(s1 / CAST(n_users AS DOUBLE), 4) AS mean_count,
+       round((s2 - s1 * (s1 / CAST(n_users AS DOUBLE))) / (n_users - 1.0), 4) AS var_count,
+       round(((s2 - s1 * (s1 / CAST(n_users AS DOUBLE))) / (n_users - 1.0))
+             / (s1 / CAST(n_users AS DOUBLE)), 4) AS dispersion_index,
+       CASE WHEN (s2 - s1 * (s1 / CAST(n_users AS DOUBLE))) / (n_users - 1.0)
+                 > s1 / CAST(n_users AS DOUBLE)
+            THEN round((s1 / CAST(n_users AS DOUBLE)) * (s1 / CAST(n_users AS DOUBLE))
+                 / ((s2 - s1 * (s1 / CAST(n_users AS DOUBLE))) / (n_users - 1.0)
+                    - s1 / CAST(n_users AS DOUBLE)), 4) END AS nb_r_moment
+FROM s
+""",
+)
+def event_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion report of per-user event counts by type: sample
+    mean/variance, the index of dispersion (var/mean — 1 under Poisson,
+    ≫1 for bursty/bot traffic), and the moment estimate of the negative
+    binomial r (μ²/(σ²−μ), defined only when overdispersed) — the test
+    that decides whether a Poisson rate model or an NB model belongs in
+    an alerting threshold.
+
+    Exactness: the only inputs are exact integer power sums (Σc, Σc²)
+    from one map-side-combinable two-level agg; every derived statistic
+    is the same closed-form double expression in both engines. Scale:
+    per-(type, user) counts shrink map-side; the stats relation is
+    |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_users").cast("double")
+    var = (F.col("s2") - F.col("s1") * mean) / (F.col("n_users") - 1.0)
+    return s.select(
+        "event_type",
+        "n_users",
+        F.round(mean, 4).alias("mean_count"),
+        F.round(var, 4).alias("var_count"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+        F.when(var > mean, F.round(mean * mean / (var - mean), 4)).alias("nb_r_moment"),
+    )

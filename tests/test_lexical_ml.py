@@ -319,3 +319,25 @@ def test_cross_source_neardup_matrix_matches_pairs(spark):
     total = sum(cells.values())
     for k, r in got.items():
         assert math.isclose(r["pair_share"], round(cells[k] / total, 4), abs_tol=1e-9)
+
+
+def test_event_count_dispersion_matches_numpy(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id").collect()
+    cnt = Counter((r["event_type"], r["user_id"]) for r in ev)
+    by_type = defaultdict(list)
+    for (t, _), c in cnt.items():
+        by_type[t].append(c)
+    got = {r["event_type"]: r for r in QS["event_count_dispersion"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for t, counts in by_type.items():
+        a = np.array(counts, dtype=float)
+        mean, var = a.mean(), a.var(ddof=1)
+        g = got[t]
+        assert g["n_users"] == len(counts)
+        assert math.isclose(g["mean_count"], round(mean, 4), abs_tol=2e-4)
+        assert math.isclose(g["var_count"], round(var, 4), abs_tol=2e-4)
+        assert math.isclose(g["dispersion_index"], round(var / mean, 4), abs_tol=2e-4)
+        if var > mean:
+            assert math.isclose(g["nb_r_moment"], round(mean * mean / (var - mean), 4), abs_tol=2e-3)
+        else:
+            assert g["nb_r_moment"] is None
