@@ -216,6 +216,51 @@ HEADLINE = [
     "open_orders_timeline",
     "fd_profile_report",
     "column_entropy_report",
+    # round-7 regression/graph/profiling wave
+    "ols_discount_elasticity",
+    "acf_daily_revenue",
+    "did_lift_report",
+    "lineitem_corr_matrix",
+    "bootstrap_ci_mean",
+    "calendar_dim",
+    "ship_delay_profile",
+    "equidepth_histogram",
+    "user_event_entropy",
+    "event_weekday_mi",
+    "zipf_rank_slope",
+    "graph_khop_reach",
+    "graph_link_prediction",
+    "graph_modularity",
+    "knn_loo_accuracy",
+    "markov_next_event_eval",
+    "dedup_prefix",
+    "char_bigram_entropy",
+    "part_copurchase_lift",
+    "minhash_recall_report",
+    "dup_cluster_size_histogram",
+    "candidate_key_report",
+    "langid_confusion_report",
+    "revenue_concentration_curve",
+    "orders_monthly_yoy",
+    "events_dau_wau_mau",
+    # round-7 third wave (this session's additions)
+    "ingest_full_load_csv",
+    "ingest_full_load_orc",
+    "theil_sen_trend",
+    "spearman_corr_matrix",
+    "hll_weekly_union",
+    "nb_langid_confusion",
+    "doc_similarity_tfidf_topk",
+    "script_char_profile",
+    "minhash_band_sweep",
+    "cosine_threshold_sweep",
+    "customer_order_concurrency",
+    "contrastive_triplets",
+    "term_freq_spectrum",
+    "source_vocab_overlap",
+    "session_gap_sweep",
+    "cross_source_neardup_matrix",
+    "event_count_dispersion",
 ]
 
 
@@ -280,7 +325,7 @@ def main() -> None:
     # full record in-repo where it can be committed and diffed per round.
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r6.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r7.json"),
     )
     try:
         with open(local, "w") as fh:
