@@ -698,14 +698,34 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = as_double_array(F.col("embedding"))
     # widen the STREAMED side: a single parquet file scans as one input
     # partition, serializing the N x broadcast-N pair fan-out
-    base = widen(spark, emb, sf_dir, "embeddings", "vec_id").select(
-        "vec_id", "label", v.alias("v")
+    # norms are computed ONCE PER ROW here (N of them), not once per
+    # pair (the inline form evaluates THREE static_dots per pair row).
+    # The streamed side is repartitioned with a PINNED count, not
+    # catalog.widen: the N-row pre-join relation is tiny, so AQE
+    # coalesces a hash-repartition back to ONE partition — and the N²
+    # fan-out happens AFTER that exchange, serializing the whole
+    # scoring stage on a single task (measured: 95 s of the 99 s bench
+    # cost at sf0.1). REPARTITION_BY_NUM is exactly the hint AQE may
+    # not coalesce; the row count is known-small so the extra empty
+    # tasks cost nothing.
+    par = spark.sparkContext.defaultParallelism
+    base = emb.repartition(par, "vec_id").select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(static_dot(v, v, dim)).alias("nrm"),
     )
     a = base.select(
-        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     b = base.select(
-        F.col("vec_id").alias("nb"), F.col("label").alias("pred_label"), F.col("v").alias("nv")
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("pred_label"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
     )
     scored = a.join(F.broadcast(b), F.col("qid") != F.col("nb")).select(
         "qid",
@@ -713,11 +733,7 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_label",
         "nb",
         F.round(
-            static_dot(F.col("qv"), F.col("nv"), dim)
-            / (
-                F.sqrt(static_dot(F.col("qv"), F.col("qv"), dim))
-                * F.sqrt(static_dot(F.col("nv"), F.col("nv"), dim))
-            ),
+            static_dot(F.col("qv"), F.col("nv"), dim) / (F.col("qn") * F.col("nn")),
             6,
         ).alias("c6"),
     )

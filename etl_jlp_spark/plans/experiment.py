@@ -546,6 +546,12 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
         F.row_number().over(Window.orderBy("event_id")).alias("rk"),
     )
+    # the global-order window above leaves ONE partition, and the B×N
+    # md5 draw fan-out below happens AFTER it — without a pinned
+    # re-spread the whole resample stage runs on a single task
+    # (measured 13 s at sf0.1; AQE would coalesce an unpinned
+    # repartition of this tiny pre-fan-out relation right back to 1)
+    ranked = ranked.repartition(spark.sparkContext.defaultParallelism, "rk")
     nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
     bs = spark.range(1, BOOTSTRAP_B + 1).select(F.col("id").alias("b"))
     draws = (

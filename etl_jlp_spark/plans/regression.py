@@ -460,6 +460,11 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.crossJoin(F.broadcast(d0)).select(
         F.datediff("day", "day0").alias("di"), "rev"
     )
+    # pin the streamed side's partition count BEFORE the pair fan-out:
+    # the checkpointed day series is one tiny partition, and without
+    # the pinned spread the days² slope stage runs on a single task
+    # (AQE would coalesce an unpinned repartition right back)
+    idx = idx.repartition(spark.sparkContext.defaultParallelism, "di")
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(b, F.col("b.di") > F.col("a.di")).select(
         (
@@ -471,13 +476,40 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("slope", "ai", "bi")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # Exact median WITHOUT a global sort of the pair relation: an
+    # approx_percentile bracket around the middle (rank error ≤
+    # n/accuracy = n/10k, bracket covers ±0.002·n ranks — 5–6× slack),
+    # exact counts below the bracket, then exact rank selection inside
+    # the ≤0.4%-of-n bracket slice. The distributed exact-median shape:
+    # the only sorted relation is the bracket slice. Values at ranks
+    # (n+1)/2 and (n+2)/2 are order statistics — tie-order-independent
+    # — so this returns bit-identically what a full row_number sort
+    # (the oracle's form) returns.
+    slopes = slopes.localCheckpoint(eager=True)  # pairs: built once, read 3×
+    stats = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "approx_percentile(slope, array(0.498, 0.502), 10000)"
+        ).alias("bracket"),
+    ).select(
+        "n", F.col("bracket")[0].alias("lo"), F.col("bracket")[1].alias("hi")
     )
-    med = ranked.filter(
+    sb = slopes.crossJoin(F.broadcast(stats))
+    below = sb.filter(F.col("slope") < F.col("lo")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_below")
+    )
+    inb = (
+        sb.filter((F.col("slope") >= F.col("lo")) & (F.col("slope") <= F.col("hi")))
+        .crossJoin(F.broadcast(below))
+        .select(
+            "slope",
+            "n",
+            (
+                F.row_number().over(Window.orderBy("slope", "ai", "bi")) + F.col("n_below")
+            ).alias("rn"),
+        )
+    )
+    med = inb.filter(
         (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
     ).agg((F.round(F.avg("slope"), 6) + F.lit(0.0)).alias("slope_med"))
     resid = idx.crossJoin(F.broadcast(med)).select(
