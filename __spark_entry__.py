@@ -142,6 +142,7 @@ _R7_PRIORITY = [
     "session_gap_sweep",
     "cross_source_neardup_matrix",
     "event_count_dispersion",
+    "hll_rolling_7d",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

@@ -261,6 +261,7 @@ HEADLINE = [
     "session_gap_sweep",
     "cross_source_neardup_matrix",
     "event_count_dispersion",
+    "hll_rolling_7d",
 ]
 
 

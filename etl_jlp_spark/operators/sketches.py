@@ -442,3 +442,104 @@ def hll_weekly_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("rel_err"),
     )
+
+
+HLL_ROLL_DAYS = 7
+
+
+@query(
+    "hll_rolling_7d",
+    oracle=f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), daily_reg AS (
+  SELECT day, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_REST_BITS + 1}
+             ELSE {_HLL_REST_BITS + 1} - length(bin(h // {HLL_M})) END) AS m
+  FROM hashed GROUP BY day, bucket
+), days AS (SELECT DISTINCT day FROM daily_reg),
+win_reg AS (
+  SELECT d.day, r.bucket, max(r.m) AS m
+  FROM days d
+  JOIN daily_reg r ON r.day BETWEEN d.day - {HLL_ROLL_DAYS - 1} AND d.day
+  GROUP BY d.day, r.bucket
+), est AS (
+  SELECT day, sum(power(2.0, -m)) AS z_used, count(*) AS n_used
+  FROM win_reg GROUP BY day
+), sm AS (
+  SELECT day,
+         round(CASE WHEN {_HLL_RAW} <= {2.5 * HLL_M} AND {HLL_M} - n_used > 0
+               THEN {float(HLL_M)} * ln({HLL_M} / CAST({HLL_M} - n_used AS DOUBLE))
+               ELSE {_HLL_RAW} END, 4) + 0.0 AS est_rolling_distinct
+  FROM est
+), exact AS (
+  SELECT d.day, CAST(count(DISTINCT e.event_id) AS BIGINT) AS exact_rolling_distinct
+  FROM days d
+  JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day, event_id FROM events) e
+    ON e.day BETWEEN d.day - {HLL_ROLL_DAYS - 1} AND d.day
+  GROUP BY d.day
+)
+SELECT sm.day AS day, est_rolling_distinct, exact_rolling_distinct,
+       round((est_rolling_distinct - exact_rolling_distinct)
+             / exact_rolling_distinct, 6) + 0.0 AS rel_err
+FROM sm JOIN exact ON sm.day = exact.day
+""",
+)
+def hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {W}-day distinct event_ids per day from the SAME stored
+    daily HLL registers that serve the daily and weekly grains — the
+    sliding-window variant of hll_weekly_union, next to the exact
+    rolling distinct and the measured error.
+
+    This is the sketch win at its sharpest: exact rolling distinct must
+    re-shuffle {W} days of raw keys PER OUTPUT DAY (the exact side here
+    does, to measure error — it is the expensive branch by far), while
+    the register path joins ≤ days×64 register rows against a {W}-day
+    range condition and max-merges. State per output day never exceeds
+    64 registers at any corpus size. Plan: one scan builds daily
+    registers; the range join is days × {W}×64 rows; the exact anchor
+    is kept only for the error column and is dropped in production."""
+    ev = load_table(spark, sf_dir, "events")
+    days_ev = ev.select(F.col("ts").cast("date").alias("day"), "event_id")
+    daily_reg = hll_registers(days_ev, "event_id", ["day"]).localCheckpoint(eager=True)
+    days = daily_reg.select("day").distinct()
+    win_reg = (
+        days.alias("d")
+        .join(
+            daily_reg.alias("r"),
+            F.expr(f"r.day BETWEEN d.day - {HLL_ROLL_DAYS - 1} AND d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.m").alias("m"))
+    )
+    est = hll_estimate(win_reg, ["day"]).withColumnRenamed(
+        "est_distinct", "est_rolling_distinct"
+    )
+    dedup_day = days_ev.distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            dedup_day.alias("e"),
+            F.expr(f"e.day BETWEEN d.day - {HLL_ROLL_DAYS - 1} AND d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("e.event_id").cast("long").alias("exact_rolling_distinct"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "est_rolling_distinct",
+        "exact_rolling_distinct",
+        (
+            F.round(
+                (F.col("est_rolling_distinct") - F.col("exact_rolling_distinct"))
+                / F.col("exact_rolling_distinct"),
+                6,
+            )
+            + 0.0
+        ).alias("rel_err"),
+    )
+
+
+hll_rolling_7d.__doc__ = (hll_rolling_7d.__doc__ or "").format(W=HLL_ROLL_DAYS)

@@ -341,3 +341,45 @@ def test_event_count_dispersion_matches_numpy(spark):
             assert math.isclose(g["nb_r_moment"], round(mean * mean / (var - mean), 4), abs_tol=2e-3)
         else:
             assert g["nb_r_moment"] is None
+
+
+def test_hll_rolling_7d_matches_python(spark):
+    from datetime import timedelta
+
+    from etl_jlp_spark.operators.sketches import (
+        HLL_M,
+        HLL_ROLL_DAYS,
+        _HLL_ALPHA,
+        _HLL_REST_BITS,
+    )
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(F.col("ts").cast("date").alias("day"), "event_id")
+        .collect()
+    )
+    day_reg = defaultdict(dict)
+    day_ids = defaultdict(set)
+    for r in ev:
+        h = int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:15], 16)
+        b, rest = h % HLL_M, h // HLL_M
+        rho = (_HLL_REST_BITS + 1) if rest == 0 else (_HLL_REST_BITS + 1 - rest.bit_length())
+        day_reg[r["day"]][b] = max(day_reg[r["day"]].get(b, 0), rho)
+        day_ids[r["day"]].add(r["event_id"])
+    got = {r["day"]: r for r in QS["hll_rolling_7d"](spark, SF_SMALL).collect()}
+    assert set(got) == set(day_reg)
+    for day in day_reg:
+        reg = {}
+        ids = set()
+        for back in range(HLL_ROLL_DAYS):
+            d = day - timedelta(days=back)
+            for b, m in day_reg.get(d, {}).items():
+                reg[b] = max(reg.get(b, 0), m)
+            ids |= day_ids.get(d, set())
+        z = sum(2.0 ** -m for m in reg.values())
+        v = HLL_M - len(reg)
+        raw = _HLL_ALPHA * HLL_M * HLL_M / (z + v)
+        est = HLL_M * math.log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+        g = got[day]
+        assert math.isclose(g["est_rolling_distinct"], round(est, 4), abs_tol=1e-9), day
+        assert g["exact_rolling_distinct"] == len(ids)
