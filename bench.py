@@ -262,6 +262,7 @@ HEADLINE = [
     "cross_source_neardup_matrix",
     "event_count_dispersion",
     "hll_rolling_7d",
+    "holt_winters_eval",
 ]
 
 

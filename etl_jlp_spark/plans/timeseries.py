@@ -1076,3 +1076,160 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(trailing(30, "mau"), "day", "left")
         .select("day", "dau", "wau", "mau")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal (m = 7): level + trend + weekly
+# seasonal state, one-step-ahead evaluated — the seasonal upgrade of
+# holt_linear_eval, same fold ↔ WITH RECURSIVE proof pattern. State is
+# 9 doubles + a 7-slot rotating seasonal array per series: bounded at
+# any corpus size because the daily pre-aggregate does the reduction.
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_GAMMA = 0.2
+HW_M = 7  # weekly seasonality
+
+_HW_A = f"CAST({HW_ALPHA} AS DOUBLE)"
+_HW_1A = f"CAST({1 - HW_ALPHA} AS DOUBLE)"
+_HW_B = f"CAST({HW_BETA} AS DOUBLE)"
+_HW_1B = f"CAST({1 - HW_BETA} AS DOUBLE)"
+_HW_G = f"CAST({HW_GAMMA} AS DOUBLE)"
+_HW_1G = f"CAST({1 - HW_GAMMA} AS DOUBLE)"
+
+
+def _hw_step(seas: str) -> dict[str, str]:
+    """The five step expressions with IDENTICAL parenthesization in
+    both engines; ``seas`` is how the engine spells s_(t-7)."""
+    lnew = f"({_HW_A} * (x.y - {seas}) + {_HW_1A} * (a.l + a.b))"
+    return {
+        "err": f"(x.y - ((a.l + a.b) + {seas}))",
+        "lnew": lnew,
+        "bnew": f"({_HW_B} * ({lnew} - a.l) + {_HW_1B} * a.b)",
+        "snew": f"({_HW_G} * (x.y - {lnew}) + {_HW_1G} * {seas})",
+    }
+
+
+def _hw_init_l0(y: str) -> str:
+    """((((((0+y1)+y2)+…)+y7)/7) — left-associated, both engines."""
+    acc = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, HW_M + 1):
+        acc = f"({acc} + {y.format(i=i)})"
+    return f"({acc} / CAST(7.0 AS DOUBLE))"
+
+
+def _hw_oracle() -> str:
+    st = _hw_step("a.s1")
+    # rename fold spellings to the recursive-CTE spellings
+    for k in st:
+        st[k] = st[k].replace("x.y", "nx.y").replace("a.l", "r.l").replace(
+            "a.b", "r.b"
+        ).replace("a.s1", "r.s1")
+    y = "max(CASE WHEN i = {i} THEN y END)"
+    init_l0 = _hw_init_l0(y)
+    init_s = ", ".join(
+        f"{y.format(i=i)} - {init_l0} AS s{i}" for i in range(1, HW_M + 1)
+    )
+    rot = ", ".join(f"r.s{i + 1} AS s{i}" for i in range(1, HW_M))
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM daily
+), init AS (
+  SELECT CAST({HW_M} AS BIGINT) AS i, {init_l0} AS l, CAST(0.0 AS DOUBLE) AS b,
+         {init_s},
+         CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS sse,
+         CAST(0 AS BIGINT) AS n
+  FROM idx WHERE i <= {HW_M}
+), rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT nx.i, {st['lnew']} AS l, {st['bnew']} AS b,
+         {rot}, {st['snew']} AS s{HW_M},
+         r.sae + abs({st['err']}) AS sae,
+         r.sse + {st['err']} * {st['err']} AS sse,
+         r.n + 1 AS n
+  FROM rec r JOIN idx nx ON nx.i = r.i + 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days,
+       n AS n_eval,
+       round(sae / n, 4) + 0.0 AS mae_hw,
+       round(sqrt(sse / n), 4) + 0.0 AS rmse_hw,
+       round(l, 4) + 0.0 AS level,
+       round(b, 4) + 0.0 AS trend,
+       round((l + b) + s1, 4) + 0.0 AS forecast_next
+FROM rec WHERE i = (SELECT max(i) FROM idx)
+"""
+
+
+@query("holt_winters_eval", oracle=_hw_oracle())
+def holt_winters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonal, m=7) on
+    total daily event revenue, one-step-ahead evaluated: MAE/RMSE of
+    the rolling forecast (l + b + s_(t-7)), final state, and
+    tomorrow's seasonal forecast.
+
+    Init is the textbook anchor: l₀ = mean of the first week, b₀ = 0,
+    sᵢ = yᵢ − l₀. The Spark side folds a 9-field struct (level, trend,
+    7-slot ROTATING seasonal array, error sums) over the day-ordered
+    series via the aggregate HOF; the oracle replays the identical
+    recurrence as a WITH RECURSIVE step join with the seasonal array
+    unrolled into 7 columns — same init, same IEEE expression shapes,
+    same order ⇒ bit-identical (the holt_linear_eval proof pattern).
+    Per-series state is constant; the fold input is days-sized."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("y"))
+    )
+    ser = daily.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("y").cast("double").alias("y")))
+        ).alias("dayseq")
+    )
+    st = _hw_step("element_at(a.s, 1)")
+    y = "element_at(seq, {i}).y"
+    init_l0 = _hw_init_l0(y)
+    init_s = ", ".join(f"{y.format(i=i)} - {init_l0}" for i in range(1, HW_M + 1))
+    init = (
+        f"named_struct('l', {init_l0}, 'b', CAST(0.0 AS DOUBLE), "
+        f"'s', array({init_s}), "
+        f"'sae', CAST(0.0 AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE), "
+        f"'n', CAST(0 AS BIGINT))"
+    )
+    step = (
+        f"named_struct('l', {st['lnew']}, 'b', {st['bnew']}, "
+        f"'s', concat(slice(a.s, 2, {HW_M - 1}), array({st['snew']})), "
+        f"'sae', a.sae + abs({st['err']}), "
+        f"'sse', a.sse + {st['err']} * {st['err']}, "
+        f"'n', a.n + 1)"
+    )
+    folded = (
+        ser.withColumn(
+            "seq", F.expr("transform(dayseq, d -> named_struct('y', d.y))")
+        )
+        .filter(F.size("seq") > HW_M)
+        .withColumn(
+            "st",
+            F.expr(
+                f"aggregate(slice(seq, {HW_M + 1}, size(seq) - {HW_M}), {init}, "
+                f"(a, x) -> {step})"
+            ),
+        )
+    )
+    return folded.select(
+        F.size("seq").cast("long").alias("n_days"),
+        F.col("st.n").cast("long").alias("n_eval"),
+        (F.round(F.col("st.sae") / F.col("st.n"), 4) + 0.0).alias("mae_hw"),
+        (F.round(F.sqrt(F.col("st.sse") / F.col("st.n")), 4) + 0.0).alias("rmse_hw"),
+        (F.round("st.l", 4) + 0.0).alias("level"),
+        (F.round("st.b", 4) + 0.0).alias("trend"),
+        (F.round(F.col("st.l") + F.col("st.b") + F.element_at("st.s", 1), 4) + 0.0).alias(
+            "forecast_next"
+        ),
+    )

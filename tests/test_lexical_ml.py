@@ -383,3 +383,39 @@ def test_hll_rolling_7d_matches_python(spark):
         g = got[day]
         assert math.isclose(g["est_rolling_distinct"], round(est, 4), abs_tol=1e-9), day
         assert g["exact_rolling_distinct"] == len(ids)
+
+
+def test_holt_winters_matches_python(spark):
+    from etl_jlp_spark.plans.timeseries import HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    ).collect()
+    daily = defaultdict(float)
+    for r in ev:
+        daily[r["day"]] += r["value"]
+    ys = [round(daily[d], 2) for d in sorted(daily)]
+    assert len(ys) > HW_M
+    l = sum(ys[:HW_M]) / 7.0
+    b = 0.0
+    s = [y - l for y in ys[:HW_M]]
+    sae = sse = 0.0
+    n = 0
+    for y in ys[HW_M:]:
+        seas = s[0]
+        err = y - ((l + b) + seas)
+        lnew = HW_ALPHA * (y - seas) + (1 - HW_ALPHA) * (l + b)
+        bnew = HW_BETA * (lnew - l) + (1 - HW_BETA) * b
+        snew = HW_GAMMA * (y - lnew) + (1 - HW_GAMMA) * seas
+        s = s[1:] + [snew]
+        l, b = lnew, bnew
+        sae += abs(err)
+        sse += err * err
+        n += 1
+    g = QS["holt_winters_eval"](spark, SF_SMALL).collect()[0]
+    assert (g["n_days"], g["n_eval"]) == (len(ys), n)
+    assert math.isclose(g["mae_hw"], round(sae / n, 4), abs_tol=1e-6)
+    assert math.isclose(g["rmse_hw"], round(math.sqrt(sse / n), 4), abs_tol=1e-6)
+    assert math.isclose(g["level"], round(l, 4), abs_tol=1e-6)
+    assert math.isclose(g["trend"], round(b, 4), abs_tol=1e-6)
+    assert math.isclose(g["forecast_next"], round((l + b) + s[0], 4), abs_tol=1e-6)
