@@ -144,6 +144,7 @@ _R7_PRIORITY = [
     "event_count_dispersion",
     "hll_rolling_7d",
     "holt_winters_eval",
+    "embedding_fisher_separation",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

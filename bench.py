@@ -263,6 +263,7 @@ HEADLINE = [
     "event_count_dispersion",
     "hll_rolling_7d",
     "holt_winters_eval",
+    "embedding_fisher_separation",
 ]
 
 

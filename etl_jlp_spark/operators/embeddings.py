@@ -761,3 +761,118 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("long").alias("n_correct"),
         F.round(correct.cast("double") / F.count(F.lit(1)), 4).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher class-separation of the embedding space: between-class vs
+# within-class scatter per label — the one-number answer to "do these
+# embeddings actually separate the labels?" before anything trains on
+# them. All sufficient statistics are EXACT integers (e6-scaled
+# components, DECIMAL(38,0) power sums), so the report is bit-stable
+# across engines and partitionings; doubles appear only in the final
+# per-label division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_fisher_separation",
+    oracle="""
+WITH x AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+), ld AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM x GROUP BY label, dim
+), gd AS (
+  SELECT dim, CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s1) AS DECIMAL(38,0)) AS g1
+  FROM ld GROUP BY dim
+), per AS (
+  SELECT ld.label, any_value(ld.n) AS n, any_value(gd.nn) AS nn,
+         sum(ld.n * ld.s2 - ld.s1 * ld.s1) AS within_num,
+         sum((ld.s1 * gd.nn - gd.g1 * ld.n) * (ld.s1 * gd.nn - gd.g1 * ld.n))
+           AS between_num
+  FROM ld JOIN gd USING (dim)
+  GROUP BY ld.label
+)
+SELECT CAST(label AS BIGINT) AS label, n AS n_vectors,
+       round(CAST(within_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n) / 1e12, 6) + 0.0 AS within_trace,
+       round(CAST(between_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * nn * nn) / 1e12, 6) + 0.0 AS between_trace,
+       round((CAST(between_num AS DOUBLE) / (CAST(n AS DOUBLE) * n * nn * nn))
+             / (CAST(within_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 4) + 0.0
+         AS fisher_ratio
+FROM per
+""",
+)
+def embedding_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label Fisher separation of the embedding space: the trace of
+    the within-class scatter (Σ_dim per-dim variance inside the label),
+    the label centroid's squared distance to the global centroid
+    weighted as between-class scatter, and their ratio — labels whose
+    ratio ≈ 0 are inseparable in this space and a classifier trained on
+    it will confuse them.
+
+    Exactness: components scale to e6 integers; per-(label, dim) power
+    sums and both scatter numerators (n·s2 − s1², (s1·N − G1·n)²) stay
+    in DECIMAL(38,0) — order-insensitive, so both engines aggregate
+    bit-identically — and only the final normalizations divide in
+    doubles. Plan: one posexplode (∝ vectors × dims) → combinable
+    (label, dim) agg → dims-sized join + per-label reduce."""
+    emb = widen(
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
+    x = emb.select(
+        "label",
+        F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "xv"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("xv") * 1000000).cast("long").alias("v"),
+    )
+    dec = F.col("v").cast("decimal(38,0)")
+    ld = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec * dec).cast("decimal(38,0)").alias("s2"),
+    )
+    gd = ld.groupBy("dim").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").cast("decimal(38,0)").alias("g1"),
+    )
+    j = ld.join(F.broadcast(gd), "dim")
+    per = j.groupBy("label").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("nn").alias("nn"),
+        F.sum(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("within_num"),
+        F.sum(
+            (F.col("s1") * F.col("nn") - F.col("g1") * F.col("n"))
+            * (F.col("s1") * F.col("nn") - F.col("g1") * F.col("n"))
+        ).alias("between_num"),
+    )
+    wd = F.col("within_num").cast("double") / (F.col("n").cast("double") * F.col("n")) / 1e12
+    bd = (
+        F.col("between_num").cast("double")
+        / (F.col("n").cast("double") * F.col("n") * F.col("nn") * F.col("nn"))
+        / 1e12
+    )
+    return per.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").alias("n_vectors"),
+        (F.round(wd, 6) + 0.0).alias("within_trace"),
+        (F.round(bd, 6) + 0.0).alias("between_trace"),
+        (
+            F.round(
+                (
+                    F.col("between_num").cast("double")
+                    / (F.col("n").cast("double") * F.col("n") * F.col("nn") * F.col("nn"))
+                )
+                / (F.col("within_num").cast("double") / (F.col("n").cast("double") * F.col("n"))),
+                4,
+            )
+            + 0.0
+        ).alias("fisher_ratio"),
+    )

@@ -419,3 +419,26 @@ def test_holt_winters_matches_python(spark):
     assert math.isclose(g["level"], round(l, 4), abs_tol=1e-6)
     assert math.isclose(g["trend"], round(b, 4), abs_tol=1e-6)
     assert math.isclose(g["forecast_next"], round((l + b) + s[0], 4), abs_tol=1e-6)
+
+
+def test_embedding_fisher_matches_numpy(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").select("label", "embedding").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r["label"]].append(
+            np.array([round(float(x) * 1e6) for x in r["embedding"]]) / 1e6
+        )
+    all_vecs = np.vstack([v for vs in by_label.values() for v in vs])
+    gmean = all_vecs.mean(axis=0)
+    got = {r["label"]: r for r in QS["embedding_fisher_separation"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_label)
+    for lab, vs in by_label.items():
+        m = np.vstack(vs)
+        within = m.var(axis=0, ddof=0).sum()
+        between = ((m.mean(axis=0) - gmean) ** 2).sum()
+        g = got[lab]
+        assert g["n_vectors"] == len(vs)
+        assert math.isclose(g["within_trace"], within, rel_tol=1e-4, abs_tol=1e-5)
+        assert math.isclose(g["between_trace"], between, rel_tol=1e-4, abs_tol=1e-5)
+        if within > 0:
+            assert math.isclose(g["fisher_ratio"], between / within, rel_tol=1e-3, abs_tol=1e-3)
