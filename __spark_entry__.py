@@ -145,6 +145,8 @@ _R7_PRIORITY = [
     "hll_rolling_7d",
     "holt_winters_eval",
     "embedding_fisher_separation",
+    "hour_of_day_profile",
+    "order_lines_histogram",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

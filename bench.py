@@ -264,6 +264,8 @@ HEADLINE = [
     "hll_rolling_7d",
     "holt_winters_eval",
     "embedding_fisher_separation",
+    "hour_of_day_profile",
+    "order_lines_histogram",
 ]
 
 

@@ -288,3 +288,93 @@ def event_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 4).alias("dispersion_index"),
         F.when(var > mean, F.round(mean * mean / (var - mean), 4)).alias("nb_r_moment"),
     )
+
+
+@query(
+    "hour_of_day_profile",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events, sum_value,
+       round(n_events * 1.0 / sum(n_events) OVER (PARTITION BY event_type), 4)
+         AS hour_share
+FROM hourly
+""",
+)
+def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity profile: events and value by (type, hour of
+    day) with each hour's share of its type — the 24-row-per-type
+    seasonality table behind load forecasting and bot detection (human
+    traffic has a day/night cycle; scripted traffic is flat).
+
+    Plan: one combinable groupBy to ≤ types×24 cells; the share window
+    runs over those cells only. The weekday twin is
+    weekday_seasonality_index; this is the finer grain."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.round(F.col("n_events") * 1.0 / F.sum("n_events").over(w), 4).alias("hour_share"),
+    )
+
+
+@query(
+    "order_lines_histogram",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS order_share,
+       CAST(sum(revenue) AS BIGINT) AS total_revenue,
+       round(sum(revenue) * 1.0 / sum(sum(revenue)) OVER (), 4) AS revenue_share
+FROM per_order GROUP BY n_lines
+""",
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-width distribution: how many orders have k line items and
+    how much revenue each width class carries — the shape that sizes
+    the per-order pair joins (copurchase lift, within-order analytics
+    are Σ width² work) and validates the order-format boundedness those
+    operators' scale arguments lean on.
+
+    Plan: one combinable groupBy(orderkey), one width-bounded
+    histogram agg; shares via windows over the ≤max-width rows.
+    Revenue stays in exact integer dollars until the share division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("revenue"),
+    )
+    hist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("revenue").cast("long").alias("total_revenue"),
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.round(F.col("n_orders") * 1.0 / F.sum("n_orders").over(w), 4).alias("order_share"),
+        "total_revenue",
+        F.round(F.col("total_revenue") * 1.0 / F.sum("total_revenue").over(w), 4).alias(
+            "revenue_share"
+        ),
+    )

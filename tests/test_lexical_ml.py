@@ -442,3 +442,46 @@ def test_embedding_fisher_matches_numpy(spark):
         assert math.isclose(g["between_trace"], between, rel_tol=1e-4, abs_tol=1e-5)
         if within > 0:
             assert math.isclose(g["fisher_ratio"], between / within, rel_tol=1e-3, abs_tol=1e-3)
+
+
+def test_hour_profile_and_order_width_match_python(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "ts", "value").collect()
+    cells = defaultdict(lambda: [0, 0.0])
+    per_type = Counter()
+    for r in ev:
+        c = cells[(r["event_type"], r["ts"].hour)]
+        c[0] += 1
+        c[1] += r["value"]
+        per_type[r["event_type"]] += 1
+    got = {
+        (r["event_type"], r["hour"]): r
+        for r in QS["hour_of_day_profile"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(cells)
+    for k, (n, sv) in cells.items():
+        g = got[k]
+        assert g["n_events"] == n
+        assert math.isclose(g["sum_value"], round(sv, 2), abs_tol=2e-2)
+        assert math.isclose(g["hour_share"], round(n / per_type[k[0]], 4), abs_tol=1e-9)
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    per_order = defaultdict(lambda: [0, 0.0])
+    for r in li:
+        po = per_order[r["l_orderkey"]]
+        po[0] += 1
+        po[1] += r["l_extendedprice"] * (1 - r["l_discount"])
+    hist = defaultdict(lambda: [0, 0])
+    for n_lines, rev in per_order.values():
+        hist[n_lines][0] += 1
+        hist[n_lines][1] += round(rev)
+    got2 = {r["n_lines"]: r for r in QS["order_lines_histogram"](spark, SF_SMALL).collect()}
+    assert set(got2) == set(hist)
+    n_tot = sum(v[0] for v in hist.values())
+    r_tot = sum(v[1] for v in hist.values())
+    for k, (no, rev) in hist.items():
+        g = got2[k]
+        assert (g["n_orders"], g["total_revenue"]) == (no, rev)
+        assert math.isclose(g["order_share"], round(no / n_tot, 4), abs_tol=1e-9)
+        assert math.isclose(g["revenue_share"], round(rev / r_tot, 4), abs_tol=1e-9)
