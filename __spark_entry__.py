@@ -147,6 +147,8 @@ _R7_PRIORITY = [
     "embedding_fisher_separation",
     "hour_of_day_profile",
     "order_lines_histogram",
+    "topk_movers_wow",
+    "new_vs_returning_daily",
     # NEW in round 7, third wave (regression/graph/profiling batch) —
     # first driver row; whatever falls past the ~50-row window is
     # covered by the committed PARITY sweep

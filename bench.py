@@ -266,6 +266,8 @@ HEADLINE = [
     "embedding_fisher_separation",
     "hour_of_day_profile",
     "order_lines_histogram",
+    "topk_movers_wow",
+    "new_vs_returning_daily",
 ]
 
 

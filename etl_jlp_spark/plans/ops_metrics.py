@@ -378,3 +378,130 @@ def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+WOW_TOP_K = 15
+
+
+@query(
+    "topk_movers_wow",
+    oracle=f"""
+WITH weekly AS (
+  SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS week,
+         CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+  FROM events GROUP BY 1, 2
+), with_prev AS (
+  SELECT user_id, week, rev_c,
+         lag(rev_c) OVER (PARTITION BY user_id ORDER BY week) AS prev_c,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+  FROM weekly
+), deltas AS (
+  SELECT user_id, CAST(week AS DATE) AS week,
+         round(rev_c / 100.0, 2) AS revenue,
+         round(prev_c / 100.0, 2) AS prev_revenue,
+         rev_c - prev_c AS delta_c
+  FROM with_prev
+  WHERE prev_c IS NOT NULL AND week = prev_week + INTERVAL 7 DAY
+)
+SELECT user_id, week, revenue, prev_revenue,
+       round(delta_c / 100.0, 2) AS delta,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY abs(delta_c) DESC, user_id, week) AS rk
+      FROM deltas)
+WHERE rk <= {WOW_TOP_K}
+""",
+)
+def topk_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} week-over-week revenue movers by user — the digest table
+    a weekly business review opens with: who swung hardest, up or
+    down, between CONSECUTIVE weeks (gaps don't fabricate a delta).
+
+    Plan: events collapse to (user, week) cents FIRST (combinable);
+    the lag window is user-partitioned over that weekly grain (rows ∝
+    users × weeks, never events); the only global operation is the
+    TakeOrdered top-{K} on |delta| — a bounded heap per partition, not
+    a sort. Cents arithmetic keeps the ranking key exact."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts").cast("date")).alias("week")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("rev_c"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    deltas = (
+        weekly.select(
+            "user_id",
+            "week",
+            "rev_c",
+            F.lag("rev_c").over(w).alias("prev_c"),
+            F.lag("week").over(w).alias("prev_week"),
+        )
+        .filter(
+            F.col("prev_c").isNotNull()
+            & (F.col("week") == F.col("prev_week") + F.expr("INTERVAL 7 DAY"))
+        )
+        .select(
+            "user_id",
+            F.col("week").cast("date").alias("week"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("prev_c") / 100.0, 2).alias("prev_revenue"),
+            (F.col("rev_c") - F.col("prev_c")).alias("delta_c"),
+        )
+    )
+    wr = Window.orderBy(F.abs("delta_c").desc(), "user_id", "week")
+    return (
+        deltas.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= WOW_TOP_K)
+        .select(
+            "user_id",
+            "week",
+            "revenue",
+            "prev_revenue",
+            F.round(F.col("delta_c") / 100.0, 2).alias("delta"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT d.day,
+       CAST(count(*) FILTER (WHERE d.day = f.first_day) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE d.day > f.first_day) AS BIGINT) AS returning_users,
+       round(count(*) FILTER (WHERE d.day > f.first_day) * 1.0 / count(*), 4)
+         AS returning_share
+FROM user_days d JOIN firsts f USING (user_id)
+GROUP BY d.day
+""",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning active users — the growth-accounting
+    split every product dashboard leads with (is activity growth
+    acquisition or retention?).
+
+    Plan: both the per-user first day and the distinct (user, day)
+    relation reduce map-side before their user-keyed join; the daily
+    rollup is days-bounded. No windows, no events-sized shuffle beyond
+    the two combinable aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = days.join(firsts, "user_id")
+    return j.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+        F.round(
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("returning_share"),
+    )

@@ -485,3 +485,50 @@ def test_hour_profile_and_order_width_match_python(spark):
         assert (g["n_orders"], g["total_revenue"]) == (no, rev)
         assert math.isclose(g["order_share"], round(no / n_tot, 4), abs_tol=1e-9)
         assert math.isclose(g["revenue_share"], round(rev / r_tot, 4), abs_tol=1e-9)
+
+
+def test_new_vs_returning_matches_python(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "ts").collect()
+    user_days = {(r["user_id"], r["ts"].date()) for r in ev}
+    firsts = {}
+    for u, d in user_days:
+        firsts[u] = min(firsts.get(u, d), d)
+    per_day = defaultdict(lambda: [0, 0])
+    for u, d in user_days:
+        per_day[d][0 if d == firsts[u] else 1] += 1
+    got = {r["day"]: r for r in QS["new_vs_returning_daily"](spark, SF_SMALL).collect()}
+    assert set(got) == set(per_day)
+    for d, (new, ret) in per_day.items():
+        g = got[d]
+        assert (g["new_users"], g["returning_users"]) == (new, ret)
+        assert math.isclose(g["returning_share"], round(ret / (new + ret), 4), abs_tol=1e-9)
+
+
+def test_topk_movers_wow_matches_python(spark):
+    from datetime import timedelta
+
+    from etl_jlp_spark.plans.ops_metrics import WOW_TOP_K
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "value").collect()
+    weekly = defaultdict(float)
+    for r in ev:
+        d = r["ts"].date()
+        week = d - timedelta(days=d.weekday())
+        weekly[(r["user_id"], week)] += r["value"]
+    cents = {k: round(v * 100) for k, v in weekly.items()}
+    deltas = []
+    for (u, w), c in cents.items():
+        prev = cents.get((u, w - timedelta(days=7)))
+        # consecutive weeks only: mirror the prev_week == week - 7 gate,
+        # which in the op uses lag() (the user's PREVIOUS ACTIVE week)
+        by_user = sorted(wk for (uu, wk) in cents if uu == u)
+        i = by_user.index(w)
+        if i == 0 or by_user[i - 1] != w - timedelta(days=7):
+            continue
+        deltas.append((abs(c - prev), u, w, c, prev))
+    deltas.sort(key=lambda x: (-x[0], x[1], x[2]))
+    got = QS["topk_movers_wow"](spark, SF_SMALL).orderBy("rk").collect()
+    assert len(got) == min(WOW_TOP_K, len(deltas))
+    for g, (_, u, w, c, prev) in zip(got, deltas[:WOW_TOP_K]):
+        assert (g["user_id"], g["week"]) == (u, w)
+        assert math.isclose(g["delta"], round((c - prev) / 100.0, 2), abs_tol=1e-9)
