@@ -211,6 +211,13 @@ _R7_PRIORITY = [
     "open_orders_timeline",
     "fd_profile_report",
     "column_entropy_report",
+    # NEW in round 8 — first row anywhere (covered by the end-of-round
+    # PARITY sweep; past the ~50-row driver window by construction)
+    "readability_report",
+    "partition_size_advisor",
+    "value_mask_profile",
+    "user_active_streaks",
+    "priority_mix_chisq",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

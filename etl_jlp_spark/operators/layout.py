@@ -172,3 +172,69 @@ def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_supp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition/file-size advisor: the table-maintenance report that turns
+# "how should this land in object storage" into numbers. Small files
+# are the silent killer at 100 TB (every file is a task + an open/seek;
+# a 10 KB-file day costs more scheduler time than scan time), and one
+# oversized partition is the straggler. The advisor estimates the
+# serialized bytes per natural partition (day) from column widths,
+# recommends a file count at the target size, and flags skew vs the
+# median day — exactly the inputs a compaction job needs.
+# ---------------------------------------------------------------------------
+
+TARGET_FILE_BYTES = 64 * 1024  # test-scaled; production: 128 << 20
+
+
+_ADVISOR_ROW_BYTES_SQL = (
+    "8 + 8 + 8 + 8 + length(event_type) + length(coalesce(props, ''))"
+)
+
+
+@query(
+    "partition_size_advisor",
+    oracle=f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum({_ADVISOR_ROW_BYTES_SQL}) AS BIGINT) AS est_bytes
+  FROM events GROUP BY 1
+), med AS (SELECT median(est_bytes) AS m FROM per_day)
+SELECT day, n_rows, est_bytes,
+       CAST(ceil(est_bytes / CAST({TARGET_FILE_BYTES} AS DOUBLE)) AS BIGINT)
+         AS files_needed,
+       round(est_bytes / m, 4) AS bytes_vs_median,
+       est_bytes > 2 * m AS skewed
+FROM per_day CROSS JOIN med
+""",
+)
+def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day (the natural ingest partition) row count, estimated
+    serialized bytes from fixed+variable column widths, the file count
+    that hits the target file size, and a skew flag vs the median day —
+    the report a nightly compaction/right-sizing job consumes.
+
+    Plan: one scan → one map-side-combinable per-day aggregate (the
+    byte estimate is a codegen projection); the median is computed over
+    the |days|-row aggregate and broadcast back as a scalar join — no
+    second scan of the fact table. At 100 TB swap the estimate for file
+    metadata if the table format exposes it; the report shape and the
+    advisor thresholds stay the same."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.lit(32) + F.length("event_type") + F.length(F.coalesce("props", F.lit("")))
+        ).cast("long").alias("est_bytes"),
+    )
+    med = per_day.agg(F.expr("percentile(est_bytes, 0.5)").alias("m"))
+    return per_day.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        F.ceil(F.col("est_bytes") / F.lit(float(TARGET_FILE_BYTES))).cast("long").alias("files_needed"),
+        F.round(F.col("est_bytes") / F.col("m"), 4).alias("bytes_vs_median"),
+        (F.col("est_bytes") > 2 * F.col("m")).alias("skewed"),
+    )

@@ -374,3 +374,94 @@ def candidate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Value-mask profiling: collapse every value to its character-class
+# shape (digit runs → '9', letter runs → 'A') and rank the shapes.
+# The classic data-profiling primitive (Potter's-Wheel-style structure
+# discovery): dominant masks document the de-facto format of a column,
+# and low-share stragglers ARE the malformed rows a format check
+# should quarantine. Complements quality_format_check (which tests a
+# KNOWN format) by discovering the format instead.
+# ---------------------------------------------------------------------------
+
+MASK_COLUMNS = [
+    ("customer", "c_name"),
+    ("supplier", "s_name"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("orders", "o_orderpriority"),
+]
+MASK_TOP = 3
+
+
+def _mask_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, '[0-9]+', '9', 'g'),"
+        f" '[A-Za-z]+', 'A', 'g')"
+    )
+
+
+def _mask_col(col) -> F.Column:
+    return F.regexp_replace(F.regexp_replace(col, "[0-9]+", "9"), "[A-Za-z]+", "A")
+
+
+_MASK_UNION_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS tbl, '{c}' AS col, {_mask_sql(c)} AS mask FROM {t}"
+    for t, c in MASK_COLUMNS
+)
+
+
+@query(
+    "value_mask_profile",
+    oracle=f"""
+WITH masked AS ({_MASK_UNION_SQL}),
+counts AS (
+  SELECT tbl, col, mask, CAST(count(*) AS BIGINT) AS n
+  FROM masked GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT tbl, col, mask, n,
+         CAST(row_number() OVER (PARTITION BY tbl, col ORDER BY n DESC, mask) AS INT) AS rk,
+         sum(n) OVER (PARTITION BY tbl, col) AS tot
+  FROM counts
+)
+SELECT tbl, col, mask, n, rk, round(n / CAST(tot AS DOUBLE), 4) AS share
+FROM ranked WHERE rk <= {MASK_TOP}
+""",
+)
+def value_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} character-class masks per profiled column (digit runs
+    → ``9``, letter runs → ``A``), with counts and share — format
+    discovery across customer/supplier names, part brand/type, and
+    order priority.
+
+    Plan: per column, mask is a codegen regexp projection feeding a
+    map-side-combinable (tbl, col, mask) count; the rank window runs
+    over the mask-cardinality-bounded count relation (masks collapse
+    the value space, so this is small no matter the row count). The
+    per-table scans are unioned AFTER aggregation — each table is read
+    once, pruned to the one profiled column.""".replace("{top}", str(MASK_TOP))
+    out = None
+    for t, c in MASK_COLUMNS:
+        tbl = load_table(spark, sf_dir, t)
+        one = (
+            tbl.select(_mask_col(F.col(c)).alias("mask"))
+            .groupBy("mask")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(t).alias("tbl"), F.lit(c).alias("col"), "mask", "n")
+        )
+        out = one if out is None else out.unionByName(one)
+    w = Window.partitionBy("tbl", "col")
+    ranked = out.select(
+        "tbl",
+        "col",
+        "mask",
+        "n",
+        F.row_number().over(w.orderBy(F.desc("n"), "mask")).cast("int").alias("rk"),
+        F.sum("n").over(w).alias("tot"),
+    )
+    return ranked.filter(F.col("rk") <= MASK_TOP).select(
+        "tbl", "col", "mask", "n", "rk",
+        F.round(F.col("n") / F.col("tot").cast("double"), 4).alias("share"),
+    )

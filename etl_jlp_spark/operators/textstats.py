@@ -624,3 +624,89 @@ def script_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("other_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability: Flesch reading-ease from integer run counts. The classic
+# crawl-filter signal next to the entropy/repetition gates — template
+# soup and OCR noise land far outside the natural-language band.
+# Everything is summed as INTEGERS per source (words, sentence runs,
+# vowel runs) and the double arithmetic happens once on the aggregate
+# ratios, so cross-engine float association order cannot diverge the
+# hash (the same trick the regression family uses).
+# ---------------------------------------------------------------------------
+
+def _runs_sql(expr: str, cls: str) -> str:
+    """Count of maximal runs of character-class ``cls`` in ``expr`` —
+    portable trick: replace each run with one sentinel char, then diff
+    the lengths of sentinel-kept vs sentinel-dropped strings."""
+    return (
+        f"(length(regexp_replace({expr}, '{cls}+', chr(1), 'g'))"
+        f" - length(regexp_replace({expr}, '{cls}+', '', 'g')))"
+    )
+
+
+def _runs_col(col, cls: str):
+    kept = F.length(F.regexp_replace(col, f"{cls}+", "\x01"))
+    dropped = F.length(F.regexp_replace(col, f"{cls}+", ""))
+    return kept - dropped
+
+
+@query(
+    "readability_report",
+    oracle=f"""
+WITH d AS (
+  SELECT source, trim(lower(text)) AS t FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(t, '\\s+')) AS BIGINT) AS words,
+         CAST(greatest({_runs_sql('t', '[.!?]')}, 1) AS BIGINT) AS sents,
+         CAST(greatest({_runs_sql('t', '[aeiou]')}, 1) AS BIGINT) AS sylls
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS tot_words,
+       CAST(sum(sents) AS BIGINT) AS tot_sentences,
+       CAST(sum(sylls) AS BIGINT) AS tot_syllables,
+       round(sum(words) / CAST(sum(sents) AS DOUBLE), 4) AS words_per_sentence,
+       round(sum(sylls) / CAST(sum(words) AS DOUBLE), 4) AS syllables_per_word,
+       round(206.835 - 1.015 * (sum(words) / CAST(sum(sents) AS DOUBLE))
+                     - 84.6 * (sum(sylls) / CAST(sum(words) AS DOUBLE)), 4)
+         AS flesch_ease
+FROM counts GROUP BY source
+""",
+)
+def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease from corpus-level integer counts:
+    whitespace words, sentence-punctuation runs, and vowel runs (the
+    syllable proxy) — the readability gate crawl pipelines run next to
+    gopher_quality_filter before routing a source into the training mix.
+
+    Plan: ONE scan, one shuffle — three regexp run-counts are computed
+    per row inside whole-stage codegen, summed as BIGINTs by a map-side
+    combinable per-source aggregate (20 groups), and the Flesch double
+    arithmetic runs once per GROUP on exact integer sums, so the result
+    is bit-stable regardless of row order or partition count. At 100 TB
+    the shuffle carries |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.trim(F.lower("text")).alias("t")
+    )
+    counts = d.select(
+        "source",
+        F.size(F.split("t", r"\s+")).cast("long").alias("words"),
+        F.greatest(_runs_col(F.col("t"), "[.!?]"), F.lit(1)).cast("long").alias("sents"),
+        F.greatest(_runs_col(F.col("t"), "[aeiou]"), F.lit(1)).cast("long").alias("sylls"),
+    )
+    wps = F.sum("words") / F.sum("sents").cast("double")
+    spw = F.sum("sylls") / F.sum("words").cast("double")
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("tot_words"),
+        F.sum("sents").cast("long").alias("tot_sentences"),
+        F.sum("sylls").cast("long").alias("tot_syllables"),
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+    )

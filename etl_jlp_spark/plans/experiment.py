@@ -603,3 +603,91 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "se_boot",
         )
     )
+
+
+@query(
+    "priority_mix_chisq",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+), margins AS (
+  SELECT priority, yr, obs,
+         sum(obs) OVER (PARTITION BY priority) AS row_tot,
+         sum(obs) OVER (PARTITION BY yr) AS col_tot,
+         sum(obs) OVER () AS n
+  FROM cells
+), contrib AS (
+  SELECT priority, yr, obs,
+         (obs - row_tot * col_tot / CAST(n AS DOUBLE)) ^ 2
+           / (row_tot * col_tot / CAST(n AS DOUBLE)) AS x2,
+         row_tot, n
+  FROM margins
+)
+SELECT priority,
+       CAST(sum(obs) AS BIGINT) AS n_orders,
+       round(sum(x2), 4) AS chi2_contrib,
+       round(sum(sum(x2)) OVER (), 4) AS chi2_total,
+       CAST((count(*) - 1) * ((SELECT count(DISTINCT priority) FROM cells) - 1)
+            AS BIGINT) AS dof,
+       round(sqrt(sum(sum(x2)) OVER ()
+             / (max(n) * least((SELECT count(DISTINCT priority) FROM cells) - 1,
+                               (SELECT count(DISTINCT yr) FROM cells) - 1))), 4)
+         AS cramers_v
+FROM contrib GROUP BY priority
+""",
+)
+def priority_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of order priority vs order year:
+    per-priority contribution, the global statistic, degrees of
+    freedom, and Cramér's V — the drift test that answers "did the
+    priority mix change over time" with a calibrated effect size
+    instead of eyeballing shares (categorical complement of
+    ks_drift_report / psi_drift_report).
+
+    Plan: ONE scan → a |priorities|×|years|-bounded contingency
+    aggregate; margins and the statistic are windows over that tiny
+    cell relation (no second fact pass). The expected-count arithmetic
+    runs on exact BIGINT margins, one double expression per cell."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    wr, wc, wall = Window.partitionBy("priority"), Window.partitionBy("yr"), Window.partitionBy()
+    margins = cells.select(
+        "priority",
+        "yr",
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    contrib = margins.select(
+        "priority",
+        "obs",
+        "n",
+        F.pow(F.col("obs") - exp, 2) / exp,
+    ).toDF("priority", "obs", "n", "x2")
+    n_pri = cells.select("priority").distinct().count()
+    n_yr = cells.select("yr").distinct().count()
+    per = contrib.groupBy("priority").agg(
+        F.sum("obs").cast("long").alias("n_orders"),
+        F.round(F.sum("x2"), 4).alias("chi2_contrib"),
+        F.sum("x2").alias("_x2"),
+        F.count(F.lit(1)).alias("_cells"),
+        F.max("n").alias("_n"),
+    )
+    return per.select(
+        "priority",
+        "n_orders",
+        "chi2_contrib",
+        F.round(F.sum("_x2").over(wall), 4).alias("chi2_total"),
+        ((F.col("_cells") - 1) * (n_pri - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.sum("_x2").over(wall) / (F.col("_n") * min(n_pri - 1, n_yr - 1))), 4
+        ).alias("cramers_v"),
+    )

@@ -1233,3 +1233,67 @@ def holt_winters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+@query(
+    "user_active_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), numbered AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len
+  FROM numbered GROUP BY user_id, grp
+), per_user_max AS (
+  SELECT user_id, max(streak_len) AS max_len FROM streaks GROUP BY user_id
+)
+SELECT s.streak_len,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM per_user_max m WHERE m.max_len = s.streak_len)
+            AS BIGINT) AS n_users_peak
+FROM streaks s GROUP BY s.streak_len
+""",
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands via
+    the day-index-minus-row-number group key), reported as a streak
+    length histogram: how many streaks of each length exist, how many
+    users ever hit that length, and for how many users it is their
+    PEAK streak — the engagement-depth report behind DAU durability
+    claims.
+
+    Plan: distinct (user, day) → per-user row_number window (partition
+    = user, already the shuffle key of the distinct) → two
+    map-side-combinable aggregates. Everything after the first shuffle
+    is keyed by user_id, so the window and the streak count reuse one
+    exchange; the histogram is |max_streak|-bounded. At 100 TB the
+    only wide relation is the distinct day table (∝ user-days)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.select(
+        "user_id",
+        (F.datediff("day", F.lit("2024-01-01")) - F.row_number().over(wu)).alias("grp"),
+    )
+    streaks = numbered.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    per_user_max = streaks.groupBy("user_id").agg(F.max("streak_len").alias("max_len"))
+    peak = per_user_max.groupBy(F.col("max_len").alias("streak_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_peak")
+    )
+    hist = streaks.groupBy("streak_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return hist.join(F.broadcast(peak), "streak_len", "left").select(
+        "streak_len",
+        "n_streaks",
+        "n_users",
+        F.coalesce("n_users_peak", F.lit(0)).cast("long").alias("n_users_peak"),
+    )
