@@ -35,6 +35,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     ir,
     joins,
     keywords,
+    kmv,
     layout,
     linkage,
     profiling,
@@ -218,6 +219,8 @@ _R7_PRIORITY = [
     "value_mask_profile",
     "user_active_streaks",
     "priority_mix_chisq",
+    "kmv_distinct_by_type",
+    "kmv_type_overlap",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",
