@@ -221,6 +221,9 @@ _R7_PRIORITY = [
     "priority_mix_chisq",
     "kmv_distinct_by_type",
     "kmv_type_overlap",
+    "centroid_silhouette_report",
+    "vocab_growth_curve",
+    "quality_score_pr_curve",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -588,3 +588,152 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 term_freq_spectrum.__doc__ = (term_freq_spectrum.__doc__ or "").format(
     K=FREQ_SPECTRUM_MAX_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law): distinct vocabulary V as a function
+# of corpus volume N, V ≈ K·N^β. A healthy natural corpus grows with
+# β ≈ 0.4–0.8; β near 0 means the marginal shard adds re-crawled
+# duplicates (no fresh vocabulary — the aggregate twin of the dedup
+# family's per-doc verdicts), β near 1 means ID/hash soup. The curve
+# is THE cheap answer to "is ingesting the next shard of this source
+# still worth it". The vocabulary unit is the word TRIGRAM: unigram
+# vocabularies saturate at any corpus size (closed word list), while
+# n-gram shapes keep growing exactly when the text is genuinely new —
+# the same unit the dedup/containment family shingles on.
+# ---------------------------------------------------------------------------
+
+HEAPS_BUCKET_DOCS = 50  # docs per growth bucket (doc_id order = ingest order)
+HEAPS_N = 3  # shingle width
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+WITH arr AS (
+  SELECT CAST(doc_id // {HEAPS_BUCKET_DOCS} AS BIGINT) AS bucket, doc_id,
+         regexp_extract_all(lower(text), '[a-z]+') AS a
+  FROM documents
+), toks AS (
+  SELECT bucket, doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS term
+  FROM arr, unnest(generate_series(1, len(a) - {HEAPS_N - 1})) AS g(i)
+  WHERE len(a) >= {HEAPS_N}
+), per_bucket AS (
+  SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS bucket_ngrams
+  FROM toks GROUP BY bucket
+), firsts AS (
+  SELECT min(bucket) AS bucket, term FROM toks GROUP BY term
+), news AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms FROM firsts GROUP BY bucket
+), curve AS (
+  SELECT p.bucket, p.n_docs, p.bucket_ngrams,
+         sum(p.bucket_ngrams) OVER (ORDER BY p.bucket) AS cum_ngrams,
+         sum(coalesce(n.new_terms, 0)) OVER (ORDER BY p.bucket) AS cum_distinct,
+         coalesce(n.new_terms, 0) AS new_terms
+  FROM per_bucket p LEFT JOIN news n ON n.bucket = p.bucket
+), fit AS (
+  SELECT count(*) AS n,
+         sum(ln(cum_ngrams)) AS sx, sum(ln(cum_distinct)) AS sy,
+         sum(ln(cum_ngrams) * ln(cum_ngrams)) AS sxx,
+         sum(ln(cum_ngrams) * ln(cum_distinct)) AS sxy
+  FROM curve
+)
+SELECT c.bucket, c.n_docs, c.bucket_ngrams,
+       CAST(c.cum_ngrams AS BIGINT) AS cum_ngrams,
+       CAST(c.new_terms AS BIGINT) AS new_terms,
+       CAST(c.cum_distinct AS BIGINT) AS cum_distinct,
+       round(c.new_terms / CAST(c.bucket_ngrams AS DOUBLE), 4) AS novelty_rate,
+       CASE WHEN f.n >= 2
+            THEN round((f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx), 4)
+            END AS heaps_beta
+FROM curve c CROSS JOIN fit f
+""",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over ingest order: per
+    {b}-document bucket, the word-{n}-gram volume, the NEW distinct
+    {n}-grams the bucket contributes, cumulative volume/vocabulary,
+    the novelty rate, and the fitted log-log growth exponent β (same
+    closed-form OLS shape as zipf_rank_slope; NULL when the curve has
+    a single point) — low β ⇒ the marginal shard adds duplicates, not
+    language.
+
+    Plan: ONE tokenize pass (array + position explode, ∝ corpus
+    tokens); "new terms per bucket" is min(bucket) per term then a
+    count — vocabulary-bounded, never a cumulative distinct over raw
+    shingles; the curve is a window over the |buckets|-row relation
+    and the fit is a 1-row aggregate of it, broadcast back. Exact
+    BIGINT counts feed the one double fit expression.""".replace(
+        "{b}", str(HEAPS_BUCKET_DOCS)
+    ).replace("{n}", str(HEAPS_N))
+    docs = widen(spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents")
+    arr = docs.select(
+        (F.col("doc_id") / HEAPS_BUCKET_DOCS).cast("long").alias("bucket"),
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0).alias("a"),
+    ).filter(F.size("a") >= HEAPS_N)
+    toks = arr.select(
+        "bucket",
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, size(a) - {HEAPS_N})")).alias("i"),
+        "a",
+    ).select(
+        "bucket",
+        "doc_id",
+        F.concat_ws(" ", F.expr("a[i]"), F.expr("a[i + 1]"), F.expr("a[i + 2]")).alias(
+            "term"
+        ),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("bucket_ngrams"),
+    )
+    news = (
+        toks.groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(news, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_ngrams",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "*",
+            F.sum("bucket_ngrams").over(wc).cast("long").alias("cum_ngrams"),
+            F.sum("new_terms").over(wc).cast("long").alias("cum_distinct"),
+        )
+    )
+    lx, ly = F.log("cum_ngrams"), F.log("cum_distinct")
+    fit = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "bucket",
+        "n_docs",
+        "bucket_ngrams",
+        "cum_ngrams",
+        "new_terms",
+        "cum_distinct",
+        F.round(F.col("new_terms") / F.col("bucket_ngrams").cast("double"), 4).alias(
+            "novelty_rate"
+        ),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4,
+            ),
+        ).alias("heaps_beta"),
+    )

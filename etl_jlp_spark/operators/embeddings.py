@@ -876,3 +876,112 @@ def embedding_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("fisher_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid) silhouette: the cluster-quality score that the
+# full silhouette can't deliver at scale (it needs all-pairs
+# distances, O(N²)); the centroid form replaces the mean intra/inter
+# distance with point→centroid distances — O(N·k) and the standard
+# large-N approximation (e.g. sklearn's tradeoff guidance). Scores the
+# LABEL partition of the embedding table the way semantic_dedup /
+# nearest_centroid consumers would experience it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "centroid_silhouette_report",
+    oracle="""
+WITH x AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), comps AS (
+  SELECT label, CAST(dim AS INTEGER) AS dim,
+         round(avg(CAST(x AS DOUBLE)), 6) AS m
+  FROM x GROUP BY label, dim
+), cent AS (
+  SELECT label AS cent_label, list(m ORDER BY dim) AS c FROM comps GROUP BY cent_label
+), e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT e.vec_id, e.label, cent.cent_label,
+         round(sqrt(greatest(list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c), 0.0)), 6) AS dist
+  FROM e CROSS JOIN cent
+), ab AS (
+  SELECT vec_id, label,
+         min(dist) FILTER (WHERE cent_label = label) AS a,
+         min(dist) FILTER (WHERE cent_label <> label) AS b
+  FROM d GROUP BY vec_id, label
+), s AS (
+  SELECT vec_id, label, a, b,
+         round((b - a) / greatest(a, b), 6) AS sil
+  FROM ab
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(a), 4) AS mean_intra,
+       round(avg(b), 4) AS mean_inter,
+       round(avg(sil), 4) + 0.0 AS mean_silhouette,
+       CAST(count(*) FILTER (WHERE sil < 0) AS BIGINT) AS n_misplaced
+FROM s GROUP BY label
+""",
+)
+def centroid_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid silhouette: mean distance to the own-label
+    centroid (a), to the nearest other centroid (b), the silhouette
+    (b−a)/max(a,b), and how many points sit closer to a foreign
+    centroid (sil < 0) — the cluster-separation report that grades a
+    labeling/clustering before it is trusted for stratified sampling
+    or semantic dedup.
+
+    Plan: centroids via posexplode + (label, dim) mean (map-side
+    combined, 6dp-rounded in both engines so association order can't
+    drift), then ONE broadcast cross join of vectors × k centroids with
+    the distances reduced by a conditional min — O(N·k), never the
+    O(N²) full silhouette; per-point sil is 6dp-rounded before the
+    4dp-rounded label means so engine summation order has 2 guard
+    digits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy(F.col("label").alias("cent_label"), "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cent_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+    )
+    dot = "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    d2 = (
+        f"({dot.format(a='v', b='v')}) - 2 * ({dot.format(a='v', b='c')})"
+        f" + ({dot.format(a='c', b='c')})"
+    )
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cent_label",
+        F.round(F.sqrt(F.greatest(F.expr(d2), F.lit(0.0))), 6).alias("dist"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("cent_label") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cent_label") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        "a",
+        "b",
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6).alias("sil"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("a"), 4).alias("mean_intra"),
+        F.round(F.avg("b"), 4).alias("mean_inter"),
+        (F.round(F.avg("sil"), 4) + F.lit(0.0)).alias("mean_silhouette"),
+        F.sum(F.when(F.col("sil") < 0, 1).otherwise(0)).cast("long").alias("n_misplaced"),
+    )

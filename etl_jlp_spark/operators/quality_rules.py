@@ -481,3 +481,103 @@ def quality_isolation_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_isolation_outliers.__doc__ = (quality_isolation_outliers.__doc__ or "").format(
     thr=ISO_THRESHOLD
 )
+
+
+# ---------------------------------------------------------------------------
+# Score-vs-rules agreement: the PR curve of the continuous quality
+# score against the rule-based gopher verdict. Before replacing a
+# hand-tuned rule filter with a scored threshold (or vice versa), this
+# is the report that says WHERE the two disagree and what threshold
+# recovers the rules' keep set — standard filter-migration diligence
+# in crawl pipelines.
+# ---------------------------------------------------------------------------
+
+PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _pr_oracle() -> str:
+    from etl_jlp_spark.registry import ORACLES
+
+    score_sql = ORACLES["text_quality_score"]
+    gopher_sql = ORACLES["gopher_quality_filter"]
+    ths = ", ".join(f"({t})" for t in PR_THRESHOLDS)
+    return f"""
+WITH score AS ({score_sql}),
+gopher AS ({gopher_sql}),
+joined AS (
+  SELECT s.doc_id, s.quality_score, g.keep
+  FROM score s JOIN gopher g ON s.doc_id = g.doc_id
+), th AS (
+  SELECT CAST(t.threshold AS DOUBLE) AS threshold
+  FROM (VALUES {ths}) t(threshold)
+),
+cells AS (
+  SELECT t.threshold,
+         CAST(count(*) FILTER (WHERE j.quality_score >= t.threshold) AS BIGINT) AS n_pred,
+         CAST(count(*) FILTER (WHERE j.quality_score >= t.threshold AND j.keep) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE j.keep) AS BIGINT) AS n_keep,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM th t CROSS JOIN joined j GROUP BY t.threshold
+)
+SELECT threshold, n_pred, tp, n_keep,
+       round(tp / CAST(nullif(n_pred, 0) AS DOUBLE), 4) AS precision,
+       round(tp / CAST(nullif(n_keep, 0) AS DOUBLE), 4) AS recall,
+       round(2.0 * tp / nullif(n_pred + n_keep, 0), 4) AS f1
+FROM cells
+"""
+
+
+@query("quality_score_pr_curve", oracle=_pr_oracle())
+def quality_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of thresholding ``text_quality_score``
+    against the ``gopher_quality_filter`` keep verdict, swept over
+    thresholds 0.1..0.9 — the migration report for swapping a rule
+    filter and a scored filter (F1 = 2·tp/(pred+keep), algebraically
+    the harmonic PR mean, computed from exact counts).
+
+    Plan: both per-doc relations come from single passes (the score's
+    tokenize agg, the filter's zero-shuffle projection), joined once on
+    doc_id; the 9-threshold sweep is a broadcast-range cross join
+    reduced by conditional counts, so the fact table is NOT re-scanned
+    per threshold. Oracle embeds both constituent oracles verbatim —
+    the three queries can never drift apart."""
+    from etl_jlp_spark.operators.textstats import text_quality_score
+
+    score = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    keep = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    joined = score.join(keep, "doc_id")
+    th = spark.createDataFrame([(t,) for t in PR_THRESHOLDS], "threshold double")
+    cells = (
+        F.broadcast(th)
+        .crossJoin(joined)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("quality_score") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred"),
+            F.sum(
+                F.when(
+                    (F.col("quality_score") >= F.col("threshold")) & F.col("keep"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    return cells.select(
+        "threshold",
+        "n_pred",
+        "tp",
+        "n_keep",
+        F.round(F.col("tp") / F.nullif(F.col("n_pred"), F.lit(0)).cast("double"), 4).alias(
+            "precision"
+        ),
+        F.round(F.col("tp") / F.nullif(F.col("n_keep"), F.lit(0)).cast("double"), 4).alias(
+            "recall"
+        ),
+        F.round(
+            2.0 * F.col("tp") / F.nullif(F.col("n_pred") + F.col("n_keep"), F.lit(0)), 4
+        ).alias("f1"),
+    )
