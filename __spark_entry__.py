@@ -224,6 +224,9 @@ _R7_PRIORITY = [
     "centroid_silhouette_report",
     "vocab_growth_curve",
     "quality_score_pr_curve",
+    "ann_pq_topk",
+    "hits_authorities",
+    "hits_top_hubs",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -985,3 +985,183 @@ def centroid_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("sil"), 4) + F.lit(0.0)).alias("mean_silhouette"),
         F.sum(F.when(F.col("sil") < 0, 1).otherwise(0)).cast("long").alias("n_misplaced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the third serving geometry next to
+# the IVF cell store (similarity.ann_ivf_topk) and the int8 scalar
+# quantizer (ann_quantized_topk): split each vector into M subspaces,
+# k-means each subspace to K codes, store each vector as M small codes
+# (M·log2 K bits ≈ 12 bits/vector here vs 64×32 float bits), and
+# answer queries with an asymmetric-distance (ADC) lookup table — the
+# Jégou/Douze/Schmid PQ paper's shape and the memory layout every
+# billion-vector serving system (FAISS IVFPQ) uses. Training reuses
+# the fixed-iteration/deterministic-seed Lloyd conventions of
+# kmeans_lloyd_assign, keyed by subspace so ONE relational loop trains
+# all M codebooks at once.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # codes per subspace
+PQ_ITERS = 2  # fixed Lloyd rounds per codebook
+
+
+def _pq_d2_duck(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})"
+    )
+
+
+def _pq_oracle() -> str:
+    d2 = _pq_d2_duck("s.sv", "c.cv")
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, m, v[m * (len(v) // {PQ_M}) + 1 : (m + 1) * (len(v) // {PQ_M})] AS sv
+  FROM e, unnest([{", ".join(str(m) for m in range(PQ_M))}]) AS t(m)
+),
+c0 AS (
+  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cl,
+         sv AS cv
+  FROM sub QUALIFY cl < {PQ_K}
+)"""
+    for i in range(1, PQ_ITERS + 1):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, m, cl, sv FROM (
+    SELECT s.vec_id, s.m, c.cl, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.cl) AS rn
+    FROM sub s JOIN c{i - 1} c ON s.m = c.m
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT m, cl, pos, round(avg(val), 6) AS mval FROM (
+    SELECT m, cl, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val FROM a{i}
+  ) GROUP BY m, cl, pos
+),
+c{i} AS (SELECT m, cl, list(mval ORDER BY pos) AS cv FROM m{i} GROUP BY m, cl)"""
+    sql += f""",
+codes AS (
+  SELECT vec_id, m, cl FROM (
+    SELECT s.vec_id, s.m, c.cl,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.cl) AS rn
+    FROM sub s JOIN c{PQ_ITERS} c ON s.m = c.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id % 50 = 0),
+lut AS (
+  SELECT q.query_id, c.m, c.cl,
+         {_pq_d2_duck("q.qsv", "c.cv")} AS d2
+  FROM q JOIN c{PQ_ITERS} c ON q.m = c.m
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, round(sum(l.d2), 6) AS adc6
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.cl = cd.cl
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY l.query_id, cd.vec_id
+)
+SELECT query_id, neighbor_id, round(adc6, 4) AS adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc6, neighbor_id)
+            AS INT) AS rank
+FROM adc QUALIFY rank <= 5
+"""
+    return sql
+
+
+_PQ_DOT = "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+
+
+def _pq_d2_spark(a: str, b: str) -> str:
+    return (
+        f"({_PQ_DOT.format(a=a, b=a)}) - 2 * ({_PQ_DOT.format(a=a, b=b)})"
+        f" + ({_PQ_DOT.format(a=b, b=b)})"
+    )
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k: each vector stored as {m} codes
+    ({k} centroids per subspace, {it} fixed Lloyd rounds per codebook,
+    min-vec_id seeding), queries answered through the asymmetric
+    (query-to-centroid) distance lookup table — the FAISS-PQ memory
+    layout where the corpus never materializes floats at query time.
+
+    Plan: ONE relational Lloyd loop trains all {m} codebooks at once
+    (subspace id is just a key column: slice-explode → per-(vec, m)
+    argmin window → per-(m, cl, pos) mean repack, all codebook-side
+    relations ≤ m·k rows and broadcast). Serving joins the code table
+    against the |Q|·m·k-row ADC lookup and sums m terms per
+    (query, vector) — at 100 TB the scan side is the code table
+    (m small ints per vector), not the embeddings. The brute-force
+    twin ann_topk_cosine stays the recall baseline; 6dp-rounded
+    centroids per round keep both engines' grouped means in sync."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    sublen = dim // PQ_M
+    e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * sublen + 1, sublen) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    ).localCheckpoint(eager=False)
+    w_seed = Window.partitionBy("m").orderBy("vec_id")
+    cent = (
+        sub.withColumn("cl", (F.row_number().over(w_seed) - 1).cast("int"))
+        .filter(F.col("cl") < PQ_K)
+        .select("m", "cl", F.col("sv").alias("cv"))
+    )
+    d2 = _pq_d2_spark("sv", "cv")
+    w_asg = Window.partitionBy("vec_id", "m").orderBy(F.expr(d2), "cl")
+    for _ in range(PQ_ITERS):
+        asg = (
+            sub.join(F.broadcast(cent), "m")
+            .withColumn("rn", F.row_number().over(w_asg))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cl", "sv")
+        )
+        cent = (
+            asg.select("m", "cl", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cl", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("m", "cl")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("cv")
+            )
+        )
+    codes = (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cl")
+    )
+    q = sub.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    lut = q.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "cl", F.expr(_pq_d2_spark("qsv", "cv")).alias("d2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cl"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc6"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc6", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc6", 4).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+ann_pq_topk.__doc__ = (ann_pq_topk.__doc__ or "").format(m=PQ_M, k=PQ_K, it=PQ_ITERS)

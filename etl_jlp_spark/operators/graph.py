@@ -657,3 +657,152 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg hubs & authorities) on the user ↔ event-type
+# bipartite graph: authorities = event types that attract the
+# best-connected users, hubs = users whose activity spans the
+# highest-authority types. The bipartite shape is the one PageRank
+# (above, on the doc near-dup graph) doesn't cover, and the same loop
+# serves any entity↔category affinity graph (user↔domain,
+# doc↔source). Fixed iterations + per-round L1 normalization with 6dp
+# rounding in BOTH engines, so grouped-sum association order re-syncs
+# every round instead of compounding.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_ROUND = 6
+HITS_TOP_HUBS = 10
+
+
+def _hits_ctes() -> str:
+    out = """
+e AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e)"""
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        out += f""",
+a{i}r AS (SELECT t, sum(h) AS s FROM e JOIN {prev_h} USING (u) GROUP BY t),
+a{i} AS (SELECT t, round(s / (SELECT sum(s) FROM a{i}r), {HITS_ROUND}) AS a FROM a{i}r),
+h{i}r AS (SELECT u, sum(a) AS s FROM e JOIN a{i} USING (t) GROUP BY u),
+h{i} AS (SELECT u, round(s / (SELECT sum(s) FROM h{i}r), {HITS_ROUND}) AS h FROM h{i}r)"""
+        prev_h = f"h{i}"
+    return out
+
+
+def _hits_frames(spark: SparkSession, sf_dir: str):
+    """(authorities, hubs) DataFrames after HITS_ITERS rounds — the
+    shared core of both registered queries."""
+    from etl_jlp_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t")).distinct()
+    e = e.persist()
+    h = e.select("u").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(HITS_ITERS):
+        ar = e.join(h, "u").groupBy("t").agg(F.sum("h").alias("s"))
+        atot = ar.agg(F.sum("s").alias("tot"))
+        a = ar.crossJoin(F.broadcast(atot)).select(
+            "t", F.round(F.col("s") / F.col("tot"), HITS_ROUND).alias("a")
+        )
+        hr = e.join(F.broadcast(a), "t").groupBy("u").agg(F.sum("a").alias("s"))
+        htot = hr.agg(F.sum("s").alias("tot"))
+        h = hr.crossJoin(F.broadcast(htot)).select(
+            "u", F.round(F.col("s") / F.col("tot"), HITS_ROUND).alias("h")
+        )
+    return e, a, h
+
+
+@query(
+    "hits_authorities",
+    oracle=f"""
+WITH {_hits_ctes()},
+na AS (SELECT t, CAST(count(*) AS BIGINT) AS n_users FROM e GROUP BY t)
+SELECT a.t AS event_type, na.n_users, a.a AS authority,
+       CAST(row_number() OVER (ORDER BY a.a DESC, a.t) AS INT) AS rank
+FROM a{HITS_ITERS} a JOIN na ON na.t = a.t
+""",
+)
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type authority scores after {it} HITS rounds on the
+    distinct user↔type bipartite graph (L1-normalized, {r}dp-rounded
+    per round), with each type's distinct-user degree — the affinity
+    ranking of categories by the quality, not just the count, of the
+    users they attract.
+
+    Plan: the edge list is distinct (user, type) — built once,
+    persisted for the loop, ∝ user-type incidence not raw events. Each
+    round is two join+agg passes; every type-side relation is
+    ≤|types| rows and broadcast, so the only shuffled relation is the
+    user-keyed hub aggregate. Unrolled identically in the oracle."""
+    e, a, _h = _hits_frames(spark, sf_dir)
+    na = e.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    from pyspark.sql import Window
+
+    out = (
+        a.join(F.broadcast(na), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "n_users",
+            F.col("a").alias("authority"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("a"), "t"))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+    e.unpersist()
+    return out
+
+
+hits_authorities.__doc__ = (hits_authorities.__doc__ or "").format(
+    it=HITS_ITERS, r=HITS_ROUND
+)
+
+
+@query(
+    "hits_top_hubs",
+    oracle=f"""
+WITH {_hits_ctes()},
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS n_types FROM e GROUP BY u)
+SELECT h.u AS user_id, d.n_types, h.h AS hub_score,
+       CAST(row_number() OVER (ORDER BY h.h DESC, h.u) AS INT) AS rank
+FROM h{HITS_ITERS} h JOIN deg d ON d.u = h.u
+QUALIFY rank <= {HITS_TOP_HUBS}
+""",
+)
+def hits_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} hub users after the same {it} HITS rounds (deterministic
+    (score DESC, user) order) with each user's type-degree — the
+    best-connected-entity report paired with ``hits_authorities``.
+
+    Plan: shares the iteration core; the final top-k is a
+    TakeOrdered-shaped limit over the user-keyed hub relation, never a
+    global materialized sort of all users."""
+    e, _a, h = _hits_frames(spark, sf_dir)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    ranked = (
+        h.join(deg, "u")
+        .orderBy(F.desc("h"), "u")
+        .limit(HITS_TOP_HUBS)
+    )
+    from pyspark.sql import Window
+
+    out = ranked.select(
+        F.col("u").alias("user_id"),
+        "n_types",
+        F.col("h").alias("hub_score"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("h"), "u"))
+        .cast("int")
+        .alias("rank"),
+    )
+    e.unpersist()
+    return out
+
+
+hits_top_hubs.__doc__ = (hits_top_hubs.__doc__ or "").format(
+    k=HITS_TOP_HUBS, it=HITS_ITERS
+)
