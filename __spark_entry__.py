@@ -227,6 +227,10 @@ _R7_PRIORITY = [
     "ann_pq_topk",
     "hits_authorities",
     "hits_top_hubs",
+    "ols_cv_eval",
+    "bayesian_ab_conversion",
+    "periodogram_daily_revenue",
+    "conformal_forecast_interval",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -691,3 +691,93 @@ def priority_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum("_x2").over(wall) / (F.col("_n") * min(n_pri - 1, n_yr - 1))), 4
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "bayesian_ab_conversion",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY variant
+), post AS (
+  SELECT variant, n_users, n_converted,
+         (1.0 + n_converted) / (2.0 + n_users) AS pm,
+         sqrt((1.0 + n_converted) * (1.0 + n_users - n_converted)
+              / ((2.0 + n_users) * (2.0 + n_users) * (3.0 + n_users))) AS ps
+  FROM cells
+)
+SELECT p.variant, p.n_users, p.n_converted,
+       round(p.n_converted / CAST(p.n_users AS DOUBLE), 4) AS raw_rate,
+       round(p.pm, 4) AS posterior_mean,
+       round(p.pm - 1.96 * p.ps, 4) AS ci_lo,
+       round(p.pm + 1.96 * p.ps, 4) AS ci_hi,
+       round((max(CASE WHEN variant = 'B' THEN pm END) OVER ()
+              - max(CASE WHEN variant = 'A' THEN pm END) OVER ())
+             / sqrt(sum(ps * ps) OVER ()), 4) AS z_b_minus_a
+FROM post p
+""",
+)
+def bayesian_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial A/B readout on user-level purchase conversion
+    (same deterministic md5 assignment as ab_test_report): per variant
+    the Beta(1,1)-posterior mean and a 95% normal-approximation
+    credible interval from the exact posterior variance
+    αβ/((α+β)²(α+β+1)), plus the z-score of the B−A posterior-mean
+    difference — the Bayesian companion to the frequentist CUPED
+    report, all in closed form (no sampling).
+
+    Plan: one events pass → per-user conversion flag (map-side
+    combinable max), one 2-row cell aggregate; every posterior
+    quantity is a scalar expression over exact BIGINT counts, so the
+    result is bit-stable at any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    cells = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    pm = (1.0 + F.col("n_converted")) / (2.0 + F.col("n_users"))
+    ps = F.sqrt(
+        (1.0 + F.col("n_converted"))
+        * (1.0 + F.col("n_users") - F.col("n_converted"))
+        / ((2.0 + F.col("n_users")) * (2.0 + F.col("n_users")) * (3.0 + F.col("n_users")))
+    )
+    post = cells.select("variant", "n_users", "n_converted", pm.alias("pm"), ps.alias("ps"))
+    w = Window.partitionBy()
+    return post.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_users").cast("double"), 4).alias("raw_rate"),
+        F.round("pm", 4).alias("posterior_mean"),
+        F.round(F.col("pm") - 1.96 * F.col("ps"), 4).alias("ci_lo"),
+        F.round(F.col("pm") + 1.96 * F.col("ps"), 4).alias("ci_hi"),
+        F.round(
+            (
+                F.max(F.when(F.col("variant") == "B", F.col("pm"))).over(w)
+                - F.max(F.when(F.col("variant") == "A", F.col("pm"))).over(w)
+            )
+            / F.sqrt(F.sum(F.col("ps") * F.col("ps")).over(w)),
+            4,
+        ).alias("z_b_minus_a"),
+    )

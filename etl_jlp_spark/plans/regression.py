@@ -671,3 +671,119 @@ def spearman_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+CV_FOLDS = 4
+
+
+@query(
+    "ols_cv_eval",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(l_orderkey % {CV_FOLDS} AS BIGINT) AS fold,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT fold,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY fold
+), t AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         sum(n) OVER () - n AS tn,
+         sum(sx) OVER () - sx AS tsx, sum(sy) OVER () - sy AS tsy,
+         sum(sxx) OVER () - sxx AS tsxx,
+         sum(sxy) OVER () - sxy AS tsxy
+  FROM s
+), est AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         (CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)
+           / (CAST(tn AS DOUBLE) * tsxx - CAST(tsx AS DOUBLE) * tsx) AS b,
+         CAST(tsy AS DOUBLE) / tn
+           - ((CAST(tn AS DOUBLE) * tsxy - CAST(tsx AS DOUBLE) * tsy)
+              / (CAST(tn AS DOUBLE) * tsxx - CAST(tsx AS DOUBLE) * tsx))
+             * (CAST(tsx AS DOUBLE) / tn) AS a
+  FROM t
+), mse AS (
+  SELECT fold, n, b, a,
+         (CAST(syy AS DOUBLE) - 2 * a * sy - 2 * b * sxy
+          + 2 * a * b * sx + a * a * n + b * b * sxx) AS sse
+  FROM est
+)
+SELECT fold, n AS n_test,
+       round(b, {OLS_ROUND}) + 0.0 AS slope_usd_per_pct,
+       round(a, {OLS_ROUND}) + 0.0 AS intercept_usd,
+       round(sse / n, 2) + 0.0 AS test_mse,
+       round(sum(sse) OVER () / sum(n) OVER (), 2) + 0.0 AS cv_mse
+FROM mse
+""",
+)
+def ols_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-fold cross-validated OLS of line revenue on discount level:
+    each fold's model is trained on the OTHER folds and scored on the
+    held-out fold, with the pooled CV MSE — the honest generalization
+    number behind ols_discount_elasticity's in-sample R², and the
+    template for evaluating ANY sufficient-statistics model without a
+    second data pass.
+
+    The trick that keeps this one-pass at 100 TB: per-fold integer
+    sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT, the
+    train-side stats are total − fold (window over {k} rows, still
+    exact), and the held-out SSE expands algebraically as
+    Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx² — so the
+    test error needs NO second scan. Deterministic folds via
+    l_orderkey % {k}; one combinable aggregate total.""".replace(
+        "{k}", str(CV_FOLDS)
+    )
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") % CV_FOLDS).cast("long").alias("fold"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    w = Window.partitionBy()
+    t = s.select(
+        "*",
+        (F.sum("n").over(w) - F.col("n")).alias("tn"),
+        (F.sum("sx").over(w) - F.col("sx")).alias("tsx"),
+        (F.sum("sy").over(w) - F.col("sy")).alias("tsy"),
+        (F.sum("sxx").over(w) - F.col("sxx")).alias("tsxx"),
+        (F.sum("sxy").over(w) - F.col("sxy")).alias("tsxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    b = (d("tn") * d("tsxy") - d("tsx") * d("tsy")) / (
+        d("tn") * d("tsxx") - d("tsx") * d("tsx")
+    )
+    est = t.select("fold", "n", "sx", "sy", "sxx", "sxy", "syy", b.alias("b"),
+                   (d("tsy") / d("tn") - b * (d("tsx") / d("tn"))).alias("a"))
+    sse = (
+        d("syy")
+        - 2 * F.col("a") * d("sy")
+        - 2 * F.col("b") * d("sxy")
+        + 2 * F.col("a") * F.col("b") * d("sx")
+        + F.col("a") * F.col("a") * d("n")
+        + F.col("b") * F.col("b") * d("sxx")
+    )
+    mse = est.select("fold", "n", "b", "a", sse.alias("sse"))
+    return mse.select(
+        "fold",
+        F.col("n").alias("n_test"),
+        (F.round("b", OLS_ROUND) + 0.0).alias("slope_usd_per_pct"),
+        (F.round("a", OLS_ROUND) + 0.0).alias("intercept_usd"),
+        (F.round(F.col("sse") / F.col("n"), 2) + 0.0).alias("test_mse"),
+        (F.round(F.sum("sse").over(w) / F.sum("n").over(w), 2) + 0.0).alias("cv_mse"),
+    )

@@ -1297,3 +1297,186 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.coalesce("n_users_peak", F.lit(0)).cast("long").alias("n_users_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral + conformal forecast tooling over the daily-revenue series:
+# the periodogram answers "WHICH cycle dominates" (the seasonality
+# detectors above all ASSUME weekly), and the split-conformal interval
+# turns any point forecaster into a calibrated interval with a finite-
+# sample guarantee — the distribution-free eval modern forecast
+# pipelines attach to every model.
+# ---------------------------------------------------------------------------
+
+PGRAM_PERIODS = list(range(2, 11))  # candidate cycles, days
+TWO_PI = 6.283185307179586
+CONF_SEASON = 7  # seasonal-naive lag for the conformal base forecaster
+CONF_CAL_FRAC = 0.7  # leading fraction of days used for calibration
+CONF_ALPHA = 0.9  # target coverage
+
+
+_DAILY_CENTS_SQL = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, rev_cents,
+         CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS d
+  FROM daily
+)"""
+
+
+@query(
+    "periodogram_daily_revenue",
+    oracle=f"""
+WITH {_DAILY_CENTS_SQL},
+m AS (SELECT sum(rev_cents) / CAST(count(*) AS DOUBLE) AS mu, count(*) AS n FROM idx),
+terms AS (
+  SELECT p.p, i.d, (i.rev_cents - m.mu) AS c,
+         cos({TWO_PI} * i.d / p.p) AS co, sin({TWO_PI} * i.d / p.p) AS si
+  FROM idx i CROSS JOIN m CROSS JOIN (
+    SELECT unnest([{", ".join(str(p) for p in PGRAM_PERIODS)}]) AS p
+  ) p
+), pw AS (
+  SELECT p,
+         sum(c * co) * sum(c * co) + sum(c * si) * sum(c * si) AS power
+  FROM terms GROUP BY p
+)
+SELECT CAST(p AS INT) AS period_days,
+       round(power / sum(power) OVER (), 4) AS power_share,
+       CAST(row_number() OVER (ORDER BY power DESC, p) AS INT) AS rank
+FROM pw
+""",
+)
+def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of mean-centered daily revenue at candidate
+    periods {lo}–{hi} days: per period the share of spectral power
+    (|Σ c_d·e^(−2πid/p)|², normalized across candidates) and the rank —
+    the cycle DETECTOR that justifies (or refutes) the weekly
+    seasonality every m=7 operator above assumes.
+
+    Plan: the fact table collapses to the exact-cents daily series
+    once; the period sweep is a broadcast cross join of that
+    days-bounded relation with {np} period rows, reduced by one
+    combinable (period) aggregate — never a second fact pass. Day
+    index comes from a row_number over the daily relation.""".replace(
+        "{lo}", str(PGRAM_PERIODS[0])
+    ).replace("{hi}", str(PGRAM_PERIODS[-1])).replace("{np}", str(len(PGRAM_PERIODS)))
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    idx = daily.select(
+        "rev_cents",
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("d"),
+    )
+    m = idx.agg(
+        (F.sum("rev_cents") / F.count(F.lit(1)).cast("double")).alias("mu")
+    )
+    periods = spark.createDataFrame([(p,) for p in PGRAM_PERIODS], "p int")
+    terms = (
+        idx.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(periods))
+        .select(
+            "p",
+            (F.col("rev_cents") - F.col("mu")).alias("c"),
+            F.cos(F.lit(TWO_PI) * F.col("d") / F.col("p")).alias("co"),
+            F.sin(F.lit(TWO_PI) * F.col("d") / F.col("p")).alias("si"),
+        )
+    )
+    pw = terms.groupBy("p").agg(
+        (
+            F.sum(F.col("c") * F.col("co")) * F.sum(F.col("c") * F.col("co"))
+            + F.sum(F.col("c") * F.col("si")) * F.sum(F.col("c") * F.col("si"))
+        ).alias("power")
+    )
+    w = Window.partitionBy()
+    return pw.select(
+        F.col("p").cast("int").alias("period_days"),
+        F.round(F.col("power") / F.sum("power").over(w), 4).alias("power_share"),
+        F.row_number().over(Window.orderBy(F.desc("power"), "p")).cast("int").alias("rank"),
+    )
+
+
+@query(
+    "conformal_forecast_interval",
+    oracle=f"""
+WITH {_DAILY_CENTS_SQL},
+resid AS (
+  SELECT d, rev_cents,
+         abs(rev_cents - lag(rev_cents, {CONF_SEASON}) OVER (ORDER BY d)) AS ar
+  FROM idx
+), split AS (
+  SELECT r.*, (SELECT CAST(floor({CONF_CAL_FRAC} * count(*)) AS BIGINT) FROM resid
+               WHERE ar IS NOT NULL) AS n_cal,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM resid r WHERE ar IS NOT NULL
+), q AS (
+  SELECT quantile_cont(ar, {CONF_ALPHA}) AS qhat FROM split WHERE rn <= n_cal
+)
+SELECT (SELECT CAST(max(n_cal) AS BIGINT) FROM split) AS n_cal,
+       (SELECT CAST(count(*) AS BIGINT) FROM split WHERE rn > n_cal) AS n_eval,
+       round(q.qhat / 100.0, 2) AS q_usd,
+       round((SELECT count(*) FILTER (WHERE s.ar <= q.qhat)
+              FROM split s WHERE s.rn > s.n_cal)
+             / CAST((SELECT count(*) FROM split WHERE rn > n_cal) AS DOUBLE), 4)
+         AS coverage,
+       CAST({CONF_ALPHA} AS DOUBLE) AS target
+FROM q
+""",
+)
+def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval for the seasonal-naive (lag-{m})
+    forecaster on daily revenue: the {a}-quantile of absolute
+    calibration residuals (leading {f:.0%} of days) becomes the
+    interval half-width, and the report measures realized coverage on
+    the held-out tail — the distribution-free calibration check that
+    should come back ≈ target if the residuals are exchangeable.
+
+    Plan: residuals are EXACT integer cents (rev − lag rev), so the
+    quantile interpolates identical integers in both engines; the
+    series relation is days-bounded, the quantile is one ordered agg
+    over the calibration slice, coverage one conditional count. At
+    100 TB only the daily rollup touches the fact table.""".format(
+        m=CONF_SEASON, a=CONF_ALPHA, f=CONF_CAL_FRAC
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    wd = Window.orderBy("day")
+    resid = daily.select(
+        F.abs(
+            F.col("rev_cents") - F.lag("rev_cents", CONF_SEASON).over(wd)
+        ).alias("ar"),
+        F.row_number().over(wd).alias("_all_rn"),
+    ).filter(F.col("ar").isNotNull())
+    split = resid.select(
+        "ar", F.row_number().over(Window.orderBy("_all_rn")).alias("rn")
+    )
+    counts = split.agg(
+        F.floor(CONF_CAL_FRAC * F.count(F.lit(1))).cast("long").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    with_cal = split.crossJoin(F.broadcast(counts))
+    q = (
+        with_cal.filter(F.col("rn") <= F.col("n_cal"))
+        .agg(F.expr(f"percentile(ar, {CONF_ALPHA})").alias("qhat"))
+    )
+    ev = with_cal.filter(F.col("rn") > F.col("n_cal")).crossJoin(F.broadcast(q))
+    return ev.agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(F.max("qhat") / 100.0, 2).alias("q_usd"),
+        F.round(
+            F.sum(F.when(F.col("ar") <= F.col("qhat"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("coverage"),
+        F.lit(CONF_ALPHA).alias("target"),
+    )
