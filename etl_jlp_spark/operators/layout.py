@@ -223,12 +223,16 @@ def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata if the table format exposes it; the report shape and the
     advisor thresholds stay the same."""
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: the median branch would otherwise re-derive the
+    # rollup from a SECOND fact scan (column pruning specializes the
+    # subtree and defeats ReusedExchange); the checkpointed relation is
+    # days-bounded. Plan-asserted in test_plans.py.
     per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(
             F.lit(32) + F.length("event_type") + F.length(F.coalesce("props", F.lit("")))
         ).cast("long").alias("est_bytes"),
-    )
+    ).localCheckpoint(eager=False)
     med = per_day.agg(F.expr("percentile(est_bytes, 0.5)").alias("m"))
     return per_day.crossJoin(F.broadcast(med)).select(
         "day",

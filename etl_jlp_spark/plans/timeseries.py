@@ -1364,11 +1364,16 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{lo}", str(PGRAM_PERIODS[0])
     ).replace("{hi}", str(PGRAM_PERIODS[-1])).replace("{np}", str(len(PGRAM_PERIODS)))
     orders = load_table(spark, sf_dir, "orders")
+    # localCheckpoint: the mean branch and the term expansion prune
+    # different column subsets of the daily rollup, which specializes
+    # the subtree under each and defeats ReusedExchange — without the
+    # cut the FACT table is scanned twice (caught by the plan
+    # assertion; the checkpointed relation is days-bounded, ~2.4k rows)
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("rev_cents")
-    )
+    ).localCheckpoint(eager=False)
     idx = daily.select(
         "rev_cents",
         (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("d"),
@@ -1456,9 +1461,11 @@ def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ar"),
         F.row_number().over(wd).alias("_all_rn"),
     ).filter(F.col("ar").isNotNull())
+    # same single-fact-pass cut as periodogram: three consumers
+    # (count, quantile, coverage) would each re-derive the rollup
     split = resid.select(
         "ar", F.row_number().over(Window.orderBy("_all_rn")).alias("rn")
-    )
+    ).localCheckpoint(eager=False)
     counts = split.agg(
         F.floor(CONF_CAL_FRAC * F.count(F.lit(1))).cast("long").alias("n_cal"),
         F.count(F.lit(1)).alias("n_tot"),

@@ -695,3 +695,85 @@ def test_hll_weekly_union_single_register_build(spark):
     df = QS["hll_weekly_union"](spark, SF_SMALL)
     df.collect()
     assert _distinct_scans(_plan(df)) <= 2, _plan(df)[-2000:]
+
+
+# --- round-8 batch ---------------------------------------------------------
+
+
+def test_readability_single_scan_one_shuffle(spark):
+    df = QS["readability_report"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    # the per-source agg is the only exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partition_advisor_single_fact_scan(spark):
+    # the per-day rollup is localCheckpoint-ed so the median branch does
+    # not trigger a second fact scan
+    plan = _plan(QS["partition_size_advisor"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "BroadcastExchange" in plan  # median joined back as a scalar
+
+
+def test_value_mask_aggregates_before_union(spark):
+    plan = _plan(QS["value_mask_profile"](spark, SF_SMALL))
+    # one scan per profiled table, already column-pruned
+    read_schemas = [l for l in _optimized(QS["value_mask_profile"](spark, SF_SMALL)).splitlines() if "ReadSchema" in l]
+    for rs in read_schemas:
+        # no profiled table reads more than the one (or two, for part)
+        # profiled columns
+        struct = rs.split("ReadSchema: struct<", 1)[1]
+        assert struct.count(":") <= 2, rs
+
+
+def test_kmv_sketch_no_global_sort(spark):
+    # the two-level build must not plan a single global Sort of all
+    # hashes: every Sort is inside a partitioned window
+    plan = _plan(QS["kmv_distinct_by_type"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # sketch pass + exact pass
+
+
+def test_pq_codebook_side_broadcast(spark):
+    plan = _plan(QS["ann_pq_topk"](spark, SF_SMALL))
+    # codebooks and the ADC lookup table ride broadcast joins; the code
+    # table is never cross-joined against raw vectors
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_type_side_broadcast(spark):
+    plan = _plan(QS["hits_authorities"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_cv_single_scan(spark):
+    df = QS["ols_cv_eval"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    rs = [l for l in _optimized(df).splitlines() if "ReadSchema" in l][-1]
+    assert "l_comment" not in rs and "l_shipdate" not in rs
+
+
+def test_periodogram_one_fact_pass(spark):
+    # the daily rollup is localCheckpoint-ed: the serving plan reads the
+    # checkpointed days-bounded RDD and must NOT re-scan the fact table
+    # (the single parquet pass happens inside the checkpoint build)
+    plan = _plan(QS["periodogram_daily_revenue"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_conformal_one_fact_pass(spark):
+    plan = _plan(QS["conformal_forecast_interval"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_pr_curve_no_per_threshold_rescan(spark):
+    plan = _plan(QS["quality_score_pr_curve"](spark, SF_SMALL))
+    # 9 thresholds must NOT mean 9 scans of documents
+    assert plan.count("Scan parquet") <= 3
