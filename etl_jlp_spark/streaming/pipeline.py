@@ -794,6 +794,66 @@ def hll_view(spark: SparkSession, dest_dir: str) -> DataFrame:
     return hll_estimate(regs, ["day"])
 
 
+def streaming_kmv_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous distinct-user state per event type as KMV/theta
+    sketches (operators.kmv): each micro-batch writes its OWN ≤
+    types×K sketch rows to a per-batch_id partition — idempotent under
+    replay — and the serving estimate union-merges partitions and
+    keeps the K smallest hashes per type (``kmv_view``), exact by the
+    KMV merge property (sketch(A∪B) = topK(sketch(A) ∪ sketch(B)),
+    test-pinned against the batch build). Unlike the HLL twin this
+    state supports SET ALGEBRA across streams (kmv_type_overlap)."""
+    from etl_jlp_spark.operators.kmv import kmv_sketch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df, "event_type", "user_id").select("g", "hv")
+        write_batch_idempotent(sk, dest_dir, batch_id)
+
+    return (
+        stream_events(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_view(spark: SparkSession, dest_dir: str) -> DataFrame:
+    """Merged per-type sketch + distinct estimate: union of batch
+    sketches, re-ranked to the K smallest per type (the KMV merge),
+    then the (K−1)·M/h_(K) estimator; an unsaturated merged sketch IS
+    the distinct hash set, so the estimate falls back to its size."""
+    from pyspark.sql import Window
+
+    from etl_jlp_spark.operators.kmv import KMV_K, KMV_M
+
+    merged = (
+        spark.read.parquet(dest_dir)
+        .select("g", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("hv")))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    agg = merged.groupBy("g").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("hk"),
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        F.coalesce(
+            F.round((KMV_K - 1) * F.lit(float(KMV_M)) / F.col("hk")),
+            F.col("n_sk").cast("double"),
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def streaming_did_monitor(
     spark: SparkSession,
     src_dir: str,

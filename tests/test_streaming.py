@@ -458,3 +458,33 @@ def test_streaming_did_merges_to_batch_readout(spark, events_dir, tmp_path):
     q2 = streaming_did_monitor(spark, events_dir, dest, ckpt)  # replay
     q2.awaitTermination(120)
     assert read_out() == want
+
+
+def test_streaming_kmv_merges_to_batch_sketch(spark, events_dir, tmp_path):
+    """Per-batch KMV sketches union-merged across batches must equal
+    the batch-built sketch estimate EXACTLY (KMV merge property), and
+    replay must not change the state."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from etl_jlp_spark.operators.kmv import KMV_K, KMV_M, kmv_sketch
+    from etl_jlp_spark.streaming.pipeline import kmv_view, streaming_kmv_monitor
+
+    dest = str(tmp_path / "kmv_out")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    q = streaming_kmv_monitor(spark, events_dir, dest, ckpt)
+    q.awaitTermination(120)
+    full = kmv_sketch(load_table(spark, SF_SMALL, "events"), "event_type", "user_id")
+    kth = {r["g"]: r["hv"] for r in full.collect() if r["rn"] == KMV_K}
+    sizes = {}
+    for r in full.collect():
+        sizes[r["g"]] = max(sizes.get(r["g"], 0), r["rn"])
+    want = {
+        g: int(round((KMV_K - 1) * KMV_M / kth[g])) if g in kth else sizes[g]
+        for g in sizes
+    }
+    got = {r["event_type"]: r["est_distinct"] for r in kmv_view(spark, dest).collect()}
+    assert got == want
+    q2 = streaming_kmv_monitor(spark, events_dir, dest, ckpt)  # replay
+    q2.awaitTermination(120)
+    assert {r["event_type"]: r["est_distinct"] for r in kmv_view(spark, dest).collect()} == want
