@@ -231,6 +231,9 @@ _R7_PRIORITY = [
     "bayesian_ab_conversion",
     "periodogram_daily_revenue",
     "conformal_forecast_interval",
+    "robust_revenue_stats",
+    "bottomk_sample_quantiles",
+    "k_anonymity_report",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

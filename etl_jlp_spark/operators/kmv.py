@@ -256,3 +256,90 @@ def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (hash-minimum) uniform sampling → quantile estimation: the
+# same K-smallest-hash state as the KMV sketch, but keeping the row's
+# VALUE next to the hash. Because md5 order is independent of the
+# value, the K kept rows are a uniform without-replacement sample of
+# the group — mergeable exactly like the sketch (union, keep K
+# smallest) — and sample quantiles estimate the group's quantiles with
+# a fixed-size state the exact sort can't match at 100 TB. The report
+# pairs each estimate with the exact quantile so the error is
+# measured, not guessed.
+# ---------------------------------------------------------------------------
+
+BK_K = 64  # sample size per group
+
+
+@query(
+    "bottomk_sample_quantiles",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type AS g, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events
+), samp AS (
+  SELECT g, value,
+         row_number() OVER (PARTITION BY g ORDER BY hv, value) AS rn
+  FROM h QUALIFY rn <= {BK_K}
+), est AS (
+  SELECT g, quantile_cont(value, 0.5) AS e50, quantile_cont(value, 0.9) AS e90,
+         CAST(count(*) AS BIGINT) AS n_sample
+  FROM samp GROUP BY g
+), exact AS (
+  SELECT event_type AS g, quantile_cont(value, 0.5) AS x50,
+         quantile_cont(value, 0.9) AS x90,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT e.g AS event_type, x.n_rows, e.n_sample,
+       round(e.e50, 4) AS est_p50, round(x.x50, 4) AS exact_p50,
+       round(e.e90, 4) AS est_p90, round(x.x90, 4) AS exact_p90,
+       round(abs(e.e50 - x.x50), 4) AS err_p50,
+       round(abs(e.e90 - x.x90), 4) AS err_p90
+FROM est e JOIN exact x ON e.g = x.g
+""",
+)
+def bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90 estimated from the K={k} bottom-hash
+    uniform sample next to the exact quantiles and absolute errors —
+    the calibration report for replacing a full within-group sort with
+    fixed-size mergeable sample state.
+
+    Plan: the sample is the same two-level-prunable K-smallest-hash
+    window as kmv_sketch (here single-level: the tie-broken (hv,
+    value) order makes the kept set deterministic); the exact branch
+    is the eval-only full quantile. In the sample-only production
+    shape per-group state is K (hash, value) pairs, merged by
+    union + re-rank."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("event_type").alias("g"),
+        "value",
+        _hash_col(F.col("event_id")).alias("hv"),
+    )
+    w = Window.partitionBy("g").orderBy("hv", "value")
+    samp = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= BK_K)
+    est = samp.groupBy("g").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+    )
+    exact = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile(value, 0.9)").alias("x90"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"),
+        "n_rows",
+        "n_sample",
+        F.round("e50", 4).alias("est_p50"),
+        F.round("x50", 4).alias("exact_p50"),
+        F.round("e90", 4).alias("est_p90"),
+        F.round("x90", 4).alias("exact_p90"),
+        F.round(F.abs(F.col("e50") - F.col("x50")), 4).alias("err_p50"),
+        F.round(F.abs(F.col("e90") - F.col("x90")), 4).alias("err_p90"),
+    )

@@ -465,3 +465,85 @@ def value_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl", "col", "mask", "n", "rk",
         F.round(F.col("n") / F.col("tot").cast("double"), 4).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity: the re-identification-risk report that pairs with the
+# erasure machinery in ingest/maintenance.py. A row is k-anonymous if
+# its quasi-identifier combination is shared by ≥ k rows; classes
+# below k are the joinable fingerprints an attacker links to external
+# data. QIs here: (event_type, day, value decile) — the columns a
+# "de-identified" analytics export would plausibly keep.
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLDS = [2, 5, 10]
+
+
+@query(
+    "k_anonymity_report",
+    oracle=f"""
+WITH deciled AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ntile(10) OVER (ORDER BY value, event_id) AS vdec
+  FROM events
+), classes AS (
+  SELECT event_type, day, vdec, CAST(count(*) AS BIGINT) AS cls_n
+  FROM deciled GROUP BY 1, 2, 3
+), th AS (SELECT unnest([{", ".join(str(k) for k in K_ANON_THRESHOLDS)}]) AS k)
+SELECT t.k,
+       CAST((SELECT count(*) FROM classes) AS BIGINT) AS n_classes,
+       CAST((SELECT min(cls_n) FROM classes) AS BIGINT) AS min_class_size,
+       CAST(count(*) FILTER (WHERE c.cls_n < t.k) AS BIGINT) AS n_classes_at_risk,
+       CAST(coalesce(sum(c.cls_n) FILTER (WHERE c.cls_n < t.k), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       round(coalesce(sum(c.cls_n) FILTER (WHERE c.cls_n < t.k), 0)
+             / CAST((SELECT sum(cls_n) FROM classes) AS DOUBLE), 4)
+         AS rows_at_risk_share
+FROM th t CROSS JOIN classes c
+GROUP BY t.k
+""",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (event_type, day, value-decile)
+    quasi-identifier: for k ∈ {ks}, how many equivalence classes and
+    rows fall below k — the release-gate number privacy reviews ask
+    for before an export ships, next to the erasure operators this
+    repo already carries.
+
+    Plan: one global decile window (at 100 TB swap for approx decile
+    boundaries + a codegen bucket expression — same classes), one
+    combinable class-count aggregate, then a 3-threshold broadcast
+    cross join over the class-cardinality-bounded relation. Scalar
+    class stats ride window/broadcast, never a second fact pass.""".replace(
+        "{ks}", "{" + ", ".join(str(k) for k in K_ANON_THRESHOLDS) + "}"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    deciled = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("vdec"),
+    )
+    classes = deciled.groupBy("event_type", "day", "vdec").agg(
+        F.count(F.lit(1)).cast("long").alias("cls_n")
+    ).localCheckpoint(eager=False)
+    th = spark.createDataFrame([(k,) for k in K_ANON_THRESHOLDS], "k int")
+    wall = Window.partitionBy("k")
+    joined = F.broadcast(th).crossJoin(classes)
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("cls_n").cast("long").alias("min_class_size"),
+            F.sum(F.when(F.col("cls_n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_at_risk"),
+            F.sum(F.when(F.col("cls_n") < F.col("k"), F.col("cls_n")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.round(
+                F.sum(F.when(F.col("cls_n") < F.col("k"), F.col("cls_n")).otherwise(0))
+                / F.sum("cls_n").cast("double"),
+                4,
+            ).alias("rows_at_risk_share"),
+        )
+    )

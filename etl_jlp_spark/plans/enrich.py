@@ -713,3 +713,94 @@ def revenue_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_rev_share"),
     )
+
+
+TRIM_FRAC = 0.1  # two-sided trim/winsorize fraction
+
+
+@query(
+    "robust_revenue_stats",
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice * 100), o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), b AS (
+  SELECT priority, cents, rn, n,
+         CAST(floor({TRIM_FRAC} * n) AS BIGINT) AS lo
+  FROM c
+), agg AS (
+  SELECT priority,
+         CAST(max(n) AS BIGINT) AS n_orders,
+         CAST(max(lo) AS BIGINT) AS n_trimmed_each_side,
+         CAST(sum(cents) AS BIGINT) AS s_all,
+         CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents ELSE 0 END)
+              AS BIGINT) AS s_mid,
+         CAST(max(CASE WHEN rn = lo + 1 THEN cents END) AS BIGINT) AS lowv,
+         CAST(max(CASE WHEN rn = n - lo THEN cents END) AS BIGINT) AS highv
+  FROM b GROUP BY priority
+)
+SELECT priority, n_orders, n_trimmed_each_side,
+       round(s_all / (100.0 * n_orders), 2) AS mean_usd,
+       round(s_mid / (100.0 * (n_orders - 2 * n_trimmed_each_side)), 2)
+         AS trimmed_mean_usd,
+       round((s_mid + n_trimmed_each_side * (lowv + highv))
+             / (100.0 * n_orders), 2) AS winsorized_mean_usd
+FROM agg
+""",
+)
+def robust_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust order-value statistics: the raw mean next to
+    the 10% two-sided TRIMMED mean and the WINSORIZED mean (outliers
+    clamped to the trim boundaries) — the heavy-tail-safe location
+    estimates finance/abuse dashboards use where one whale order
+    shouldn't move the number.
+
+    Plan: exact integer cents throughout; one priority-partitioned
+    rank window (the shuffle key is the output grain) feeds a single
+    conditional aggregate — boundary values are max-CASE picks at the
+    trim ranks, so trimmed and winsorized sums need no second pass.
+    At 100 TB the within-priority sort is the cost; the documented
+    swap-in is approx_percentile boundaries + conditional clamp, same
+    output shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("priority")
+    b = c.select(
+        "priority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("lo", F.floor(TRIM_FRAC * F.col("n")).cast("long"))
+    mid = (F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("n") - F.col("lo"))
+    agg = b.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("lo").cast("long").alias("n_trimmed_each_side"),
+        F.sum("cents").cast("long").alias("s_all"),
+        F.sum(F.when(mid, F.col("cents")).otherwise(0)).cast("long").alias("s_mid"),
+        F.max(F.when(F.col("rn") == F.col("lo") + 1, F.col("cents"))).cast("long").alias("lowv"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("lo"), F.col("cents"))).cast("long").alias("highv"),
+    )
+    return agg.select(
+        "priority",
+        "n_orders",
+        "n_trimmed_each_side",
+        F.round(F.col("s_all") / (100.0 * F.col("n_orders")), 2).alias("mean_usd"),
+        F.round(
+            F.col("s_mid") / (100.0 * (F.col("n_orders") - 2 * F.col("n_trimmed_each_side"))),
+            2,
+        ).alias("trimmed_mean_usd"),
+        F.round(
+            (F.col("s_mid") + F.col("n_trimmed_each_side") * (F.col("lowv") + F.col("highv")))
+            / (100.0 * F.col("n_orders")),
+            2,
+        ).alias("winsorized_mean_usd"),
+    )
