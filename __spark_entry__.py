@@ -234,6 +234,9 @@ _R7_PRIORITY = [
     "robust_revenue_stats",
     "bottomk_sample_quantiles",
     "k_anonymity_report",
+    "join_strategy_advisor",
+    "revenue_rollup_shares",
+    "mv_retraction_refresh",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

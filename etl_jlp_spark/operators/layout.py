@@ -242,3 +242,90 @@ def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("est_bytes") / F.col("m"), 4).alias("bytes_vs_median"),
         (F.col("est_bytes") > 2 * F.col("m")).alias("skewed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor: turns table statistics into the
+# broadcast-vs-shuffle decision Catalyst makes from size estimates —
+# materialized as a REPORT so a pipeline owner can pin hints, size
+# `spark.sql.autoBroadcastJoinThreshold`, and pick bucket keys before
+# the 100 TB run instead of discovering a sort-merge join in the night
+# logs. Byte estimates use the same column-width model as
+# partition_size_advisor.
+# ---------------------------------------------------------------------------
+
+BROADCAST_THRESHOLD = 10 << 20  # Spark's autoBroadcastJoinThreshold default
+
+# full-row serialized-width expression per parent table (8 B per
+# numeric/timestamp column + actual string lengths)
+_ROW_BYTES = {
+    "region": "8 + length(r_name)",
+    "nation": "8 + length(n_name) + 8",
+    "customer": "8 + length(c_name) + 8 + 8 + length(c_mktsegment)",
+    "supplier": "8 + length(s_name) + 8 + 8",
+    "part": "8 + length(p_name) + length(p_brand) + length(p_type) + 8 + 8",
+    "orders": "8 + 8 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)",
+}
+
+
+def _advisor_edges():
+    from etl_jlp_spark.quality.report import FK_PAIRS
+
+    return FK_PAIRS
+
+
+def _join_advisor_oracle() -> str:
+    from etl_jlp_spark.quality.report import FK_PAIRS
+
+    parts = []
+    for child, fk, parent, pk in FK_PAIRS:
+        parts.append(f"""
+SELECT '{child}.{fk}' AS fk, '{parent}' AS parent,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child_rows,
+       (SELECT CAST(count(DISTINCT {pk}) AS BIGINT) FROM {parent}) AS n_parent_keys,
+       (SELECT CAST(sum({_ROW_BYTES[parent]}) AS BIGINT) FROM {parent})
+         AS est_parent_bytes,
+       CASE WHEN (SELECT sum({_ROW_BYTES[parent]}) FROM {parent})
+                 <= {BROADCAST_THRESHOLD}
+            THEN 'broadcast' ELSE 'sort-merge-bucketed' END AS recommended""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("join_strategy_advisor", oracle=_join_advisor_oracle())
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FK-edge join planning report: child cardinality, parent
+    distinct-key count, the parent's full-row byte estimate, and the
+    recommended physical strategy (broadcast when the build side fits
+    Spark's default 10 MiB auto-broadcast threshold, else a sort-merge
+    join with both sides bucketed on the key) — the decision table a
+    100 TB pipeline pins as join hints + bucket specs instead of
+    letting a stale-stats optimizer guess.
+
+    Plan: one column-pruned aggregate per table (each scanned once,
+    counts + byte sums map-side combinable); the report is #edges
+    rows of scalar algebra. In production the byte model is swapped
+    for catalog statistics when the table format maintains them; the
+    decision column is unchanged."""
+    out = None
+    for child, fk, parent, pk in _advisor_edges():
+        c = load_table(spark, sf_dir, child).agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_rows")
+        )
+        p = load_table(spark, sf_dir, parent).agg(
+            F.countDistinct(pk).cast("long").alias("n_parent_keys"),
+            F.sum(F.expr(_ROW_BYTES[parent])).cast("long").alias("est_parent_bytes"),
+        )
+        one = c.crossJoin(p).select(
+            F.lit(f"{child}.{fk}").alias("fk"),
+            F.lit(parent).alias("parent"),
+            "n_child_rows",
+            "n_parent_keys",
+            "est_parent_bytes",
+            F.when(
+                F.col("est_parent_bytes") <= BROADCAST_THRESHOLD, "broadcast"
+            )
+            .otherwise("sort-merge-bucketed")
+            .alias("recommended"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

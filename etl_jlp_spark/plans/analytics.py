@@ -519,3 +519,97 @@ def events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         (F.grouping("event_type") + 2 * F.grouping("day")).cast("long").alias("gid"),
     )
+
+
+@query(
+    "revenue_rollup_shares",
+    oracle="""
+WITH joined AS (
+  SELECT r.r_name, n.n_name,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), rolled AS (
+  SELECT coalesce(r_name, 'ALL') AS region,
+         coalesce(n_name, 'ALL') AS nation,
+         CASE WHEN GROUPING(r_name) = 1 THEN 'total'
+              WHEN GROUPING(n_name) = 1 THEN 'region' ELSE 'nation' END AS lvl,
+         CAST(sum(cents) AS BIGINT) AS rev_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM joined GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT c.region, c.nation, c.lvl,
+       round(c.rev_cents / 100.0, 2) AS rev_usd, c.n_orders,
+       round(c.rev_cents / CAST(p.rev_cents AS DOUBLE), 4) AS share_of_parent
+FROM rolled c
+JOIN rolled p
+  ON (c.lvl = 'nation' AND p.lvl = 'region' AND p.region = c.region)
+  OR (c.lvl = 'region' AND p.lvl = 'total')
+  OR (c.lvl = 'total' AND p.lvl = 'total')
+""",
+)
+def revenue_rollup_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue contribution via ROLLUP (region → nation →
+    grand total): every nation row carries its share of the region
+    subtotal, every region row its share of the total — the one-pass
+    grouping-sets answer to a drill-down dashboard (the naive version
+    is three separate aggregations and two re-joins of the fact).
+
+    Plan: dims broadcast onto orders, ONE rollup aggregate (Spark
+    Expand: each fact row feeds all three grouping sets map-side),
+    then the parent share is a self-join of the ≤(regions×nations)-row
+    rollup relation — no second fact pass, exact integer cents until
+    the share division."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    rolled = (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.grouping("r_name").alias("g_r"),
+            F.grouping("n_name").alias("g_n"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.when(F.col("g_r") == 1, "total")
+            .when(F.col("g_n") == 1, "region")
+            .otherwise("nation")
+            .alias("lvl"),
+            "rev_cents",
+            "n_orders",
+        )
+        .localCheckpoint(eager=False)
+    )
+    c = rolled.alias("c")
+    p = rolled.alias("p")
+    cond = (
+        ((F.col("c.lvl") == "nation") & (F.col("p.lvl") == "region") & (F.col("p.region") == F.col("c.region")))
+        | ((F.col("c.lvl") == "region") & (F.col("p.lvl") == "total"))
+        | ((F.col("c.lvl") == "total") & (F.col("p.lvl") == "total"))
+    )
+    return c.join(p, cond).select(
+        F.col("c.region").alias("region"),
+        F.col("c.nation").alias("nation"),
+        F.col("c.lvl").alias("lvl"),
+        F.round(F.col("c.rev_cents") / 100.0, 2).alias("rev_usd"),
+        F.col("c.n_orders").alias("n_orders"),
+        F.round(F.col("c.rev_cents") / F.col("p.rev_cents").cast("double"), 4).alias(
+            "share_of_parent"
+        ),
+    )

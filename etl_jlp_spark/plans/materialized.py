@@ -131,3 +131,66 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(sum(revenue_e4) + 50) div 100") / 100.0).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-aware incremental MV refresh (retraction algebra):
+# mv_join_incremental (above) handles APPENDS; real CDC feeds also
+# retract. For the distributive aggregates (count, sum) the refresh is
+# pure algebra — union the MV with the NEGATED contribution of the
+# retracted rows and re-aggregate — so a billion-row MV absorbs a
+# thousand deletes by touching MV-sized relations only, never
+# rebuilding from the fact table. Groups whose count reaches zero
+# disappear (the invariant that keeps refreshed ≡ recomputed).
+# ---------------------------------------------------------------------------
+
+RETRACT_MOD = 37  # deterministic synthetic delete set: event_id % 37 = 0
+
+
+@query(
+    "mv_retraction_refresh",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
+FROM events
+WHERE event_id % {RETRACT_MOD} <> 0
+GROUP BY 1
+""",
+)
+def mv_retraction_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (count, sum) MV maintained under DELETES by retraction
+    algebra: the full MV plus the retracted rows' NEGATED partials,
+    re-aggregated, groups at count 0 dropped. The ORACLE recomputes
+    from scratch over the post-delete fact table — the driver's hash
+    match IS the proof that incremental-with-retraction ≡ rebuild
+    (same exactness strategy as mv_join_incremental: e4-scaled integer
+    value partials, so base and delta can never round apart).
+
+    Plan: one pass builds the base MV, one DELETE-filtered pass builds
+    the days-bounded negative delta (at 100 TB the delta pass scans
+    the CDC batch, not the fact table — here both derive from the same
+    parquet for oracle-checkability); merge = union + re-agg of two
+    MV-sized relations."""
+    ev = load_table(spark, sf_dir, "events")
+    e4 = F.round(F.col("value") * 10000).cast("long")
+    base = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(e4).cast("long").alias("v4"),
+    )
+    deletes = ev.filter(F.col("event_id") % RETRACT_MOD == 0)
+    delta = deletes.groupBy(F.to_date("ts").alias("day")).agg(
+        (-F.count(F.lit(1))).cast("long").alias("n"),
+        (-F.sum(e4)).cast("long").alias("v4"),
+    )
+    refreshed = (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("v4").cast("long").alias("v4"))
+        .filter(F.col("n") > 0)
+    )
+    return refreshed.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.round(F.col("v4") / 10000.0, 4).alias("sum_value"),
+    )
