@@ -237,6 +237,9 @@ _R7_PRIORITY = [
     "join_strategy_advisor",
     "revenue_rollup_shares",
     "mv_retraction_refresh",
+    "ivf_nprobe_sweep",
+    "embedding_drift_report",
+    "customer_repeat_cohorts",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

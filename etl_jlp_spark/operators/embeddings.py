@@ -1165,3 +1165,81 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_pq_topk.__doc__ = (ann_pq_topk.__doc__ or "").format(m=PQ_M, k=PQ_K, it=PQ_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift: per-dimension standardized mean difference between
+# a reference slice and a current slice — the ML-ops check run when a
+# new encoder version or data mix lands, BEFORE stale embeddings
+# poison ANN serving / dedup thresholds. Split here is the
+# deterministic vec_id parity (stand-in for "yesterday vs today").
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP_DIMS = 10
+
+
+@query(
+    "embedding_drift_report",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id % 2 AS half, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), stats AS (
+  SELECT dim,
+         CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_ref,
+         CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_cur,
+         round(avg(val) FILTER (WHERE half = 0), 6) AS m_ref,
+         round(avg(val) FILTER (WHERE half = 1), 6) AS m_cur,
+         round(var_samp(val), 6) AS v_all
+  FROM x GROUP BY dim
+), smd AS (
+  SELECT CAST(dim AS INT) AS dim, m_ref, m_cur,
+         round(abs(m_cur - m_ref) / sqrt(v_all), 4) AS smd
+  FROM stats
+)
+SELECT dim, m_ref, m_cur, smd,
+       CAST(row_number() OVER (ORDER BY smd DESC, dim) AS INT) AS rank
+FROM smd
+QUALIFY rank <= {DRIFT_TOP_DIMS}
+""",
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} drifting embedding dimensions between the even- and
+    odd-vec_id halves: per dim the two means (6dp, engine-synced) and
+    the standardized mean difference |Δ|/σ — the encoder-regression
+    alarm an embedding pipeline checks before republishing an ANN
+    index.
+
+    Plan: ONE posexplode pass → a (dim)-keyed conditional aggregate
+    (map-side combinable, output = #dims rows); the rank window runs
+    over that dims-bounded relation. At 100 TB the only wide relation
+    is the explode, and a column-stats sketch can stand in for it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "val"),
+    ).select("half", (F.col("pos") + 1).alias("dim"), "val")
+    stats = x.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("val"))), 6).alias("m_ref"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("val"))), 6).alias("m_cur"),
+        F.round(F.var_samp("val"), 6).alias("v_all"),
+    )
+    smd = stats.select(
+        F.col("dim").cast("int").alias("dim"),
+        "m_ref",
+        "m_cur",
+        F.round(F.abs(F.col("m_cur") - F.col("m_ref")) / F.sqrt("v_all"), 4).alias("smd"),
+    )
+    w = Window.orderBy(F.desc("smd"), "dim")
+    return (
+        smd.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DRIFT_TOP_DIMS)
+    )
+
+
+embedding_drift_report.__doc__ = (embedding_drift_report.__doc__ or "").format(
+    k=DRIFT_TOP_DIMS
+)

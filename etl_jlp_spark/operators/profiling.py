@@ -477,15 +477,19 @@ def value_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 K_ANON_THRESHOLDS = [2, 5, 10]
+_K_ANON_QS = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
 @query(
     "k_anonymity_report",
     oracle=f"""
-WITH deciled AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         ntile(10) OVER (ORDER BY value, event_id) AS vdec
+WITH b AS (
+  SELECT quantile_cont(value, [{", ".join(str(q) for q in _K_ANON_QS)}]) AS bs
   FROM events
+), deciled AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         len(list_filter(b.bs, x -> x < value)) AS vdec
+  FROM events CROSS JOIN b
 ), classes AS (
   SELECT event_type, day, vdec, CAST(count(*) AS BIGINT) AS cls_n
   FROM deciled GROUP BY 1, 2, 3
@@ -510,24 +514,30 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for before an export ships, next to the erasure operators this
     repo already carries.
 
-    Plan: one global decile window (at 100 TB swap for approx decile
-    boundaries + a codegen bucket expression — same classes), one
-    combinable class-count aggregate, then a 3-threshold broadcast
-    cross join over the class-cardinality-bounded relation. Scalar
-    class stats ride window/broadcast, never a second fact pass.""".replace(
+    Plan: value deciles come from ONE percentile aggregate whose 9
+    boundaries broadcast onto the scan as a codegen bucket expression
+    (count of boundaries < value) — NO global ntile window, so there
+    is no single-partition sort to die at 100 TB (the rehearsal
+    measured the windowed variant 2.3× at 10× events; this shape keeps
+    the only wide operation a combinable class count). Thresholds ride
+    a 3-row broadcast cross join over the class-bounded relation.""".replace(
         "{ks}", "{" + ", ".join(str(k) for k in K_ANON_THRESHOLDS) + "}"
     )
     ev = load_table(spark, sf_dir, "events")
-    deciled = ev.select(
+    b = ev.agg(
+        F.expr(
+            "percentile(value, array(" + ", ".join(str(q) for q in _K_ANON_QS) + "))"
+        ).alias("bs")
+    )
+    deciled = ev.crossJoin(F.broadcast(b)).select(
         "event_type",
         F.to_date("ts").alias("day"),
-        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("vdec"),
+        F.size(F.filter("bs", lambda x: x < F.col("value"))).alias("vdec"),
     )
     classes = deciled.groupBy("event_type", "day", "vdec").agg(
         F.count(F.lit(1)).cast("long").alias("cls_n")
     ).localCheckpoint(eager=False)
     th = spark.createDataFrame([(k,) for k in K_ANON_THRESHOLDS], "k int")
-    wall = Window.partitionBy("k")
     joined = F.broadcast(th).crossJoin(classes)
     return (
         joined.groupBy("k")

@@ -2103,3 +2103,154 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(wall), 4).alias("pair_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep: the recall-vs-cost frontier every IVF
+# deployment tunes before production. One index build serves all probe
+# depths; recall is measured against the exact brute-force top-k (the
+# declared eval baseline, ann_topk_cosine's semantics) and cost as the
+# candidate rows scanned per query — the two axes of the FAISS-style
+# "choose nprobe" plot, materialized as a table.
+# ---------------------------------------------------------------------------
+
+NPROBE_SWEEP = [1, 2, 4, 8]
+
+_NPROBE_ORACLE = _IVF_ASSIGN_CTES + f"""
+, q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0
+), pr AS (
+  SELECT query_id, qv, cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_dot_product(qv, cv) DESC, cell ASC) AS prn
+  FROM q CROSS JOIN cent
+), np AS (SELECT unnest([{", ".join(str(n) for n in NPROBE_SWEEP)}]) AS np),
+cand AS (
+  SELECT n.np, p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v) /
+               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS c6
+  FROM np n
+  JOIN pr p ON p.prn <= n.np
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+), approx AS (
+  SELECT np, query_id, vec_id FROM (
+    SELECT np, query_id, vec_id,
+           row_number() OVER (PARTITION BY np, query_id ORDER BY c6 DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {ANN_TOP_K}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round(list_dot_product(q.qv, e.v) /
+                                    (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                              e.vec_id ASC) AS rk
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) WHERE rk <= {ANN_TOP_K}
+), m AS (
+  SELECT a.np, a.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY 1, 2
+), c AS (
+  SELECT np, query_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1, 2
+), grid AS (
+  SELECT n.np, q.query_id FROM np n CROSS JOIN q
+)
+SELECT g.np AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(sum(coalesce(m.hits, 0)) / ({ANN_TOP_K}.0 * count(*)), 4) AS recall_at_{ANN_TOP_K},
+       round(sum(coalesce(c.n_cand, 0)) / CAST(count(*) AS DOUBLE), 2) AS avg_candidates
+FROM grid g
+LEFT JOIN m ON m.np = g.np AND m.query_id = g.query_id
+LEFT JOIN c ON c.np = g.np AND c.query_id = g.query_id
+GROUP BY g.np
+"""
+
+
+@query("ivf_nprobe_sweep", oracle=_NPROBE_ORACLE)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} vs scan cost for nprobe ∈ {nps} over ONE IVF index
+    build: per probe depth, the mean recall against the exact
+    brute-force top-{k} and the average candidate rows scanned per
+    query — the tuning table that picks the production nprobe instead
+    of guessing it.
+
+    Plan: the index (hash-sample-trained quantizer + full assignment)
+    builds once; the sweep joins the per-query probe RANKS against a
+    broadcast 4-row depth relation, so deeper probes REUSE the same
+    ranked-cell relation instead of re-probing. Recall averages are
+    exact integer hit-counts over {k}·|Q|; the brute-force branch is
+    the eval cost, as in ann_recall_report."""
+    corpus, assigned, centroids, dim = ivf_index(spark, sf_dir)
+    cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
+    q = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm_vec_id").alias("nrm_q"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
+    pr = (
+        q.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
+        .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
+        .select(
+            "query_id", "qv", "nrm_q", "cell",
+            static_dot(F.col("qv"), F.col("cv"), dim).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .select("query_id", "qv", "nrm_q", "cell", "prn")
+    )
+    np_df = spark.createDataFrame([(n,) for n in NPROBE_SWEEP], "np int")
+    cand = (
+        F.broadcast(np_df)
+        .join(pr, pr.prn <= F.col("np"))
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "np",
+            "query_id",
+            "vec_id",
+            F.round(
+                static_dot(F.col("qv"), F.col("v"), dim)
+                / (F.col("nrm_q") * F.col("nrm_vec_id")),
+                6,
+            ).alias("c6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wa = Window.partitionBy("np", "query_id").orderBy(F.col("c6").desc(), F.col("vec_id").asc())
+    approx = (
+        cand.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= ANN_TOP_K)
+        .select("np", "query_id", "vec_id")
+    )
+    exact = ann_topk_cosine(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    m = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("np", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    c = cand.groupBy("np", "query_id").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    grid = F.broadcast(np_df).crossJoin(q.select("query_id"))
+    return (
+        grid.join(m, ["np", "query_id"], "left")
+        .join(c, ["np", "query_id"], "left")
+        .groupBy(F.col("np").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce("hits", F.lit(0))) / (float(ANN_TOP_K) * F.count(F.lit(1))),
+                4,
+            ).alias(f"recall_at_{ANN_TOP_K}"),
+            F.round(
+                F.sum(F.coalesce("n_cand", F.lit(0))) / F.count(F.lit(1)).cast("double"), 2
+            ).alias("avg_candidates"),
+        )
+    )
+
+
+ivf_nprobe_sweep.__doc__ = (ivf_nprobe_sweep.__doc__ or "").format(
+    k=ANN_TOP_K, nps="{" + ", ".join(str(n) for n in NPROBE_SWEEP) + "}"
+)

@@ -637,3 +637,69 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= COPURCHASE_TOP_K)
     )
+
+
+@query(
+    "customer_repeat_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+), activity AS (
+  SELECT DISTINCT o.o_custkey, f.cohort,
+         year(o.o_orderdate) - f.cohort AS k
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  WHERE year(o.o_orderdate) - f.cohort BETWEEN 0 AND 2
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM firsts GROUP BY cohort
+)
+SELECT a.cohort AS cohort_year, CAST(a.k AS INT) AS years_since_first,
+       s.n_customers,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(count(*) / CAST(s.n_customers AS DOUBLE), 4) AS retention
+FROM activity a JOIN sizes s ON s.cohort = a.cohort
+GROUP BY a.cohort, a.k, s.n_customers
+""",
+)
+def customer_repeat_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-side acquisition cohorts: customers grouped by first-order
+    year, with the share still ordering 0/1/2 years later — the
+    repeat-purchase retention triangle (the TPC-H twin of the
+    events-side user_retention_cohorts).
+
+    Plan: first-order year is one customer-keyed aggregate; activity
+    is a distinct (customer, offset) relation joined back on the
+    customer key (same shuffle key — one exchange reused); the
+    retention grid is cohorts×3 rows. Everything integer until the
+    share division."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    activity = (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (F.year("o_orderdate") - F.col("cohort")).alias("k"),
+        )
+        .filter((F.col("k") >= 0) & (F.col("k") <= 2))
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return (
+        activity.groupBy("cohort", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_year"),
+            F.col("k").cast("int").alias("years_since_first"),
+            "n_customers",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_customers").cast("double"), 4).alias(
+                "retention"
+            ),
+        )
+    )
