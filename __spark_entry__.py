@@ -240,6 +240,7 @@ _R7_PRIORITY = [
     "ivf_nprobe_sweep",
     "embedding_drift_report",
     "customer_repeat_cohorts",
+    "hilbert_layout_report",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -329,3 +329,156 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout: the locality-preserving alternative to the
+# Z-order above. Z-curves have long diagonal jumps at power-of-two
+# boundaries (a file can span half the key space in one dimension);
+# the Hilbert curve's recursive rotations keep every consecutive run
+# spatially contiguous, which is why large lakehouse engines added
+# hilbert clustering after shipping z-order. Same report shape:
+# per-simulated-file min/max spans per dimension, hilbert vs z-order,
+# from ONE scan. The curve index is the classic xy→d bit algorithm
+# (8 unrolled rotation steps) in pure integer CASE/&/± arithmetic —
+# identical text in Spark SQL and DuckDB, so the driver hash-match
+# proves the curve math cross-engine ((3·rx) XOR ry is expanded to
+# 3rx + ry − 2·rx·ry because ^ is POWER in DuckDB).
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_steps() -> list[tuple[str, str, str]]:
+    """(x_expr, y_expr, d_expr) per unrolled step, referencing columns
+    x, y, d — portable SQL (CASE, &, arithmetic only)."""
+    steps = []
+    for i in range(Z_BITS):
+        s = 1 << (Z_BITS - 1 - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        d = f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        x = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+            f" ELSE x END"
+        )
+        y = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+            f" ELSE y END"
+        )
+        steps.append((x, y, d))
+    return steps
+
+
+def _hilbert_oracle() -> str:
+    bx_d = _bucket_sql("l_partkey", "lo_x", "hi_x")[1]
+    by_d = _bucket_sql("l_suppkey", "lo_y", "hi_y")[1]
+    z = _interleave_sql(f"({bx_d})", f"({by_d})")
+    sql = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS lo_x, max(l_partkey) AS hi_x,
+         min(l_suppkey) AS lo_y, max(l_suppkey) AS hi_y
+  FROM lineitem
+), h0 AS (
+  SELECT l_partkey, l_suppkey,
+         ({bx_d}) AS x, ({by_d}) AS y, CAST(0 AS BIGINT) AS d,
+         ({z}) AS zval
+  FROM lineitem CROSS JOIN b
+)"""
+    for i, (x, y, d) in enumerate(_hilbert_steps(), start=1):
+        sql += f""",
+h{i} AS (SELECT l_partkey, l_suppkey, {x} AS x, {y} AS y, {d} AS d, zval FROM h{i - 1})"""
+    z_div = (1 << (2 * Z_BITS)) // Z_FILES
+    sql += f""",
+keyed AS (
+  SELECT l_partkey, l_suppkey, d // {z_div} AS hfile, zval // {z_div} AS zfile
+  FROM h{Z_BITS}
+), stacked AS (
+  SELECT 'hilbert' AS layout, hfile AS file_id, l_partkey, l_suppkey FROM keyed
+  UNION ALL
+  SELECT 'zorder' AS layout, zfile AS file_id, l_partkey, l_suppkey FROM keyed
+)
+SELECT s.layout, CAST(s.file_id AS INT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round((max(l_partkey) - min(l_partkey) + 1)
+             / CAST(any_value(b.hi_x) - any_value(b.lo_x) + 1 AS DOUBLE), 4)
+         AS span_part,
+       round((max(l_suppkey) - min(l_suppkey) + 1)
+             / CAST(any_value(b.hi_y) - any_value(b.lo_y) + 1 AS DOUBLE), 4)
+         AS span_supp
+FROM stacked s CROSS JOIN b
+GROUP BY s.layout, s.file_id
+"""
+    return sql
+
+
+@query("hilbert_layout_report", oracle=_hilbert_oracle())
+def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs z-order file spans over the same (l_partkey,
+    l_suppkey) bucketing: per simulated file, each dimension's min/max
+    span as a fraction of the key range — the quantity a footer-stats
+    pruner uses. Hilbert's rotations avoid the z-curve's
+    power-of-two-boundary jumps, so its worst-file spans are tighter;
+    this report MEASURES that instead of asserting it.
+
+    Plan: bounds broadcast onto one scan, 8 unrolled integer rotation
+    steps (all codegen — no UDF, no loop at runtime), both layouts
+    share the scan through one union + hash aggregate. Production:
+    repartitionByRange(hilbert_d) + write, identical to the z-order
+    path."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("lo_x"),
+        F.max("l_partkey").alias("hi_x"),
+        F.min("l_suppkey").alias("lo_y"),
+        F.max("l_suppkey").alias("hi_y"),
+    )
+    bx = _bucket_sql("l_partkey", "lo_x", "hi_x")[0]
+    by = _bucket_sql("l_suppkey", "lo_y", "hi_y")[0]
+    z = _interleave_sql(f"({bx})", f"({by})")
+    cur = li.crossJoin(F.broadcast(bounds)).selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        f"({bx}) AS x",
+        f"({by}) AS y",
+        "CAST(0 AS BIGINT) AS d",
+        f"({z}) AS zval",
+    )
+    for x, y, d in _hilbert_steps():
+        cur = cur.selectExpr(
+            "l_partkey", "l_suppkey", f"{x} AS x", f"{y} AS y", f"{d} AS d", "zval"
+        )
+    z_div = (1 << (2 * Z_BITS)) // Z_FILES
+    keyed = cur.selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        f"d div {z_div} AS hfile",
+        f"zval div {z_div} AS zfile",
+    )
+    stacked = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("hilbert").alias("layout"), F.col("hfile").alias("file_id")),
+                F.struct(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id")),
+            )
+        ).alias("a"),
+        "l_partkey",
+        "l_suppkey",
+    ).crossJoin(F.broadcast(bounds))
+    return (
+        stacked.groupBy(
+            F.col("a.layout").alias("layout"),
+            F.col("a.file_id").cast("int").alias("file_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                (F.max("l_partkey") - F.min("l_partkey") + 1)
+                / (F.first("hi_x") - F.first("lo_x") + 1).cast("double"),
+                4,
+            ).alias("span_part"),
+            F.round(
+                (F.max("l_suppkey") - F.min("l_suppkey") + 1)
+                / (F.first("hi_y") - F.first("lo_y") + 1).cast("double"),
+                4,
+            ).alias("span_supp"),
+        )
+    )
