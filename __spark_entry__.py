@@ -241,6 +241,7 @@ _R7_PRIORITY = [
     "embedding_drift_report",
     "customer_repeat_cohorts",
     "hilbert_layout_report",
+    "char_coverage_report",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -737,3 +737,96 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("heaps_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character coverage (the SentencePiece `character_coverage` knob made
+# observable): rank characters by corpus frequency, find how many are
+# needed to cover 99.5% / 99.9% of all character occurrences, and
+# which high-rank stragglers fall outside — the report that decides
+# the tokenizer's base alphabet and predicts the UNK rate before
+# training anything.
+# ---------------------------------------------------------------------------
+
+CHAR_COVERAGE_TARGETS = [0.995, 0.999]
+
+
+@query(
+    "char_coverage_report",
+    oracle=f"""
+WITH chars AS (
+  SELECT substr(t, i, 1) AS ch FROM (
+    SELECT lower(text) AS t FROM documents WHERE length(text) > 0
+  ), unnest(generate_series(1, length(t))) AS g(i)
+), counts AS (
+  SELECT ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY ch
+), ranked AS (
+  SELECT ch, c,
+         row_number() OVER (ORDER BY c DESC, ch) AS rk,
+         sum(c) OVER (ORDER BY c DESC, ch) AS cum,
+         sum(c) OVER () AS tot,
+         count(*) OVER () AS n_chars
+  FROM counts
+), tg AS (
+  SELECT CAST(t.target AS DOUBLE) AS target
+  FROM (VALUES {", ".join(f"({t})" for t in CHAR_COVERAGE_TARGETS)}) t(target)
+)
+SELECT g.target,
+       CAST(max(r.n_chars) AS BIGINT) AS alphabet_size,
+       CAST(min(CASE WHEN r.cum >= g.target * r.tot THEN r.rk END) AS BIGINT)
+         AS chars_needed,
+       CAST(max(r.n_chars) - min(CASE WHEN r.cum >= g.target * r.tot THEN r.rk END)
+            AS BIGINT) AS chars_dropped,
+       round(1.0 - min(CASE WHEN r.cum >= g.target * r.tot THEN r.cum END)
+                   / CAST(max(r.tot) AS DOUBLE), 6) AS residual_unk_rate
+FROM tg g CROSS JOIN ranked r
+GROUP BY g.target
+""",
+)
+def char_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For coverage targets {ts}: the corpus alphabet size, the number
+    of top-frequency characters needed to hit the target, how many are
+    left out of the base vocabulary, and the residual UNK mass — the
+    SentencePiece character_coverage decision as a measured table.
+
+    Plan: one position-explode pass (∝ characters) collapses to the
+    ≤|alphabet| count relation; ranking, cumulative mass and the
+    target probe are all windows/aggregates over that tiny relation
+    with a 2-row broadcast target join.""".replace(
+        "{ts}", "{" + ", ".join(str(t) for t in CHAR_COVERAGE_TARGETS) + "}"
+    )
+    docs = widen(spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents")
+    chars = (
+        docs.filter(F.length("text") > 0)
+        .select(F.lower("text").alias("t"))
+        .select(F.explode(F.expr("sequence(1, length(t))")).alias("i"), "t")
+        .select(F.expr("substring(t, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = Window.orderBy(F.desc("c"), "ch")
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n_chars"),
+    )
+    tg = spark.createDataFrame([(t,) for t in CHAR_COVERAGE_TARGETS], "target double")
+    hit = F.when(F.col("cum") >= F.col("target") * F.col("tot"), F.col("rk"))
+    return (
+        F.broadcast(tg)
+        .crossJoin(ranked)
+        .groupBy("target")
+        .agg(
+            F.max("n_chars").cast("long").alias("alphabet_size"),
+            F.min(hit).cast("long").alias("chars_needed"),
+            (F.max("n_chars") - F.min(hit)).cast("long").alias("chars_dropped"),
+            F.round(
+                1.0
+                - F.min(F.when(F.col("cum") >= F.col("target") * F.col("tot"), F.col("cum")))
+                / F.max("tot").cast("double"),
+                6,
+            ).alias("residual_unk_rate"),
+        )
+    )

@@ -111,3 +111,30 @@ def test_pr_curve_monotone_and_consistent(spark):
         if r["f1"] is not None and r["precision"] and r["recall"]:
             f1 = 2 * r["tp"] / (r["n_pred"] + r["n_keep"])
             assert abs(r["f1"] - round(f1, 4)) < 1e-9
+
+
+def test_char_coverage_matches_python_replica(spark):
+    from collections import Counter
+
+    rows = {r["target"]: r for r in QS["char_coverage_report"](spark, SF_SMALL).collect()}
+    docs = duckdb.sql(f"SELECT text FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    counts = Counter()
+    for (t,) in docs:
+        if t:
+            counts.update(t.lower())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(counts.values())
+    for target in (0.995, 0.999):
+        cum = 0
+        needed = None
+        cum_at = None
+        for i, (_, c) in enumerate(ranked, start=1):
+            cum += c
+            if cum >= target * tot:
+                needed, cum_at = i, cum
+                break
+        r = rows[target]
+        assert r["alphabet_size"] == len(ranked)
+        assert r["chars_needed"] == needed
+        assert r["chars_dropped"] == len(ranked) - needed
+        assert abs(r["residual_unk_rate"] - round(1.0 - cum_at / tot, 6)) < 1e-9
