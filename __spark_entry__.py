@@ -242,6 +242,7 @@ _R7_PRIORITY = [
     "customer_repeat_cohorts",
     "hilbert_layout_report",
     "char_coverage_report",
+    "winnowing_fingerprint_stats",
     # newest driver row is round 3 — refresh with remaining slots
     "dedup_exact",
     "window_time",

@@ -182,3 +182,148 @@ def span_report_vs_directory(docs: DataFrame, directory: DataFrame) -> DataFrame
         .select("doc_id", "n_toks", "pos")
     )
     return coverage_report(cov)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm): from every k-gram hash stream, keep the RIGHTMOST
+# MINIMUM of each sliding window of W consecutive grams. The selected
+# set is position-robust (any match of length ≥ W+k−1 is guaranteed to
+# share a fingerprint) at an expected density of 2/(W+1) — the
+# guarantee-carrying alternative to doc_fingerprint's fixed-stride
+# sampling above.
+# ---------------------------------------------------------------------------
+
+WIN_K = 8  # k-gram width (chars)
+WIN_W = 8  # winnow window (grams)
+
+
+@query(
+    "winnowing_fingerprint_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, lower(text) AS t FROM documents
+  WHERE length(text) >= {WIN_K + WIN_W - 1}
+), grams AS (
+  SELECT doc_id, source, i AS pos,
+         ('0x' || substr(md5(substr(t, i, {WIN_K})), 1, 8))::BIGINT AS h
+  FROM d, unnest(generate_series(1, length(t) - {WIN_K} + 1)) AS g(i)
+), nw AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id
+), wmin AS (
+  SELECT doc_id, pos AS s,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS m
+  FROM grams QUALIFY pos <= (SELECT n_grams FROM nw n WHERE n.doc_id = grams.doc_id)
+                      - {WIN_W - 1}
+), sel AS (
+  SELECT w.doc_id, max(g.pos) AS pos, w.m AS h
+  FROM wmin w
+  JOIN grams g ON g.doc_id = w.doc_id
+             AND g.pos BETWEEN w.s AND w.s + {WIN_W - 1} AND g.h = w.m
+  GROUP BY w.doc_id, w.s, w.m
+), fp AS (
+  SELECT DISTINCT doc_id, pos, h FROM sel
+), per_doc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp f GROUP BY f.doc_id
+), shared AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM fp GROUP BY h)
+  WHERE nd >= 2
+)
+SELECT d.source,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n.n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(p.n_fp) AS BIGINT) AS n_fingerprints,
+       round(sum(p.n_fp) / CAST(sum(n.n_grams) AS DOUBLE), 4) AS density,
+       CAST((SELECT count(*) FROM shared) AS BIGINT) AS n_shared_hashes
+FROM d JOIN nw n ON n.doc_id = d.doc_id
+JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowing statistics (k={k} char grams, window
+    W={w}): gram volume, selected fingerprints, realized density
+    (theory: → 2/(W+1) ≈ {dens:.3f}), and the count of fingerprint
+    hashes shared across ≥2 documents corpus-wide — the
+    guarantee-carrying local fingerprint layer (any ≥{g}-char verbatim
+    match MUST share a fingerprint) under the span/dup family.
+
+    Plan: one position-explode gram pass; window minima are a
+    doc-partitioned running min (ROWS frame, no global sort); the
+    rightmost-min selection re-joins each window's min against its ≤W
+    member grams (an equi-join on (doc, h) bounded by the W-row
+    offset range). Everything downstream is fingerprint-sized
+    (expected 2/(W+1) of gram volume).""".format(
+        k=WIN_K, w=WIN_W, dens=2 / (WIN_W + 1), g=WIN_K + WIN_W - 1
+    )
+    docs = widen(spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents")
+    d = docs.filter(F.length("text") >= WIN_K + WIN_W - 1).select(
+        "doc_id", "source", F.lower("text").alias("t")
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(f"sequence(1, length(t) - {WIN_K} + 1)")).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(t, pos, {WIN_K})")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).localCheckpoint(eager=False)
+    nw = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    wmin_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WIN_W - 1)
+    )
+    wmin = (
+        grams.join(nw, "doc_id")
+        .withColumn("m", F.min("h").over(wmin_w))
+        .filter(F.col("pos") <= F.col("n_grams") - (WIN_W - 1))
+        .select("doc_id", F.col("pos").alias("s"), "m")
+    )
+    g2 = grams.select("doc_id", F.col("pos").alias("gpos"), F.col("h").alias("gh"))
+    sel = (
+        wmin.join(
+            g2,
+            (wmin.doc_id == g2.doc_id)
+            & (F.col("gpos") >= F.col("s"))
+            & (F.col("gpos") <= F.col("s") + (WIN_W - 1))
+            & (F.col("gh") == F.col("m")),
+        )
+        .groupBy(wmin.doc_id, "s", "m")
+        .agg(F.max("gpos").alias("pos"))
+    )
+    fp = sel.select(wmin.doc_id.alias("doc_id"), "pos", F.col("m").alias("h")).distinct()
+    per_doc = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    shared = (
+        fp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(nw, "doc_id")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_fp").cast("long").alias("n_fingerprints"),
+            F.round(F.sum("n_fp") / F.sum("n_grams").cast("double"), 4).alias("density"),
+        )
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_fingerprints",
+            "density",
+            F.col("n_shared").alias("n_shared_hashes"),
+        )
+    )

@@ -138,3 +138,47 @@ def test_char_coverage_matches_python_replica(spark):
         assert r["chars_needed"] == needed
         assert r["chars_dropped"] == len(ranked) - needed
         assert abs(r["residual_unk_rate"] - round(1.0 - cum_at / tot, 6)) < 1e-9
+
+
+def test_winnowing_matches_python_replica(spark):
+    """Rightmost-min winnowing replica + the SIGMOD'03 guarantee: the
+    selected set must contain the min of EVERY window, density near
+    2/(W+1)."""
+    import hashlib
+
+    K, W = 8, 8
+    rows = {r["source"]: r for r in QS["winnowing_fingerprint_stats"](spark, SF_SMALL).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, lower(text) FROM '{SF_SMALL}/documents.parquet'"
+        f" WHERE length(text) >= {K + W - 1}"
+    ).fetchall()
+    per_source = defaultdict(lambda: [set(), 0, 0])  # docs, grams, fps
+    fp_docs = defaultdict(set)
+    for doc_id, source, t in docs:
+        hs = [
+            int(hashlib.md5(t[i : i + K].encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - K + 1)
+        ]
+        sel = set()
+        for s in range(len(hs) - W + 1):
+            window = hs[s : s + W]
+            m = min(window)
+            # rightmost occurrence of the minimum
+            pos = s + max(j for j, v in enumerate(window) if v == m)
+            sel.add((pos, m))
+        agg = per_source[source]
+        agg[0].add(doc_id)
+        agg[1] += len(hs)
+        agg[2] += len(sel)
+        for _, h in sel:
+            fp_docs[h].add(doc_id)
+    shared = sum(1 for ds in fp_docs.values() if len(ds) >= 2)
+    for source, (ds, grams, fps) in per_source.items():
+        r = rows[source]
+        assert r["n_docs"] == len(ds)
+        assert r["n_grams"] == grams
+        assert r["n_fingerprints"] == fps
+        assert abs(r["density"] - round(fps / grams, 4)) < 1e-9
+        assert r["n_shared_hashes"] == shared
+        # density should sit near the theoretical 2/(W+1)
+        assert 0.5 * 2 / (W + 1) < r["density"] < 3 * 2 / (W + 1)
