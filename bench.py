@@ -268,6 +268,36 @@ HEADLINE = [
     "order_lines_histogram",
     "topk_movers_wow",
     "new_vs_returning_daily",
+    # round-8 session additions
+    "readability_report",
+    "partition_size_advisor",
+    "value_mask_profile",
+    "user_active_streaks",
+    "priority_mix_chisq",
+    "kmv_distinct_by_type",
+    "kmv_type_overlap",
+    "centroid_silhouette_report",
+    "vocab_growth_curve",
+    "quality_score_pr_curve",
+    "ann_pq_topk",
+    "hits_authorities",
+    "hits_top_hubs",
+    "ols_cv_eval",
+    "bayesian_ab_conversion",
+    "periodogram_daily_revenue",
+    "conformal_forecast_interval",
+    "robust_revenue_stats",
+    "bottomk_sample_quantiles",
+    "k_anonymity_report",
+    "join_strategy_advisor",
+    "revenue_rollup_shares",
+    "mv_retraction_refresh",
+    "ivf_nprobe_sweep",
+    "embedding_drift_report",
+    "customer_repeat_cohorts",
+    "hilbert_layout_report",
+    "char_coverage_report",
+    "winnowing_fingerprint_stats",
 ]
 
 
