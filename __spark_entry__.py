@@ -58,6 +58,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     curate,
     enrich,
     experiment,
+    inference,
     materialized,
     ops_metrics,
     pipeline,
