@@ -27,6 +27,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     cdc,
     chunking,
     components,
+    corpus_ml,
     corpus_stats,
     dedup,
     diff,
