@@ -32,6 +32,7 @@ from etl_jlp_spark.operators import (  # noqa: E402, F401
     dedup,
     diff,
     embeddings,
+    fusion,
     graph,
     ir,
     joins,

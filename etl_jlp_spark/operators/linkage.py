@@ -346,3 +346,105 @@ def entity_resolution_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = result.unionAll(o)
     keys.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter field weights from value-frequency tables.
+# ---------------------------------------------------------------------------
+
+FS_M_PROB = 0.95  # assumed P(field agrees | true match) — stable-field prior
+FS_ROUND = 6
+
+
+@query(
+    "fellegi_sunter_weights",
+    oracle=f"""
+WITH vals AS (
+  SELECT 'nation' AS field, CAST(c_nationkey AS VARCHAR) AS v FROM customer
+  UNION ALL
+  SELECT 'mktsegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'acctbal_band', CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'name_tail2', substr(c_name, length(c_name) - 1, 2) FROM customer
+), freq AS (
+  SELECT field, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+), per AS (
+  SELECT field,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DECIMAL(38,0)) AS agree_pairs
+  FROM freq GROUP BY 1
+)
+SELECT field, n_distinct,
+       round(CAST(agree_pairs AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), {FS_ROUND}) + 0.0 AS u_prob,
+       CAST({FS_M_PROB} AS DOUBLE) AS m_prob,
+       round(log2({FS_M_PROB} / (CAST(agree_pairs AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))), {FS_ROUND}) + 0.0
+         AS agree_weight,
+       round(log2((1 - {FS_M_PROB}) / (1 - CAST(agree_pairs AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))), {FS_ROUND}) + 0.0
+         AS disagree_weight
+FROM per
+""",
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (JASA 1969) match/non-match field weights from
+    value-frequency tables: u = P(two RANDOM records agree on the
+    field) = Σ_v c_v(c_v−1) / N(N−1) (exact, from the frequency
+    table), m = the stable-field prior {m}; agreement weight
+    log2(m/u) and disagreement weight log2((1−m)/(1−u)) are the
+    per-field log-likelihood contributions a probabilistic linker
+    sums over compared fields before thresholding. High-cardinality
+    fields (name_tail2) earn large agreement weights; a nation match
+    is worth little — THE sizing table for composing match rules on
+    top of the PassJoin candidate join (fuzzy_join_editdist).
+
+    Plan: ONE customer scan stacked into (field, value) rows
+    (JVM-side explode, no UNION re-scans), one map-side-combinable
+    (field, value) agg, one 4-row rollup. Pair counts run in
+    DECIMAL(38,0) — c² overflows int64 on low-cardinality fields at
+    warehouse row counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    stacked = cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nation").alias("field"),
+                    F.col("c_nationkey").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("mktsegment").alias("field"),
+                    F.col("c_mktsegment").alias("v"),
+                ),
+                F.struct(
+                    F.lit("acctbal_band").alias("field"),
+                    F.floor(F.col("c_acctbal") / 1000).cast("long").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("name_tail2").alias("field"),
+                    F.substring(F.col("c_name"), -2, 2).alias("v"),
+                ),
+            )
+        ).alias("fv")
+    ).select("fv.field", "fv.v")
+    freq = stacked.groupBy("field", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = freq.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+        .cast("decimal(38,0)")
+        .alias("agree_pairs"),
+    )
+    nd = F.col("n").cast("double")
+    u = F.col("agree_pairs").cast("double") / (nd * (nd - 1))
+    return per.select(
+        "field",
+        "n_distinct",
+        F.round(u, FS_ROUND).alias("u_prob"),
+        F.lit(FS_M_PROB).alias("m_prob"),
+        F.round(F.log2(FS_M_PROB / u), FS_ROUND).alias("agree_weight"),
+        F.round(F.log2((1 - FS_M_PROB) / (1 - u)), FS_ROUND).alias("disagree_weight"),
+    )

@@ -186,3 +186,95 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(dt_s, 0.9D)"), 4).alias("p90_s"),
         F.round(F.avg("dt_s"), 4).alias("avg_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "position_attribution_ushape",
+    oracle=f"""
+WITH sess AS ({_SESSIONIZED_CTE}), enriched AS (
+  SELECT s.user_id, s.session_id, s.ts, s.event_id, e.event_type, e.value
+  FROM sess s JOIN events e USING (event_id)
+), pairs AS (
+  SELECT t.event_type AS channel, p.value AS conv_value,
+         CAST(row_number() OVER (PARTITION BY p.event_id
+                                 ORDER BY t.ts, t.event_id) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n_touch
+  FROM enriched t JOIN enriched p
+    ON t.user_id = p.user_id AND t.session_id = p.session_id
+   AND p.event_type = '{CONVERSION_TYPE}' AND t.event_type <> '{CONVERSION_TYPE}'
+   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+), credits AS (
+  SELECT channel,
+         (CASE WHEN n_touch = 1 THEN 1.0
+               WHEN n_touch = 2 THEN 0.5
+               WHEN pos = 1 OR pos = n_touch THEN 0.4
+               ELSE 0.2 / (n_touch - 2) END) * conv_value AS credit
+  FROM pairs
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       round(sum(credit), 2) AS attributed_value
+FROM credits GROUP BY 1
+""",
+)
+def position_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase's value splits 40% / 40% to the FIRST and LAST preceding
+    touch in its session and 20% evenly across the middle touches
+    (1 touch → 100%, 2 touches → 50/50) — the standard counterweight
+    to last-touch's recency bias (session_conversion_attribution).
+    Purchases with no preceding touch have nothing to attribute and
+    are excluded (last-touch reports them as 'direct').
+
+    Plan: sessionization is the shared per-user window (one shuffle on
+    user_id); the touch×purchase pair join stays WITHIN (user, session)
+    — pair volume is bounded by session length², i.e. ∝ events at any
+    corpus size, not events² — and the position weights come from one
+    window over the per-purchase partitions; the rollup is a
+    map-side-combinable agg on the tiny channel dimension."""
+    events = load_table(spark, sf_dir, "events")
+    sess = with_session_id(
+        events.select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    t = sess.filter(F.col("event_type") != CONVERSION_TYPE).alias("t")
+    p = sess.filter(F.col("event_type") == CONVERSION_TYPE).alias("p")
+    pairs = t.join(
+        p,
+        (F.col("t.user_id") == F.col("p.user_id"))
+        & (F.col("t.session_id") == F.col("p.session_id"))
+        & (
+            (F.col("t.ts") < F.col("p.ts"))
+            | ((F.col("t.ts") == F.col("p.ts")) & (F.col("t.event_id") < F.col("p.event_id")))
+        ),
+    ).select(
+        F.col("t.event_type").alias("channel"),
+        F.col("p.event_id").alias("conv_id"),
+        F.col("p.value").alias("conv_value"),
+        F.col("t.ts").alias("t_ts"),
+        F.col("t.event_id").alias("t_id"),
+    )
+    w = Window.partitionBy("conv_id")
+    positioned = pairs.select(
+        "channel",
+        "conv_value",
+        F.row_number().over(w.orderBy("t_ts", "t_id")).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_touch"),
+    )
+    weight = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when(F.col("n_touch") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
+    )
+    return (
+        positioned.select("channel", (weight * F.col("conv_value")).alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.round(F.sum("credit"), 2).alias("attributed_value"),
+        )
+    )
