@@ -409,6 +409,82 @@ AUDIO_DECODED_SCHEMA = (
 REAL_AUDIO_KINDS = frozenset({"wav"})
 
 
+# ---------------------------------------------------------------------------
+# ITU-T G.711 companding (μ-law / A-law) — the telephony codec pair.
+# Pure-python segment/quantization algebra from the public T-REC-G.711
+# spec; no tables are copied, both directions are computed.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS, _ULAW_CLIP = 0x84, 32635
+
+
+def _g711_ulaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """int16 → μ-law bytes (G.711 §4.1): bias, segment = position of
+    the leading 1 above bit 5, 4 mantissa bits, ones-complement."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int64)
+    mantissa = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _g711_ulaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """μ-law bytes → int16 (inverse of the segment encoding)."""
+    c = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    seg = (c >> 4) & 0x07
+    mag = (((c & 0x0F) << 3) + _ULAW_BIAS) << seg
+    x = mag - _ULAW_BIAS
+    return np.where(c & 0x80, -x, x).astype(np.int16)
+
+
+def _g711_alaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """int16 → A-law bytes (G.711 §4.2, 13-bit input, 0x55 toggle)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+    seg = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 4, 0).clip(0, 7)
+    mantissa = np.where(seg == 0, mag >> 1, mag >> seg) & 0x0F
+    return ((sign | (seg << 4) | mantissa) ^ 0x55).astype(np.uint8)
+
+
+def _g711_alaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """A-law bytes → int16."""
+    c = np.asarray(codes, dtype=np.int64) ^ 0x55
+    seg = (c >> 4) & 0x07
+    mantissa = c & 0x0F
+    mag = np.where(seg == 0, (mantissa << 1) + 1, ((mantissa << 1) + 33) << (seg - 1))
+    x = mag << 3  # back to 16-bit scale
+    return np.where(c & 0x80, x, -x).astype(np.int16)
+
+
+WAV_FMT_ALAW, WAV_FMT_ULAW = 6, 7
+
+
+def encode_wav_g711(sample_rate: int, samples: "np.ndarray", law: str = "ulaw") -> bytes:
+    """RIFF/WAVE writer for G.711 (format 6 A-law / 7 μ-law, 8 bits
+    per sample): the third real audio codec next to PCM16 and IMA
+    ADPCM. ``samples`` is int16, shape (n,) mono or (n, channels);
+    companding is per-sample so multi-channel interleaves naturally."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    enc = _g711_ulaw_encode if law == "ulaw" else _g711_alaw_encode
+    data = enc(samples.reshape(-1)).tobytes()
+    fmt_code = WAV_FMT_ULAW if law == "ulaw" else WAV_FMT_ALAW
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate, sample_rate * channels, channels, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     """Minimal RIFF/WAVE writer: 16-bit PCM. ``samples`` is int16,
     shape (n,) mono or (n, channels)."""
@@ -560,9 +636,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
         n_blocks = len(data) // block_align
         limit = fact_samples if fact_samples is not None else n_blocks * spb
         x = _decode_adpcm_mono(data, block_align, limit)[:, None]
+    elif audio_format in (WAV_FMT_ALAW, WAV_FMT_ULAW):  # G.711
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8 bits/sample, got {bits}")
+        codes = np.frombuffer(data[: (len(data) // channels) * channels], dtype=np.uint8)
+        dec = _g711_ulaw_decode if audio_format == WAV_FMT_ULAW else _g711_alaw_decode
+        x = dec(codes).reshape(-1, channels)
+        if fact_samples is not None:
+            x = x[:fact_samples]
     elif audio_format != 1 or bits != 16:
         raise ValueError(
-            f"only PCM16 and IMA ADPCM supported (format={audio_format}, bits={bits})"
+            f"only PCM16, IMA ADPCM and G.711 supported (format={audio_format}, bits={bits})"
         )
     else:
         x = np.frombuffer(
