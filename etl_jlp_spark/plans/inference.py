@@ -88,13 +88,14 @@ pairs AS (
          CAST(count(*) FILTER (WHERE b.rev = a.rev) AS BIGINT) AS tied_rev,
          CAST(count(*) FILTER (WHERE b.n_orders = a.n_orders) AS BIGINT) AS tied_cnt
   FROM daily a JOIN daily b ON a.day < b.day
-), n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
-SELECT n.n_days, p.concordant, p.discordant, p.tied_rev, p.tied_cnt,
+)
+SELECT CAST(round((1 + sqrt(1 + 8 * CAST(p.n_pairs AS DOUBLE))) / 2) AS BIGINT) AS n_days,
+       p.concordant, p.discordant, p.tied_rev, p.tied_cnt,
        round((CAST(p.concordant AS DOUBLE) - CAST(p.discordant AS DOUBLE))
              / sqrt(CAST(p.n_pairs - p.tied_rev AS DOUBLE)
                     * CAST(p.n_pairs - p.tied_cnt AS DOUBLE)),
              {TAU_ROUND}) + 0.0 AS tau_b
-FROM pairs p CROSS JOIN n
+FROM pairs p
 """,
 )
 def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,9 +106,13 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the pair join is the ~2.4k-row daily aggregate against
     itself (calendar-bounded at ANY scale factor — n² here is n² of
-    the number of DAYS, not rows), broadcast; the fact table is
-    scanned exactly once. Counts are integers so both engines agree
-    bit-for-bit; tau is one double expression at the end."""
+    the number of DAYS, not rows), broadcast. n_days is recovered
+    algebraically from the pair count (n = (1+√(1+8·n₀))/2 — exact in
+    doubles far past any calendar), so no third scan branch exists;
+    the two remaining static scans of the daily agg collapse into one
+    at runtime via AQE exchange reuse. Counts are integers so both
+    engines agree bit-for-bit; tau is one double expression at the
+    end."""
     daily = _daily(spark, sf_dir)
     a, b = daily.alias("a"), daily.alias("b")
     dx = F.col("b.rev") - F.col("a.rev")
@@ -122,10 +127,9 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("tied_cnt"),
         )
     )
-    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    return pairs.crossJoin(F.broadcast(n)).select(
-        "n_days",
+    return pairs.select(
+        F.round((1 + F.sqrt(1 + 8 * d("n_pairs"))) / 2).cast("long").alias("n_days"),
         "concordant",
         "discordant",
         "tied_rev",
@@ -391,8 +395,13 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     yr = F.year("l_shipdate")
+    # the year-IN predicate as a shipdate RANGE so it pushes to the
+    # parquet scan (year(cast(..)) is not a pushable filter; the range
+    # is, and prunes row groups by min/max stats at 100 TB)
+    # (string literals coerce to the column's timestamp flavor — LTZ or
+    # NTZ depending on the reader — leaving the column un-cast)
     base = (
-        li.filter(yr.isin(MIX_Y1, MIX_Y2))
+        li.filter(f"l_shipdate >= '{MIX_Y1}-01-01' AND l_shipdate < '{MIX_Y2 + 1}-01-01'")
         .join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), yr.cast("long").alias("yr"))
         .agg(

@@ -777,3 +777,48 @@ def test_pr_curve_no_per_threshold_rescan(spark):
     plan = _plan(QS["quality_score_pr_curve"](spark, SF_SMALL))
     # 9 thresholds must NOT mean 9 scans of documents
     assert plan.count("Scan parquet") <= 3
+
+
+def test_mix_shift_broadcasts_part_and_pushes_year_filter(spark):
+    df = QS["mix_shift_decomposition"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    opt = _optimized(df)
+    # year-IN filter reaches the lineitem scan (as a shipdate residual)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in opt
+
+
+def test_kendall_daily_pair_join_broadcasts(spark):
+    plan = _plan(QS["kendall_tau_daily"](spark, SF_SMALL))
+    # the day-pair theta join must run over the broadcast daily agg,
+    # never a shuffle of the orders scan; the two static scans of the
+    # daily agg collapse via AQE exchange reuse at runtime
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("FileScan") <= 2
+
+
+def test_target_encoding_single_fact_shuffle(spark):
+    plan = _plan(QS["target_encoding_kfold"](spark, SF_SMALL))
+    assert plan.count("FileScan") == 1
+    # one agg shuffle on (event_type, fold) + the window's exchange on
+    # event_type — nothing proportional to the fact table beyond those
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_js_divergence_no_cartesian(spark):
+    plan = _plan(QS["js_divergence_sources"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_grid_joins_broadcast(spark):
+    plan = _plan(QS["quantile_normalize_scores"](spark, SF_SMALL))
+    # both the boundary build (k x cdf range join) and the final doc ->
+    # grid equi-join must be broadcast-side, never a corpus shuffle
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_fellegi_sunter_single_customer_scan(spark):
+    plan = _plan(QS["fellegi_sunter_weights"](spark, SF_SMALL))
+    assert plan.count("FileScan") == 1  # stacked explode, not UNION re-scans
