@@ -62,6 +62,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     experiment,
     inference,
     materialized,
+    mlprep,
     ops_metrics,
     pipeline,
     regression,

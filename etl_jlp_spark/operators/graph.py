@@ -806,3 +806,103 @@ def hits_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 hits_top_hubs.__doc__ = (hits_top_hubs.__doc__ or "").format(
     k=HITS_TOP_HUBS, it=HITS_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: iterative degeneracy decomposition of the pair graph.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4  # fixed peel rounds so the oracle can unroll them
+
+
+def _kcore_ctes() -> str:
+    """e1..eR chained CTEs — one peel round each: drop every node whose
+    degree in the CURRENT surviving subgraph is < K, then restrict the
+    edge list to survivors. Counts are integers; both engines agree.
+
+    Every CTE is MATERIALIZED: e{{i}} is referenced by k{{i+1}},
+    e{{i+1}} AND the final stats row — inlined, the chain re-evaluates
+    the whole MinHash pair pipeline ~3^R times (measured: minutes at
+    sf0.001), materialized it is R linear passes."""
+    out = """
+, e0 AS MATERIALIZED (SELECT a, b FROM edges)"""
+    for i in range(1, KCORE_ROUNDS + 1):
+        out += f"""
+, k{i} AS MATERIALIZED (
+  SELECT a AS node FROM e{i - 1} GROUP BY a HAVING count(*) >= {KCORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} ka ON e.a = ka.node JOIN k{i} kb ON e.b = kb.node
+)"""
+    return out
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=_GRAPH_CTES
+    + _kcore_ctes()
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+       CAST((SELECT count(*) FROM k{i}) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e{i}) / 2 AS BIGINT) AS n_pairs"""
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    + "\n)",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k={k}, {r} fixed rounds) of the near-duplicate
+    pair graph: each round removes every node with degree < k in the
+    surviving subgraph and reports (survivor count, surviving pair
+    count). Convergence to the true k-core shows up as consecutive
+    equal rows; the dense residue is the template/boilerplate CORE the
+    duplicate graph hangs off (PageRank ranks nodes; the k-core
+    isolates the clique-like heart that cluster-level dedup should
+    treat as one unit).
+
+    Scale posture of the module: iteration operand is the
+    match-bounded edge list (∝ duplication, not corpus); each round is
+    one groupBy + two semi-joins with localCheckpoint truncating
+    lineage, and a ≤{cap:,}-edge graph solves driver-side."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cached = _sym_edges(pairs).persist()
+    n_edges = cached.count()
+    if n_edges <= DRIVER_PR_MAX_EDGES:
+        rows = [(r["src"], r["dst"]) for r in cached.collect()]
+        cached.unpersist()
+        edges = set(rows)
+        out = []
+        for rnd in range(1, KCORE_ROUNDS + 1):
+            deg: dict[int, int] = {}
+            for s, _d in edges:
+                deg[s] = deg.get(s, 0) + 1
+            keep = {v for v, c in deg.items() if c >= KCORE_K}
+            edges = {(s, t) for s, t in edges if s in keep and t in keep}
+            out.append((rnd, len(keep), len(edges) // 2))
+        return spark.createDataFrame(out, "round long, n_nodes long, n_pairs long")
+    sc = cached.sparkSession.sparkContext
+    n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    edges = cached.repartition(n_part, "src").localCheckpoint(eager=True)
+    stats = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        keep = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        stats.append((rnd, keep.count(), edges.count() // 2))
+    cached.unpersist()
+    return spark.createDataFrame(stats, "round long, n_nodes long, n_pairs long")
+
+
+graph_kcore_peel.__doc__ = (graph_kcore_peel.__doc__ or "").format(
+    k=KCORE_K, r=KCORE_ROUNDS, cap=DRIVER_PR_MAX_EDGES
+)

@@ -2254,3 +2254,126 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 ivf_nprobe_sweep.__doc__ = (ivf_nprobe_sweep.__doc__ or "").format(
     k=ANN_TOP_K, nps="{" + ", ".join(str(n) for n in NPROBE_SWEEP) + "}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space split leakage: the semantic complement of the
+# MinHash-based split_leakage_check (plans/curate.py) — a test vector
+# whose nearest TRAIN neighbor is close in cosine is an eval question
+# the model has effectively seen, even when no n-gram overlaps.
+# ---------------------------------------------------------------------------
+
+EMB_LEAK_TEST_MOD = 5  # vec_id % 5 == 0 → test split (deterministic)
+EMB_LEAK_TAU = 0.4
+
+_EMB_LEAK_BANDS_T = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_sql('v', b)} AS bucket FROM test"
+    for b in range(SIGN_BANDS)
+)
+_EMB_LEAK_BANDS_R = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_sql('v', b)} AS bucket FROM train"
+    for b in range(SIGN_BANDS)
+)
+
+
+@query(
+    "embedding_split_leakage",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+test AS (SELECT * FROM e WHERE vec_id % {EMB_LEAK_TEST_MOD} = 0),
+train AS (SELECT * FROM e WHERE vec_id % {EMB_LEAK_TEST_MOD} <> 0),
+tb AS ({_EMB_LEAK_BANDS_T}),
+rb AS ({_EMB_LEAK_BANDS_R}),
+cand AS (
+  SELECT DISTINCT tb.vec_id AS t_id, rb.vec_id AS r_id
+  FROM tb JOIN rb ON tb.band = rb.band AND tb.bucket = rb.bucket
+), scored AS (
+  SELECT c.t_id,
+         round(list_dot_product(t.v, r.v) /
+               (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(r.v, r.v))),
+               6) AS c6
+  FROM cand c JOIN test t ON t.vec_id = c.t_id JOIN train r ON r.vec_id = c.r_id
+), agg AS (
+  SELECT t_id, CAST(count(*) AS BIGINT) AS n_candidates, max(c6) AS mx
+  FROM scored GROUP BY 1
+)
+SELECT t.vec_id, COALESCE(a.n_candidates, 0) AS n_candidates,
+       a.mx AS max_train_cos,
+       COALESCE(a.mx >= {EMB_LEAK_TAU}, FALSE) AS leaked
+FROM test t LEFT JOIN agg a ON t.vec_id = a.t_id
+""",
+)
+def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test leakage audit: for every test vector
+    (deterministic vec_id % {m} split), the max cosine to any TRAIN
+    vector sharing a sign-LSH bucket in any band; ≥ {tau} flags the
+    test item as semantically leaked. The n-gram twin
+    (split_leakage_check) catches verbatim overlap; this catches
+    paraphrase-level contamination — eval hygiene for a training-data
+    pipeline.
+
+    Scale: candidates come from the banded sign-bucket equi-join (the
+    dedup_embedding_cosine machinery — never all test×train pairs);
+    sign tests are float-exact so both engines produce the identical
+    candidate set, and cosines are the shared sequential-sum
+    expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    test = _with_norm(emb, dim, "t_id", "tv").filter(
+        F.col("t_id") % EMB_LEAK_TEST_MOD == 0
+    )
+    train = widen(
+        spark,
+        _with_norm(emb, dim, "r_id", "rv").filter(F.col("r_id") % EMB_LEAK_TEST_MOD != 0),
+        sf_dir,
+        "embeddings",
+    )
+    tb = test.select(
+        "t_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _sign_bucket("tv", b).alias("bucket"))
+                for b in range(SIGN_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("t_id", "bb.band", "bb.bucket")
+    rb = train.select(
+        "r_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _sign_bucket("rv", b).alias("bucket"))
+                for b in range(SIGN_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("r_id", "bb.band", "bb.bucket")
+    cand = tb.join(rb, ["band", "bucket"]).select("t_id", "r_id").distinct()
+    scored = (
+        cand.join(test.select("t_id", "tv", "nrm_t_id"), "t_id")
+        .join(train.select("r_id", "rv", "nrm_r_id"), "r_id")
+        .select(
+            "t_id",
+            F.round(
+                _pair_cosine(
+                    F.col("tv"), F.col("rv"), F.col("nrm_t_id"), F.col("nrm_r_id"), dim
+                ),
+                6,
+            ).alias("c6"),
+        )
+    )
+    agg = scored.groupBy("t_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"), F.max("c6").alias("mx")
+    )
+    return test.select("t_id").join(agg, "t_id", "left").select(
+        F.col("t_id").alias("vec_id"),
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        # no second rounding: mx is a max over already-6-decimal c6
+        # values, identical in both engines; re-rounding to 4 digits
+        # hits round-half disagreements at .xxxx5 boundaries
+        F.col("mx").alias("max_train_cos"),
+        F.coalesce(F.col("mx") >= EMB_LEAK_TAU, F.lit(False)).alias("leaked"),
+    )
+
+
+embedding_split_leakage.__doc__ = (embedding_split_leakage.__doc__ or "").format(
+    m=EMB_LEAK_TEST_MOD, tau=EMB_LEAK_TAU
+)
