@@ -298,6 +298,25 @@ HEADLINE = [
     "hilbert_layout_report",
     "char_coverage_report",
     "winnowing_fingerprint_stats",
+    # round-8 session wave 2
+    "kendall_tau_daily",
+    "ar1_forecast_eval",
+    "target_encoding_kfold",
+    "mix_shift_decomposition",
+    "calibration_report",
+    "textrank_keywords",
+    "js_divergence_sources",
+    "quantile_normalize_scores",
+    "feature_hash_collisions",
+    "rrf_fusion_topk",
+    "ann_ndcg_eval",
+    "position_attribution_ushape",
+    "fellegi_sunter_weights",
+    "gini_split_finder",
+    "score_lift_deciles",
+    "lm_quality_correlation",
+    "graph_kcore_peel",
+    "embedding_split_leakage",
 ]
 
 
