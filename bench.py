@@ -317,6 +317,9 @@ HEADLINE = [
     "lm_quality_correlation",
     "graph_kcore_peel",
     "embedding_split_leakage",
+    "oov_rate_curve",
+    "cramers_v_matrix",
+    "revenue_grouping_sets",
 ]
 
 

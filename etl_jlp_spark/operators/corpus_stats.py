@@ -830,3 +830,90 @@ def char_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual_unk_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV-rate curve: token mass NOT covered by the top-K vocabulary, for
+# a grid of vocabulary sizes — the word-level twin of
+# char_coverage_report and THE sizing chart for a fixed-vocab
+# tokenizer (pick K where the marginal OOV gain flattens).
+# ---------------------------------------------------------------------------
+
+OOV_K_GRID = (100, 200, 400, 800, 1600, 3200)
+
+
+@query(
+    "oov_rate_curve",
+    oracle=f"""
+WITH uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rk,
+         CAST(sum(c) OVER () AS BIGINT) AS tot,
+         CAST(count(*) OVER () AS BIGINT) AS vocab
+  FROM uni
+), grid AS (
+  SELECT CAST(k AS BIGINT) AS vocab_size
+  FROM unnest([{", ".join(str(k) for k in OOV_K_GRID)}]) AS g(k)
+)
+SELECT g.vocab_size,
+       CAST(least(g.vocab_size, max(r.vocab)) AS BIGINT) AS n_terms_used,
+       round(1.0 - CAST(COALESCE(sum(r.c) FILTER (WHERE r.rk <= g.vocab_size), 0)
+                        AS DOUBLE) / max(r.tot), 6) + 0.0 AS oov_rate
+FROM grid g CROSS JOIN ranked r
+GROUP BY 1
+""",
+)
+def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV (out-of-vocabulary) token-mass rate for vocabulary sizes
+    {grid}: rank terms by corpus frequency (count desc, term
+    tie-break), then 1 − covered_mass/total at each cutoff. Reading
+    the curve: the K where OOV flattens is the vocab budget a
+    fixed-vocabulary tokenizer actually needs on this corpus.
+
+    Plan: one tokenize scan → vocab-sized counts; the rank window
+    sorts the VOCABULARY (≪ corpus — bounded by distinct terms, the
+    same budget every vocab-side IR op here accepts), and the K-grid
+    sweep is one conditional agg over the broadcast-ranked relation —
+    never re-scans the corpus per cutoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    wall = Window.partitionBy()
+    ranked = uni.select(
+        "c",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("c").over(wall).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("vocab"),
+    )
+    grid = spark.createDataFrame([(k,) for k in OOV_K_GRID], "vocab_size long")
+    return (
+        F.broadcast(grid)
+        .crossJoin(ranked)
+        .groupBy("vocab_size")
+        .agg(
+            F.least(F.col("vocab_size"), F.max("vocab")).cast("long").alias("n_terms_used"),
+            F.round(
+                1.0
+                - F.coalesce(
+                    F.sum(F.when(F.col("rk") <= F.col("vocab_size"), F.col("c"))), F.lit(0)
+                ).cast("double")
+                / F.max("tot"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+oov_rate_curve.__doc__ = (oov_rate_curve.__doc__ or "").format(grid=OOV_K_GRID)

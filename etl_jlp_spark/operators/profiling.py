@@ -557,3 +557,132 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rows_at_risk_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association matrix between categorical order dimensions.
+# ---------------------------------------------------------------------------
+
+CRAMERS_ROUND = 6
+
+
+@query(
+    "cramers_v_matrix",
+    oracle=f"""
+WITH cube_c AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT 'priority~status' AS pair, pri AS a, st AS b, CAST(sum(n) AS BIGINT) AS n
+  FROM cube_c GROUP BY 2, 3
+  UNION ALL
+  SELECT 'priority~year', pri, CAST(yr AS VARCHAR), CAST(sum(n) AS BIGINT)
+  FROM cube_c GROUP BY 2, 3
+  UNION ALL
+  SELECT 'status~year', st, CAST(yr AS VARCHAR), CAST(sum(n) AS BIGINT)
+  FROM cube_c GROUP BY 2, 3
+), ma AS (
+  SELECT pair, a, CAST(sum(n) AS BIGINT) AS na FROM pairs GROUP BY 1, 2
+), mb AS (
+  SELECT pair, b, CAST(sum(n) AS BIGINT) AS nb FROM pairs GROUP BY 1, 2
+), mt AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS nt FROM pairs GROUP BY 1
+), marg AS (
+  -- FULL a x b cross per pair so unobserved cells contribute their
+  -- expected mass to chi-square (observed-only would understate it)
+  SELECT ma.pair, ma.a, mb.b, CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
+         ma.na, mb.nb, mt.nt
+  FROM ma JOIN mb ON ma.pair = mb.pair
+  JOIN mt ON mt.pair = ma.pair
+  LEFT JOIN pairs p ON p.pair = ma.pair AND p.a = ma.a AND p.b = mb.b
+), chi AS (
+  SELECT pair,
+         sum((CAST(n AS DOUBLE) - CAST(na AS DOUBLE) * nb / nt)
+             * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE) * nb / nt)
+             / (CAST(na AS DOUBLE) * nb / nt)) AS chi2,
+         max(nt) AS nt,
+         CAST(count(DISTINCT a) AS BIGINT) AS r, CAST(count(DISTINCT b) AS BIGINT) AS c
+  FROM marg GROUP BY 1
+)
+SELECT pair, r AS n_rows_dim, c AS n_cols_dim,
+       round(chi2, 4) + 0.0 AS chi2,
+       round(sqrt(chi2 / (CAST(nt AS DOUBLE) * (least(r, c) - 1))), {CRAMERS_ROUND})
+         + 0.0 AS cramers_v
+FROM chi
+""",
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (bias-uncorrected) for every pair of the categorical
+    order dimensions (priority, status, order year): the
+    scale-free 0..1 association strength that says WHICH dimensions
+    are redundant before a model or a cube design treats them as
+    independent (priority_mix_chisq tests ONE pair for drift; this is
+    the profiling matrix).
+
+    Plan: ONE orders scan builds the (priority, status, year) cube
+    (≤ |pri|·|st|·|yr| cells); every pairwise contingency table and
+    its margins derive from cube sums — adding dimensions never adds
+    scans. The contingency table is the FULL margin cross (bounded by
+    category cardinalities), so unobserved cells contribute their
+    expected mass; expected counts are always > 0 because both margins
+    are."""
+    cube = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outs = []
+    for pair, ca, cb in (
+        ("priority~status", F.col("pri"), F.col("st")),
+        ("priority~year", F.col("pri"), F.col("yr").cast("string")),
+        ("status~year", F.col("st"), F.col("yr").cast("string")),
+    ):
+        outs.append(
+            cube.groupBy(ca.alias("a"), cb.alias("b"))
+            .agg(F.sum("n").cast("long").alias("n"))
+            .select(F.lit(pair).alias("pair"), "a", "b", "n")
+        )
+    pairs = outs[0].unionAll(outs[1]).unionAll(outs[2])
+    ma = pairs.groupBy("pair", "a").agg(F.sum("n").cast("long").alias("na"))
+    mb = pairs.groupBy("pair", "b").agg(F.sum("n").cast("long").alias("nb"))
+    mt = pairs.groupBy("pair").agg(F.sum("n").cast("long").alias("nt"))
+    # full a x b cross per pair: unobserved cells must contribute their
+    # expected mass to chi-square (bounded: <= |a| x |b| cells per pair)
+    marg = (
+        ma.join(mb, "pair")
+        .join(F.broadcast(mt), "pair")
+        .join(pairs, ["pair", "a", "b"], "left")
+        .select(
+            "pair", "a", "b",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "na", "nb", "nt",
+        )
+    )
+    e = F.col("na").cast("double") * F.col("nb") / F.col("nt")
+    chi = marg.groupBy("pair").agg(
+        F.sum((F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e).alias(
+            "chi2"
+        ),
+        F.max("nt").alias("nt"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+    )
+    return chi.select(
+        "pair",
+        F.col("r").alias("n_rows_dim"),
+        F.col("c").alias("n_cols_dim"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("nt").cast("double") * (F.least("r", "c") - F.lit(1)))
+            ),
+            CRAMERS_ROUND,
+        ).alias("cramers_v"),
+    )

@@ -703,3 +703,70 @@ def customer_repeat_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS revenue report: the explicit-sets sibling of
+# events_rollup_report (ROLLUP) and events_cube_report (CUBE) — only
+# the subtotal combinations a dashboard actually renders, computed in
+# one pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_grouping_sets",
+    oracle="""
+SELECT COALESCE(n.n_name, 'ALL') AS nation,
+       CAST(COALESCE(year(o.o_orderdate), -1) AS BIGINT) AS yr,
+       CAST(grouping(n.n_name) AS BIGINT) AS is_nation_total,
+       CAST(grouping(year(o.o_orderdate)) AS BIGINT) AS is_year_total,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name, year(o.o_orderdate)),
+                        (n.n_name), (year(o.o_orderdate)), ())
+""",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue by GROUPING SETS ((nation, year), (nation),
+    (year), ()): exactly the four subtotal layers a drill-down
+    dashboard renders, in ONE aggregation pass (Spark expands the sets
+    map-side — the fact table is never re-scanned per layer, the same
+    contract the ROLLUP/CUBE twins pin). GROUPING() flags disambiguate
+    a real 'ALL' value from a subtotal row; whole-dollar revenue sums
+    are exact integers.
+
+    Plan: orders⋈customer (AQE decides the big join)⋈broadcast nation,
+    then a single expand+agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_v"),
+            F.year("o_orderdate").alias("yr_v"),
+            F.round("o_totalprice").cast("long").alias("price"),
+        )
+    )
+    gs = joined.groupingSets(
+        [["nation_v", "yr_v"], ["nation_v"], ["yr_v"], []],
+        "nation_v",
+        "yr_v",
+    ).agg(
+        F.grouping("nation_v").cast("long").alias("is_nation_total"),
+        F.grouping("yr_v").cast("long").alias("is_year_total"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").cast("long").alias("rev"),
+    )
+    return gs.select(
+        F.coalesce("nation_v", F.lit("ALL")).alias("nation"),
+        F.coalesce(F.col("yr_v").cast("long"), F.lit(-1)).alias("yr"),
+        "is_nation_total",
+        "is_year_total",
+        "n_orders",
+        "rev",
+    )
