@@ -320,6 +320,8 @@ HEADLINE = [
     "oov_rate_curve",
     "cramers_v_matrix",
     "revenue_grouping_sets",
+    "anova_oneway_value",
+    "pettitt_changepoint",
 ]
 
 

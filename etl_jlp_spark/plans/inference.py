@@ -539,3 +539,181 @@ def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ece_num") / F.col("n"), 4).alias("ece"),
         F.round(F.col("brier_num") / F.col("n"), 4).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: does mean event value differ across groups — the
+# continuous-response sibling of the chi-square mix tests.
+# ---------------------------------------------------------------------------
+
+ANOVA_ROUND = 6
+
+_ANOVA_FACTOR_SQL = """
+  SELECT '{name}' AS factor, {expr} AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_e4) AS BIGINT) AS s,
+         CAST(sum(CAST(v_e4 AS DECIMAL(38,0)) * v_e4) AS DECIMAL(38,0)) AS ss
+  FROM pts GROUP BY 2
+"""
+
+
+@query(
+    "anova_oneway_value",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, CAST(isodow(ts) - 1 AS VARCHAR) AS weekday,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+), cells AS (
+  {_ANOVA_FACTOR_SQL.format(name="event_type", expr="event_type")}
+  UNION ALL
+  {_ANOVA_FACTOR_SQL.format(name="weekday", expr="weekday")}
+), agg AS (
+  SELECT factor,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(s) AS BIGINT) AS st,
+         CAST(sum(ss) AS DECIMAL(38,0)) AS sst,
+         sum(CAST(s AS DOUBLE) * s / n) AS sum_sq_means
+  FROM cells GROUP BY 1
+), dec AS (
+  SELECT factor, k, nt,
+         sum_sq_means - CAST(st AS DOUBLE) * st / nt AS ssb,
+         CAST(sst AS DOUBLE) - sum_sq_means AS ssw
+  FROM agg
+)
+SELECT factor, k AS n_groups, nt AS n_rows,
+       round(ssb / 100000000.0, 2) + 0.0 AS ss_between,
+       round(ssw / 100000000.0, 2) + 0.0 AS ss_within,
+       round((ssb / (k - 1)) / (ssw / (nt - k)), {ANOVA_ROUND}) + 0.0 AS f_stat,
+       round(ssb / (ssb + ssw), {ANOVA_ROUND}) + 0.0 AS eta_sq
+FROM dec
+""",
+)
+def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value against each factor (event_type,
+    weekday): between/within sum-of-squares, the F statistic and η²
+    effect size — the continuous-response counterpart of
+    priority_mix_chisq / cramers_v_matrix (those test counts; this
+    tests MEANS). SS decomposition runs entirely on exact e4-scaled
+    sums (SSB = Σ s_g²/n_g − S²/N, SSW = Σv² − Σ s_g²/n_g), so both
+    engines see identical operands; only the final ratios are doubles.
+
+    Plan: one fact scan stacked into two factor groupings
+    (map-side-combinable; ≤ 12 cells total), one 2-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.weekday("ts").cast("string").alias("weekday"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    cells_parts = []
+    for name, col in (("event_type", F.col("event_type")), ("weekday", F.col("weekday"))):
+        cells_parts.append(
+            pts.groupBy(col.alias("grp")).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v_e4").cast("long").alias("s"),
+                F.sum(F.col("v_e4").cast("decimal(38,0)") * F.col("v_e4"))
+                .cast("decimal(38,0)")
+                .alias("ss"),
+            ).select(F.lit(name).alias("factor"), "grp", "n", "s", "ss")
+        )
+    cells = cells_parts[0].unionAll(cells_parts[1])
+    agg = cells.groupBy("factor").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("decimal(38,0)").alias("sst"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sum_sq_means"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ssb = F.col("sum_sq_means") - d("st") * F.col("st") / F.col("nt")
+    ssw = d("sst") - F.col("sum_sq_means")
+    return agg.select(
+        "factor",
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        F.round(ssb / 100000000.0, 2).alias("ss_between"),
+        F.round(ssw / 100000000.0, 2).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), ANOVA_ROUND).alias(
+            "f_stat"
+        ),
+        F.round(ssb / (ssb + ssw), ANOVA_ROUND).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint: rank-based (nonparametric) single changepoint on
+# the daily revenue series — the distribution-free sibling of
+# cusum_changepoint (CUSUM assumes a mean shift in level; Pettitt only
+# assumes exchangeability under H0).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pettitt_changepoint",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+pq AS (
+  SELECT a.day,
+         CAST(sum(CASE WHEN b.day > a.day THEN sign(b.rev - a.rev)
+                       ELSE -sign(a.rev - b.rev) END) AS BIGINT) AS pq
+  FROM daily a JOIN daily b ON a.day <> b.day
+  GROUP BY 1
+), u AS (
+  SELECT day, CAST(sum(pq) OVER (ORDER BY day) AS BIGINT) AS u_t,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM pq
+), best AS (
+  SELECT n, abs(u_t) AS k_stat, day AS change_day
+  FROM u ORDER BY abs(u_t) DESC, day LIMIT 1
+)
+SELECT n AS n_days, k_stat, change_day,
+       round(least(1.0, 2 * exp(-6.0 * CAST(k_stat AS DOUBLE) * k_stat
+             / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 8) + 0.0
+         AS p_approx
+FROM best
+""",
+)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt (1979) nonparametric changepoint test on daily revenue:
+    U_t = Σ_(i≤t<j) sign(x_j − x_i), K = max|U_t|, split day = argmax,
+    p ≈ 2·exp(−6K²/(n³+n²)). The telescoping identity U_t = U_(t−1) +
+    P(t) − Q(t) turns the all-pairs definition into ONE per-day pair
+    aggregate (P−Q = signed wins against later minus earlier days)
+    plus a cumsum — the pair join is the calendar-bounded daily series
+    against itself, broadcast, never the fact table. All sign sums are
+    integers; only the p-value is a double."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    a, b = daily.alias("a"), daily.alias("b")
+    contrib = F.when(
+        F.col("b.day") > F.col("a.day"), F.signum(F.col("b.rev") - F.col("a.rev"))
+    ).otherwise(-F.signum(F.col("a.rev") - F.col("b.rev")))
+    pq = (
+        a.join(F.broadcast(b), F.col("a.day") != F.col("b.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.sum(contrib).cast("long").alias("pq"))
+    )
+    u = pq.select(
+        "day",
+        F.sum("pq").over(Window.orderBy("day")).cast("long").alias("u_t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    best = u.orderBy(F.abs(F.col("u_t")).desc(), F.asc("day")).limit(1)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.abs(F.col("u_t")).alias("k_stat"),
+        F.col("day").alias("change_day"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2
+                * F.exp(
+                    -6.0 * F.abs(d("u_t")) * F.abs(F.col("u_t"))
+                    / (d("n") * F.col("n") * F.col("n") + d("n") * F.col("n"))
+                ),
+            ),
+            8,
+        ).alias("p_approx"),
+    )

@@ -114,3 +114,48 @@ def test_calibration_bins_consistent(spark):
         assert r["ece"] == rows[0]["ece"]  # corpus-level constant
     # ECE recomputed from (rounded) bins matches to rounding error
     assert abs(rows[0]["ece"] - ece) < 1e-3
+
+
+def test_anova_matches_python_replica(spark):
+    rows = {r["factor"]: r for r in QS["anova_oneway_value"](spark, SF_SMALL).collect()}
+    data = duckdb.sql(
+        f"SELECT event_type, CAST(isodow(ts) - 1 AS VARCHAR),"
+        f" CAST(round(value * 10000) AS BIGINT) FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    for idx, factor in ((0, "event_type"), (1, "weekday")):
+        groups = defaultdict(list)
+        for t in data:
+            groups[t[idx]].append(t[2])
+        nt = sum(len(v) for v in groups.values())
+        st = sum(sum(v) for v in groups.values())
+        ssb = sum(sum(v) ** 2 / len(v) for v in groups.values()) - st**2 / nt
+        ssw = sum(x * x for v in groups.values() for x in v) - sum(
+            sum(v) ** 2 / len(v) for v in groups.values()
+        )
+        k = len(groups)
+        f_stat = (ssb / (k - 1)) / (ssw / (nt - k))
+        r = rows[factor]
+        assert (r["n_groups"], r["n_rows"]) == (k, nt)
+        assert abs(r["f_stat"] - round(f_stat, 6)) < 1e-6
+        assert 0.0 <= r["eta_sq"] <= 1.0
+
+
+def test_pettitt_matches_python_replica(spark):
+    row = QS["pettitt_changepoint"](spark, SF_SMALL).collect()[0]
+    daily = _daily(SF_SMALL)
+    xs = [rev for _, rev, _ in daily]
+    n = len(xs)
+    best_k, best_day = -1, None
+    u = 0
+    for t in range(n - 1):
+        # U_t via telescoping: add wins of day t against later days,
+        # subtract wins against earlier days
+        p = sum((xs[j] > xs[t]) - (xs[j] < xs[t]) for j in range(t + 1, n))
+        q = sum((xs[t] > xs[i]) - (xs[t] < xs[i]) for i in range(t))
+        u += p - q
+        if abs(u) > best_k:
+            best_k, best_day = abs(u), daily[t][0]
+    assert row["n_days"] == n
+    assert row["k_stat"] == best_k
+    assert str(row["change_day"]) == str(best_day)
+    assert 0.0 <= row["p_approx"] <= 1.0
