@@ -322,6 +322,8 @@ HEADLINE = [
     "revenue_grouping_sets",
     "anova_oneway_value",
     "pettitt_changepoint",
+    "pacf_daily_revenue",
+    "prf_expansion_terms",
 ]
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_jlp_spark.catalog import load_table
 from etl_jlp_spark.operators.ir import bm25_search
 from etl_jlp_spark.operators.similarity import ann_lsh_topk, ann_topk_cosine
 from etl_jlp_spark.operators.textstats import text_quality_score
@@ -202,3 +203,117 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", NDCG_ROUND).alias("idcg"),
         F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), NDCG_ROUND).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio-lite).
+# ---------------------------------------------------------------------------
+
+PRF_SEED_K = 10  # pseudo-relevant docs taken from the BM25 top
+PRF_TOP_TERMS = 15
+PRF_MIN_LEN = 3
+
+
+def _prf_oracle() -> str:
+    from etl_jlp_spark.operators.ir import BM25_QUERY_TERMS, WORD_PATTERN
+
+    bm25_sql = ORACLES["bm25_search"]
+    qterms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH seed AS (
+  SELECT doc_id FROM ({bm25_sql}) ORDER BY bm25 DESC, doc_id LIMIT {PRF_SEED_K}
+), toks AS (
+  SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '{WORD_PATTERN}')) AS term
+  FROM documents d
+), nn AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+), cand AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS tf_seed,
+         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df_seed
+  FROM toks t JOIN seed s ON t.doc_id = s.doc_id
+  WHERE length(t.term) >= {PRF_MIN_LEN} AND t.term NOT IN ({qterms})
+  GROUP BY 1
+), scored AS (
+  SELECT c.term, c.tf_seed, c.df_seed, d.df,
+         CAST(c.tf_seed AS DOUBLE) * ln(CAST((SELECT n_docs FROM nn) AS DOUBLE) / d.df)
+           AS score
+  FROM cand c JOIN df d ON c.term = d.term
+), top AS (
+  SELECT * FROM scored ORDER BY round(score, 9) DESC, term LIMIT {PRF_TOP_TERMS}
+)
+SELECT term, tf_seed, df_seed, df, round(score, 6) + 0.0 AS prf_score,
+       CAST(row_number() OVER (ORDER BY round(score, 9) DESC, term) AS BIGINT) AS rk
+FROM top
+"""
+
+
+@query("prf_expansion_terms", oracle=_prf_oracle())
+def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion: take the BM25 top-{k} docs
+    as pseudo-relevant, score every candidate term by tf-in-seed ×
+    ln(N/df) (the Rocchio positive-centroid weight on a tf-idf space),
+    return the top {t} non-query terms — what a second-pass retrieval
+    would OR into the query. High tf_seed + low corpus df = the
+    topical vocabulary of the result set.
+
+    Cost: the seed list is k rows; candidate tf comes from
+    re-tokenizing ONLY the seed docs (semi-join pushes the doc filter
+    before the explode), and df is the vocab-sized aggregate every IR
+    op here shares. Selection orders by round(score, 9) with term
+    tie-breaks — identical top set in both engines."""
+    from etl_jlp_spark.operators.ir import BM25_QUERY_TERMS, WORD_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed = (
+        bm25_search(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(PRF_SEED_K)
+        .select("doc_id")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)).alias(
+            "term"
+        ),
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    df_rel = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    cand = (
+        toks.join(F.broadcast(seed), "doc_id")
+        .filter(
+            (F.length("term") >= PRF_MIN_LEN) & (~F.col("term").isin(*BM25_QUERY_TERMS))
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf_seed"),
+            F.countDistinct("doc_id").cast("long").alias("df_seed"),
+        )
+    )
+    scored = cand.join(df_rel, "term").select(
+        "term",
+        "tf_seed",
+        "df_seed",
+        "df",
+        (F.col("tf_seed").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    top = scored.orderBy(F.round("score", 9).desc(), "term").limit(PRF_TOP_TERMS)
+    return top.select(
+        "term",
+        "tf_seed",
+        "df_seed",
+        "df",
+        F.round("score", 6).alias("prf_score"),
+        F.row_number()
+        .over(Window.orderBy(F.round("score", 9).desc(), "term"))
+        .cast("long")
+        .alias("rk"),
+    )
+
+
+prf_expansion_terms.__doc__ = (prf_expansion_terms.__doc__ or "").format(
+    k=PRF_SEED_K, t=PRF_TOP_TERMS
+)

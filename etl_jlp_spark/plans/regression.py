@@ -787,3 +787,101 @@ def ols_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("sse") / F.col("n"), 2) + 0.0).alias("test_mse"),
         (F.round(F.sum("sse").over(w) / F.sum("n").over(w), 2) + 0.0).alias("cv_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (PACF) via Durbin-Levinson, unrolled so the
+# oracle can replay the identical scalar recursion.
+# ---------------------------------------------------------------------------
+
+PACF_LAGS = 5
+
+from etl_jlp_spark.registry import ORACLES as _ORACLES_REG  # noqa: E402
+
+_ACF_ORACLE_BODY = _ORACLES_REG["acf_daily_revenue"]
+
+
+def _dl_terms() -> list[dict[str, str]]:
+    """Durbin-Levinson unrolled to PACF_LAGS as expression strings over
+    names a1..aK (the ACF values) and p{k}_{j} (level-k AR coefs). The
+    SAME strings are parsed by DuckDB and by Spark's expr(), so the
+    float expression trees — and hence the doubles — are identical."""
+    levels = []
+    prev: list[str] = []
+    for k in range(1, PACF_LAGS + 1):
+        cols: dict[str, str] = {}
+        if k == 1:
+            cols["p1_1"] = "a1"
+        else:
+            num = f"a{k}" + "".join(
+                f" - p{k - 1}_{j} * a{k - j}" for j in range(1, k)
+            )
+            den = "1" + "".join(f" - p{k - 1}_{j} * a{j}" for j in range(1, k))
+            cols[f"p{k}_{k}"] = f"({num}) / ({den})"
+            for j in range(1, k):
+                cols[f"p{k}_{j}"] = f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j}"
+        levels.append(cols)
+        prev = list(cols)
+    del prev
+    return levels
+
+
+@query(
+    "pacf_daily_revenue",
+    oracle="WITH acf_rel AS ("
+    + _ACF_ORACLE_BODY
+    + """), av AS (
+  SELECT """
+    + ", ".join(
+        f"max(CASE WHEN lag = {k} THEN acf END) AS a{k}" for k in range(1, PACF_LAGS + 1)
+    )
+    + """ FROM acf_rel
+)"""
+    + "".join(
+        f""", c{k} AS (
+  SELECT *, {", ".join(f"{expr} AS {name}" for name, expr in cols.items())}
+  FROM {"av" if k == 1 else f"c{k - 1}"}
+)"""
+        for k, cols in enumerate(_dl_terms(), start=1)
+    )
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, round(p{k}_{k}, 6) + 0.0 AS pacf FROM c{PACF_LAGS}"
+        for k in range(1, PACF_LAGS + 1)
+    )
+    + "\n)",
+)
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1..{K} via the
+    Durbin-Levinson recursion over the ACF values: PACF_k is the lag-k
+    AR coefficient after the shorter lags are regressed out — the
+    chart that picks the AR order (acf_daily_revenue says "correlated
+    at lag k"; this says "correlated BEYOND what lags <k explain").
+
+    The recursion is unrolled into the SAME scalar expression strings
+    in both engines (parsed by expr() here, inlined in the oracle), so
+    the doubles match bit-for-bit from the shared 6-decimal ACF
+    inputs. Cost: the ACF pipeline (one groupBy(day) + a tiny lag
+    join) plus a 1-row scalar chain."""
+    acf = acf_daily_revenue(spark, sf_dir).filter(F.col("lag") <= PACF_LAGS)
+    av = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"a{k}")
+            for k in range(1, PACF_LAGS + 1)
+        ]
+    )
+    cur = av
+    for cols in _dl_terms():
+        for name, expr in cols.items():
+            cur = cur.withColumn(name, F.expr(expr))
+    outs = [
+        cur.select(
+            F.lit(k).cast("long").alias("lag"),
+            F.round(F.col(f"p{k}_{k}"), 6).alias("pacf"),
+        )
+        for k in range(1, PACF_LAGS + 1)
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result

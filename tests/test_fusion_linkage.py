@@ -74,3 +74,33 @@ def test_fellegi_sunter_u_replica(spark):
     ws = sorted(rows.values(), key=lambda r: r["u_prob"])
     aws = [r["agree_weight"] for r in ws]
     assert aws == sorted(aws, reverse=True)
+
+
+def test_pacf_lag1_equals_acf1_and_bounds(spark):
+    acf = {r["lag"]: r["acf"] for r in QS["acf_daily_revenue"](spark, SF_SMALL).collect()}
+    pacf = {r["lag"]: r["pacf"] for r in QS["pacf_daily_revenue"](spark, SF_SMALL).collect()}
+    assert set(pacf) == {1, 2, 3, 4, 5}
+    assert abs(pacf[1] - round(acf[1], 6)) < 1e-12  # PACF(1) == ACF(1)
+    # Durbin-Levinson replica over the reported ACF values
+    a = [None] + [acf[k] for k in range(1, 6)]
+    phi = {(1, 1): a[1]}
+    for k in range(2, 6):
+        num = a[k] - sum(phi[(k - 1, j)] * a[k - j] for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * a[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 6):
+        assert abs(pacf[k] - round(phi[(k, k)], 6)) < 1e-9
+
+
+def test_prf_terms_exclude_query_and_rank_correctly(spark):
+    rows = QS["prf_expansion_terms"](spark, SF_SMALL).collect()
+    assert len(rows) == 15
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(range(1, 16))
+    for r in rows:
+        assert r["term"] not in ("vector", "stream", "filter")
+        assert len(r["term"]) >= 3
+        assert 1 <= r["df_seed"] <= 10  # bounded by the seed size
+        assert r["df"] >= r["df_seed"]
+        assert r["prf_score"] > 0
