@@ -324,6 +324,7 @@ HEADLINE = [
     "pettitt_changepoint",
     "pacf_daily_revenue",
     "prf_expansion_terms",
+    "welch_ttest_by_type",
 ]
 
 

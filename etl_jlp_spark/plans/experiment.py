@@ -781,3 +781,134 @@ def bayesian_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_b_minus_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test per event type: the parametric sibling of
+# mann_whitney_ab (rank-based) and ab_test_report (z on the pooled
+# split) — unequal-variance mean comparison with effect size, per
+# metric slice.
+# ---------------------------------------------------------------------------
+
+WELCH_ROUND = 6
+
+
+@query(
+    "welch_ttest_by_type",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+), s AS (
+  SELECT event_type, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_e4) AS BIGINT) AS sv,
+         CAST(sum(CAST(v_e4 AS DECIMAL(38,0)) * v_e4) AS DECIMAL(38,0)) AS ss
+  FROM pts GROUP BY 1, 2
+), wide AS (
+  SELECT event_type,
+         max(CASE WHEN variant = 'A' THEN n END) AS na,
+         max(CASE WHEN variant = 'A' THEN sv END) AS sa,
+         max(CASE WHEN variant = 'A' THEN CAST(ss AS DOUBLE) END) AS ssa,
+         max(CASE WHEN variant = 'B' THEN n END) AS nb,
+         max(CASE WHEN variant = 'B' THEN sv END) AS sb,
+         max(CASE WHEN variant = 'B' THEN CAST(ss AS DOUBLE) END) AS ssb
+  FROM s GROUP BY 1
+), est AS (
+  SELECT event_type, na, nb,
+         CAST(sa AS DOUBLE) / na / 10000.0 AS ma,
+         CAST(sb AS DOUBLE) / nb / 10000.0 AS mb,
+         (ssa - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / 100000000.0 AS va,
+         (ssb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / 100000000.0 AS vb
+  FROM wide
+)
+SELECT event_type, na, nb,
+       round(ma, 4) + 0.0 AS mean_a, round(mb, 4) + 0.0 AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb), {WELCH_ROUND}) + 0.0 AS t_stat,
+       round((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 2) + 0.0 AS df_welch,
+       round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)),
+             {WELCH_ROUND}) + 0.0 AS cohens_d
+FROM est
+""",
+)
+def welch_ttest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of event value, A vs B (the
+    shared md5 user split), PER event type: means, t statistic,
+    Welch-Satterthwaite df, and Cohen's d on the pooled sd. Completes
+    the A/B toolkit — ab_test_report is the pooled z, mann_whitney_ab
+    the rank test, bayesian_ab_conversion the posterior; this is the
+    per-slice parametric readout with effect size.
+
+    Exact: per-(type, variant) n/Σv/Σv² in int64/DECIMAL(38,0); every
+    statistic is one double expression from those. One
+    map-side-combinable groupBy; 2·|types| cells."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    s = (
+        ev.select(
+            "event_type",
+            variant.alias("variant"),
+            F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_e4").cast("long").alias("sv"),
+            F.sum(F.col("v_e4").cast("decimal(38,0)") * F.col("v_e4"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+    )
+    A, B = F.col("variant") == "A", F.col("variant") == "B"
+    wide = s.groupBy("event_type").agg(
+        F.max(F.when(A, F.col("n"))).alias("na"),
+        F.max(F.when(A, F.col("sv"))).alias("sa"),
+        F.max(F.when(A, F.col("ss").cast("double"))).alias("ssa"),
+        F.max(F.when(B, F.col("n"))).alias("nb"),
+        F.max(F.when(B, F.col("sv"))).alias("sb"),
+        F.max(F.when(B, F.col("ss").cast("double"))).alias("ssb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    est = wide.select(
+        "event_type",
+        "na",
+        "nb",
+        (d("sa") / F.col("na") / 10000.0).alias("ma"),
+        (d("sb") / F.col("nb") / 10000.0).alias("mb"),
+        ((F.col("ssa") - d("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1) / 1e8).alias(
+            "va"
+        ),
+        ((F.col("ssb") - d("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1) / 1e8).alias(
+            "vb"
+        ),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    pooled = F.sqrt(
+        ((F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb"))
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    return est.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), WELCH_ROUND).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (F.col("va") / F.col("na")) * (F.col("va") / F.col("na")) / (F.col("na") - 1)
+                + (F.col("vb") / F.col("nb")) * (F.col("vb") / F.col("nb")) / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+        F.round((F.col("ma") - F.col("mb")) / pooled, WELCH_ROUND).alias("cohens_d"),
+    )
