@@ -325,6 +325,8 @@ HEADLINE = [
     "pacf_daily_revenue",
     "prf_expansion_terms",
     "welch_ttest_by_type",
+    "order_reconciliation_report",
+    "kwic_snippets",
 ]
 
 

@@ -317,3 +317,74 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 prf_expansion_terms.__doc__ = (prf_expansion_terms.__doc__ or "").format(
     k=PRF_SEED_K, t=PRF_TOP_TERMS
 )
+
+
+# ---------------------------------------------------------------------------
+# KWIC (keyword-in-context) snippets for the BM25 result list.
+# ---------------------------------------------------------------------------
+
+KWIC_WINDOW = 40  # chars either side of the first occurrence
+
+
+def _kwic_oracle() -> str:
+    from etl_jlp_spark.operators.ir import BM25_QUERY_TERMS
+
+    bm25_sql = ORACLES["bm25_search"]
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH hits AS (
+  SELECT doc_id FROM ({bm25_sql})
+), t AS (SELECT term FROM (VALUES {terms}) v(term)),
+located AS (
+  SELECT h.doc_id, t.term,
+         CAST(strpos(lower(d.text), t.term) AS BIGINT) AS pos,
+         lower(d.text) AS lt
+  FROM hits h JOIN documents d ON d.doc_id = h.doc_id CROSS JOIN t
+)
+SELECT doc_id, term, pos,
+       substr(lt, CAST(greatest(1, pos - {KWIC_WINDOW}) AS BIGINT),
+              CAST(pos - greatest(1, pos - {KWIC_WINDOW}) + length(term)
+                   + {KWIC_WINDOW} AS BIGINT)) AS snippet
+FROM located WHERE pos > 0
+"""
+
+
+@query("kwic_snippets", oracle=_kwic_oracle())
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context: for every BM25 result doc and every query
+    term, the first occurrence position and a ±{w}-char window around
+    it — what a search UI renders under each hit, and the quickest
+    human check that the ranker matched for the right reason.
+
+    Plan: the hit list is the bounded BM25 top-k; snippet extraction
+    is a pure string projection over ONLY those docs (semi-join pushes
+    the id filter ahead of reading text) — zero shuffles beyond the
+    constituent query."""
+    from etl_jlp_spark.operators.ir import BM25_QUERY_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_search(spark, sf_dir).select("doc_id")
+    t = spark.createDataFrame([(x,) for x in BM25_QUERY_TERMS], "term string")
+    located = (
+        docs.join(F.broadcast(hits), "doc_id")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            "term",
+            F.instr(F.lower("text"), F.col("term")).cast("long").alias("pos"),
+            F.lower("text").alias("lt"),
+        )
+        .filter(F.col("pos") > 0)
+    )
+    return located.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.expr(
+            f"substr(lt, cast(greatest(1, pos - {KWIC_WINDOW}) as int), "
+            f"cast(pos - greatest(1, pos - {KWIC_WINDOW}) + length(term) + {KWIC_WINDOW} as int))"
+        ).alias("snippet"),
+    )
+
+
+kwic_snippets.__doc__ = (kwic_snippets.__doc__ or "").format(w=KWIC_WINDOW)

@@ -445,3 +445,77 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-table money reconciliation: does the order header total equal
+# the lineitem-derived total — the classic finance-grade consistency
+# audit between a fact and its rollup header.
+# ---------------------------------------------------------------------------
+
+RECON_TOL_CENTS = 1
+
+
+@query(
+    "order_reconciliation_report",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                  AS BIGINT)) AS BIGINT) AS derived_c
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_c,
+         li.derived_c
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT yr,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE abs(header_c - derived_c) <= {RECON_TOL_CENTS})
+            AS BIGINT) AS n_reconciled,
+       round(avg(abs(header_c - derived_c)) / 100.0, 4) + 0.0 AS mean_abs_diff,
+       round(max(abs(header_c - derived_c)) / 100.0, 2) + 0.0 AS max_abs_diff
+FROM j GROUP BY 1
+""",
+)
+def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail money reconciliation per order year: recompute
+    each order's total from its line items (extendedprice ×
+    (1−discount) × (1+tax), the TPC-H pricing identity), compare to
+    the o_totalprice header in exact cents, and report the reconciled
+    share and the error distribution — the audit every finance
+    warehouse runs nightly between a fact table and its denormalized
+    header (a mismatch means a load lost/duplicated lines or applied
+    a different rounding).
+
+    Plan: one lineitem scan → per-order cents agg (map-side
+    combinable on the join key), one join to orders (AQE picks the
+    strategy; both sides are keyed by orderkey so bucketed layouts
+    co-locate it), one |years|-row rollup. All comparisons are exact
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("derived_c")
+    )
+    j = o.join(derived, o.o_orderkey == derived.l_orderkey).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_c"),
+        "derived_c",
+    )
+    diff = F.abs(F.col("header_c") - F.col("derived_c"))
+    return j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(diff <= RECON_TOL_CENTS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.round(F.avg(diff) / 100.0, 4).alias("mean_abs_diff"),
+        F.round(F.max(diff) / 100.0, 2).alias("max_abs_diff"),
+    )

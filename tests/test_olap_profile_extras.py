@@ -79,3 +79,31 @@ def test_grouping_sets_layers_consistent(spark):
         assert nation_totals[nation]["rev"] == rev
     assert grand[0]["n_orders"] == sum(v[0] for v in by_nation.values())
     assert grand[0]["rev"] == sum(v[1] for v in by_nation.values())
+
+
+def test_reconciliation_exact_replica(spark):
+    rows = {r["yr"]: r for r in QS["order_reconciliation_report"](spark, SF_SMALL).collect()}
+    rep = duckdb.sql(f"""
+        WITH li AS (
+          SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS d
+          FROM '{SF_SMALL}/lineitem.parquet' GROUP BY 1)
+        SELECT year(o.o_orderdate), count(*),
+               count(*) FILTER (WHERE abs(CAST(round(o.o_totalprice*100) AS BIGINT) - li.d) <= 1)
+        FROM '{SF_SMALL}/orders.parquet' o JOIN li ON o.o_orderkey = li.l_orderkey
+        GROUP BY 1""").fetchall()
+    for yr, n, rec in rep:
+        assert rows[yr]["n_orders"] == n
+        assert rows[yr]["n_reconciled"] == rec
+        assert 0.0 <= rows[yr]["mean_abs_diff"] <= rows[yr]["max_abs_diff"] + 1e-9
+
+
+def test_kwic_snippets_contain_term(spark):
+    rows = QS["kwic_snippets"](spark, SF_SMALL).collect()
+    assert rows
+    hits = {r["doc_id"] for r in QS["bm25_search"](spark, SF_SMALL).collect()}
+    for r in rows:
+        assert r["doc_id"] in hits
+        assert r["term"] in r["snippet"]
+        assert r["pos"] >= 1
+        assert len(r["snippet"]) <= 80 + len(r["term"])
