@@ -97,3 +97,39 @@ def preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "created_time",
         "created_date",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-extra-pass pipeline instrumentation via the Observation API.
+# ---------------------------------------------------------------------------
+
+
+def observed_preprocess(spark: SparkSession, sf_dir: str):
+    """Run preprocess_pipeline with pyspark Observations attached at
+    the input and output boundaries: row counts, null-key counts and
+    value totals are collected BY THE SAME JOB that materializes the
+    result — the Spark-native replacement for the reference's separate
+    count queries around each step
+    (dwh_lab/dwh/general_lib.py logging counts before/after loads),
+    which re-scan the data once per metric at 100 TB.
+
+    Returns (result_rows, metrics dict). Tests pin that the observed
+    input/output counts reconcile with the dedup drop count."""
+    from pyspark.sql import Observation
+
+    events = load_table(spark, sf_dir, "events")
+    obs_in = Observation("input")
+    events = events.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_ids"),
+    )
+    out = preprocess_events(events)
+    obs_out = Observation("output")
+    out = out.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    rows = out.collect()
+    return rows, {"input": obs_in.get, "output": obs_out.get}

@@ -317,3 +317,17 @@ def test_run_on_schedule_persists_state_and_is_idempotent(tmp_path):
         "2026-08-13T06:00:00",
         "2026-08-14T06:00:00",
     ]
+
+
+def test_observed_preprocess_metrics_reconcile(spark):
+    from tests.conftest import SF_SMALL
+    from etl_jlp_spark.plans.pipeline import observed_preprocess
+
+    rows, metrics = observed_preprocess(spark, SF_SMALL)
+    m_in, m_out = metrics["input"], metrics["output"]
+    # observation rode along with the materializing job — counts match
+    assert m_out["n_rows"] == len(rows)
+    assert m_in["n_rows"] >= m_out["n_rows"]  # dedup only drops
+    assert m_in["null_user_ids"] == 0
+    total = round(sum(r["value"] for r in rows), 2)
+    assert abs(m_out["total_value"] - total) < 0.05
