@@ -1,0 +1,69 @@
+"""FLAC STREAMINFO + MP4 box parser tests and the kind-dispatching
+media metadata report."""
+
+import hashlib
+
+import pytest
+
+from etl_jlp_spark.multimodal.binary import MEDIA_SCHEMA
+from etl_jlp_spark.multimodal.containers import (
+    encode_flac_streaminfo,
+    encode_mp4_skeleton,
+    extract_flac_streaminfo,
+    extract_mp4_meta,
+    media_metadata_report,
+)
+from etl_jlp_spark.multimodal.exif import encode_exif_app1, insert_app1
+from etl_jlp_spark.multimodal.id3 import encode_id3
+from etl_jlp_spark.multimodal.jpeg import encode_jpeg
+
+
+def test_flac_streaminfo_roundtrip():
+    md5 = hashlib.md5(b"pcm").digest()
+    si = extract_flac_streaminfo(
+        encode_flac_streaminfo(96000, 8, 32, (1 << 35) + 7, md5, 1024, 8192)
+    )
+    assert si == {
+        "sample_rate": 96000, "channels": 8, "bits": 32,
+        "total_samples": (1 << 35) + 7, "audio_md5": md5.hex(),
+    }
+    assert extract_flac_streaminfo(b"not flac at all") is None
+    broken = bytearray(encode_flac_streaminfo())
+    broken[5:8] = (33).to_bytes(3, "big")  # STREAMINFO must be 34 bytes
+    with pytest.raises(ValueError):
+        extract_flac_streaminfo(bytes(broken))
+
+
+def test_mp4_walker_roundtrip():
+    m = extract_mp4_meta(encode_mp4_skeleton(601.5, 90000, 1))
+    assert m["timescale"] == 90000 and m["n_tracks"] == 1
+    assert abs(m["duration_s"] - 601.5) < 1e-9
+    assert extract_mp4_meta(b"\xff" * 32) is None
+    trunc = encode_mp4_skeleton()[:20]
+    with pytest.raises(ValueError):
+        extract_mp4_meta(trunc)
+
+
+def test_media_metadata_report_dispatch(spark):
+    jpeg = insert_app1(encode_jpeg(8, 8, lambda x, y: (0, 0, 0)), encode_exif_app1())
+    rows = [
+        (0, "jpeg", bytearray(jpeg), ("s", 1, 0, 0)),
+        (1, "mp3", bytearray(encode_id3(title="X")), ("s", 1, 0, 0)),
+        (2, "flac", bytearray(encode_flac_streaminfo(22050, 1, 16, 100)), ("s", 1, 0, 0)),
+        (3, "mp4", bytearray(encode_mp4_skeleton(2.0, 1000, 2)), ("s", 1, 0, 0)),
+        (4, "mp3", bytearray(b"\xff\xfbno tag"), ("s", 1, 0, 0)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in media_metadata_report(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert all(out[i]["has_meta"] for i in range(4))
+    assert not out[4]["has_meta"] and out[4]["summary"] is None
+    assert "orientation=1" in out[0]["summary"]
+    assert "title=X" in out[1]["summary"]
+    assert "sample_rate=22050" in out[2]["summary"]
+    assert "n_tracks=2" in out[3]["summary"]
+    with pytest.raises(Exception, match="knows"):
+        media_metadata_report(
+            spark.createDataFrame([(9, "webm", bytearray(b"x"), ("s", 1, 0, 0))], MEDIA_SCHEMA)
+        ).collect()
