@@ -39,7 +39,7 @@ def test_mp4_walker_roundtrip():
     assert m["timescale"] == 90000 and m["n_tracks"] == 1
     assert abs(m["duration_s"] - 601.5) < 1e-9
     assert extract_mp4_meta(b"\xff" * 32) is None
-    trunc = encode_mp4_skeleton()[:20]
+    trunc = encode_mp4_skeleton()[:18]  # mid-ftyp: size says 20
     with pytest.raises(ValueError):
         extract_mp4_meta(trunc)
 
