@@ -822,3 +822,26 @@ def test_quantile_normalize_grid_joins_broadcast(spark):
 def test_fellegi_sunter_single_customer_scan(spark):
     plan = _plan(QS["fellegi_sunter_weights"](spark, SF_SMALL))
     assert plan.count("FileScan") == 1  # stacked explode, not UNION re-scans
+
+
+def test_anova_welch_single_fact_scan(spark):
+    for name in ("anova_oneway_value", "welch_ttest_by_type"):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        # stacked/conditional aggs, never a per-factor re-scan
+        assert plan.count("FileScan") <= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_reconciliation_join_is_keyed(spark):
+    plan = _plan(QS["order_reconciliation_report"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 2  # lineitem once, orders once
+
+
+def test_oov_curve_sorts_vocab_not_corpus(spark):
+    df = QS["oov_rate_curve"](spark, SF_SMALL)
+    plan = _plan(df)
+    # the rank window sorts the vocab aggregate; the corpus-side explode
+    # must reach it through exactly one hash aggregation
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan

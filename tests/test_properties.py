@@ -139,3 +139,48 @@ def test_corrupt_media_always_raises_valueerror(decoder, data):
         decoder(payload)
     except (ValueError, NotImplementedError):
         pass  # the contract
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200),
+    st.sampled_from(["ulaw", "alaw"]),
+)
+def test_g711_companding_properties(samples, law):
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.binary import (
+        _g711_alaw_decode,
+        _g711_alaw_encode,
+        _g711_ulaw_decode,
+        _g711_ulaw_encode,
+    )
+
+    enc = _g711_ulaw_encode if law == "ulaw" else _g711_alaw_encode
+    dec = _g711_ulaw_decode if law == "ulaw" else _g711_alaw_decode
+    x = np.array(samples, dtype=np.int16)
+    y = dec(enc(x))
+    # sign preserved (0 may decode to the minimum positive A-law step)
+    assert ((y >= 0) == (x >= 0))[np.abs(x) > 8].all()
+    # bounded relative error outside the tiny-signal region
+    big = np.abs(x.astype(int)) > 256
+    if big.any():
+        rel = np.abs(y.astype(int) - x.astype(int))[big] / np.abs(x.astype(int))[big]
+        assert rel.max() < 0.13
+    # value-level idempotence
+    assert np.array_equal(dec(enc(y)), y)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0, max_size=60),
+    st.sampled_from([3, 4]),
+    st.sampled_from([1, 3]),
+)
+def test_id3_roundtrip_property(title, version, encoding):
+    from etl_jlp_spark.multimodal.id3 import encode_id3, extract_id3
+
+    d = extract_id3(encode_id3(title=title, version=version, encoding=encoding))
+    assert d["version"] == version
+    assert d["title"] == title
