@@ -327,6 +327,7 @@ HEADLINE = [
     "welch_ttest_by_type",
     "order_reconciliation_report",
     "kwic_snippets",
+    "ingest_full_load_fixedwidth",
 ]
 
 

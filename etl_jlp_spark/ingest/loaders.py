@@ -340,3 +340,92 @@ def compare_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_source, n_target, missing)], "n_source long, n_target long, n_missing_in_target long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width landzone round trip — the legacy/mainframe interchange
+# format a lake still has to accept (COBOL copybook exports, bank
+# feeds). No Spark source exists for it; the reader IS substring
+# projection, which makes it the one text format whose parse is
+# whole-stage-codegen'd with zero parser library involved.
+# ---------------------------------------------------------------------------
+
+# (name, width); strings are left-padded ragged-right, numerics right-
+# aligned; value uses %.17e so the double round-trips bit-exactly.
+FIXED_LAYOUT = [
+    ("event_id", 12), ("user_id", 12), ("ts", 26), ("event_type", 16),
+    ("value", 26), ("props", 64), ("source_name", 16), ("source_id", 6),
+    ("is_update", 5), ("is_delete", 5), ("created_time", 26), ("created_date", 10),
+]
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@query("ingest_full_load_fixedwidth", oracle=_ROUNDTRIP_ORACLE)
+def ingest_full_load_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width landzone round trip: render the full-load sample as
+    224-char records (layout above), write with the plain text sink,
+    read back by SUBSTRING SLICING against the layout and restore
+    every type — proven lossless by the same hash-oracle as the
+    csv/orc/jsonl twins. Strings that would overflow their field raise
+    in-plan (assert_true — silent truncation is the classic fixed-
+    width corruption); doubles render as %.17e so the parse-back is
+    bit-exact.
+
+    At 100 TB: both directions are pure projections (format_string out,
+    substr/cast in) — whole-stage codegen, no parser library, and the
+    reader needs no inference pass because the layout IS the schema."""
+    import tempfile
+
+    df = ingest_full_load(spark, sf_dir)
+    guarded = df.select(
+        "*",
+        F.assert_true(
+            (F.length("props") <= 64)
+            & (F.length("event_type") <= 16)
+            & (F.length("source_name") <= 16),
+            F.lit("fixed-width field overflow — widen FIXED_LAYOUT"),
+        ).alias("_chk"),
+    )
+    line = F.concat(
+        F.format_string("%12d", F.col("event_id")),
+        F.format_string("%12d", F.col("user_id")),
+        F.date_format("ts", _TS_FMT),
+        F.rpad(F.col("event_type"), 16, " "),
+        F.rpad(F.format_string("%.17e", F.col("value")), 26, " "),
+        F.rpad(F.col("props"), 64, " "),
+        F.rpad(F.col("source_name"), 16, " "),
+        F.format_string("%6d", F.col("source_id")),
+        F.rpad(F.col("is_update").cast("string"), 5, " "),
+        F.rpad(F.col("is_delete").cast("string"), 5, " "),
+        F.date_format("created_time", _TS_FMT),
+        F.date_format("created_date", "yyyy-MM-dd"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "etl_jlp_medallion",
+        f"{sf_dir.strip('/').replace('/', '_')}-fixedwidth-{os.getpid()}",
+    )
+    guarded.filter(F.col("_chk").isNull()).select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(out_dir)
+
+    raw = spark.read.text(out_dir)
+    pos, cuts = 1, {}
+    for name, width in FIXED_LAYOUT:
+        cuts[name] = F.substring("value", pos, width)
+        pos += width
+    trim = lambda c: F.rtrim(cuts[c])  # noqa: E731
+    return raw.select(
+        cuts["event_id"].cast("long").alias("event_id"),
+        cuts["user_id"].cast("long").alias("user_id"),
+        F.to_timestamp(cuts["ts"], _TS_FMT).alias("ts"),
+        trim("event_type").alias("event_type"),
+        trim("value").cast("double").alias("value"),
+        trim("props").alias("props"),
+        trim("source_name").alias("source_name"),
+        cuts["source_id"].cast("long").alias("source_id"),
+        (trim("is_update") == "true").alias("is_update"),
+        (trim("is_delete") == "true").alias("is_delete"),
+        F.to_timestamp(cuts["created_time"], _TS_FMT).alias("created_time"),
+        F.to_date(cuts["created_date"], "yyyy-MM-dd").alias("created_date"),
+    )
