@@ -328,6 +328,7 @@ HEADLINE = [
     "order_reconciliation_report",
     "kwic_snippets",
     "ingest_full_load_fixedwidth",
+    "filter_cascade_report",
 ]
 
 

@@ -566,3 +566,126 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = long_scalars.unionByName(lang_rows).unionByName(source_rows)
     return out.select("metric", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Filter-cascade survival report: the per-stage funnel through the
+# curation gates — the first chart in every training-data pipeline
+# review (FineWeb/RefinedWeb-style ablation tables start here).
+# ---------------------------------------------------------------------------
+
+CASCADE_MIN_DISTINCT = 0.3  # repetition gate: distinct-word ratio floor
+CASCADE_MAX_BIGRAM = 0.25  # and top-bigram mass ceiling
+
+
+def _cascade_oracle() -> str:
+    from etl_jlp_spark.registry import ORACLES
+
+    langid = ORACLES["text_langid"]
+    gopher = ORACLES["gopher_quality_filter"]
+    rep = ORACLES["text_repetition"]
+    exact = ORACLES["dedup_exact_docs"]
+    pairs = ORACLES["dedup_minhash_lsh"]
+    stages = []
+    for i, name in enumerate(
+        ["langid", "gopher", "repetition", "exact_dedup", "neardup"], start=1
+    ):
+        prev = "(SELECT doc_id FROM documents)" if i == 1 else f"s{i - 1}"
+        pred = {
+            "langid": "doc_id IN (SELECT doc_id FROM lang_rel WHERE lang_pred <> 'unknown')",
+            "gopher": "doc_id IN (SELECT doc_id FROM gopher_rel WHERE keep)",
+            "repetition": f"doc_id IN (SELECT doc_id FROM rep_rel WHERE distinct_ratio >= {CASCADE_MIN_DISTINCT} AND top_bigram_frac <= {CASCADE_MAX_BIGRAM})",
+            "exact_dedup": "doc_id IN (SELECT keep_doc_id FROM exact_rel)",
+            "neardup": "doc_id NOT IN (SELECT doc_b FROM pair_rel)",
+        }[name]
+        stages.append(
+            f", s{i} AS MATERIALIZED (SELECT doc_id FROM {prev} WHERE {pred})"
+        )
+    rows = ",\n".join(
+        f"({i}, '{name}', (SELECT count(*) FROM "
+        + ("documents" if i == 1 else f"s{i - 1}")
+        + f"), (SELECT count(*) FROM s{i}))"
+        for i, name in enumerate(
+            ["langid", "gopher", "repetition", "exact_dedup", "neardup"], start=1
+        )
+    )
+    return f"""
+WITH lang_rel AS MATERIALIZED ({langid}),
+gopher_rel AS MATERIALIZED ({gopher}),
+rep_rel AS MATERIALIZED ({rep}),
+exact_rel AS MATERIALIZED ({exact}),
+pair_rel AS MATERIALIZED ({pairs})
+{''.join(stages)}
+SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+       CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+       round(1.0 - CAST(n_kept AS DOUBLE) / n_in, 4) + 0.0 AS drop_rate,
+       round(CAST(n_kept AS DOUBLE) / (SELECT count(*) FROM documents), 4) + 0.0
+         AS cum_survival
+FROM (VALUES
+{rows}
+) v(stage_no, stage, n_in, n_kept)
+"""
+
+
+@query("filter_cascade_report", oracle=_cascade_oracle())
+def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survival funnel through the curation cascade —
+    language-ID → gopher rules → repetition gate → exact dedup →
+    near-dup (min-id representative) — reporting per stage the input
+    count, survivors, drop rate and cumulative survival vs the raw
+    corpus. This is the ablation table a curation review reads before
+    any threshold is moved: WHERE the corpus dies, in order.
+
+    The stage predicates are the REGISTERED operators' own relations
+    (oracles embedded verbatim), so the funnel can never disagree with
+    the gates it audits; each stage relation is single-pass and the
+    funnel itself is five semi-joins on doc_id."""
+    from etl_jlp_spark.operators.dedup import dedup_exact_docs
+    from etl_jlp_spark.operators.quality_rules import gopher_quality_filter
+    from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
+    from etl_jlp_spark.operators.textstats import text_langid
+    from etl_jlp_spark.operators.quality_rules import text_repetition
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keep_sets = [
+        (
+            "langid",
+            text_langid(spark, sf_dir)
+            .filter(F.col("lang_pred") != "unknown")
+            .select("doc_id"),
+        ),
+        ("gopher", gopher_quality_filter(spark, sf_dir).filter("keep").select("doc_id")),
+        (
+            "repetition",
+            text_repetition(spark, sf_dir)
+            .filter(
+                (F.col("distinct_ratio") >= CASCADE_MIN_DISTINCT)
+                & (F.col("top_bigram_frac") <= CASCADE_MAX_BIGRAM)
+            )
+            .select("doc_id"),
+        ),
+        (
+            "exact_dedup",
+            dedup_exact_docs(spark, sf_dir).select(F.col("keep_doc_id").alias("doc_id")),
+        ),
+    ]
+    drop_b = dedup_minhash_lsh(spark, sf_dir).select(F.col("doc_b").alias("doc_id"))
+    n_total = docs.count()
+    survivors = docs
+    counts = []
+    for name, keep in keep_sets:
+        n_in = survivors.count() if counts else n_total
+        survivors = survivors.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
+        counts.append((name, n_in, survivors.count()))
+    n_in = counts[-1][2]
+    survivors = survivors.join(drop_b, "doc_id", "left_anti")
+    counts.append(("neardup", n_in, survivors.count()))
+    rows = [
+        (i + 1, name, n_in, n_kept, round(1.0 - n_kept / n_in, 4), round(n_kept / n_total, 4))
+        for i, (name, n_in, n_kept) in enumerate(counts)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage_no long, stage string, n_in long, n_kept long, "
+        "drop_rate double, cum_survival double",
+    )

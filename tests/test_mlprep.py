@@ -96,3 +96,24 @@ def test_embedding_leakage_candidates_share_bucket(spark):
             assert -1.0 <= r["max_train_cos"] <= 1.0
     for r in flagged:
         assert r["max_train_cos"] >= 0.4
+
+
+def test_filter_cascade_funnel_consistency(spark):
+    rows = sorted(
+        QS["filter_cascade_report"](spark, SF_SMALL).collect(), key=lambda r: r["stage_no"]
+    )
+    assert [r["stage"] for r in rows] == [
+        "langid", "gopher", "repetition", "exact_dedup", "neardup",
+    ]
+    total = duckdb.sql(f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'").fetchone()[0]
+    assert rows[0]["n_in"] == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_kept"]  # strict funnel chaining
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_in"]
+        assert abs(r["cum_survival"] - round(r["n_kept"] / total, 4)) < 1e-9
+    # cross-check final survivors against the constituent operators
+    gopher_keep = {
+        x["doc_id"] for x in QS["gopher_quality_filter"](spark, SF_SMALL).collect() if x["keep"]
+    }
+    assert rows[1]["n_kept"] <= len(gopher_keep)
