@@ -329,6 +329,7 @@ HEADLINE = [
     "kwic_snippets",
     "ingest_full_load_fixedwidth",
     "filter_cascade_report",
+    "curriculum_shard_plan",
 ]
 
 

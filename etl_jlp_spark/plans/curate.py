@@ -689,3 +689,95 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_no long, stage string, n_in long, n_kept long, "
         "drop_rate double, cum_survival double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum shard plan: deterministic easy→hard phase assignment with
+# balanced shards and token budgets — the layout a curriculum-ordered
+# training run feeds its data loader.
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 3  # quality terciles: phase 1 = highest scores first
+CURRICULUM_SHARDS = 8
+
+
+def _curriculum_oracle() -> str:
+    from etl_jlp_spark.registry import ORACLES
+
+    score = ORACLES["text_quality_score"]
+    toks = ORACLES["token_count"]
+    return f"""
+WITH score AS ({score}), toks AS ({toks}),
+pts AS (
+  SELECT s.doc_id,
+         CAST(round(s.quality_score * 10000) AS BIGINT) AS s_e4,
+         t.ws_tokens
+  FROM score s JOIN toks t ON s.doc_id = t.doc_id
+), hist AS (
+  SELECT s_e4, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), cdf AS (
+  SELECT s_e4,
+         CAST(sum(c) OVER (ORDER BY s_e4 DESC) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM hist
+), assigned AS (
+  SELECT p.doc_id, p.ws_tokens, p.s_e4,
+         (c.cum * {CURRICULUM_PHASES} + c.n - 1) // c.n AS phase,
+         ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {CURRICULUM_SHARDS} AS shard
+  FROM pts p JOIN cdf c ON p.s_e4 = c.s_e4
+)
+SELECT phase, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(s_e4) AS DOUBLE) / count(*) / 10000.0, 4) + 0.0 AS avg_quality
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@query("curriculum_shard_plan", oracle=_curriculum_oracle())
+def curriculum_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum layout: docs split into quality
+    TERCILES from the top (phase 1 = highest text_quality_score — the
+    'easy/clean first' schedule), then md5-balanced into {s} shards
+    per phase, reporting each shard's doc count, whitespace-token
+    budget and mean quality. A training loader consumes phases in
+    order and shards in parallel; everything here is reproducible from
+    doc ids alone (no RNG, no global sort — terciles come from the
+    bounded e4-score histogram CDF, ties inherit their value's
+    last-member phase).
+
+    One scan feeds both constituent relations (oracles embedded), one
+    doc-keyed join, one {p}×{s}-cell agg."""
+    from etl_jlp_spark.operators.textstats import text_quality_score, token_count
+
+    pts = (
+        text_quality_score(spark, sf_dir)
+        .select("doc_id", F.round(F.col("quality_score") * 10000).cast("long").alias("s_e4"))
+        .join(token_count(spark, sf_dir).select("doc_id", "ws_tokens"), "doc_id")
+    )
+    hist = pts.groupBy("s_e4").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cdf = hist.select(
+        "s_e4",
+        F.sum("c").over(Window.orderBy(F.desc("s_e4"))).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    assigned = pts.join(F.broadcast(cdf), "s_e4").select(
+        "doc_id",
+        "ws_tokens",
+        "s_e4",
+        F.expr(f"(cum * {CURRICULUM_PHASES} + n - 1) div n").alias("phase"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % CURRICULUM_SHARDS
+        ).alias("shard"),
+    )
+    return assigned.groupBy("phase", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("s_e4").cast("double") / F.count(F.lit(1)) / 10000.0, 4).alias(
+            "avg_quality"
+        ),
+    )

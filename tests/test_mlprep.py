@@ -117,3 +117,26 @@ def test_filter_cascade_funnel_consistency(spark):
         x["doc_id"] for x in QS["gopher_quality_filter"](spark, SF_SMALL).collect() if x["keep"]
     }
     assert rows[1]["n_kept"] <= len(gopher_keep)
+
+
+def test_curriculum_phases_ordered_and_balanced(spark):
+    rows = QS["curriculum_shard_plan"](spark, SF_SMALL).collect()
+    assert len(rows) == 24  # 3 phases x 8 shards
+    by_phase = defaultdict(list)
+    for r in rows:
+        by_phase[r["phase"]].append(r)
+    assert set(by_phase) == {1, 2, 3}
+    # phase 1 holds the HIGHEST quality (easy-first curriculum)
+    means = {p: sum(r["avg_quality"] * r["n_docs"] for r in v) / sum(r["n_docs"] for r in v)
+             for p, v in by_phase.items()}
+    assert means[1] > means[2] > means[3]
+    # md5 sharding is roughly balanced within each phase
+    for p, v in by_phase.items():
+        ns = [r["n_docs"] for r in v]
+        assert max(ns) <= 4 * max(1, min(ns))
+    total = sum(r["n_docs"] for r in rows)
+    docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'"
+        f" WHERE length(trim(text)) > 0"
+    ).fetchone()[0]
+    assert total == docs
