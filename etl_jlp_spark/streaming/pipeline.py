@@ -894,3 +894,38 @@ def did_view(spark: SparkSession, dest_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n"), F.sum("s").cast("long").alias("s"))
     )
     return did_readout(cells)
+
+
+def streaming_media_metadata(media_stream: DataFrame) -> DataFrame:
+    """Streaming twin of multimodal/containers.media_metadata_report:
+    the SAME Arrow mapInPandas metadata extractors (EXIF / ID3 / FLAC
+    STREAMINFO / MP4 boxes) applied to a binary media STREAM — the
+    landing-time inventory pass a media lake runs as blobs arrive, so
+    corrupt or metadata-less payloads are quarantined one micro-batch
+    after upload instead of at the next full-corpus sweep.
+
+    mapInPandas is stateless row-wise work, so it composes with any
+    streaming source unchanged; exactly-once delivery to the report
+    table is the standard per-batch_id idempotent write
+    (write_batch_idempotent), replay-tested like every sink here."""
+    from etl_jlp_spark.multimodal.containers import media_metadata_report
+
+    return media_metadata_report(media_stream)
+
+
+def run_media_metadata_stream(
+    spark: SparkSession, src_dir: str, dest_dir: str, checkpoint: str, schema
+) -> None:
+    """File-source stream over staged media parquet → metadata report →
+    idempotent per-batch append; blocks until the backlog drains."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = streaming_media_metadata(stream)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: write_batch_idempotent(df, dest_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
