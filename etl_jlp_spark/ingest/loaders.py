@@ -382,7 +382,13 @@ def ingest_full_load_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.assert_true(
             (F.length("props") <= 64)
             & (F.length("event_type") <= 16)
-            & (F.length("source_name") <= 16),
+            & (F.length("source_name") <= 16)
+            # numeric widths too: a value wider than its %Nd field makes
+            # format_string emit extra chars, silently shifting every
+            # subsequent column on read-back — same corruption class.
+            & (F.col("event_id") >= 0) & (F.col("event_id") < 10**12)
+            & (F.col("user_id") >= 0) & (F.col("user_id") < 10**12)
+            & (F.col("source_id") >= 0) & (F.col("source_id") < 10**6),
             F.lit("fixed-width field overflow — widen FIXED_LAYOUT"),
         ).alias("_chk"),
     )

@@ -698,7 +698,12 @@ def _hits_frames(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t")).distinct()
-    e = e.persist()
+    # Eagerly materialize: the callers return a LAZY DataFrame, so a
+    # persist() here would never populate before their pre-return
+    # unpersist — each of the HITS_ITERS rounds plus the degree branch
+    # would re-derive the distinct edge relation. localCheckpoint (the
+    # TextRank/k-core pattern) computes it once, now.
+    e = e.localCheckpoint(eager=True)
     h = e.select("u").distinct().withColumn("h", F.lit(1.0))
     a = None
     for _ in range(HITS_ITERS):
@@ -753,7 +758,6 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
-    e.unpersist()
     return out
 
 
@@ -799,7 +803,6 @@ def hits_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
-    e.unpersist()
     return out
 
 

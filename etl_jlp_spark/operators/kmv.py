@@ -144,7 +144,11 @@ kmv_distinct_by_type.__doc__ = (kmv_distinct_by_type.__doc__ or "").format(k=KMV
     oracle=f"""
 WITH {_SKETCH_CTE},
 theta AS (
-  SELECT g, max(hv) AS th FROM sk GROUP BY g
+  -- theta-sketch convention: an UNSATURATED sketch (< K rows) has seen
+  -- every key, so its threshold is the full hash range M, not max(hv);
+  -- max(hv) there would bias est_inter = c·M/θ upward for small types.
+  SELECT g, CASE WHEN count(*) < {KMV_K} THEN {KMV_M} ELSE max(hv) END AS th
+  FROM sk GROUP BY g
 ), pairs AS (
   SELECT a.g AS type_a, b.g AS type_b,
          least(a.th, b.th) AS theta
@@ -185,7 +189,8 @@ LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
 def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between every event-type pair from theta-sketch
     set algebra: estimated intersection size and Jaccard below the
-    combined threshold θ = min(θ_a, θ_b), next to the exact distinct
+    combined threshold θ = min(θ_a, θ_b) (θ_g = M for an unsaturated
+    sketch — it has seen every key), next to the exact distinct
     intersection — the "how many users do both X and Y" question
     answered from K-row sketches instead of a distinct-join of two
     full streams.
@@ -197,7 +202,11 @@ def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the exact column is the eval-only brute-force branch."""
     ev = load_table(spark, sf_dir, "events")
     sk = kmv_sketch(ev, "event_type", "user_id").localCheckpoint(eager=False)
-    theta = sk.groupBy("g").agg(F.max("hv").alias("th"))
+    theta = sk.groupBy("g").agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(KMV_M))
+        .otherwise(F.max("hv"))
+        .alias("th")
+    )
     pairs = (
         theta.alias("a")
         .join(theta.alias("b"), F.col("a.g") < F.col("b.g"))

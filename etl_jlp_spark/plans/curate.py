@@ -681,13 +681,26 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = survivors.join(drop_b, "doc_id", "left_anti")
     counts.append(("neardup", n_in, survivors.count()))
     rows = [
-        (i + 1, name, n_in, n_kept, round(1.0 - n_kept / n_in, 4), round(n_kept / n_total, 4))
+        (i + 1, name, n_in, n_kept)
         for i, (name, n_in, n_kept) in enumerate(counts)
     ]
-    return spark.createDataFrame(
-        rows,
-        "stage_no long, stage string, n_in long, n_kept long, "
-        "drop_rate double, cum_survival double",
+    base = spark.createDataFrame(
+        rows, "stage_no long, stage string, n_in long, n_kept long"
+    )
+    # Ratios rendered through SQL round (half-away-from-zero) so a count
+    # ratio landing exactly on a .xxxx5 boundary matches the oracle —
+    # Python round() is banker's rounding and would diverge there.
+    return base.select(
+        "stage_no",
+        "stage",
+        "n_in",
+        "n_kept",
+        (F.round(F.lit(1.0) - F.col("n_kept").cast("double") / F.col("n_in"), 4) + 0.0).alias(
+            "drop_rate"
+        ),
+        (F.round(F.col("n_kept").cast("double") / F.lit(float(n_total)), 4) + 0.0).alias(
+            "cum_survival"
+        ),
     )
 
 

@@ -688,9 +688,9 @@ WITH pts AS (
   SELECT fold,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
   FROM pts GROUP BY fold
 ), t AS (
   SELECT fold, n, sx, sy, sxx, sxy, syy,
@@ -730,8 +730,9 @@ def ols_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     template for evaluating ANY sufficient-statistics model without a
     second data pass.
 
-    The trick that keeps this one-pass at 100 TB: per-fold integer
-    sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT, the
+    The trick that keeps this one-pass at 100 TB: per-fold sufficient
+    statistics (n, Σx, Σy int64; Σx², Σxy, Σy² in DECIMAL(38,0) —
+    y²≈1e10/row overflows int64 past ~9e8 rows/fold) are EXACT, the
     train-side stats are total − fold (window over {k} rows, still
     exact), and the held-out SSE expands algebraically as
     Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx² — so the
@@ -747,13 +748,14 @@ def ols_cv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("x"),
         F.round("l_extendedprice").cast("long").alias("y"),
     )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = pts.groupBy("fold").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
     w = Window.partitionBy()
     t = s.select(
