@@ -73,71 +73,30 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation (SURVEY.md §8): the driver records only the
-# first ~50 queries() entries per round. Round-7 priority (per the round-5
-# VERDICT §Next-round #1): the 12 operators that have NEVER had a driver row,
-# then the 7 names whose newest row is round 2, then the four flagships
-# (kept in-window every round), then the queries NEW this round, then names
-# whose newest row is round 3 (refresh). Everything past ~50 is covered by
-# the committed PARITY_r*.txt sf0.01 sweeps (tools/parity.py, the in-repo
-# replica of the driver gate).
+# first ~50 queries() entries per round. Everything past the window is
+# covered by the committed PARITY_r*.txt sf0.01 sweeps (tools/parity.py,
+# the in-repo replica of the driver gate).
 # ---------------------------------------------------------------------------
-_R7_PRIORITY = [
-    # never had a driver row (r5 additions that missed the r5 window)
-    "scd2_build",
-    "scd2_apply",
-    "dedup_minhash_prebuilt",
-    "fuzzy_join_editdist",
-    "fuzzy_join_prebuilt",
-    "rollup_incremental",
-    "ann_quantized_topk",
-    "timeseries_gapfill",
-    "user_retention_cohorts",
-    "key_skew_report",
-    "psi_drift_report",
-    "quality_percentile_gate",
-    # newest driver row is round 2 — refresh
-    "compare_with_source",
-    "cdc_merge",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ingest_full_load_jsonl",
-    "time_on_page_incremental",
-    "dedup_embedding_cosine",
-    # flagships — kept in-window every round
+_R8_PRIORITY = [
+    # Round-7 window (recorded as CORRECTNESS_r07): first the 7 queries
+    # whose plan/SQL changed this session (round-6 ADVICE fixes) plus
+    # ingest_full_load_fixedwidth (new oracle family, never checked),
+    # then the four flagships (in-window every round), then the 126
+    # never-driver-checked names in registry order (the round-6 waves
+    # overflowed the ~50-row window by construction; all are green in
+    # the committed PARITY sweeps), then the r3-stale names. New
+    # round-7 operators are inserted after the flagships as they land.
+    "ols_cv_eval",
+    "filter_cascade_report",
+    "kmv_type_overlap",
+    "kmv_distinct_by_type",
+    "hits_authorities",
+    "hits_top_hubs",
+    "ingest_full_load_fixedwidth",
     "preprocess_pipeline",
     "curate_documents",
     "training_data_pipeline",
     "corpus_index_pipeline",
-    # touched this round (ADVICE fixes changed their SQL/plan) — re-pin
-    "cohort_ltv",
-    "ab_test_report",
-    # NEW in round 7 — first driver row
-    "propagate_deletes_report",
-    "semantic_dedup_scaled",
-    "graph_pagerank",
-    "graph_triangle_stats",
-    "minhash_spark_native",
-    "tokenizer_fertility_report",
-    "contamination_ngram_overlap",
-    "quality_isolation_outliers",
-    "gdpr_erasure_audit",
-    "session_conversion_attribution",
-    "entity_resolution_blocking",
-    "session_survival_km",
-    "cusum_changepoint",
-    "docs_length_histogram",
-    "embedding_pca_power",
-    "percentile_bucket_assign",
-    "events_cube_report",
-    # NEW this session — first row anywhere (not even a PARITY_r6 line)
-    "ingest_full_load_csv",
-    "ingest_full_load_orc",
-    "theil_sen_trend",
-    "spearman_corr_matrix",
-    "hll_weekly_union",
-    "nb_langid_confusion",
-    "doc_similarity_tfidf_topk",
-    "script_char_profile",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",
@@ -154,9 +113,6 @@ _R7_PRIORITY = [
     "order_lines_histogram",
     "topk_movers_wow",
     "new_vs_returning_daily",
-    # NEW in round 7, third wave (regression/graph/profiling batch) —
-    # first driver row; whatever falls past the ~50-row window is
-    # covered by the committed PARITY sweep
     "ols_discount_elasticity",
     "acf_daily_revenue",
     "did_lift_report",
@@ -183,8 +139,6 @@ _R7_PRIORITY = [
     "revenue_concentration_curve",
     "orders_monthly_yoy",
     "events_dau_wau_mau",
-    # NEW in round 7, second wave — first driver row (past-window names
-    # are covered by the committed PARITY sweep)
     "hll_distinct_daily",
     "ks_drift_report",
     "mann_whitney_ab",
@@ -216,22 +170,15 @@ _R7_PRIORITY = [
     "open_orders_timeline",
     "fd_profile_report",
     "column_entropy_report",
-    # NEW in round 8 — first row anywhere (covered by the end-of-round
-    # PARITY sweep; past the ~50-row driver window by construction)
     "readability_report",
     "partition_size_advisor",
     "value_mask_profile",
     "user_active_streaks",
     "priority_mix_chisq",
-    "kmv_distinct_by_type",
-    "kmv_type_overlap",
     "centroid_silhouette_report",
     "vocab_growth_curve",
     "quality_score_pr_curve",
     "ann_pq_topk",
-    "hits_authorities",
-    "hits_top_hubs",
-    "ols_cv_eval",
     "bayesian_ab_conversion",
     "periodogram_daily_revenue",
     "conformal_forecast_interval",
@@ -247,29 +194,62 @@ _R7_PRIORITY = [
     "hilbert_layout_report",
     "char_coverage_report",
     "winnowing_fingerprint_stats",
-    # newest driver row is round 3 — refresh with remaining slots
+    "embedding_split_leakage",
+    "oov_rate_curve",
+    "textrank_keywords",
+    "js_divergence_sources",
+    "quantile_normalize_scores",
+    "feature_hash_collisions",
+    "rrf_fusion_topk",
+    "ann_ndcg_eval",
+    "prf_expansion_terms",
+    "kwic_snippets",
+    "graph_kcore_peel",
+    "order_reconciliation_report",
+    "fellegi_sunter_weights",
+    "cramers_v_matrix",
+    "position_attribution_ushape",
+    "curriculum_shard_plan",
+    "welch_ttest_by_type",
+    "kendall_tau_daily",
+    "ar1_forecast_eval",
+    "target_encoding_kfold",
+    "mix_shift_decomposition",
+    "calibration_report",
+    "anova_oneway_value",
+    "pettitt_changepoint",
+    "gini_split_finder",
+    "score_lift_deciles",
+    "lm_quality_correlation",
+    "pacf_daily_revenue",
+    "revenue_grouping_sets",
+    "ann_ivf_topk_prebuilt",
+    "approx_sketch_stats",
+    "dataset_split",
+    "dedup_cluster_representative",
     "dedup_exact",
-    "window_time",
-    "session_window_stats",
-    "keywords_extract",
-    "keywords_ngrams",
+    "doc_chunk",
     "exact_keywords_set",
     "ingest_jdbc_derby",
-    "doc_chunk",
+    "keywords_extract",
+    "keywords_ngrams",
     "paragraph_dedup",
-    "ann_ivf_topk_prebuilt",
-    "semantic_dedup",
-    "dedup_cluster_representative",
-    "dataset_split",
-    "approx_sketch_stats",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_orders",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "semantic_dedup",
+    "session_window_stats",
+    "window_time",
 ]
 
 
 def _rotated() -> None:
-    registry.reorder([n for n in _R7_PRIORITY if n in registry.QUERIES])
+    registry.reorder([n for n in _R8_PRIORITY if n in registry.QUERIES])
 
 
 def entry(spark: SparkSession) -> DataFrame:
