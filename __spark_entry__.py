@@ -97,6 +97,11 @@ _R8_PRIORITY = [
     "curate_documents",
     "training_data_pipeline",
     "corpus_index_pipeline",
+    # NEW in round 7 — first driver row
+    "ingest_full_load_xml",
+    "rolling_distinct_users_exact",
+    "ridge_regression_path",
+    "woe_iv_report",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -212,6 +212,21 @@ def ingest_full_load_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_entity(spark, sf_dir, "csv")
 
 
+@query("ingest_full_load_xml", oracle=_ROUNDTRIP_ORACLE)
+def ingest_full_load_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML landzone round trip over Spark 4's BUILT-IN xml source (the
+    spark-xml lineage merged into sql/core — no external package): the
+    enterprise-feed format (SOAP exports, SEPA/ISO-20022 payments,
+    legacy CMS dumps) a lake still has to accept. Same fidelity harness
+    as the csv/orc twins: full-load sample → <row> elements → explicit-
+    schema read-back, hash-compared column-by-column against the
+    parquet source, so entity escaping (props holds JSON with <>&
+    quotes), double precision and timestamp micros are proven lossless.
+    Distributed both ways: one writer task per partition, and the
+    reader splits on rowTag boundaries so a big file still fans out."""
+    return _roundtrip_entity(spark, sf_dir, "xml")
+
+
 @query("ingest_full_load_orc", oracle=_ROUNDTRIP_ORACLE)
 def ingest_full_load_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC landzone round trip: the second columnar lake format Spark

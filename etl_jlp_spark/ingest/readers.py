@@ -59,6 +59,7 @@ def sniff_format(path: str) -> str:
         ".csv": "csv",
         ".json": "jsonline",
         ".jsonl": "jsonline",
+        ".xml": "xml",
     }
     votes = {fmt for f in data_files for ext, fmt in by_ext.items() if f.endswith(ext)}
     if len(votes) > 1:
@@ -75,6 +76,8 @@ def sniff_format(path: str) -> str:
             votes.add("orc")
         elif head[:1] in (b"{", b"["):
             votes.add("jsonline")
+        elif head[:1] == b"<":
+            votes.add("xml")
         else:
             votes.add("csv")
     if len(votes) > 1:
@@ -116,5 +119,12 @@ def read_entity(
         return reader.option("header", "true").option(
             "timestampFormat", TIMESTAMP_FORMAT_US
         ).csv(path)
+    if fmt == "xml":
+        return (
+            reader.format("xml")
+            .option("rowTag", "row")
+            .option("timestampFormat", TIMESTAMP_FORMAT_US)
+            .load(path)
+        )
     # json / jsonline are both line-delimited
     return reader.option("timestampFormat", TIMESTAMP_FORMAT_US).json(path)

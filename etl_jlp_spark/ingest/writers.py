@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FORMATS = ("parquet", "orc", "csv", "json", "jsonline")
+FORMATS = ("parquet", "orc", "csv", "json", "jsonline", "xml")
 
 # microsecond-precision timestamps for text formats (JSON/CSV default to
 # millis, which silently truncates parquet-sourced micros)
@@ -63,6 +63,12 @@ def write_entity(
         # default JSON timestampFormat is millisecond-only — micros
         # would be silently truncated on the landzone round trip
         writer = writer.option("timestampFormat", TIMESTAMP_FORMAT_US)
+    if fmt == "xml":
+        # Spark 4's built-in XML source (the spark-xml lineage merged
+        # into sql/core); rowTag is mandatory, micros pinned as in csv
+        writer = writer.option("rowTag", "row").option(
+            "timestampFormat", TIMESTAMP_FORMAT_US
+        )
     # the reference's "jsonline" (one object per line, general_lib.py:
     # 361-379 write_dls jsonline branch) IS Spark's native json sink —
     # line-delimited, split-able, written in parallel per partition

@@ -332,3 +332,143 @@ def lm_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             CORR_ROUND,
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information value — the credit-scoring feature
+# screen for categorical features against a binary outcome.
+# ---------------------------------------------------------------------------
+
+WOE_ROUND = 6
+
+# engine-shared scalar strings (plans/regression.py contract): smoothed
+# class proportions, WoE = ln(p_bad / p_good), IV = Σ (p_bad−p_good)·WoE
+_WOE_PBAD = "(n_bad + 0.5) / (bad_tot + 1.0)"
+_WOE_PGOOD = "(n_good + 0.5) / (good_tot + 1.0)"
+
+
+@query(
+    "woe_iv_report",
+    oracle=f"""
+WITH bad_orders AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), base AS (
+  SELECT o.o_orderkey,
+         CAST(b.o_orderkey IS NOT NULL AS INTEGER) AS bad,
+         o.o_orderpriority AS priority,
+         c.c_mktsegment AS segment,
+         lpad(CAST(month(o.o_orderdate) AS VARCHAR), 2, '0') AS order_month
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  LEFT JOIN bad_orders b ON b.o_orderkey = o.o_orderkey
+), long_form AS (
+  SELECT 'priority' AS feature, priority AS level, bad FROM base
+  UNION ALL
+  SELECT 'segment', segment, bad FROM base
+  UNION ALL
+  SELECT 'order_month', order_month, bad FROM base
+), cells AS (
+  SELECT feature, level,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(bad) AS BIGINT) AS n_bad,
+         CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+  FROM long_form GROUP BY 1, 2
+), tot AS (
+  SELECT feature, level, n_orders, n_bad, n_good,
+         CAST(sum(n_bad) OVER (PARTITION BY feature) AS DOUBLE) AS bad_tot,
+         CAST(sum(n_good) OVER (PARTITION BY feature) AS DOUBLE) AS good_tot
+  FROM cells
+), scored AS (
+  SELECT feature, level, n_orders, n_bad,
+         ln(({_WOE_PBAD}) / ({_WOE_PGOOD})) AS woe,
+         (({_WOE_PBAD}) - ({_WOE_PGOOD}))
+           * ln(({_WOE_PBAD}) / ({_WOE_PGOOD})) AS iv_term
+  FROM tot
+)
+SELECT feature, level, n_orders, n_bad,
+       round(woe, {WOE_ROUND}) + 0.0 AS woe,
+       round(sum(iv_term) OVER (PARTITION BY feature), {WOE_ROUND}) + 0.0
+         AS iv_feature
+FROM scored
+""",
+)
+def woe_iv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information value screen of categorical
+    features (order priority, customer market segment, order month)
+    against a binary outcome (order contains a returned line): per
+    level the smoothed WoE = ln(p_bad/p_good), per feature the IV =
+    Σ(p_bad−p_good)·WoE — the standard pre-model ranking of which
+    features carry signal and which level encodings a scorecard should
+    use (IV < 0.02 ⇒ drop; WoE itself is the encoded feature value).
+
+    Scale shape: the outcome flag is a distinct-projection of returned
+    orderkeys joined back on the orders key; customer is a broadcast
+    dim join; the three features UNPIVOT into long form BEFORE the
+    aggregate, so one shuffle computes every feature's cells (cells ∝
+    Σ|levels|, ≤ 22 here) and the totals/IV are windows over that tiny
+    grid. Laplace +0.5 smoothing keeps WoE finite for pure levels; ln()
+    runs on identical doubles from exact counts in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_keys = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("bad_flag", F.lit(1))
+    )
+    base = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(bad_keys, "o_orderkey", "left")
+        .select(
+            F.coalesce("bad_flag", F.lit(0)).alias("bad"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lpad(F.month("o_orderdate").cast("string"), 2, "0").alias("order_month"),
+        )
+    )
+    long_form = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("priority").alias("feature"), F.col("priority").alias("level")),
+                F.struct(F.lit("segment").alias("feature"), F.col("segment").alias("level")),
+                F.struct(
+                    F.lit("order_month").alias("feature"), F.col("order_month").alias("level")
+                ),
+            )
+        ).alias("fl"),
+        "bad",
+    ).select("fl.feature", "fl.level", "bad")
+    cells = long_form.groupBy("feature", "level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("bad").cast("long").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).cast("long").alias("n_good"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = cells.select(
+        "feature",
+        "level",
+        "n_orders",
+        "n_bad",
+        "n_good",
+        F.sum("n_bad").over(wf).cast("double").alias("bad_tot"),
+        F.sum("n_good").over(wf).cast("double").alias("good_tot"),
+    )
+    scored = tot.select(
+        "feature",
+        "level",
+        "n_orders",
+        "n_bad",
+        F.expr(f"ln(({_WOE_PBAD}) / ({_WOE_PGOOD}))").alias("woe"),
+        F.expr(
+            f"(({_WOE_PBAD}) - ({_WOE_PGOOD})) * ln(({_WOE_PBAD}) / ({_WOE_PGOOD}))"
+        ).alias("iv_term"),
+    )
+    return scored.select(
+        "feature",
+        "level",
+        "n_orders",
+        "n_bad",
+        (F.round("woe", WOE_ROUND) + 0.0).alias("woe"),
+        (F.round(F.sum("iv_term").over(wf), WOE_ROUND) + 0.0).alias("iv_feature"),
+    )

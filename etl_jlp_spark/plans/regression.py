@@ -887,3 +887,151 @@ def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression path via the normal equations — the p²-sufficient-
+# statistics multivariate fit (one pass, no gradient iterations).
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDAS = [0.0, 1000.0, 1000000.0]
+
+# Engine-shared scalar expressions (the PACF pattern): both DuckDB and
+# Spark's expr() parse the SAME strings over the same double inputs, so
+# the float expression trees — and hence every coefficient — are
+# bit-identical. System: (X'X + λI) β = X'y with X = [1, qty, disc_pct],
+# solved by Cramer's rule on the 3×3 matrix.
+_RIDGE_STEPS: list[tuple[str, str]] = [
+    ("a00", "n + lam"),
+    ("a11", "s11 + lam"),
+    ("a22", "s22 + lam"),
+    ("det",
+     "a00 * (a11 * a22 - s12 * s12) - sx1 * (sx1 * a22 - s12 * sx2)"
+     " + sx2 * (sx1 * s12 - a11 * sx2)"),
+    ("d0",
+     "sy * (a11 * a22 - s12 * s12) - sx1 * (s1y * a22 - s12 * s2y)"
+     " + sx2 * (s1y * s12 - a11 * s2y)"),
+    ("d1",
+     "a00 * (s1y * a22 - s12 * s2y) - sy * (sx1 * a22 - s12 * sx2)"
+     " + sx2 * (sx1 * s2y - s1y * sx2)"),
+    ("d2",
+     "a00 * (a11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)"
+     " + sy * (sx1 * s12 - a11 * sx2)"),
+    ("b0", "d0 / det"),
+    ("b1", "d1 / det"),
+    ("b2", "d2 / det"),
+    ("sse",
+     "syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)"
+     " + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22"
+     " + 2 * b0 * b1 * sx1 + 2 * b0 * b2 * sx2 + 2 * b1 * b2 * s12)"),
+    ("sst", "syy - sy * sy / n"),
+    ("r2", "1.0 - sse / sst"),
+]
+
+_RIDGE_STATS_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x1) AS BIGINT) AS isx1, CAST(sum(x2) AS BIGINT) AS isx2,
+         CAST(sum(y) AS BIGINT) AS isy,
+         CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS is11,
+         CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS is12,
+         CAST(sum(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS is22,
+         CAST(sum(CAST(x1 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS is1y,
+         CAST(sum(CAST(x2 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS is2y,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS isyy
+  FROM pts
+"""
+
+
+def _ridge_oracle() -> str:
+    steps = ",\n".join(
+        f"c{i} AS (SELECT *, ({expr}) AS {name} FROM c{i - 1})"
+        for i, (name, expr) in enumerate(_RIDGE_STEPS, start=1)
+    )
+    lam_rows = ", ".join(f"({v!r}::DOUBLE)" for v in RIDGE_LAMBDAS)
+    return f"""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), istats AS ({_RIDGE_STATS_SQL}),
+stats AS (
+  SELECT CAST(n_rows AS DOUBLE) AS n,
+         CAST(isx1 AS DOUBLE) AS sx1, CAST(isx2 AS DOUBLE) AS sx2,
+         CAST(isy AS DOUBLE) AS sy,
+         CAST(is11 AS DOUBLE) AS s11, CAST(is12 AS DOUBLE) AS s12,
+         CAST(is22 AS DOUBLE) AS s22,
+         CAST(is1y AS DOUBLE) AS s1y, CAST(is2y AS DOUBLE) AS s2y,
+         CAST(isyy AS DOUBLE) AS syy
+  FROM istats
+), c0 AS (
+  SELECT s.*, l.lam FROM stats s CROSS JOIN (VALUES {lam_rows}) l(lam)
+),
+{steps}
+SELECT lam AS lambda,
+       round(b0, {OLS_ROUND}) + 0.0 AS intercept_usd,
+       round(b1, {OLS_ROUND}) + 0.0 AS beta_qty,
+       round(b2, {OLS_ROUND}) + 0.0 AS beta_disc_pct,
+       round(r2, {OLS_ROUND}) + 0.0 AS r2
+FROM c{len(_RIDGE_STEPS)}
+"""
+
+
+@query("ridge_regression_path", oracle=_ridge_oracle())
+def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regularization path for line revenue on (quantity,
+    discount%): coefficients + in-sample R² at each λ, fitted CLOSED
+    FORM from the normal equations (X'X + λI)β = X'y — Cramer's rule on
+    the 3×3 system. This is the multivariate generalization of
+    ols_discount_elasticity and the shape that scales: ONE combinable
+    aggregate builds the p(p+3)/2 sufficient statistics (p² cost, not
+    n), and every λ on the path reuses them for O(1) scalar algebra —
+    a grid of 100 λs costs the same single scan as one.
+
+    Exactness: first/second-order sums accumulate in int64/DECIMAL(38,0)
+    (bit-exact under any partitioning), and the Cramer/R² algebra is
+    evaluated from engine-shared expression strings (the PACF pattern),
+    so both engines build identical IEEE expression trees. In-plan SSE
+    expands algebraically (no residual pass): Σ(y−Xβ)² = Σy² − 2β'X'y
+    + β'X'Xβ."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    istats = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("x1").cast("long").alias("isx1"),
+        F.sum("x2").cast("long").alias("isx2"),
+        F.sum("y").cast("long").alias("isy"),
+        F.sum(dec("x1") * F.col("x1")).cast("decimal(38,0)").alias("is11"),
+        F.sum(dec("x1") * F.col("x2")).cast("decimal(38,0)").alias("is12"),
+        F.sum(dec("x2") * F.col("x2")).cast("decimal(38,0)").alias("is22"),
+        F.sum(dec("x1") * F.col("y")).cast("decimal(38,0)").alias("is1y"),
+        F.sum(dec("x2") * F.col("y")).cast("decimal(38,0)").alias("is2y"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("isyy"),
+    )
+    stats = istats.select(
+        F.col("n_rows").cast("double").alias("n"),
+        F.col("isx1").cast("double").alias("sx1"),
+        F.col("isx2").cast("double").alias("sx2"),
+        F.col("isy").cast("double").alias("sy"),
+        F.col("is11").cast("double").alias("s11"),
+        F.col("is12").cast("double").alias("s12"),
+        F.col("is22").cast("double").alias("s22"),
+        F.col("is1y").cast("double").alias("s1y"),
+        F.col("is2y").cast("double").alias("s2y"),
+        F.col("isyy").cast("double").alias("syy"),
+    )
+    lams = spark.createDataFrame([(v,) for v in RIDGE_LAMBDAS], "lam double")
+    cur = stats.crossJoin(F.broadcast(lams))
+    for name, expr in _RIDGE_STEPS:
+        cur = cur.withColumn(name, F.expr(expr))
+    return cur.select(
+        F.col("lam").alias("lambda"),
+        (F.round("b0", OLS_ROUND) + 0.0).alias("intercept_usd"),
+        (F.round("b1", OLS_ROUND) + 0.0).alias("beta_qty"),
+        (F.round("b2", OLS_ROUND) + 0.0).alias("beta_disc_pct"),
+        (F.round("r2", OLS_ROUND) + 0.0).alias("r2"),
+    )
