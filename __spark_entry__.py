@@ -102,6 +102,10 @@ _R8_PRIORITY = [
     "rolling_distinct_users_exact",
     "ridge_regression_path",
     "woe_iv_report",
+    "doc_lang_consistency",
+    "dup_span_excise",
+    "code_prose_ratio",
+    "neyman_allocation_plan",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -581,3 +581,76 @@ def quality_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp") / F.nullif(F.col("n_pred") + F.col("n_keep"), F.lit(0)), 4
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose composition — the training-mix axis langid can't see.
+# ---------------------------------------------------------------------------
+
+CODE_SYM_PATTERN = r"[{}()\[\];=<>#|\\]"  # code-ish punctuation classes
+CODE_SYM_TAU = 0.02  # symbol density above which a doc reads as code-like
+
+
+@query(
+    "code_prose_ratio",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[{{}}()\\[\\];=<>#|\\\\]')) AS BIGINT)
+           AS n_sym,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM documents WHERE length(text) > 0
+), scored AS (
+  SELECT source, n_chars, n_sym, n_digit,
+         CAST(n_sym * 1.0 / n_chars > {CODE_SYM_TAU} AS INTEGER) AS code_like
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(code_like) AS BIGINT) AS n_code_like,
+       round(sum(code_like) * 1.0 / count(*), 4) + 0.0 AS code_rate,
+       round(sum(n_sym) * 1.0 / sum(n_chars), 6) + 0.0 AS sym_density,
+       round(sum(n_digit) * 1.0 / sum(n_chars), 6) + 0.0 AS digit_density
+FROM scored GROUP BY source
+""",
+)
+def code_prose_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source code-vs-prose composition: documents whose code-ish
+    symbol density ({{}}()[];=<>#|\\ per char) exceeds {tau} are flagged
+    code-like, and each source reports its code rate plus corpus-level
+    symbol/digit densities — the mix axis a language-balanced training
+    recipe still has to control (langid reads code as its comment
+    language; this reads the syntax). A crawl source whose code_rate
+    drifts is the classic silent-mix-shift incident.
+
+    Plan: one narrow projection (two regexp_extract_all counts — array
+    expressions in whole-stage codegen, no explode) and one combinable
+    groupBy(source) agg; output ∝ |sources|."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(CODE_SYM_PATTERN), 0))
+        .cast("long")
+        .alias("n_sym"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+        .cast("long")
+        .alias("n_digit"),
+    )
+    scored = per_doc.withColumn(
+        "code_like",
+        (F.col("n_sym") * 1.0 / F.col("n_chars") > CODE_SYM_TAU).cast("integer"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("code_like").cast("long").alias("n_code_like"),
+        (F.round(F.sum("code_like") * 1.0 / F.count(F.lit(1)), 4) + 0.0).alias("code_rate"),
+        (F.round(F.sum("n_sym") * 1.0 / F.sum("n_chars"), 6) + 0.0).alias("sym_density"),
+        (F.round(F.sum("n_digit") * 1.0 / F.sum("n_chars"), 6) + 0.0).alias(
+            "digit_density"
+        ),
+    )
+
+
+code_prose_ratio.__doc__ = (code_prose_ratio.__doc__ or "").format(tau=CODE_SYM_TAU)

@@ -645,3 +645,102 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 contrastive_triplets.__doc__ = (contrastive_triplets.__doc__ or "").format(
     N=TRIPLET_NEG_POOL
 )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation — the survey-sampling optimal design for stratified
+# estimation of the mean, from one exact-sufficient-stats pass.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@query(
+    "neyman_allocation_plan",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(CAST(round(value * 10000) AS BIGINT) AS DECIMAL(38,0))
+                  * CAST(round(value * 10000) AS BIGINT)) AS DECIMAL(38,0)) AS sxx
+  FROM events GROUP BY event_type
+), sd AS (
+  SELECT event_type, nh,
+         sqrt((CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1))) / 10000.0 AS sh
+  FROM s
+), tot AS (
+  SELECT sum(nh) AS n_tot, sum(nh * sh) AS w_tot FROM sd
+)
+SELECT event_type,
+       nh AS stratum_size,
+       round(sh, 4) + 0.0 AS stratum_sd,
+       CAST(round({NEYMAN_BUDGET} * nh * sh / w_tot) AS BIGINT) AS n_neyman,
+       CAST(round({NEYMAN_BUDGET} * nh / CAST(n_tot AS DOUBLE)) AS BIGINT)
+         AS n_proportional,
+       round(nh * sh / w_tot - nh / CAST(n_tot AS DOUBLE), 4) + 0.0
+         AS alloc_shift
+FROM sd CROSS JOIN tot
+""",
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a {n}-row sample across event-type
+    strata — n_h ∝ N_h·S_h, the design that minimizes the variance of
+    the stratified mean of `value` — next to proportional allocation
+    and the shift between them (a high-variance stratum earns more than
+    its population share; that shift IS the payoff of knowing S_h).
+    This is the design-stage complement of stratified_sample /
+    per_source_sample_k, which EXECUTE a given allocation.
+
+    One combinable aggregate builds per-stratum (N_h, Σx, Σx²) with
+    e4-scaled exact sums (DECIMAL(38,0) second order — the
+    plans/regression.py contract), so S_h is closed-form and
+    bit-identical in both engines; everything after the agg is algebra
+    over |strata| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 10000).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x.cast("decimal(38,0)") * x).cast("decimal(38,0)").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sd = s.select(
+        "event_type",
+        "nh",
+        (
+            F.sqrt(
+                (d("nh") * d("sxx") - d("sx") * d("sx")) / (d("nh") * (d("nh") - 1))
+            )
+            / 10000.0
+        ).alias("sh"),
+    )
+    tot = sd.agg(
+        F.sum("nh").alias("n_tot"), F.sum(F.col("nh") * F.col("sh")).alias("w_tot")
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("nh").alias("stratum_size"),
+        (F.round("sh", 4) + 0.0).alias("stratum_sd"),
+        F.round(NEYMAN_BUDGET * F.col("nh") * F.col("sh") / F.col("w_tot"))
+        .cast("long")
+        .alias("n_neyman"),
+        F.round(NEYMAN_BUDGET * F.col("nh") / F.col("n_tot").cast("double"))
+        .cast("long")
+        .alias("n_proportional"),
+        (
+            F.round(
+                F.col("nh") * F.col("sh") / F.col("w_tot")
+                - F.col("nh") / F.col("n_tot").cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("alloc_shift"),
+    )
+
+
+neyman_allocation_plan.__doc__ = (neyman_allocation_plan.__doc__ or "").format(
+    n=NEYMAN_BUDGET
+)

@@ -327,3 +327,145 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").alias("n_shared_hashes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span EXCISION — the apply side of dup_span_report (Lee et al. §3:
+# keep one copy of every repeated passage, cut the rest).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dup_span_excise",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+  FROM tokd WHERE len(toks) >= {SPAN_K}
+), grams AS (
+  SELECT doc_id, n_toks, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+{SPAN_K}-1], ' ')) AS g
+  FROM sized, unnest(generate_series(1, n_toks - {SPAN_K} + 1)) AS t(i)
+), ranked AS (
+  SELECT doc_id, n_toks, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM grams
+), marked AS (
+  SELECT doc_id, n_toks, pos FROM ranked WHERE cnt >= 2 AND rn >= 2
+), brk AS (
+  SELECT doc_id, n_toks, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, n_toks, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, any_value(n_toks) AS n_toks,
+         min(pos) AS s, least(max(pos) + {SPAN_K} - 1, any_value(n_toks)) AS e
+  FROM isl GROUP BY doc_id, island
+), covered AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+  FROM spans, unnest(generate_series(s, e)) AS u(p)
+), toks_pos AS (
+  SELECT z.doc_id, CAST(i AS BIGINT) AS pos, z.toks[i] AS tok
+  FROM (SELECT * FROM sized WHERE doc_id IN (SELECT doc_id FROM spans)) z,
+       unnest(generate_series(1, len(z.toks))) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks_pos t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+), stats AS (
+  SELECT doc_id, any_value(n_toks) AS n_toks,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_toks AS BIGINT) AS n_toks, s.n_spans, s.removed_tokens,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+FROM stats s LEFT JOIN kept k ON k.doc_id = s.doc_id
+GROUP BY s.doc_id, s.n_toks, s.n_spans, s.removed_tokens
+""",
+)
+def dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of dup_span_report — Lee et al.'s actual edit:
+    every {SPAN_K}-gram occurring ≥2 times corpus-wide (WITHIN-doc
+    repeats included, unlike the cross-doc report) keeps only its
+    globally-first occurrence (min (doc_id, pos)); all later
+    occurrences are merged into maximal spans (gaps-and-islands) and
+    CUT from the document, and the surviving tokens are reassembled in
+    order. Exactly one copy of every repeated passage survives the
+    corpus; output rows are only the edited docs.
+
+    Scale shape: the gram relation is the report's (one projection
+    pass); first-vs-later is one window on the gram key (high-entropy
+    md5 partitioning); token re-assembly explodes ONLY the affected
+    documents (semi-join before the posexplode) and removes covered
+    positions with a position equi-join (covered volume ∝ removed
+    tokens, never corpus tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0).alias("toks"),
+    ).withColumn("n_toks", F.size("toks").cast("long")).filter(
+        F.col("n_toks") >= SPAN_K
+    )
+    grams = positional_grams(docs)
+    wg = Window.partitionBy("g")
+    marked = (
+        grams.select(
+            "doc_id",
+            "n_toks",
+            "pos",
+            F.row_number().over(wg.orderBy("doc_id", "pos")).alias("rn"),
+            F.count(F.lit(1)).over(wg).alias("cnt"),
+        )
+        .filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+        .select("doc_id", "n_toks", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = marked.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > SPAN_K),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn("island", F.sum("new_island").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.any_value("n_toks").alias("n_toks"),
+        F.min("pos").alias("s"),
+        F.least(F.max("pos") + SPAN_K - 1, F.any_value("n_toks")).alias("e"),
+    ).localCheckpoint(eager=False)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    ).distinct()
+    affected = spans.select("doc_id").distinct()
+    toks_pos = (
+        sized.join(affected, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
+    )
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    stats = spans.groupBy("doc_id").agg(
+        F.any_value("n_toks").cast("long").alias("n_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_tokens"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ",
+        ).alias("clean_text")
+    )
+    return stats.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        "n_spans",
+        "removed_tokens",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

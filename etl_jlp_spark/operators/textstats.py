@@ -710,3 +710,154 @@ def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(spw, 4).alias("syllables_per_word"),
         F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-level language consistency — the mixed-language-document gate.
+# ---------------------------------------------------------------------------
+
+LANGCONS_W = 50  # words per block (this corpus has no paragraph breaks)
+
+
+def _langcons_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    blk_hits = ",\n         ".join(
+        "len(list_filter(blk, t -> t IN ("
+        + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"))) AS h_{lang}"
+        for lang in langs
+    )
+    # per-block CASE chain (alphabetical tie-break, = Spark chain)
+    whens = []
+    for i, lang in enumerate(langs):
+        later = [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join([f"h_{lang} > 0", *later])
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    blk_case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    doc_sums = ",\n         ".join(
+        f"CAST(sum(h_{lang}) AS BIGINT) AS d_{lang}" for lang in langs
+    )
+    pred_counts = ",\n         ".join(
+        f"CAST(count(*) FILTER (WHERE blk_pred = '{lang}') AS BIGINT) AS c_{lang}"
+        for lang in [*langs, "unknown"]
+    )
+    doc_whens = []
+    for i, lang in enumerate(langs):
+        later = [f"d_{lang} >= d_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join([f"d_{lang} > 0", *later])
+        doc_whens.append(f"WHEN {cond} THEN '{lang}'")
+    doc_case = "CASE " + " ".join(doc_whens) + " ELSE 'unknown' END"
+    match_case = (
+        "CASE lang_pred "
+        + " ".join(f"WHEN '{lang}' THEN c_{lang}" for lang in langs)
+        + " ELSE c_unknown END"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks[cs : cs + {LANGCONS_W - 1}] AS blk
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {LANGCONS_W})) AS cs FROM d)
+), scored AS (
+  SELECT doc_id,
+         {blk_hits}
+  FROM b
+), preds AS (
+  SELECT doc_id, {blk_case} AS blk_pred,
+         {", ".join(f"h_{lang}" for lang in langs)}
+  FROM scored
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         {doc_sums},
+         {pred_counts}
+  FROM preds GROUP BY doc_id
+), docpred AS (
+  SELECT doc_id, n_blocks, {doc_case} AS lang_pred,
+         {", ".join(f"c_{lang}" for lang in sorted(LANG_MARKERS))}, c_unknown
+  FROM agg
+)
+SELECT doc_id, lang_pred, n_blocks,
+       {match_case} AS n_match,
+       round(({match_case}) * 1.0 / n_blocks, 4) + 0.0 AS consistency
+FROM docpred
+"""
+
+
+@query("doc_lang_consistency", oracle=_langcons_oracle())
+def doc_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language consistency gate: language-ID every {w}-word block of a
+    document and report what fraction agrees with the document-level
+    prediction — mixed-language documents (boilerplate in one language
+    wrapping content in another, concatenated crawls) score low and are
+    exactly the docs a monolingual training mix should drop, even when
+    their DOC-level language looks right.
+
+    One pass: blocks partition the token array, so the doc-level marker
+    hits are the SUMS of the block hits — the per-block explode feeds a
+    single groupBy(doc_id) that yields block count, per-language block-
+    prediction counts AND the doc-level hit sums; the doc prediction
+    (same tie-broken CASE chain as text_langid, over summed hits) and
+    the match count are post-agg CASE expressions. No join, no second
+    scan of text."""
+    langs = sorted(LANG_MARKERS)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    ).repartition("doc_id")
+    blocks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(LANGCONS_W))).alias("cs"),
+        "toks",
+    ).select("doc_id", F.slice("toks", F.col("cs"), F.lit(LANGCONS_W)).alias("blk"))
+    scored = blocks.select(
+        "doc_id",
+        *[
+            F.expr(
+                "size(filter(blk, t -> t IN ("
+                + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+                + ")))"
+            ).alias(f"h_{lang}")
+            for lang in langs
+        ],
+    )
+    blk_pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"h_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{other}"))
+        blk_pred = F.when(cond, lang) if blk_pred is None else blk_pred.when(cond, lang)
+    preds = scored.withColumn("blk_pred", blk_pred.otherwise("unknown"))
+    agg = preds.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        *[F.sum(f"h_{lang}").cast("long").alias(f"d_{lang}") for lang in langs],
+        *[
+            F.count_if(F.col("blk_pred") == lang).cast("long").alias(f"c_{lang}")
+            for lang in [*langs, "unknown"]
+        ],
+    )
+    doc_pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"d_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"d_{lang}") >= F.col(f"d_{other}"))
+        doc_pred = F.when(cond, lang) if doc_pred is None else doc_pred.when(cond, lang)
+    withpred = agg.withColumn("lang_pred", doc_pred.otherwise("unknown"))
+    n_match = None
+    for lang in langs:
+        n_match = (
+            F.when(F.col("lang_pred") == lang, F.col(f"c_{lang}"))
+            if n_match is None
+            else n_match.when(F.col("lang_pred") == lang, F.col(f"c_{lang}"))
+        )
+    n_match = n_match.otherwise(F.col("c_unknown"))
+    return withpred.select(
+        "doc_id",
+        "lang_pred",
+        "n_blocks",
+        n_match.alias("n_match"),
+        (F.round(n_match * 1.0 / F.col("n_blocks"), 4) + 0.0).alias("consistency"),
+    )
+
+
+doc_lang_consistency.__doc__ = (doc_lang_consistency.__doc__ or "").format(w=LANGCONS_W)
