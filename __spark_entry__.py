@@ -106,6 +106,8 @@ _R8_PRIORITY = [
     "dup_span_excise",
     "code_prose_ratio",
     "neyman_allocation_plan",
+    "golden_record_merge",
+    "data_freshness_report",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

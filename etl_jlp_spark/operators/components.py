@@ -511,3 +511,118 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cluster_size").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship — the MDM merge step after clustering.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "golden_record_merge",
+    oracle=_CC_CTES
+    + """
+, comp AS (
+  SELECT n.a AS node, least(n.a, min(r.b)) AS component
+  FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON n.a = r.a
+  GROUP BY n.a
+), joined AS (
+  SELECT c.component, c.node, d.source, d.lang, d.n_chars,
+         md5(d.text) AS text_hash
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+), rep AS (
+  SELECT component, CAST(node AS BIGINT) AS rep_doc
+  FROM (SELECT component, node,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, node ASC) AS rn
+        FROM joined)
+  WHERE rn = 1
+), stats AS (
+  SELECT j.component,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(any_value(r.rep_doc) AS BIGINT) AS rep_doc,
+         CAST(CAST(count(DISTINCT source) > 1 AS INTEGER)
+              + CAST(count(DISTINCT lang) > 1 AS INTEGER)
+              + CAST(count(DISTINCT text_hash) > 1 AS INTEGER) AS BIGINT)
+           AS n_conflicting_fields
+  FROM joined j JOIN rep r ON r.component = j.component
+  GROUP BY j.component
+), fv AS (
+  SELECT component, 'source' AS field, source AS val FROM joined
+  UNION ALL
+  SELECT component, 'lang', lang FROM joined
+), counted AS (
+  SELECT component, field, val, count(*) AS cnt FROM fv GROUP BY 1, 2, 3
+), modes AS (
+  SELECT component, field, val
+  FROM (SELECT *, row_number() OVER (PARTITION BY component, field
+                                     ORDER BY cnt DESC, val ASC) AS rn
+        FROM counted)
+  WHERE rn = 1
+), pivoted AS (
+  SELECT component,
+         max(CASE WHEN field = 'source' THEN val END) AS golden_source,
+         max(CASE WHEN field = 'lang' THEN val END) AS golden_lang
+  FROM modes GROUP BY component
+)
+SELECT CAST(s.component AS BIGINT) AS component, s.n_docs, s.rep_doc,
+       p.golden_source, p.golden_lang, s.n_conflicting_fields
+FROM stats s JOIN pivoted p ON p.component = s.component
+""",
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over the near-dup clusters — the MDM
+    merge step AFTER dedup_connected_components decides who is the same
+    entity: per cluster, the representative body (longest member, ties
+    → min doc_id), the MODE of each categorical field (most frequent
+    value, ties → alphabetical — "most records agree" survivorship),
+    and a conflict audit counting fields where members disagree (the
+    rows a steward reviews; silently merging them is the classic MDM
+    data-loss bug).
+
+    Plan: clusters come from the scale-adaptive CC solver; field modes
+    UNPIVOT (component, field, value) long-form so ONE count agg + one
+    cluster-bounded window ranks every field's values together; the
+    per-cluster stats are a second combinable agg (max_by for the
+    representative — no per-cluster sort). Everything after the CC join
+    is cluster-count-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", F.md5("text").alias("text_hash")
+    )
+    cc = dedup_connected_components(spark, sf_dir)
+    joined = cc.join(docs, cc.node == docs.doc_id).select(
+        "component", "node", "source", "lang", "n_chars", "text_hash"
+    )
+    stats = joined.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max_by("node", F.struct(F.col("n_chars"), (-F.col("node")).alias("nn")))
+        .cast("long")
+        .alias("rep_doc"),
+        (
+            (F.count_distinct("source") > 1).cast("integer")
+            + (F.count_distinct("lang") > 1).cast("integer")
+            + (F.count_distinct("text_hash") > 1).cast("integer")
+        )
+        .cast("long")
+        .alias("n_conflicting_fields"),
+    )
+    fv = joined.select(
+        "component", F.lit("source").alias("field"), F.col("source").alias("val")
+    ).unionAll(joined.select("component", F.lit("lang"), F.col("lang")))
+    counted = fv.groupBy("component", "field", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("component", "field").orderBy(F.desc("cnt"), F.asc("val"))
+    modes = counted.withColumn("rn", F.row_number().over(wf)).filter(F.col("rn") == 1)
+    pivoted = modes.groupBy("component").agg(
+        F.max(F.when(F.col("field") == "source", F.col("val"))).alias("golden_source"),
+        F.max(F.when(F.col("field") == "lang", F.col("val"))).alias("golden_lang"),
+    )
+    return stats.join(pivoted, "component").select(
+        F.col("component").cast("long").alias("component"),
+        "n_docs",
+        "rep_doc",
+        "golden_source",
+        "golden_lang",
+        "n_conflicting_fields",
+    )

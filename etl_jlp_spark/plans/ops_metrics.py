@@ -505,3 +505,87 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("returning_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness / landing-lag report — the staleness dashboard row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_freshness_report",
+    oracle="""
+WITH hw AS (SELECT max(ts) AS t FROM events),
+per_type AS (
+  SELECT event_type,
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (WHERE ts > (SELECT t FROM hw) - INTERVAL 24 HOUR)
+              AS BIGINT) AS n_last_24h,
+         CAST(count(*) FILTER (WHERE ts > (SELECT t FROM hw) - INTERVAL 168 HOUR)
+              AS BIGINT) AS n_last_7d
+  FROM events GROUP BY event_type
+)
+SELECT event_type, last_ts,
+       CAST(date_diff('second', last_ts, (SELECT t FROM hw)) AS BIGINT)
+         AS staleness_s,
+       n_events, n_last_24h, n_last_7d,
+       round(n_last_24h * 24.0 * 3600 / epoch(
+         (SELECT t FROM hw) - (SELECT min(ts) FROM events)) /
+         (n_events * 1.0 / 1), 6) + 0.0 AS rate_ratio_24h
+FROM per_type
+""",
+)
+def data_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: last event time, staleness versus the
+    corpus high-watermark (the deterministic as-of — wall clock would
+    break replays AND the oracle), trailing 24 h / 7 d volumes, and the
+    24 h arrival rate as a fraction of the stream's lifetime average —
+    the row an ingest on-call reads to tell "this source stopped" from
+    "this source is just slow": staleness catches hard stops,
+    rate_ratio_24h catches partial losses that never trip a staleness
+    alert.
+
+    Plan: ONE combinable aggregate over events (the window counts are
+    conditional sums against the broadcast as-of scalar), so the report
+    costs a single scan regardless of stream count."""
+    ev = load_table(spark, sf_dir, "events")
+    asof = ev.agg(
+        F.max("ts").alias("t"), F.min("ts").alias("t0")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(asof))
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_if(
+                F.col("ts") > F.col("t") - F.expr("INTERVAL 24 HOURS")
+            )
+            .cast("long")
+            .alias("n_last_24h"),
+            F.count_if(
+                F.col("ts") > F.col("t") - F.expr("INTERVAL 168 HOURS")
+            )
+            .cast("long")
+            .alias("n_last_7d"),
+            F.any_value("t").alias("t"),
+            F.any_value("t0").alias("t0"),
+        )
+    )
+    lifetime_s = F.col("t").cast("double") - F.col("t0").cast("double")
+    return per.select(
+        "event_type",
+        "last_ts",
+        (F.col("t").cast("long") - F.col("last_ts").cast("long")).alias("staleness_s"),
+        "n_events",
+        "n_last_24h",
+        "n_last_7d",
+        (
+            F.round(
+                F.col("n_last_24h") * 24.0 * 3600 / lifetime_s / (F.col("n_events") * 1.0 / 1),
+                6,
+            )
+            + 0.0
+        ).alias("rate_ratio_24h"),
+    )

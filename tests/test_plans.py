@@ -845,3 +845,50 @@ def test_oov_curve_sorts_vocab_not_corpus(spark):
     # must reach it through exactly one hash aggregation
     assert plan.count("FileScan") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_distinct_no_day_fanout(spark):
+    # the delta-segment algorithm must never range-join days × window —
+    # the plan has only equi-joins, and exactly one events scan feeds
+    # both the deltas and the per-day counts... (two scans allowed: the
+    # ud relation is used twice without a checkpoint)
+    df = QS["rolling_distinct_users_exact"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rs = [l for l in _optimized(df).splitlines() if "ReadSchema" in l][-1]
+    assert "props" not in rs and "value" not in rs
+
+
+def test_ridge_single_scan_single_agg(spark):
+    df = QS["ridge_regression_path"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    rs = [l for l in _optimized(df).splitlines() if "ReadSchema" in l][-1]
+    assert "l_shipdate" not in rs and "l_returnflag" not in rs
+
+
+def test_woe_unpivots_before_single_cell_agg(spark):
+    # three features must NOT mean three scans of orders
+    plan = _plan(QS["woe_iv_report"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") <= 3  # orders + customer + lineitem
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_consistency_single_pass(spark):
+    # block scoring and doc aggregation share ONE documents scan
+    plan = _plan(QS["doc_lang_consistency"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_span_excise_explodes_only_affected_docs(spark):
+    # the token re-assembly side must be gated by a semi join
+    plan = _plan(QS["dup_span_excise"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_freshness_single_scan_agg(spark):
+    # trailing-window counts are conditional sums, not per-window scans
+    plan = _plan(QS["data_freshness_report"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") <= 2  # events + the 1-row as-of scalar
