@@ -22,6 +22,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from etl_jlp_spark.operators.sessionize import SESSION_GAP_S
@@ -188,3 +189,119 @@ def time_on_page_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact rolling distinct: incremental delta-segment
+# maintenance (the stateful twin of rolling_distinct_users_exact).
+# ---------------------------------------------------------------------------
+
+ROLLDIST_W = 7  # trailing window in days — must match the batch twin
+RD_OUTPUT_SCHEMA = "day date, delta integer"
+RD_STATE_SCHEMA = "last_day long"  # days since epoch
+
+_EPOCH_NS_PER_DAY = 86_400 * 1_000_000_000
+
+
+def _emit_rolling_deltas(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import datetime as _dt
+
+    if state.hasTimedOut:
+        # watermark passed last_day + W: every future arrival takes the
+        # disjoint branch anyway, so the one-long state can go
+        state.remove()
+        return
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    days = sorted(
+        {int(v.value // _EPOCH_NS_PER_DAY) for v in pd.to_datetime(pdf["ts"])}
+    )
+    p = state.get[0] if state.exists else None
+    out_days: list[int] = []
+    out_deltas: list[int] = []
+    for d in days:
+        if p is not None and d <= p:
+            continue  # same-day repeat / out-of-order straggler
+        if p is None or d > p + ROLLDIST_W - 1:
+            # disjoint segment: open at d, close after d+W-1
+            out_days += [d, d + ROLLDIST_W]
+            out_deltas += [1, -1]
+        else:
+            # overlap: RETRACT the previous close (+1 cancels the old
+            # -1 at p+W) and extend coverage to d+W-1
+            out_days += [p + ROLLDIST_W, d + ROLLDIST_W]
+            out_deltas += [1, -1]
+        p = d
+    state.update((int(p),))
+    # evictable once the watermark passes the segment end
+    state.setTimeoutTimestamp((p + ROLLDIST_W + 1) * 86_400 * 1000)
+    if out_days:
+        yield pd.DataFrame(
+            {
+                "day": [_dt.date(1970, 1, 1) + _dt.timedelta(days=x) for x in out_days],
+                "delta": pd.array(out_deltas, dtype="int32"),
+            }
+        )
+
+
+def rolling_distinct_deltas_stateful(events: DataFrame) -> DataFrame:
+    """events stream → (day, ±1) delta rows maintaining the EXACT
+    trailing-ROLLDIST_W-day distinct-user timeline incrementally: per
+    user ONE long of state (last active day); a new active day emits
+    two deltas — the disjoint case opens a segment, the overlap case
+    retracts the previous close and extends it (the retraction-based
+    incremental-view pattern of mv_retraction_refresh, here over the
+    batch twin's delta-segment algebra, operators/timewindow.py).
+
+    Downstream, ``rolling_view`` prefix-sums the delta relation (∝
+    user-day transitions, aggregated per day it is calendar-bounded)
+    into the same timeline the batch operator computes — no raw-key
+    re-count ever happens on the serving path.
+
+    Ordering contract: per-user event-time order across micro-batches
+    (file-source replay of polled loads); within a batch any order.
+    State evicts via event-time timeout once the watermark passes the
+    segment end — a revived user then takes the disjoint branch, which
+    is exactly what eviction made true."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _emit_rolling_deltas,
+            outputStructType=RD_OUTPUT_SCHEMA,
+            stateStructType=RD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def rolling_view(deltas: DataFrame, at_days: DataFrame) -> DataFrame:
+    """Evaluate the delta step function at ``at_days`` (one `day`
+    column): per-day net deltas → running sum → value at each asked
+    day. The union trick keeps it one window over a calendar-bounded
+    relation (same shape as the batch operator's tail)."""
+    from pyspark.sql import Window
+
+    net = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    probe = at_days.select("day").distinct().withColumn("d", F.lit(0))
+    cum = (
+        net.unionByName(probe)
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+        .select(
+            "day",
+            F.sum("d")
+            .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("rolling_users"),
+        )
+    )
+    return cum.join(at_days.select("day").distinct(), "day")

@@ -488,3 +488,60 @@ def test_streaming_kmv_merges_to_batch_sketch(spark, events_dir, tmp_path):
     q2 = streaming_kmv_monitor(spark, events_dir, dest, ckpt)  # replay
     q2.awaitTermination(120)
     assert {r["event_type"]: r["est_distinct"] for r in kmv_view(spark, dest).collect()} == want
+
+
+def test_streaming_rolling_distinct_matches_batch(spark, tmp_path):
+    """The stateful delta-segment stream, replayed over time-ordered
+    micro-batches, must reproduce the batch operator's exact trailing-7d
+    distinct timeline — including the retraction case (a user active on
+    overlapping segments)."""
+    from etl_jlp_spark.streaming.stateful import (
+        rolling_distinct_deltas_stateful,
+        rolling_view,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id")
+    # three TIME-ordered chunks (the per-user cross-batch ordering the
+    # operator contracts on), written as separate files
+    src = str(tmp_path / "src")
+    bounds = ev.agg(
+        F.expr("timestamp_micros(CAST(percentile(unix_micros(ts), 0.33) AS BIGINT))").alias("t1"),
+        F.expr("timestamp_micros(CAST(percentile(unix_micros(ts), 0.66) AS BIGINT))").alias("t2"),
+    ).collect()[0]
+    t1, t2 = bounds["t1"], bounds["t2"]
+    ev.filter(F.col("ts") <= t1).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter((F.col("ts") > t1) & (F.col("ts") <= t2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("ts") > t2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    deltas = rolling_distinct_deltas_stateful(stream)
+    dest = str(tmp_path / "deltas")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        deltas.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(dest)
+    batch = __import__("__spark_entry__").queries()["rolling_distinct_users_exact"](
+        spark, SF_SMALL
+    )
+    days = batch.select("day")
+    got = {
+        (r["day"], r["rolling_users"])
+        for r in rolling_view(got_df, days).collect()
+    }
+    want = {(r["day"], r["rolling_users"]) for r in batch.collect()}
+    assert got == want
