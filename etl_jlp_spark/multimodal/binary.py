@@ -19,7 +19,7 @@ uncompressed RGB24 DIB AND Motion-JPEG ('MJPG' — per-frame JPEGs fed
 to the in-repo JPEG codec). The decode path is complete: header
 validation, dimension extraction, inflate/Huffman + defilter/IDCT /
 ADPCM reconstruction, pixel/sample-plane statistics. Formats that
-genuinely need external codecs (mp3/flac/ogg audio, inter-frame video
+genuinely need external codecs (mp3/ogg perceptual audio, inter-frame video
 — ffmpeg/librosa are not in this container) raise
 ``NotImplementedError`` explicitly; ``fake_decode=True`` (default for
 undecodable kinds) derives deterministic pseudo-features so the
@@ -406,7 +406,7 @@ AUDIO_DECODED_SCHEMA = (
     "duration_s double, rms double, peak int, checksum string"
 )
 
-REAL_AUDIO_KINDS = frozenset({"wav"})
+REAL_AUDIO_KINDS = frozenset({"wav", "flac"})  # flac: multimodal/flac.py frame codec
 
 
 # ---------------------------------------------------------------------------
@@ -663,14 +663,24 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
 
 def synth_audio_df(spark: SparkSession, n: int = 32, kind: str = "wav") -> DataFrame:
     """Deterministic audio rows: real sine-mix WAV payloads for 'wav',
-    md5-derived opaque bytes for undecodable kinds (mp3/flac/...)."""
+    real FLAC payloads for 'flac' (in-repo frame codec, mixed
+    fixed/LPC/mid-side arrangements), md5-derived opaque bytes for
+    undecodable kinds (mp3/ogg)."""
     rows = []
     for i in range(n):
         if kind in REAL_AUDIO_KINDS:
             rate = 8000
             t = np.arange(rate // 10 + i * 7)  # ~0.1 s, varying length
             wave = (3000 * np.sin(2 * np.pi * (110 + 13 * i) * t / rate)).astype(np.int16)
-            payload = encode_wav(rate, wave if i % 2 == 0 else np.stack([wave, -wave], axis=1))
+            sig = wave if i % 2 == 0 else np.stack([wave, -wave], axis=1)
+            if kind == "flac":
+                from etl_jlp_spark.multimodal.flac import encode_flac
+
+                payload = encode_flac(
+                    rate, sig, block_size=256, mid_side=(i % 4 == 1), lpc_order=4 if i % 3 == 0 else 0
+                )
+            else:
+                payload = encode_wav(rate, sig)
             rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), 0, 0)))
         else:
             digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
@@ -681,8 +691,9 @@ def synth_audio_df(spark: SparkSession, n: int = 32, kind: str = "wav") -> DataF
 
 def decode_audio(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Arrow-batched audio decode, mirroring ``decode_image``: 'wav'
-    rows get the REAL RIFF/PCM parser (rate, channels, duration, rms,
-    peak from the sample plane); compressed kinds (mp3/flac/ogg) need
+    rows get the REAL RIFF/PCM parser and 'flac' rows the in-repo FLAC
+    frame codec (rate, channels, duration, rms, peak from the sample
+    plane); perceptual kinds (mp3/ogg) need
     codecs this container lacks — with ``fake_decode`` they yield
     deterministic metadata-derived stand-ins (null signal stats),
     without it they raise NotImplementedError (checked in-batch, like
@@ -706,8 +717,11 @@ def decode_audio(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             duration = np.full(m, np.nan)
             rms = np.full(m, np.nan)
             peak = np.zeros(m, dtype=np.int32)
+            from etl_jlp_spark.multimodal.flac import decode_flac
+
             for i in np.flatnonzero(is_real):
-                rate[i], channels[i], n_samples[i], duration[i], rms[i], peak[i] = decode_wav(
+                dec = decode_flac if kind_arr[i] == "flac" else decode_wav
+                rate[i], channels[i], n_samples[i], duration[i], rms[i], peak[i] = dec(
                     payloads[i]
                 )
             yield pd.DataFrame(

@@ -779,3 +779,69 @@ def test_unsupported_sof_modes_still_raise():
     payload[i + 1] = 0xC3  # SOF9 -> SOF3 (lossless)
     with _pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(payload))
+
+
+def test_flac_roundtrips_all_paths():
+    """Every decoder path round-trips bit-exactly against in-repo
+    encodes: fixed predictors, LPC, constant, mid-side, independent
+    stereo, multi-frame, and the noise worst case."""
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.flac import (
+        decode_flac,
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    t = np.arange(5000)
+    mono = (10000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int16)
+    stereo = np.stack([mono, (mono // 2).astype(np.int16)], axis=1)
+    rng = np.random.RandomState(7)
+    noise = rng.randint(-32768, 32767, 4097).astype(np.int16)
+    cases = [
+        (encode_flac(44100, mono, block_size=1024), mono[:, None]),
+        (encode_flac(44100, stereo, block_size=512), stereo),
+        (encode_flac(44100, stereo, block_size=512, mid_side=True), stereo),
+        (encode_flac(22050, mono, block_size=2048, lpc_order=8), mono[:, None]),
+        (encode_flac(8000, np.full(3000, -123, dtype=np.int16), block_size=1000),
+         np.full((3000, 1), -123)),
+        (encode_flac(16000, noise, block_size=1024), noise[:, None]),
+    ]
+    for payload, want in cases:
+        _, _, _, got = decode_flac_samples(payload)
+        assert np.array_equal(got, want.astype(np.int64))
+    rate, ch, n, dur, rms, peak = decode_flac(cases[0][0])
+    assert (rate, ch, n) == (44100, 1, 5000) and peak == 9999
+
+
+def test_flac_crc_and_md5_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_jlp_spark.multimodal.flac import decode_flac_samples, encode_flac
+
+    mono = (5000 * np.sin(np.arange(2000) / 5)).astype(np.int16)
+    payload = bytearray(encode_flac(8000, mono, block_size=512))
+    # flip one bit inside the first frame's residual bytes
+    payload[80] ^= 0x10
+    with _pytest.raises(ValueError):
+        decode_flac_samples(bytes(payload))
+    with _pytest.raises(ValueError):
+        decode_flac_samples(b"fLaX" + bytes(payload[4:]))
+
+
+def test_decode_audio_real_flac_in_spark(spark):
+    """'flac' is a REAL audio kind now: the Spark decode matches the
+    local codec on every row (mixed fixed/LPC/mid-side payloads)."""
+    from etl_jlp_spark.multimodal.binary import decode_audio, synth_audio_df
+    from etl_jlp_spark.multimodal.flac import decode_flac
+
+    media = synth_audio_df(spark, n=12, kind="flac")
+    out = {r["media_id"]: r for r in decode_audio(media, fake_decode=False).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(out) == 12
+    for mid, payload in src.items():
+        rate, ch, n, dur, rms, peak = decode_flac(payload)
+        r = out[mid]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, ch, n)
+        assert abs(r["rms"] - rms) < 1e-9 and r["peak"] == peak
