@@ -108,6 +108,8 @@ _R8_PRIORITY = [
     "neyman_allocation_plan",
     "golden_record_merge",
     "data_freshness_report",
+    "hodges_lehmann_shift",
+    "schema_evolution_report",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

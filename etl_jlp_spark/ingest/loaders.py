@@ -450,3 +450,67 @@ def ingest_full_load_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(cuts["created_time"], _TS_FMT).alias("created_time"),
         F.to_date(cuts["created_date"], "yyyy-MM-dd").alias("created_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across snapshots — the added-column lake migration.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "schema_evolution_report",
+    oracle=f"""
+WITH sample AS (
+  SELECT props FROM events
+  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '{SAMPLE_PREFIX_BOUND}'
+), per AS (
+  SELECT 1 AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(0 AS BIGINT) AS n_props_present FROM sample
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT),
+         CAST(count(props) AS BIGINT) FROM sample
+)
+SELECT CAST(snap AS BIGINT) AS snap, n_rows, n_props_present,
+       round(n_props_present * 1.0 / n_rows, 4) + 0.0 AS props_coverage
+FROM per
+""",
+)
+def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added-column schema evolution, end to end: snapshot 1 lands
+    WITHOUT the ``props`` column, snapshot 2 adds it; ONE
+    ``mergeSchema`` read over the snapshot-partitioned tree unifies the
+    schemas (old rows surface NULL props), and the report audits
+    per-snapshot row counts and new-column coverage — the
+    did-the-migration-actually-land check, plus the read-side proof
+    that downstream queries keep working across the boundary.
+
+    At 100 TB the same read works because parquet footers carry each
+    file's own schema: mergeSchema unions footer schemas (a metadata
+    operation), and the coverage agg is one combinable pass over the
+    unified relation with snapshot partition pruning available."""
+    import tempfile
+
+    df = ingest_full_load(spark, sf_dir).select("event_id", "user_id", "ts", "props")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "etl_jlp_medallion",
+        f"{sf_dir.strip('/').replace('/', '_')}-schemaevo-{os.getpid()}",
+    )
+    df.drop("props").write.mode("overwrite").parquet(os.path.join(root, "snap=1"))
+    df.write.mode("overwrite").parquet(os.path.join(root, "snap=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.groupBy(F.col("snap").cast("long").alias("snap"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("props").cast("long").alias("n_props_present"),
+        )
+        .select(
+            "snap",
+            "n_rows",
+            "n_props_present",
+            (F.round(F.col("n_props_present") * 1.0 / F.col("n_rows"), 4) + 0.0).alias(
+                "props_coverage"
+            ),
+        )
+    )

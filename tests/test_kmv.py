@@ -57,7 +57,10 @@ def test_kmv_overlap_matches_python_replica(spark):
     expected_pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1:]}
     assert set(rows) == expected_pairs
     for (a, b), r in rows.items():
-        theta = min(max(sk[a]), max(sk[b]))
+        # theta convention: an unsaturated sketch (< K rows) has seen
+        # every key, so its threshold is the full range M (kmv.py)
+        th = {t: (KMV_M if len(sk[t]) < KMV_K else max(sk[t])) for t in (a, b)}
+        theta = min(th[a], th[b])
         inter = {h for h in sk[a] if h in set(sk[b]) and h < theta}
         union = {h for h in sk[a] + sk[b] if h < theta}
         assert r["exact_inter"] == len(by_type[a] & by_type[b])
