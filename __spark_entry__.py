@@ -110,6 +110,7 @@ _R8_PRIORITY = [
     "data_freshness_report",
     "hodges_lehmann_shift",
     "schema_evolution_report",
+    "ann_ivfpq_topk",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

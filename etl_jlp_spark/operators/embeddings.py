@@ -1013,47 +1013,54 @@ def _pq_d2_duck(a: str, b: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_train_ctes() -> str:
+    """CTE fragment (expects an ``e(vec_id, v DOUBLE[])`` relation in
+    scope): subspace slices → C0 seeding → PQ_ITERS Lloyd rounds →
+    per-vector code table. Shared by ann_pq_topk and ann_ivfpq_topk so
+    the two oracles can never train different codebooks."""
     d2 = _pq_d2_duck("s.sv", "c.cv")
     sql = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sub AS (
   SELECT vec_id, m, v[m * (len(v) // {PQ_M}) + 1 : (m + 1) * (len(v) // {PQ_M})] AS sv
   FROM e, unnest([{", ".join(str(m) for m in range(PQ_M))}]) AS t(m)
 ),
-c0 AS (
+pqc0 AS (
   SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cl,
          sv AS cv
   FROM sub QUALIFY cl < {PQ_K}
 )"""
     for i in range(1, PQ_ITERS + 1):
         sql += f""",
-a{i} AS (
+pqa{i} AS (
   SELECT vec_id, m, cl, sv FROM (
     SELECT s.vec_id, s.m, c.cl, s.sv,
            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.cl) AS rn
-    FROM sub s JOIN c{i - 1} c ON s.m = c.m
+    FROM sub s JOIN pqc{i - 1} c ON s.m = c.m
   ) WHERE rn = 1
 ),
-m{i} AS (
+pqm{i} AS (
   SELECT m, cl, pos, round(avg(val), 6) AS mval FROM (
-    SELECT m, cl, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val FROM a{i}
+    SELECT m, cl, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val FROM pqa{i}
   ) GROUP BY m, cl, pos
 ),
-c{i} AS (SELECT m, cl, list(mval ORDER BY pos) AS cv FROM m{i} GROUP BY m, cl)"""
+pqc{i} AS (SELECT m, cl, list(mval ORDER BY pos) AS cv FROM pqm{i} GROUP BY m, cl)"""
     sql += f""",
 codes AS (
   SELECT vec_id, m, cl FROM (
     SELECT s.vec_id, s.m, c.cl,
            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.cl) AS rn
-    FROM sub s JOIN c{PQ_ITERS} c ON s.m = c.m
+    FROM sub s JOIN pqc{PQ_ITERS} c ON s.m = c.m
   ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id % 50 = 0),
+)"""
+    return sql
+
+
+_PQ_SERVE_TAIL = f""",
+pqq AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id % 50 = 0),
 lut AS (
   SELECT q.query_id, c.m, c.cl,
          {_pq_d2_duck("q.qsv", "c.cv")} AS d2
-  FROM q JOIN c{PQ_ITERS} c ON q.m = c.m
+  FROM pqq q JOIN pqc{PQ_ITERS} c ON q.m = c.m
 ),
 adc AS (
   SELECT l.query_id, cd.vec_id AS neighbor_id, round(sum(l.d2), 6) AS adc6
@@ -1066,7 +1073,14 @@ SELECT query_id, neighbor_id, round(adc6, 4) AS adc_d2,
             AS INT) AS rank
 FROM adc QUALIFY rank <= 5
 """
-    return sql
+
+
+def _pq_oracle() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        + _pq_train_ctes()
+        + _PQ_SERVE_TAIL
+    )
 
 
 _PQ_DOT = "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
@@ -1079,23 +1093,11 @@ def _pq_d2_spark(a: str, b: str) -> str:
     )
 
 
-@query("ann_pq_topk", oracle=_pq_oracle())
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization top-k: each vector stored as {m} codes
-    ({k} centroids per subspace, {it} fixed Lloyd rounds per codebook,
-    min-vec_id seeding), queries answered through the asymmetric
-    (query-to-centroid) distance lookup table — the FAISS-PQ memory
-    layout where the corpus never materializes floats at query time.
-
-    Plan: ONE relational Lloyd loop trains all {m} codebooks at once
-    (subspace id is just a key column: slice-explode → per-(vec, m)
-    argmin window → per-(m, cl, pos) mean repack, all codebook-side
-    relations ≤ m·k rows and broadcast). Serving joins the code table
-    against the |Q|·m·k-row ADC lookup and sums m terms per
-    (query, vector) — at 100 TB the scan side is the code table
-    (m small ints per vector), not the embeddings. The brute-force
-    twin ann_topk_cosine stays the recall baseline; 6dp-rounded
-    centroids per round keep both engines' grouped means in sync."""
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """(sub, codes, cent): subspace slices, the trained per-vector code
+    table, and the M×K codebook — the PQ training core shared by
+    ann_pq_topk and ann_ivfpq_topk (one Lloyd loop trains all M
+    codebooks; see ann_pq_topk docstring for the plan shape)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
     sublen = dim // PQ_M
@@ -1139,6 +1141,27 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "cl")
     )
+    return sub, codes, cent
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k: each vector stored as {m} codes
+    ({k} centroids per subspace, {it} fixed Lloyd rounds per codebook,
+    min-vec_id seeding), queries answered through the asymmetric
+    (query-to-centroid) distance lookup table — the FAISS-PQ memory
+    layout where the corpus never materializes floats at query time.
+
+    Plan: ONE relational Lloyd loop trains all {m} codebooks at once
+    (subspace id is just a key column: slice-explode → per-(vec, m)
+    argmin window → per-(m, cl, pos) mean repack, all codebook-side
+    relations ≤ m·k rows and broadcast). Serving joins the code table
+    against the |Q|·m·k-row ADC lookup and sums m terms per
+    (query, vector) — at 100 TB the scan side is the code table
+    (m small ints per vector), not the embeddings. The brute-force
+    twin ann_topk_cosine stays the recall baseline; 6dp-rounded
+    centroids per round keep both engines' grouped means in sync."""
+    sub, codes, cent = _pq_model(spark, sf_dir)
     q = sub.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
@@ -1243,3 +1266,127 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_drift_report.__doc__ = (embedding_drift_report.__doc__ or "").format(
     k=DRIFT_TOP_DIMS
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the combined production ANN shape — coarse cells prune the
+# candidate set, PQ codes + an ADC lookup price the survivors.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    from etl_jlp_spark.operators.similarity import (
+        _IVF_ASSIGN_CTES,
+        ANN_QUERY_MOD,
+        IVF_N_PROBE,
+    )
+
+    return (
+        _IVF_ASSIGN_CTES
+        + ","
+        + _pq_train_ctes()
+        + f""",
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell ASC)
+             AS prn
+    FROM q CROSS JOIN cent c
+  ) WHERE prn <= {IVF_N_PROBE}
+),
+pqq AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub
+        WHERE vec_id % {ANN_QUERY_MOD} = 0),
+lut AS (
+  SELECT q.query_id, c.m, c.cl, {_pq_d2_duck("q.qsv", "c.cv")} AS d2
+  FROM pqq q JOIN pqc{PQ_ITERS} c ON q.m = c.m
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT ca.query_id, ca.vec_id AS neighbor_id, round(sum(l.d2), 6) AS adc6
+  FROM cand ca
+  JOIN codes cd ON cd.vec_id = ca.vec_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.m = cd.m AND l.cl = cd.cl
+  GROUP BY ca.query_id, ca.vec_id
+)
+SELECT query_id, neighbor_id, round(adc6, 4) AS adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc6, neighbor_id)
+            AS INT) AS rank
+FROM adc QUALIFY rank <= 5
+"""
+    )
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the two serving-side compressions COMBINED into
+    the production ANN layout (the FAISS IVFPQ shape): the coarse
+    quantizer's probed cells bound WHICH vectors are priced (directory-
+    partition pruning against the persisted IVF store), and PQ codes +
+    the per-query ADC lookup bound HOW MUCH each candidate costs (m
+    small ints per vector; the corpus floats never load at query time).
+    ann_ivf_topk_prebuilt prices survivors with full-precision floats;
+    ann_pq_topk prices EVERY vector — this operator is both cuts at
+    once, which is why it is the shape a 100 TB serving tier actually
+    deploys (recall gated offline by ann_recall_report /
+    ann_ndcg_eval).
+
+    Plan: probe selection = the IVF broadcast centroid join; candidates
+    = probed cells' partitions of the persisted store (vec_id + cell
+    only — column pruning drops the stored floats); pricing = candidate
+    ⋈ code table ⋈ broadcast |Q|·m·k ADC table, one sum per
+    (query, vector), TakeOrdered top-k."""
+    from etl_jlp_spark.operators.similarity import (
+        _ivf_probes,
+        _with_norm,
+        ensure_ivf_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    assigned_path, cent_path = ensure_ivf_store(spark, sf_dir)
+    cent_df = spark.read.parquet(cent_path)
+    queries = _with_norm(
+        emb.filter(F.col("vec_id") % _ANN_QUERY_MOD == 0), dim, "query_id", "qv"
+    ).withColumnRenamed("nrm_query_id", "nrm_q")
+    probes = _ivf_probes(queries, cent_df, dim).select("query_id", "cell")
+    probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # candidate ids from the probed cells' directory partitions only;
+    # the stored float vectors are never read (column pruning)
+    assigned = (
+        spark.read.parquet(assigned_path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sub, codes, cent = _pq_model(spark, sf_dir)
+    pqq = sub.filter(F.col("vec_id") % _ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    lut = pqq.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "cl", F.expr(_pq_d2_spark("qsv", "cv")).alias("d2")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cl"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc6"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc6", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc6", 4).alias("adc_d2"),
+            "rank",
+        )
+    )
