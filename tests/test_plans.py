@@ -892,3 +892,17 @@ def test_freshness_single_scan_agg(spark):
     # trailing-window counts are conditional sums, not per-window scans
     plan = _plan(QS["data_freshness_report"](spark, SF_SMALL))
     assert plan.count("Scan parquet") <= 2  # events + the 1-row as-of scalar
+
+
+def test_ivfpq_store_scan_prunes_floats(spark):
+    # the persisted IVF store is scanned for (vec_id, cell) ONLY —
+    # IVF-PQ's whole point is that corpus floats never load at query
+    # time (pricing goes through PQ codes + the broadcast ADC table)
+    df = QS["ann_ivfpq_topk"](spark, SF_SMALL)
+    plan = _optimized(df)
+    store_scans = [
+        l for l in plan.splitlines() if "ivf_assigned" in l and "ReadSchema" in l
+    ]
+    assert store_scans, "expected a scan of the persisted IVF store"
+    for l in store_scans:
+        assert "v:array" not in l and "nrm_vec_id" not in l, l[-300:]
