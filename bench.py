@@ -330,6 +330,20 @@ HEADLINE = [
     "ingest_full_load_fixedwidth",
     "filter_cascade_report",
     "curriculum_shard_plan",
+    # round-7 session additions
+    "ingest_full_load_xml",
+    "schema_evolution_report",
+    "rolling_distinct_users_exact",
+    "ridge_regression_path",
+    "woe_iv_report",
+    "doc_lang_consistency",
+    "dup_span_excise",
+    "code_prose_ratio",
+    "neyman_allocation_plan",
+    "golden_record_merge",
+    "data_freshness_report",
+    "hodges_lehmann_shift",
+    "ann_ivfpq_topk",
 ]
 
 
