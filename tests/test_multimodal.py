@@ -845,3 +845,78 @@ def test_decode_audio_real_flac_in_spark(spark):
         r = out[mid]
         assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, ch, n)
         assert abs(r["rms"] - rms) < 1e-9 and r["peak"] == peak
+
+
+def test_flac_decoder_paths_encoder_never_emits():
+    """Hand-built frames cover the decode paths the in-repo encoder
+    does not produce: VERBATIM subframes, wasted-bits shifts, and
+    escape-to-raw Rice partitions."""
+    import struct
+
+    import numpy as np
+
+    from etl_jlp_spark.multimodal.flac import (
+        _BitWriter,
+        _crc8,
+        _crc16,
+        _utf8_coded_number,
+        decode_flac_samples,
+    )
+    from etl_jlp_spark.multimodal.containers import encode_flac_streaminfo
+
+    n = 64
+    rng = np.random.RandomState(3)
+    # even samples -> one wasted bit
+    samples = (rng.randint(-2000, 2000, n) * 2).astype(np.int64)
+
+    def frame(subframe_writer) -> bytes:
+        hdr = bytearray([0xFF, 0xF8, 0x70, 0x04 << 1])
+        hdr += _utf8_coded_number(0)
+        hdr += struct.pack(">H", n - 1)
+        hdr.append(_crc8(bytes(hdr)))
+        bw = _BitWriter()
+        subframe_writer(bw)
+        bw.align()
+        body = bytes(hdr) + bw.bytes()
+        return body + struct.pack(">H", _crc16(body))
+
+    # 1) VERBATIM subframe
+    def verbatim(bw):
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write_signed(int(s), 16)
+
+    # 2) wasted-bits CONSTANT: value 4 = (1 << 2) with 2 wasted bits
+    def wasted_const(bw):
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(1, 1)          # wasted flag
+        bw.write_unary(1)       # unary 1 -> wasted = 2
+        bw.write_signed(1, 14)  # bps drops to 16-2
+    # 3) FIXED order 0 with an escape partition (5-bit raw residuals)
+    def escaped_fixed(bw):
+        bw.write(0, 1)
+        bw.write(8, 6)          # fixed order 0
+        bw.write(0, 1)
+        bw.write(0, 2)          # rice method 0
+        bw.write(0, 4)          # partition order 0
+        bw.write(0b1111, 4)     # escape
+        bw.write(5, 5)          # raw bits
+        for i in range(n):
+            bw.write_signed((i % 16) - 8, 5)
+
+    md5_zero = b"\x00" * 16
+    head = encode_flac_streaminfo(
+        sample_rate=8000, channels=1, bits=16, total_samples=n,
+        audio_md5=md5_zero, min_block=n, max_block=n,
+    )
+    _, _, _, got = decode_flac_samples(head + frame(verbatim))
+    assert np.array_equal(got[:, 0], samples)
+
+    _, _, _, got2 = decode_flac_samples(head + frame(wasted_const))
+    assert np.array_equal(got2[:, 0], np.full(n, 4))
+
+    _, _, _, got3 = decode_flac_samples(head + frame(escaped_fixed))
+    assert np.array_equal(got3[:, 0], np.array([(i % 16) - 8 for i in range(n)]))
