@@ -333,8 +333,13 @@ def _read_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
         coefs = FIXED_COEFS[order]
+        # python-int accumulation: a CORRUPTED stream can reach values a
+        # numpy int64 would silently wrap; the oversized assignment then
+        # raises OverflowError, which loud_codec maps to ValueError
         for i in range(order, n):
-            out[i] = res[i - order] + sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out[i] = int(res[i - order]) + sum(
+                c * int(out[i - 1 - j]) for j, c in enumerate(coefs)
+            )
     elif ftype >= 32:  # LPC
         order = ftype - 32 + 1
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -349,8 +354,8 @@ def _read_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
         for i in range(order, n):
-            acc = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
-            out[i] = res[i - order] + (acc >> shift)
+            acc = sum(c * int(out[i - 1 - j]) for j, c in enumerate(coefs))
+            out[i] = int(res[i - order]) + (acc >> shift)
     else:
         raise ValueError(f"reserved subframe type {ftype:06b}")
     return out << wasted

@@ -28,6 +28,7 @@ from etl_jlp_spark.multimodal.binary import (  # noqa: E402
     encode_png,
     encode_wav,
 )
+from etl_jlp_spark.multimodal.flac import decode_flac, encode_flac  # noqa: E402
 from etl_jlp_spark.multimodal.gif import decode_gif, encode_gif  # noqa: E402
 from etl_jlp_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 from etl_jlp_spark.multimodal.tiff import decode_tiff, encode_tiff  # noqa: E402
@@ -47,6 +48,11 @@ def _seeds():
             for c, p in ((1, 1), (5, 1), (5, 2))
         ],
         decode_wav: [encode_wav(8000, wave)],
+        decode_flac: [
+            encode_flac(8000, wave, block_size=128),
+            encode_flac(8000, np.stack([wave, -wave], axis=1), block_size=128,
+                        mid_side=True, lpc_order=4),
+        ],
         decode_avi: [encode_avi(4, 6, frames)],
     }
 
