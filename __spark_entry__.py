@@ -111,6 +111,8 @@ _R8_PRIORITY = [
     "hodges_lehmann_shift",
     "schema_evolution_report",
     "ann_ivfpq_topk",
+    "l_diversity_report",
+    "cms_join_size_estimate",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -344,6 +344,8 @@ HEADLINE = [
     "data_freshness_report",
     "hodges_lehmann_shift",
     "ann_ivfpq_topk",
+    "l_diversity_report",
+    "cms_join_size_estimate",
 ]
 
 

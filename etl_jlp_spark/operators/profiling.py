@@ -686,3 +686,100 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             CRAMERS_ROUND,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity — the audit AFTER k-anonymity: big-enough classes can
+# still leak when everyone in them shares the sensitive value.
+# ---------------------------------------------------------------------------
+
+L_DIV_THRESHOLDS = [2, 3, 5]
+
+
+@query(
+    "l_diversity_report",
+    oracle=f"""
+WITH b AS (
+  SELECT quantile_cont(value, [{", ".join(str(q) for q in _K_ANON_QS)}]) AS bs
+  FROM events
+), deciled AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         len(list_filter(b.bs, x -> x < value)) AS vdec
+  FROM events CROSS JOIN b
+), classes AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS cls_n,
+         CAST(count(DISTINCT vdec) AS BIGINT) AS l
+  FROM deciled GROUP BY 1, 2
+), th AS (SELECT unnest([{", ".join(str(l) for l in L_DIV_THRESHOLDS)}]) AS l_min)
+SELECT t.l_min,
+       CAST((SELECT count(*) FROM classes) AS BIGINT) AS n_classes,
+       CAST((SELECT min(l) FROM classes) AS BIGINT) AS min_l,
+       CAST(count(*) FILTER (WHERE c.l < t.l_min) AS BIGINT) AS n_classes_at_risk,
+       CAST(coalesce(sum(c.cls_n) FILTER (WHERE c.l < t.l_min), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       round(coalesce(sum(c.cls_n) FILTER (WHERE c.l < t.l_min), 0)
+             / CAST((SELECT sum(cls_n) FROM classes) AS DOUBLE), 4)
+         AS rows_at_risk_share
+FROM th t CROSS JOIN classes c
+GROUP BY t.l_min
+""",
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the (event_type, day) quasi-identifier
+    with the value decile as the sensitive attribute: per threshold
+    l ∈ {ls}, the classes whose sensitive attribute takes FEWER than l
+    distinct values and the rows exposed by them — the leak
+    k-anonymity cannot see (a class of 10,000 rows is k-safe and still
+    tells an attacker the sensitive value exactly when all 10,000
+    agree). Pairs with k_anonymity_report as the second release gate.
+
+    Plan: same broadcast decile bucketing as the k-anonymity twin (no
+    global ntile sort), ONE class aggregate carrying both the class
+    size and the distinct-sensitive count, thresholds on a 3-row
+    broadcast.""".replace(
+        "{ls}", "{" + ", ".join(str(l) for l in L_DIV_THRESHOLDS) + "}"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "percentile(value, array(" + ", ".join(str(q) for q in _K_ANON_QS) + "))"
+        ).alias("bs")
+    )
+    deciled = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.size(F.filter("bs", lambda x: x < F.col("value"))).alias("vdec"),
+    )
+    classes = deciled.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cls_n"),
+        F.count_distinct("vdec").cast("long").alias("l"),
+    ).localCheckpoint(eager=False)
+    th = spark.createDataFrame([(l,) for l in L_DIV_THRESHOLDS], "l_min int")
+    tot = classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum("cls_n").cast("double").alias("tot_rows"),
+    )
+    return (
+        F.broadcast(th)
+        .crossJoin(classes)
+        .groupBy("l_min")
+        .agg(
+            F.count_if(F.col("l") < F.col("l_min")).cast("long").alias("n_classes_at_risk"),
+            F.coalesce(F.sum(F.when(F.col("l") < F.col("l_min"), F.col("cls_n"))), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_min",
+            "n_classes",
+            "min_l",
+            "n_classes_at_risk",
+            "n_rows_at_risk",
+            F.round(F.col("n_rows_at_risk") / F.col("tot_rows"), 4).alias(
+                "rows_at_risk_share"
+            ),
+        )
+    )

@@ -543,3 +543,77 @@ def hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 hll_rolling_7d.__doc__ = (hll_rolling_7d.__doc__ or "").format(W=HLL_ROLL_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation — the optimizer-stats use of
+# the sketch: "how big would this join blow up?" without running it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+WITH rows_rel AS (
+  {" UNION ALL ".join(
+      f"SELECT l_partkey AS k, {r} AS r, {_bucket_sql(r, 'l_partkey')} AS bucket"
+      " FROM lineitem"
+      for r in range(CMS_DEPTH)
+  )}
+), counters AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM rows_rel GROUP BY r, bucket
+), per_row AS (
+  SELECT r, sum(c * c) AS ip FROM counters GROUP BY r
+), est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM per_row),
+exact AS (
+  SELECT CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS BIGINT) AS exact_join_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows
+  FROM (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+)
+SELECT n_rows, n_distinct_keys, exact_join_rows, est_join_rows,
+       round(est_join_rows / CAST(exact_join_rows AS DOUBLE), 4) + 0.0
+         AS overestimate_ratio
+FROM exact CROSS JOIN est
+""",
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality of lineitem on l_partkey estimated from
+    the COUNT-MIN SKETCH INNER PRODUCT — |A ⋈ B| = Σ_k f_A(k)·f_B(k)
+    is upper-bounded by min_r Σ_b c_A[r,b]·c_B[r,b] (Cormode &
+    Muthukrishnan §4.2; here A = B so it is the F₂ self-join moment) —
+    next to the exact answer and the measured overestimate. This is
+    the question a join planner asks BEFORE committing to a strategy
+    ("will partkey ⋈ partkey explode?"), answered from d×w counters
+    instead of a per-key count table; two DIFFERENT relations' sketches
+    estimate their cross-join the same way because the hash family is
+    shared.
+
+    Plan: one fan-out projection (d buckets per row), one combinable
+    counter agg (≤ d×w rows), O(d×w) scalar algebra after; the exact
+    branch (one per-key count) exists only to measure the estimator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counters = cms_counters(li.select(F.col("l_partkey").alias("k")), key="k")
+    per_row = counters.groupBy("r").agg(F.sum(F.col("c") * F.col("c")).alias("ip"))
+    est = per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+    cnts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = cnts.agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("long")
+        .alias("exact_join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_distinct_keys",
+        "exact_join_rows",
+        "est_join_rows",
+        (
+            F.round(
+                F.col("est_join_rows") / F.col("exact_join_rows").cast("double"), 4
+            )
+            + 0.0
+        ).alias("overestimate_ratio"),
+    )
