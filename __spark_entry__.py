@@ -113,6 +113,7 @@ _R8_PRIORITY = [
     "ann_ivfpq_topk",
     "l_diversity_report",
     "cms_join_size_estimate",
+    "t_closeness_report",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -346,6 +346,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "l_diversity_report",
     "cms_join_size_estimate",
+    "t_closeness_report",
 ]
 
 

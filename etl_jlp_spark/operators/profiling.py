@@ -783,3 +783,135 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — the third privacy gate: a class can be k-big and
+# l-diverse and still leak by its sensitive DISTRIBUTION being far
+# from the table's.
+# ---------------------------------------------------------------------------
+
+T_CLOSE_THRESHOLDS = ["0.2", "0.3", "0.5"]  # EMD bounds (decimal strings)
+
+
+@query(
+    "t_closeness_report",
+    oracle=f"""
+WITH b AS (
+  SELECT quantile_cont(value, [{", ".join(str(q) for q in _K_ANON_QS)}]) AS bs
+  FROM events
+), deciled AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         len(list_filter(b.bs, x -> x < value)) AS vdec
+  FROM events CROSS JOIN b
+), decs AS (SELECT unnest(range(10)) AS vdec),
+cls AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cls_n
+        FROM deciled GROUP BY 1, 2),
+cell AS (
+  SELECT event_type, day, vdec, CAST(count(*) AS BIGINT) AS c
+  FROM deciled GROUP BY 1, 2, 3
+), gdist AS (
+  SELECT vdec, sum(c) AS g, sum(sum(c)) OVER () AS n FROM cell GROUP BY vdec
+), grid AS (
+  SELECT k.event_type, k.day, k.cls_n, d.vdec,
+         coalesce(c.c, 0) / CAST(k.cls_n AS DOUBLE) AS p,
+         g.g / CAST(g.n AS DOUBLE) AS q
+  FROM cls k CROSS JOIN decs d
+  LEFT JOIN cell c ON c.event_type = k.event_type AND c.day = k.day
+                  AND c.vdec = d.vdec
+  JOIN gdist g ON g.vdec = d.vdec
+), emd AS (
+  SELECT event_type, day, any_value(cls_n) AS cls_n,
+         round(sum(abs(cum)) / 9.0, 6) AS t FROM (
+    SELECT event_type, day, cls_n, vdec,
+           sum(p - q) OVER (PARTITION BY event_type, day ORDER BY vdec) AS cum
+    FROM grid
+  ) GROUP BY event_type, day
+), th AS (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in T_CLOSE_THRESHOLDS)}]) AS t_max)
+SELECT th.t_max,
+       CAST((SELECT count(*) FROM emd) AS BIGINT) AS n_classes,
+       round((SELECT max(t) FROM emd), 6) + 0.0 AS max_t,
+       CAST(count(*) FILTER (WHERE e.t > th.t_max) AS BIGINT) AS n_classes_at_risk,
+       CAST(coalesce(sum(e.cls_n) FILTER (WHERE e.t > th.t_max), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM th CROSS JOIN emd e
+GROUP BY th.t_max
+""",
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy trio: per
+    (event_type, day) class, the Earth-Mover's Distance between the
+    class's sensitive-decile distribution and the TABLE's (ordered
+    attribute ⇒ EMD = mean |cumulative difference|, Li et al. ICDE'07
+    §3), then per threshold t the classes whose distribution drifts
+    further — the skew leak that survives BOTH k-anonymity (class is
+    big) and l-diversity (all values present, one dominates).
+
+    Plan: the same broadcast decile bucketing; cells = one class×decile
+    agg; the dense grid is classes × 10 via a broadcast decile spine
+    (absent cells must contribute p=0 — a LEFT join, the classic EMD
+    bug is dropping them); EMD is a 10-row bounded window per class."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "percentile(value, array(" + ", ".join(str(q) for q in _K_ANON_QS) + "))"
+        ).alias("bs")
+    )
+    deciled = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.size(F.filter("bs", lambda x: x < F.col("value"))).alias("vdec"),
+    )
+    cell = deciled.groupBy("event_type", "day", "vdec").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    cls = cell.groupBy("event_type", "day").agg(F.sum("c").cast("long").alias("cls_n"))
+    glob = cell.groupBy("vdec").agg(F.sum("c").alias("g")).select(
+        "vdec", "g", F.sum("g").over(Window.partitionBy()).alias("n")
+    )
+    decs = spark.range(10).select(F.col("id").cast("bigint").alias("vdec"))
+    grid = (
+        cls.crossJoin(F.broadcast(decs))
+        .join(cell, ["event_type", "day", "vdec"], "left")
+        .join(F.broadcast(glob), "vdec")
+        .select(
+            "event_type",
+            "day",
+            "cls_n",
+            "vdec",
+            (F.coalesce("c", F.lit(0)) / F.col("cls_n").cast("double")).alias("p"),
+            (F.col("g") / F.col("n").cast("double")).alias("q"),
+        )
+    )
+    wc = Window.partitionBy("event_type", "day").orderBy("vdec")
+    emd = (
+        grid.withColumn("cum", F.sum(F.col("p") - F.col("q")).over(wc))
+        .groupBy("event_type", "day")
+        .agg(
+            F.any_value("cls_n").alias("cls_n"),
+            F.round(F.sum(F.abs("cum")) / 9.0, 6).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in T_CLOSE_THRESHOLDS], "t_max double"
+    )
+    tot = emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        (F.round(F.max("t"), 6) + 0.0).alias("max_t"),
+    )
+    return (
+        F.broadcast(th)
+        .crossJoin(emd)
+        .groupBy("t_max")
+        .agg(
+            F.count_if(F.col("t") > F.col("t_max")).cast("long").alias("n_classes_at_risk"),
+            F.coalesce(F.sum(F.when(F.col("t") > F.col("t_max"), F.col("cls_n"))), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t_max", "n_classes", "max_t", "n_classes_at_risk", "n_rows_at_risk"
+        )
+    )
