@@ -165,6 +165,7 @@ _DISPATCH = {
     "mp3": lambda p: extract_id3(p),
     "flac": lambda p: extract_flac_streaminfo(p),
     "mp4": lambda p: extract_mp4_meta(p),
+    "ogg": lambda p: extract_ogg_meta(p),
 }
 
 
@@ -197,3 +198,185 @@ def media_metadata_report(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, MEDIA_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header scan — duration/bitrate WITHOUT decoding (the
+# metadata layer of the perceptual-codec boundary, like STREAMINFO
+# for FLAC). MPEG-1 Layer III header fields per ISO/IEC 11172-3 §2.4.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_SPF = 1152  # samples per MPEG-1 Layer III frame
+
+
+def encode_mp3_frames(
+    n_frames: int = 8, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    id3: bytes = b"",
+) -> bytes:
+    """Structurally-valid MPEG-1 Layer III stream: correct frame
+    headers + zero main data (a header scanner indexes it exactly like
+    a real encode; only the psychoacoustic sample data is fake)."""
+    bi = _MP3_BITRATES.index(bitrate_kbps)
+    si = _MP3_RATES.index(sample_rate)
+    out = bytearray(id3)
+    for i in range(n_frames):
+        pad = (i % 2 == 1) if sample_rate == 44100 else False
+        size = 144 * bitrate_kbps * 1000 // sample_rate + (1 if pad else 0)
+        h = 0xFFE00000 | (0x3 << 19) | (0x1 << 17)  # sync | MPEG-1 | Layer III
+        h |= 0x1 << 16  # no CRC
+        h |= bi << 12 | si << 10 | (1 if pad else 0) << 9
+        h |= 0x0 << 6  # stereo
+        out += struct.pack(">I", h) + b"\x00" * (size - 4)
+    return bytes(out)
+
+
+@loud_codec
+def extract_mp3_frames(payload: bytes) -> dict | None:
+    """Walk MPEG-1 Layer III frame headers (skipping a leading ID3v2
+    tag): frame count, bitrate mode (cbr/vbr), and the play duration
+    every UI shows without any decoder. None when no sync is found at
+    the expected position; raises on corrupt/truncated frames."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    if pos + 4 > len(payload) or payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+        return None
+    n_frames, rates, brs = 0, set(), []
+    while pos + 4 <= len(payload):
+        (h,) = struct.unpack_from(">I", payload, pos)
+        if (h >> 21) != 0x7FF:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        if (h >> 19) & 0x3 != 0x3 or (h >> 17) & 0x3 != 0x1:
+            raise ValueError("only MPEG-1 Layer III streams are scanned")
+        bi, si = (h >> 12) & 0xF, (h >> 10) & 0x3
+        if bi in (0, 15) or si == 3:
+            raise ValueError("free-format/reserved bitrate or rate index")
+        br, rate = _MP3_BITRATES[bi], _MP3_RATES[si]
+        pad = (h >> 9) & 1
+        size = 144 * br * 1000 // rate + pad
+        if pos + size > len(payload):
+            raise ValueError("truncated final MP3 frame")
+        n_frames += 1
+        rates.add(rate)
+        brs.append(br)
+        pos += size
+    rate = rates.pop() if len(rates) == 1 else None
+    if rate is None:
+        raise ValueError("mixed sample rates in one stream")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "bitrate_kbps": round(sum(brs) / len(brs), 1),
+        "mode": "cbr" if len(set(brs)) == 1 else "vbr",
+        "duration_s": round(n_frames * _MP3_SPF / rate, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Ogg page walker + Vorbis identification header (RFC 3533 pages,
+# Vorbis I §4.2.2 ident packet) — CRC-verified like the FLAC frames.
+# ---------------------------------------------------------------------------
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg CRC-32: poly 0x04C11DB7, init 0, no reflection, xorout 0."""
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(serial: int, seq: int, granule: int, packet: bytes, htype: int) -> bytes:
+    lacing = []
+    rest = len(packet)
+    while rest >= 255:
+        lacing.append(255)
+        rest -= 255
+    lacing.append(rest)
+    hdr = (
+        b"OggS" + bytes([0, htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"
+        + bytes([len(lacing)]) + bytes(lacing)
+    )
+    page = bytearray(hdr + packet)
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def encode_ogg_vorbis_skeleton(
+    sample_rate: int = 44100, channels: int = 2, total_samples: int = 44100,
+    n_audio_pages: int = 3, serial: int = 0x1234,
+) -> bytes:
+    """First page = the real Vorbis identification packet (BOS), then
+    n_audio_pages of opaque 'audio' pages whose granule positions
+    advance to total_samples (EOS on the last) — the structural layer a
+    streaming server seeks/bisects on; only packet CONTENTS stay fake."""
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", sample_rate) + struct.pack("<iii", 0, 128000, 0)
+        + bytes([0xB8]) + bytes([1])
+    )
+    out = _ogg_page(serial, 0, 0, ident, htype=0x02)  # BOS
+    for i in range(1, n_audio_pages + 1):
+        gran = total_samples * i // n_audio_pages
+        htype = 0x04 if i == n_audio_pages else 0x00  # EOS on last
+        out += _ogg_page(serial, i, gran, b"\xde\xad" * 10, htype)
+    return out
+
+
+@loud_codec
+def extract_ogg_meta(payload: bytes) -> dict | None:
+    """Walk Ogg pages (capture pattern + CRC verified per page), parse
+    the Vorbis identification header from the BOS packet, and derive
+    duration from the final granule position. None for non-Ogg
+    payloads; raises on corrupt pages or a bad page CRC."""
+    if payload[:4] != b"OggS":
+        return None
+    pos, n_pages, last_granule = 0, 0, 0
+    rate, channels = None, None
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost Ogg capture pattern at byte {pos}")
+        if pos + 27 > len(payload):
+            raise ValueError("truncated Ogg page header")
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        (crc_stored,) = struct.unpack_from("<I", payload, pos + 22)
+        nseg = payload[pos + 26]
+        seg_end = pos + 27 + nseg
+        if seg_end > len(payload):
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(payload[pos + 27 : seg_end])
+        page_end = seg_end + body_len
+        if page_end > len(payload):
+            raise ValueError("truncated Ogg page body")
+        zeroed = bytearray(payload[pos:page_end])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(zeroed)) != crc_stored:
+            raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        body = payload[seg_end:page_end]
+        if n_pages == 0:
+            if body[:7] != b"\x01vorbis":
+                raise ValueError("BOS packet is not a Vorbis identification header")
+            channels = body[11]
+            (rate,) = struct.unpack_from("<I", body, 12)
+            if rate == 0 or channels == 0:
+                raise ValueError("zero rate/channels in Vorbis ident")
+        n_pages += 1
+        last_granule = max(last_granule, granule)
+        pos = page_end
+    return {
+        "n_pages": n_pages,
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_s": round(last_granule / rate, 3),
+    }

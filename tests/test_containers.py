@@ -67,3 +67,52 @@ def test_media_metadata_report_dispatch(spark):
         media_metadata_report(
             spark.createDataFrame([(9, "webm", bytearray(b"x"), ("s", 1, 0, 0))], MEDIA_SCHEMA)
         ).collect()
+
+
+def test_mp3_frame_scan_roundtrip():
+    import pytest
+
+    from etl_jlp_spark.multimodal.containers import (
+        encode_mp3_frames,
+        extract_mp3_frames,
+    )
+
+    m = extract_mp3_frames(encode_mp3_frames(12, 160, 44100))
+    assert m == {
+        "n_frames": 12, "sample_rate": 44100, "bitrate_kbps": 160.0,
+        "mode": "cbr", "duration_s": round(12 * 1152 / 44100, 3),
+    }
+    # ID3v2-prefixed stream: tag skipped, frames still indexed
+    from etl_jlp_spark.multimodal.id3 import encode_id3
+
+    tagged = encode_mp3_frames(4, 128, 48000, id3=encode_id3(title="T"))
+    assert extract_mp3_frames(tagged)["n_frames"] == 4
+    # VBR: mixed bitrates across frames
+    vbr = encode_mp3_frames(2, 128, 44100) + encode_mp3_frames(2, 320, 44100)
+    assert extract_mp3_frames(vbr)["mode"] == "vbr"
+    assert extract_mp3_frames(b"not audio") is None
+    with pytest.raises(ValueError):
+        extract_mp3_frames(encode_mp3_frames(3, 128, 44100)[:-10])
+
+
+def test_ogg_page_walk_roundtrip(spark):
+    import pytest
+
+    from etl_jlp_spark.multimodal.binary import MEDIA_SCHEMA
+    from etl_jlp_spark.multimodal.containers import (
+        encode_ogg_vorbis_skeleton,
+        extract_ogg_meta,
+        media_metadata_report,
+    )
+
+    o = encode_ogg_vorbis_skeleton(22050, 1, 66150, 4)
+    m = extract_ogg_meta(o)
+    assert m == {"n_pages": 5, "sample_rate": 22050, "channels": 1, "duration_s": 3.0}
+    assert extract_ogg_meta(b"zzzz") is None
+    corrupt = bytearray(o)
+    corrupt[40] ^= 0x01  # flip a bit inside the first page body
+    with pytest.raises(ValueError, match="CRC|capture|Vorbis|truncated"):
+        extract_ogg_meta(bytes(corrupt))
+    rows = [(0, "ogg", bytearray(o), ("s", 1, 0, 0))]
+    out = media_metadata_report(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert out[0]["has_meta"] and "n_pages=5" in out[0]["summary"]
