@@ -93,6 +93,7 @@ _R8_PRIORITY = [
     "hits_authorities",
     "hits_top_hubs",
     "ingest_full_load_fixedwidth",
+    "position_attribution_ushape",
     "preprocess_pipeline",
     "curate_documents",
     "training_data_pipeline",

@@ -209,15 +209,24 @@ WITH sess AS ({_SESSIONIZED_CTE}), enriched AS (
    AND p.event_type = '{CONVERSION_TYPE}' AND t.event_type <> '{CONVERSION_TYPE}'
    AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
 ), credits AS (
+  -- weights e6-quantized, value in cents: the credit sum is then an
+  -- EXACT integer (order-independent under any partial aggregation);
+  -- a raw double sum rounds 262.215 either way depending on addition
+  -- order (caught as a run-to-run parity flip at sf0.001)
   SELECT channel,
-         (CASE WHEN n_touch = 1 THEN 1.0
+         CAST(round((CASE WHEN n_touch = 1 THEN 1.0
                WHEN n_touch = 2 THEN 0.5
                WHEN pos = 1 OR pos = n_touch THEN 0.4
-               ELSE 0.2 / (n_touch - 2) END) * conv_value AS credit
+               ELSE 0.2 / (n_touch - 2) END) * 1000000) AS BIGINT)
+           * CAST(round(conv_value * 100) AS BIGINT) AS credit_e8
   FROM pairs
 )
 SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
-       round(sum(credit), 2) AS attributed_value
+       -- half-up to cents in INTEGER arithmetic: round(double, 2) at an
+       -- exact .xx5 boundary disagrees between engines (shortest-repr
+       -- HALF_UP vs multiply-floor), integer floor-div cannot
+       CAST((CAST(sum(CAST(credit_e8 AS DECIMAL(38,0))) AS HUGEINT) + 500000)
+            // 1000000 AS BIGINT) / 100.0 AS attributed_value
 FROM credits GROUP BY 1
 """,
 )
@@ -270,11 +279,23 @@ def position_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), F.lit(0.4))
         .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
     )
+    # e6-quantized weight x cents: the credit sum is an EXACT integer,
+    # so its value cannot depend on partial-aggregation order (a raw
+    # double sum flipped round(x, 2) run-to-run at a .xx5 boundary)
+    credit_e8 = F.round(weight * 1000000).cast("long") * F.round(
+        F.col("conv_value") * 100
+    ).cast("long")
     return (
-        positioned.select("channel", (weight * F.col("conv_value")).alias("credit"))
+        positioned.select("channel", credit_e8.alias("credit_e8"))
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_credits"),
-            F.round(F.sum("credit"), 2).alias("attributed_value"),
+            (
+                F.expr(
+                    "CAST((sum(CAST(credit_e8 AS DECIMAL(38,0))) + 500000)"
+                    " div 1000000 AS BIGINT)"
+                )
+                / 100.0
+            ).alias("attributed_value"),
         )
     )
