@@ -226,7 +226,6 @@ _R8_PRIORITY = [
     "order_reconciliation_report",
     "fellegi_sunter_weights",
     "cramers_v_matrix",
-    "position_attribution_ushape",
     "curriculum_shard_plan",
     "welch_ttest_by_type",
     "kendall_tau_daily",
