@@ -63,6 +63,7 @@ from etl_jlp_spark.plans import (  # noqa: E402, F401
     inference,
     materialized,
     mlprep,
+    nonparam,
     ops_metrics,
     pipeline,
     regression,
@@ -115,6 +116,27 @@ _R8_PRIORITY = [
     "l_diversity_report",
     "cms_join_size_estimate",
     "t_closeness_report",
+    # NEW in this round-7 session — first driver row
+    "wasserstein_value_drift",
+    "cliffs_delta_value",
+    "runs_test_daily",
+    "jackknife_mean_se",
+    "mcnemar_gate_flips",
+    "brown_forsythe_variance",
+    "simpson_slope_check",
+    "abc_inventory_class",
+    "unpivot_lineitem_metrics",
+    "freedman_diaconis_bins",
+    "ql_dirichlet_search",
+    "shapley_channel_attribution",
+    "mann_kendall_trend",
+    "hill_tail_index",
+    "grubbs_outlier_daily",
+    "partial_corr_matrix",
+    "cochran_armitage_trend",
+    "fleiss_kappa_gates",
+    "pps_systematic_sample",
+    "price_index_report",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -1019,3 +1019,86 @@ def doc_similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_similarity_tfidf_topk.__doc__ = (doc_similarity_tfidf_topk.__doc__ or "").format(
     K=MLT_TOP_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing — the language-
+# modeling counterpart of bm25_search (same fixed query, same pivoted
+# single-pass plan): score(d) = Σ_q ln((tf + μ·cf_q/|C|)/(|d| + μ)),
+# Zhai & Lafferty's Dirichlet-prior smoothing.
+# ---------------------------------------------------------------------------
+
+QL_MU = 300.0  # Dirichlet prior mass (≈ avg doc length scale)
+QL_TOP_K = 20
+
+_QL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), c AS (
+  SELECT CAST(count(*) AS DOUBLE) AS c FROM toks
+), cf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cf
+  FROM toks WHERE term IN {str(tuple(BM25_QUERY_TERMS))}
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN {str(tuple(BM25_QUERY_TERMS))}
+  GROUP BY doc_id, term
+), scored AS (
+  SELECT d.doc_id,
+         sum(ln((coalesce(tf.tf, 0) + {QL_MU} * cf.cf / c.c) / (d.dl + {QL_MU}))) AS s
+  FROM dl d
+  CROSS JOIN cf
+  CROSS JOIN c
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = cf.term
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS ql_score
+FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT {QL_TOP_K}
+"""
+
+
+@query("ql_dirichlet_search", oracle=_QL_ORACLE)
+def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-{K} retrieval for the
+    fixed bm25_search query: score(d) = Σ_q ln((tf_qd + μ·cf_q/|C|) /
+    (|d| + μ)), μ = {MU}. Unlike BM25, ALL docs score (absent terms
+    contribute the background probability), so the ranking relation is
+    the per-doc aggregate itself — no candidate filter.
+
+    Plan: the bm25_search pivot — ONE tokenize pass yields doc length
+    and every per-term tf; corpus stats (|C|, per-term cf) are a 1-row
+    broadcast; the score is a fixed-order 3-term expression (no row-
+    wise float accumulation on the Spark side) and top-K is
+    TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(BM25_QUERY_TERMS)
+    per_doc = _words(docs, spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.sum("dl").alias("c"),
+        *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(terms))],
+    )
+
+    def term_score(i: int):
+        return F.log(
+            (F.col(f"tf_{i}") + QL_MU * F.col(f"cf_{i}") / F.col("c"))
+            / (F.col("dl") + QL_MU)
+        )
+
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(sum(term_score(i) for i in range(len(terms))), 4).alias("ql_score"),
+    )
+    return scored.orderBy(F.desc("ql_score"), F.asc("doc_id")).limit(QL_TOP_K)
+
+
+ql_dirichlet_search.__doc__ = (ql_dirichlet_search.__doc__ or "").format(K=QL_TOP_K, MU=QL_MU)

@@ -915,3 +915,90 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_max", "n_classes", "max_t", "n_classes_at_risk", "n_rows_at_risk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram bin-width advisor: Freedman–Diaconis and Sturges rules per
+# numeric metric — the question every histogram operator
+# (value_histogram, equidepth_histogram, docs_length_histogram) leaves
+# open: HOW MANY bins should downstream dashboards use?
+# ---------------------------------------------------------------------------
+
+FD_ROUND = 6
+
+
+def _fd_metric_sql(metric: str, table: str, expr: str) -> str:
+    return f"""
+  SELECT '{metric}' AS metric,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(x) AS BIGINT) AS vmin,
+         CAST(max(x) AS BIGINT) AS vmax,
+         quantile_cont(x, 0.25) AS q1,
+         quantile_cont(x, 0.75) AS q3
+  FROM (SELECT {expr} AS x FROM {table})
+"""
+
+
+_FD_METRICS = [
+    ("event_value_cents", "events", "CAST(round(value * 100) AS BIGINT)"),
+    ("order_totalprice_cents", "orders", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+    ("lineitem_quantity", "lineitem", "CAST(round(l_quantity) AS BIGINT)"),
+]
+
+
+@query(
+    "freedman_diaconis_bins",
+    oracle=f"""
+WITH stats AS (
+{" UNION ALL ".join(_fd_metric_sql(m, t, e) for m, t, e in _FD_METRICS)}
+)
+SELECT metric, n, vmin, vmax,
+       round(q1, 2) + 0.0 AS q1, round(q3, 2) + 0.0 AS q3,
+       round(2.0 * (q3 - q1) / cbrt(n), {FD_ROUND}) + 0.0 AS fd_bin_width,
+       CAST(ceil((vmax - vmin) / (2.0 * (q3 - q1) / cbrt(n))) AS BIGINT) AS fd_bins,
+       CAST(ceil(log2(n)) + 1 AS BIGINT) AS sturges_bins
+FROM stats
+""",
+)
+def freedman_diaconis_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-count advisor per numeric metric (event value cents, order
+    totalprice cents, lineitem quantity): exact quartiles → IQR →
+    Freedman–Diaconis width 2·IQR·n^(−1/3) and the implied bin count,
+    with Sturges ⌈log₂n⌉+1 as the small-n cross-check. Quartiles are
+    interpolated over INTEGER domains, so q1/q3 land on exact .0/.25/
+    .5/.75 doubles in both engines; the width/count are single double
+    expressions from identical operands.
+
+    Plan: three independent single-pass aggs (one per table), each
+    map-side-combinable, unioned into a 3-row report — column-pruned
+    scans read exactly one column per table."""
+    parts = []
+    specs = [
+        ("event_value_cents", "events", F.round(F.col("value") * 100).cast("long")),
+        ("order_totalprice_cents", "orders", F.round(F.col("o_totalprice") * 100).cast("long")),
+        ("lineitem_quantity", "lineitem", F.round("l_quantity").cast("long")),
+    ]
+    for metric, table, expr in specs:
+        t = load_table(spark, sf_dir, table).select(expr.alias("x"))
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("x").cast("long").alias("vmin"),
+                F.max("x").cast("long").alias("vmax"),
+                F.expr("percentile(x, 0.25D)").alias("q1"),
+                F.expr("percentile(x, 0.75D)").alias("q3"),
+            ).select(F.lit(metric).alias("metric"), "*")
+        )
+    stats = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    width = 2.0 * (F.col("q3") - F.col("q1")) / F.cbrt("n")
+    return stats.select(
+        "metric",
+        "n",
+        "vmin",
+        "vmax",
+        F.round("q1", 2).alias("q1"),
+        F.round("q3", 2).alias("q3"),
+        F.round(width, FD_ROUND).alias("fd_bin_width"),
+        F.ceil((F.col("vmax") - F.col("vmin")) / width).cast("long").alias("fd_bins"),
+        (F.ceil(F.log2("n")) + 1).cast("long").alias("sturges_bins"),
+    )

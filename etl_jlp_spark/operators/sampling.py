@@ -744,3 +744,85 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 neyman_allocation_plan.__doc__ = (neyman_allocation_plan.__doc__ or "").format(
     n=NEYMAN_BUDGET
 )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling: probability-proportional-to-size selection
+# of parts by revenue with midpoint systematic thresholds — the
+# classical survey-sampling design next to weighted_sample_es (ES is
+# per-row randomized; systematic PPS is the zero-RNG, fixed-interval
+# design auditors can replay by hand).
+# ---------------------------------------------------------------------------
+
+PPS_N_SEL = 25  # systematic draws
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+WITH part_rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER () AS total
+  FROM part_rev
+), ks AS (
+  SELECT CAST(unnest(range({PPS_N_SEL})) AS BIGINT) AS k
+), sel AS (
+  SELECT r.l_partkey, r.rev, ks.k
+  FROM ranked r JOIN ks
+    ON 2 * {PPS_N_SEL} * (r.cum - r.rev) < (2 * ks.k + 1) * r.total
+   AND (2 * ks.k + 1) * r.total <= 2 * {PPS_N_SEL} * r.cum
+)
+SELECT l_partkey, round(rev / 100.0, 2) + 0.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS times_selected,
+       CAST(min(k) AS BIGINT) AS first_draw
+FROM sel GROUP BY 1, 2
+""",
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of
+    {N} parts by exact cents revenue: parts laid on the cumulative
+    revenue line in partkey order; draw k selects the part whose
+    cumulative interval contains the midpoint threshold
+    (2k+1)·T/(2n). Selection is decided by INTEGER cross-products
+    (2n·cum vs (2k+1)·T), so boundary hits resolve identically in
+    both engines and the design is replayable with no RNG; a part
+    larger than one interval is selected multiple times
+    (times_selected), the textbook PPS behavior.
+
+    Plan: fact table reduces to part grain first; the cumulative
+    window is over |parts| (two-phase cumsum is the documented
+    cluster-scale fallback); the threshold join is |parts| × n_sel
+    with an AQE-broadcast 25-row side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_cum = Window.orderBy("l_partkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = part_rev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    ks = spark.range(PPS_N_SEL).select(F.col("id").alias("k"))
+    cond = (
+        (2 * PPS_N_SEL * (F.col("cum") - F.col("rev")) < (2 * F.col("k") + 1) * F.col("total"))
+        & ((2 * F.col("k") + 1) * F.col("total") <= 2 * PPS_N_SEL * F.col("cum"))
+    )
+    sel = ranked.join(F.broadcast(ks), cond)
+    return sel.groupBy("l_partkey", F.round(F.col("rev") / 100.0, 2).alias("revenue")).agg(
+        F.count(F.lit(1)).cast("long").alias("times_selected"),
+        F.min("k").cast("long").alias("first_draw"),
+    )
+
+
+pps_systematic_sample.__doc__ = (pps_systematic_sample.__doc__ or "").format(N=PPS_N_SEL)

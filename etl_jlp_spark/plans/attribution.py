@@ -299,3 +299,118 @@ def position_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution: exact cooperative-game credit over
+# the 4 non-conversion channels (2⁴ = 16 coalitions) — the
+# order-independent sibling of position_attribution_ushape (position
+# rules credit a path shape; Shapley credits each channel its average
+# marginal conversion contribution over every coalition).
+# ---------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]  # bit i = channel i
+# |S|!·(k−1−|S|)! numerators for k = 4 (denominator k! = 24):
+SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+SHAPLEY_DEN = 24
+
+
+def _shapley_oracle() -> str:
+    k = len(SHAPLEY_CHANNELS)
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    popcount = " + ".join(f"CASE WHEN (a.s & {1 << i}) > 0 THEN 1 ELSE 0 END" for i in range(k))
+    wcase = (
+        "CASE " + " ".join(f"WHEN ({popcount}) = {p} THEN {w}" for p, w in SHAPLEY_W.items()) + " END"
+    )
+    chan_rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(SHAPLEY_CHANNELS))
+    return f"""
+WITH ch AS (
+  SELECT user_id, {bits} AS mask,
+         max(CASE WHEN event_type = '{CONVERSION_TYPE}' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), masks AS (
+  SELECT mask, CAST(sum(conv) AS BIGINT) AS conv FROM ch GROUP BY 1
+), coal AS (
+  SELECT CAST(unnest(range({1 << k})) AS BIGINT) AS s
+), v AS (
+  SELECT c.s, CAST(coalesce(sum(m.conv), 0) AS BIGINT) AS v
+  FROM coal c LEFT JOIN masks m ON (m.mask & c.s) = m.mask
+  GROUP BY 1
+), chan AS (
+  SELECT * FROM (VALUES {chan_rows}) t(i, name)
+), contrib AS (
+  SELECT ch.name AS channel,
+         CAST(sum(({wcase}) * (b.v - a.v)) AS BIGINT) AS phi_num
+  FROM chan ch
+  JOIN v a ON (a.s & (1 << ch.i)) = 0
+  JOIN v b ON b.s = a.s + (1 << ch.i)
+  GROUP BY 1
+)
+SELECT channel, phi_num,
+       round(phi_num / {SHAPLEY_DEN}.0, 6) + 0.0 AS shapley_conversions,
+       round(CAST(phi_num AS DOUBLE)
+             / (SELECT sum(phi_num) FROM contrib), 6) + 0.0 AS credit_share
+FROM contrib
+"""
+
+
+@query("shapley_channel_attribution", oracle=_shapley_oracle())
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution over the non-
+    conversion channels: per user a 4-bit touch mask and a conversion
+    flag; the coalition worth v(S) counts conversions of users whose
+    entire touch set fits inside S; each channel's Shapley value is
+    Σ_{{S∌i}} |S|!(k−1−|S|)!·(v(S∪i) − v(S)) / k!. With k = 4 the
+    weights are the integers {{6,2,2,6}}/24, so every φ numerator is an
+    exact integer — Σφ telescopes to v(full) − v(∅) by construction,
+    which the credit_share column renormalizes.
+
+    Plan: ONE fact-table aggregation (groupBy user_id, map-side
+    combinable) reduces the corpus to ≤ 16 mask rows; coalitions are a
+    generated 16-row relation, so the subset-sum join, the marginal
+    join and the weight application all happen on coalition-sized
+    data — at 100 TB the cost is the single user rollup."""
+    k = len(SHAPLEY_CHANNELS)
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.groupBy("user_id").agg(
+        sum(
+            F.max(F.when(F.col("event_type") == c, 1 << i).otherwise(0))
+            for i, c in enumerate(SHAPLEY_CHANNELS)
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == CONVERSION_TYPE, 1).otherwise(0)).alias("conv"),
+    )
+    masks = ch.groupBy("mask").agg(F.sum("conv").cast("long").alias("conv"))
+    coal = spark.range(1 << k).select(F.col("id").alias("s"))
+    v = (
+        coal.join(F.broadcast(masks), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    chan = spark.createDataFrame(
+        list(enumerate(SHAPLEY_CHANNELS)), "i int, name string"
+    )
+    popcount = sum(
+        F.when(F.expr(f"(s & {1 << i}) > 0"), 1).otherwise(0) for i in range(k)
+    )
+    wexpr = F.when(popcount == 0, SHAPLEY_W[0])
+    for p, wgt in list(SHAPLEY_W.items())[1:]:
+        wexpr = wexpr.when(popcount == p, wgt)
+    a = v.alias("a")
+    b = v.select(F.col("s").alias("sb"), F.col("v").alias("vb"))
+    contrib = (
+        F.broadcast(chan)
+        .join(a, F.expr("(a.s & shiftleft(1, i)) = 0"))
+        .join(F.broadcast(b), F.expr("sb = a.s + shiftleft(1, i)"))
+        .groupBy(F.col("name").alias("channel"))
+        .agg(F.sum(wexpr * (F.col("vb") - F.col("v"))).cast("long").alias("phi_num"))
+    )
+    tot = contrib.agg(F.sum("phi_num").alias("t"))
+    return contrib.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi_num",
+        F.round(F.col("phi_num") / float(SHAPLEY_DEN), 6).alias("shapley_conversions"),
+        F.round(F.col("phi_num").cast("double") / F.col("t"), 6).alias("credit_share"),
+    )

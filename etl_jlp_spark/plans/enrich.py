@@ -804,3 +804,56 @@ def robust_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("winsorized_mean_usd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): the inverse reshape of pivot_event_counts — wide
+# per-returnflag metrics to long (flag, metric, value) rows, via the
+# engines' native UNPIVOT operators (Spark DataFrame.unpivot ⇄ DuckDB
+# UNPIVOT), not a manual union-of-selects.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+         CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+              AS BIGINT) AS sum_disc_cents,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, metric_value
+FROM wide UNPIVOT (metric_value FOR metric
+                   IN (sum_qty, sum_base_cents, sum_disc_cents, n_rows))
+""",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the wide per-returnflag metric block (quantity, base and
+    discount cents, row count) into long (flag, metric, value) rows —
+    the relational inverse of pivot_event_counts, exercised through
+    Spark's native ``DataFrame.unpivot`` (EXPAND in the physical plan,
+    zero extra shuffles: the reshape happens on the 3 aggregated rows,
+    never on the fact table). All measures are exact integers, so the
+    long rows hash identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_base_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_disc_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_cents", "sum_disc_cents", "n_rows"],
+        "metric",
+        "metric_value",
+    )

@@ -1,0 +1,1304 @@
+"""Nonparametric & robustness statistics: 1-D Wasserstein drift,
+Cliff's delta effect size, Wald–Wolfowitz runs test, delete-a-group
+jackknife, McNemar's paired-gate test, Brown–Forsythe variance
+homogeneity, and a Simpson's-paradox slope check.
+
+Reference tie-in: the reference's analytics end at groupby summaries
+(dwh_lab/dwh/quality_report.py); distribution-shift magnitudes, robust
+effect sizes and paired-gate agreement were downstream notebook work.
+These make them warehouse queries with DuckDB oracles.
+
+Cross-engine exactness strategy (the plans/inference.py discipline):
+every sufficient statistic is an exact integer (cents, e6-scaled
+leave-one-out means, pair counts, rank sums) or a DECIMAL(38,0) sum,
+so both engines see bit-identical operands; each estimator is then a
+single double expression rounded once at the end. Row-wise float
+accumulation never happens — even the Wasserstein integral is
+accumulated as Σ|cumA·nB − cumB·nA|·Δv over the merged cents grid
+(integers), divided exactly once.
+
+Scale shapes (100 TB design points):
+- wasserstein_value_drift / cliffs_delta_value: the heavy relation is
+  one map-side-combinable groupBy on (event_type, cents_value) — the
+  grid is bounded by the VALUE DOMAIN (≤ ~49k distinct cents per
+  type), not the row count, so the window pass downstream is O(domain)
+  at any scale factor.
+- runs_test_daily: calendar-bounded daily series (~2.4k rows forever).
+- jackknife_mean_se: one groupBy(nation) (≤ 25 cells) after a
+  broadcast dim join; everything after is 25-row arithmetic.
+- mcnemar_gate_flips: two registered gate relations (single-pass
+  projections) joined on doc_id, one 1-row agg.
+- brown_forsythe_variance: two passes over events (per-type exact
+  median, then the |x − median| ANOVA), both map-side-combinable.
+- simpson_slope_check: one lineitem scan stacked into per-flag and
+  overall OLS sufficient statistics (≤ 4 cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.plans.inference import _DAILY_CTE, _daily
+from etl_jlp_spark.registry import query
+
+W1_REF_DAYS = 15  # reference window: first N days of the stream
+W1_ROUND = 6
+CLIFF_BASELINE = "view"  # control sample for the effect-size contrast
+JK_SCALE = 1_000_000  # e6 quantization of leave-one-nation-out means
+BF_ROUND = 6
+SIMPSON_ROUND = 6
+
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, ts, v) with v = value in exact cents."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between the reference and
+# current value distribution per event type — the MAGNITUDE sibling of
+# ks_drift_report (KS is the max CDF gap; W1 is the area between the
+# CDFs, i.e. how far probability mass actually moved, in dollars).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wasserstein_value_drift",
+    oracle=f"""
+WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN CAST(ts AS DATE) < d0 + {W1_REF_DAYS} THEN 1 ELSE 0 END AS is_ref
+  FROM events CROSS JOIN span
+), g AS (
+  SELECT event_type, v,
+         CAST(sum(is_ref) AS BIGINT) AS c_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+  FROM pts GROUP BY 1, 2
+), grid AS (
+  SELECT event_type,
+         sum(c_ref) OVER w AS cum_ref, sum(c_cur) OVER w AS cum_cur,
+         sum(c_ref) OVER t AS n_ref, sum(c_cur) OVER t AS n_cur,
+         lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS dv
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY event_type)
+)
+SELECT event_type,
+       CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+       CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+       round(CAST(sum(CAST(abs(cum_ref * n_cur - cum_cur * n_ref)
+                           AS DECIMAL(38,0)) * dv) AS DOUBLE)
+             / any_value(n_ref) / any_value(n_cur) / 100.0,
+             {W1_ROUND}) + 0.0 AS w1_dollars
+FROM grid
+WHERE dv IS NOT NULL
+GROUP BY 1
+""",
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 1-D Wasserstein-1 distance between the value
+    distribution of the first {W1_REF_DAYS} days and the rest:
+    W1 = ∫|F_ref − F_cur| dx over the merged cents grid, reported in
+    dollars. W1 is the drift MAGNITUDE (dollars of probability mass
+    moved) where ks_drift_report gives significance.
+
+    Exactness: the integral telescopes over the merged grid as
+    Σ |cumRef·nCur − cumCur·nRef| · Δv — pure integers (DECIMAL(38,0)
+    accumulated) — divided by nRef·nCur·100 exactly once.
+
+    Plan: one map-side-combinable groupBy on (type, cents) bounds the
+    window input by the value DOMAIN, not the row count; the min-date
+    scalar is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.to_date("ts") < F.date_add(F.col("d0"), W1_REF_DAYS), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    g = pts.groupBy("event_type", "v").agg(
+        F.sum("is_ref").cast("long").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("c_cur"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    grid = g.select(
+        "event_type",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.sum("c_ref").over(t).alias("n_ref"),
+        F.sum("c_cur").over(t).alias("n_cur"),
+        (F.lead("v").over(Window.partitionBy("event_type").orderBy("v")) - F.col("v")).alias(
+            "dv"
+        ),
+    ).where(F.col("dv").isNotNull())
+    term = F.abs(F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")).cast(
+        "decimal(38,0)"
+    ) * F.col("dv")
+    return grid.groupBy("event_type").agg(
+        F.any_value("n_ref").cast("long").alias("n_ref"),
+        F.any_value("n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.sum(term).cast("double")
+            / F.any_value("n_ref")
+            / F.any_value("n_cur")
+            / 100.0,
+            W1_ROUND,
+        ).alias("w1_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta: ordinal (rank-based) effect size of each event type's
+# value distribution against the CLIFF_BASELINE sample — the effect
+# size to report next to mann_whitney_ab when normality is off the
+# table. Pair counts come from the grouped cents grid (O(domain), not
+# O(n²)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cliffs_delta_value",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), cnts AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2
+), base AS (
+  SELECT v, c AS cb FROM cnts WHERE event_type = '{CLIFF_BASELINE}'
+), grid AS (
+  SELECT ty.event_type, dv.v,
+         coalesce(t.c, 0) AS ct, coalesce(b.cb, 0) AS cb
+  FROM (SELECT DISTINCT event_type FROM cnts
+        WHERE event_type <> '{CLIFF_BASELINE}') ty
+  CROSS JOIN (SELECT DISTINCT v FROM pts) dv
+  LEFT JOIN cnts t ON t.event_type = ty.event_type AND t.v = dv.v
+  LEFT JOIN base b ON b.v = dv.v
+), w AS (
+  SELECT event_type, ct, cb,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cb AS b_lt
+  FROM grid
+), agg AS (
+  SELECT event_type,
+         CAST(sum(ct) AS BIGINT) AS n_type,
+         CAST(sum(cb) AS BIGINT) AS n_base,
+         CAST(sum(ct * b_lt) AS BIGINT) AS gt_pairs,
+         CAST(sum(ct * cb) AS BIGINT) AS tie_pairs
+  FROM w GROUP BY 1
+)
+SELECT event_type, n_type, n_base, gt_pairs,
+       n_type * n_base - gt_pairs - tie_pairs AS lt_pairs,
+       tie_pairs,
+       round(CAST(gt_pairs - (n_type * n_base - gt_pairs - tie_pairs) AS DOUBLE)
+             / (CAST(n_type AS DOUBLE) * n_base), {W1_ROUND}) + 0.0 AS cliffs_delta
+FROM agg
+""",
+)
+def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta δ = (#(x>y) − #(x<y)) / (n_x·n_y) of each
+    non-baseline event type's values against the '{CLIFF_BASELINE}'
+    sample, with exact greater/less/tie pair counts.
+
+    The naive pair count is O(n²); here both samples are grouped onto
+    the shared cents grid and #(x>y) = Σ_v ct(v)·cumB_<(v) — one
+    window over O(domain) rows. All counts are integers; δ is one
+    double division.
+
+    Plan: one groupBy(type, cents); the per-type grid is the distinct
+    cents domain (≤ ~49k rows/type), built by a broadcast cross of the
+    5-row type list with the domain, so no fact-table shuffle follows
+    the first agg."""
+    pts = _events_cents(spark, sf_dir).select("event_type", "v")
+    cnts = pts.groupBy("event_type", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cnts = cnts.persist()
+    base = cnts.where(F.col("event_type") == CLIFF_BASELINE).select("v", F.col("c").alias("cb"))
+    types = cnts.where(F.col("event_type") != CLIFF_BASELINE).select("event_type").distinct()
+    dom = pts.select("v").distinct()
+    grid = (
+        types.crossJoin(dom)
+        .join(
+            cnts.where(F.col("event_type") != CLIFF_BASELINE).withColumnRenamed("c", "ct"),
+            ["event_type", "v"],
+            "left",
+        )
+        .join(base, ["v"], "left")
+        .select(
+            "event_type",
+            "v",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = grid.select(
+        "event_type",
+        "ct",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).alias("b_lt"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.sum("ct").cast("long").alias("n_type"),
+        F.sum("cb").cast("long").alias("n_base"),
+        F.sum(F.col("ct") * F.col("b_lt")).cast("long").alias("gt_pairs"),
+        F.sum(F.col("ct") * F.col("cb")).cast("long").alias("tie_pairs"),
+    )
+    lt = F.col("n_type") * F.col("n_base") - F.col("gt_pairs") - F.col("tie_pairs")
+    return agg.select(
+        "event_type",
+        "n_type",
+        "n_base",
+        "gt_pairs",
+        lt.alias("lt_pairs"),
+        "tie_pairs",
+        F.round(
+            (F.col("gt_pairs") - lt).cast("double")
+            / (F.col("n_type").cast("double") * F.col("n_base")),
+            W1_ROUND,
+        ).alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on daily revenue: is the above/below-median
+# sequence random, or does it trend/cluster? The distribution-free
+# companion to acf_daily_revenue (ACF measures HOW values co-move;
+# runs tests WHETHER the sign sequence is exchangeable at all).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "runs_test_daily",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+pts AS (
+  SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+  WHERE CAST(rev AS DOUBLE) <> m
+), runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                OR s <> lag(s) OVER (ORDER BY day) THEN 1 ELSE 0 END AS brk
+  FROM pts
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(count(*) - sum(s) AS BIGINT) AS n2,
+         CAST(sum(brk) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n AS n_days_used, n1 AS n_above, n2 AS n_below, n_runs,
+       round(1.0 + 2.0 * n1 * n2 / n, {W1_ROUND}) + 0.0 AS expected_runs,
+       round((n_runs - (1.0 + 2.0 * n1 * n2 / n))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1))),
+             {W1_ROUND}) + 0.0 AS z_stat
+FROM agg
+""",
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue series: days are
+    labeled above/below the exact median (median-equal days dropped,
+    the standard convention), runs counted via sign changes, and the
+    normal-approximation z computed from the run-count moments
+    E[R] = 1 + 2n₁n₂/n, Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+
+    Exactness: daily revenue is whole-dollar integers, so the
+    interpolated median is exactly x.0 or x.5 in doubles and the
+    above/below labels agree bit-for-bit across engines; every count
+    is an integer and z is one double expression.
+
+    Plan: calendar-bounded daily agg (~2.4k rows at any SF); the
+    single-partition ordered window is over that tiny series only."""
+    daily = _daily(spark, sf_dir)
+    med = daily.agg(F.expr("percentile(rev, 0.5D)").alias("m"))
+    pts = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rev").cast("double") != F.col("m"))
+        .select("day", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    wd = Window.orderBy("day")
+    runs = pts.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.col("s") != F.lag("s").over(wd)), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    er = 1.0 + 2.0 * n1 * n2 / n
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.cast("double") * n * (n - 1))
+    return agg.select(
+        n.alias("n_days_used"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        "n_runs",
+        F.round(er, W1_ROUND).alias("expected_runs"),
+        F.round((F.col("n_runs") - er) / F.sqrt(var), W1_ROUND).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-a-group jackknife: standard error of the mean order price
+# under leave-one-nation-out resampling — the grouped-resampling
+# sibling of bootstrap_ci_mean (bootstrap resamples rows; the grouped
+# jackknife asks how much any single market segment moves the
+# estimate, the survey-statistics convention for clustered data).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jackknife_mean_se",
+    oracle=f"""
+WITH groups AS (
+  SELECT n.n_name AS nation,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
+         CAST(count(*) AS BIGINT) AS g
+  FROM groups
+), theta AS (
+  SELECT g, nt, st,
+         CAST(round(CAST(st - s AS DOUBLE) / (nt - n) * {JK_SCALE}) AS BIGINT) AS tq
+  FROM groups CROSS JOIN tot
+), agg AS (
+  SELECT any_value(g) AS g, any_value(nt) AS nt, any_value(st) AS st,
+         CAST(sum(tq) AS BIGINT) AS sq,
+         CAST(sum(CAST(tq AS DECIMAL(38,0)) * tq) AS DECIMAL(38,0)) AS sqq
+  FROM theta
+)
+SELECT g AS n_groups, nt AS n_orders,
+       round(CAST(st AS DOUBLE) / nt / 100.0, 2) + 0.0 AS mean_price,
+       round(sqrt((g - 1.0) / g
+                  * (CAST(g AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  / (CAST(g AS DOUBLE) * g))
+             / {JK_SCALE} / 100.0, {W1_ROUND}) + 0.0 AS jk_se_price,
+       round((g - 1.0) * (CAST(sq AS DOUBLE) / g / {JK_SCALE}
+                          - CAST(st AS DOUBLE) / nt) / 100.0,
+             {W1_ROUND}) + 0.0 AS jk_bias_price
+FROM agg
+""",
+)
+def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-NATION jackknife of mean order totalprice: each
+    leave-one-out mean θ_i = (S − s_i)/(N − n_i) is quantized to an
+    exact e6-scaled integer, and SE_jack = √((g−1)/g · Σ(θ_i − θ̄)²)
+    is expanded to (g·Σθ² − (Σθ)²)/g² so the deviation sum is pure
+    integer/decimal arithmetic (the plans/regression.py trick) — no
+    order-dependent float accumulation across the 25 groups.
+
+    Plan: one groupBy(nation) after broadcast dim joins; everything
+    downstream is 25-row arithmetic on the driver-free plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    groups = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("s"),
+        )
+    )
+    tot = groups.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    theta = groups.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "nt",
+        "st",
+        F.round((F.col("st") - F.col("s")).cast("double") / (F.col("nt") - F.col("n")) * JK_SCALE)
+        .cast("long")
+        .alias("tq"),
+    )
+    agg = theta.agg(
+        F.any_value("g").alias("g"),
+        F.any_value("nt").alias("nt"),
+        F.any_value("st").alias("st"),
+        F.sum("tq").cast("long").alias("sq"),
+        F.sum(F.col("tq").cast("decimal(38,0)") * F.col("tq")).cast("decimal(38,0)").alias("sqq"),
+    )
+    g, nt, st = F.col("g"), F.col("nt"), F.col("st")
+    sq, sqq = F.col("sq").cast("double"), F.col("sqq").cast("double")
+    ss_dev = g.cast("double") * sqq - sq * sq
+    return agg.select(
+        g.alias("n_groups"),
+        nt.alias("n_orders"),
+        F.round(st.cast("double") / nt / 100.0, 2).alias("mean_price"),
+        F.round(
+            F.sqrt((g - 1.0) / g * ss_dev / (g.cast("double") * g)) / JK_SCALE / 100.0,
+            W1_ROUND,
+        ).alias("jk_se_price"),
+        F.round(
+            (g - 1.0) * (sq / g / JK_SCALE - st.cast("double") / nt) / 100.0, W1_ROUND
+        ).alias("jk_bias_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test between two registered curation gates: do the gopher
+# rules and the repetition gate disagree more than chance in ONE
+# direction? The paired sibling of filter_cascade_report (the cascade
+# shows where docs die in sequence; McNemar shows whether two gates
+# are exchangeable).
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from etl_jlp_spark.operators import (  # noqa: F401 — register the gate oracles curate composes
+        dedup,
+        quality_rules,
+        similarity,
+        textstats,
+    )
+    from etl_jlp_spark.plans.curate import CASCADE_MAX_BIGRAM, CASCADE_MIN_DISTINCT
+    from etl_jlp_spark.registry import ORACLES
+
+    gopher = ORACLES["gopher_quality_filter"]
+    rep = ORACLES["text_repetition"]
+    return f"""
+WITH gopher_rel AS MATERIALIZED ({gopher}),
+rep_rel AS MATERIALIZED ({rep}),
+paired AS (
+  SELECT g.keep AS g1,
+         (r.distinct_ratio >= {CASCADE_MIN_DISTINCT}
+          AND r.top_bigram_frac <= {CASCADE_MAX_BIGRAM}) AS g2
+  FROM gopher_rel g JOIN rep_rel r ON g.doc_id = r.doc_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS both_keep,
+         CAST(count(*) FILTER (WHERE g1 AND NOT g2) AS BIGINT) AS gopher_only,
+         CAST(count(*) FILTER (WHERE NOT g1 AND g2) AS BIGINT) AS repetition_only,
+         CAST(count(*) FILTER (WHERE NOT g1 AND NOT g2) AS BIGINT) AS both_drop
+  FROM paired
+)
+SELECT n_docs, both_keep, gopher_only, repetition_only, both_drop,
+       CASE WHEN gopher_only + repetition_only > 0
+            THEN round((gopher_only - repetition_only) * (gopher_only - repetition_only)
+                       / CAST(gopher_only + repetition_only AS DOUBLE), {W1_ROUND}) + 0.0
+            ELSE 0.0 END AS mcnemar_chi2
+FROM agg
+"""
+
+
+@query("mcnemar_gate_flips", oracle=_mcnemar_oracle())
+def mcnemar_gate_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the gopher_quality_filter keep
+    flag and the cascade's repetition gate (distinct_ratio ≥
+    {CASCADE_MIN_DISTINCT}, top_bigram_frac ≤ {CASCADE_MAX_BIGRAM})
+    on the same documents: the 2×2 agreement table (both_keep, only
+    gopher, only repetition, both_drop) and χ² = (b−c)²/(b+c) on the
+    discordant counts.
+
+    Both gate relations are the REGISTERED operators' own single-pass
+    projections (imported, not re-derived; oracles embedded verbatim
+    like filter_cascade_report), joined on doc_id — the audit can
+    never disagree with the gates it compares. Counts are integers;
+    the statistic is one double division."""
+    from etl_jlp_spark.operators.quality_rules import (
+        gopher_quality_filter,
+        text_repetition,
+    )
+    from etl_jlp_spark.plans.curate import CASCADE_MAX_BIGRAM, CASCADE_MIN_DISTINCT
+
+    gop = gopher_quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("g1"))
+    rep = text_repetition(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("distinct_ratio") >= CASCADE_MIN_DISTINCT)
+            & (F.col("top_bigram_frac") <= CASCADE_MAX_BIGRAM)
+        ).alias("g2"),
+    )
+    both = gop.join(rep, "doc_id")
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("g1") & F.col("g2"), 1).otherwise(0)).cast("long").alias("both_keep"),
+        F.sum(F.when(F.col("g1") & ~F.col("g2"), 1).otherwise(0))
+        .cast("long")
+        .alias("gopher_only"),
+        F.sum(F.when(~F.col("g1") & F.col("g2"), 1).otherwise(0))
+        .cast("long")
+        .alias("repetition_only"),
+        F.sum(F.when(~F.col("g1") & ~F.col("g2"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_drop"),
+    )
+    b, c = F.col("gopher_only"), F.col("repetition_only")
+    return agg.select(
+        "n_docs",
+        "both_keep",
+        "gopher_only",
+        "repetition_only",
+        "both_drop",
+        F.when(b + c > 0, F.round((b - c) * (b - c) / (b + c).cast("double"), W1_ROUND))
+        .otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe variance homogeneity: ANOVA on |x − group median| —
+# the SPREAD sibling of anova_oneway_value (that tests means; this
+# tests whether the value dispersion itself differs by event type,
+# the robust Levene variant).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brown_forsythe_variance",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS m FROM pts GROUP BY 1
+), dev AS (
+  SELECT p.event_type,
+         CAST(abs(2 * p.v - CAST(round(2 * m.m) AS BIGINT)) AS BIGINT) AS z
+  FROM pts p JOIN med m ON p.event_type = m.event_type
+), cells AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS ss
+  FROM dev GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(s) AS BIGINT) AS st,
+         CAST(sum(ss) AS DECIMAL(38,0)) AS sst,
+         sum(CAST(s AS DOUBLE) * s / n) AS sum_sq_means
+  FROM cells
+)
+SELECT k AS n_groups, nt AS n_rows,
+       round((sum_sq_means - CAST(st AS DOUBLE) * st / nt) / 40000.0, 2) + 0.0
+         AS ss_between,
+       round((CAST(sst AS DOUBLE) - sum_sq_means) / 40000.0, 2) + 0.0 AS ss_within,
+       round(((sum_sq_means - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+             / ((CAST(sst AS DOUBLE) - sum_sq_means) / (nt - k)),
+             {BF_ROUND}) + 0.0 AS f_stat
+FROM agg
+""",
+)
+def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across event types:
+    one-way ANOVA on z = |x − median_g|. Because values are cents
+    integers, 2·median is an exact integer, so z is kept as the
+    ×2-scaled integer |2x − 2m| and the SS decomposition runs on exact
+    integer/decimal sums (the anova_oneway_value expansion); the /2
+    scale cancels in F and is divided out of the reported SS (÷4·1e4
+    back to dollars²).
+
+    Plan: two map-side-combinable passes over events (exact per-type
+    median, then the deviation moments); both shuffles carry ≤ 5
+    cells."""
+    pts = _events_cents(spark, sf_dir).select("event_type", "v")
+    med = pts.groupBy("event_type").agg(F.expr("percentile(v, 0.5D)").alias("m"))
+    dev = pts.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("v") - F.round(2 * F.col("m")).cast("long")).cast("long").alias("z"),
+    )
+    cells = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).cast("decimal(38,0)").alias("ss"),
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("decimal(38,0)").alias("sst"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sum_sq_means"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    ssb = F.col("sum_sq_means") - F.col("st").cast("double") * F.col("st") / nt
+    ssw = F.col("sst").cast("double") - F.col("sum_sq_means")
+    return agg.select(
+        k.alias("n_groups"),
+        nt.alias("n_rows"),
+        F.round(ssb / 40000.0, 2).alias("ss_between"),
+        F.round(ssw / 40000.0, 2).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (nt - k)), BF_ROUND).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox check: OLS slope of quantity on discount overall
+# vs within each returnflag stratum — does the aggregate association
+# reverse once the stratifier is controlled? The association-hygiene
+# audit next to ols_discount_elasticity (which fits one pooled model).
+# ---------------------------------------------------------------------------
+
+_SIMPSON_CELL_SQL = """
+  SELECT {grp} AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+  FROM pts GROUP BY 1
+"""
+
+
+@query(
+    "simpson_slope_check",
+    oracle=f"""
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  {_SIMPSON_CELL_SQL.format(grp="l_returnflag")}
+), overall AS (
+  {_SIMPSON_CELL_SQL.format(grp="'ALL'")}
+), sl AS (
+  SELECT grp, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           AS slope
+  FROM (SELECT * FROM cells UNION ALL SELECT * FROM overall)
+)
+SELECT s.grp AS stratum, s.n AS n_rows,
+       round(s.slope, {SIMPSON_ROUND}) + 0.0 AS slope_qty_per_disc_pt,
+       round(o.slope, {SIMPSON_ROUND}) + 0.0 AS overall_slope,
+       (s.slope > 0) <> (o.slope > 0) AS sign_reversed
+FROM sl s CROSS JOIN (SELECT slope FROM sl WHERE grp = 'ALL') o
+WHERE s.grp <> 'ALL'
+""",
+)
+def simpson_slope_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the OLS slope of quantity on discount
+    (points) within each returnflag stratum, against the pooled slope,
+    flagging sign reversals. Slopes come from exact integer/decimal
+    sufficient statistics (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), so both
+    engines compute identical operands; each slope is one double
+    expression.
+
+    Plan: one lineitem scan feeding a 3-cell groupBy and a 1-cell
+    overall agg (same scan, AQE-reused exchange); the stratum-vs-
+    overall cross join is 3×1 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_quantity").cast("long").alias("y"),
+    )
+
+    def cells(grp: F.Column) -> DataFrame:
+        return li.groupBy(grp.alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+        )
+
+    sl = cells(F.col("l_returnflag")).unionAll(cells(F.lit("ALL")))
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    sl = sl.select("grp", "n", slope.alias("slope"))
+    ov = sl.where(F.col("grp") == "ALL").select(F.col("slope").alias("o_slope"))
+    return (
+        sl.where(F.col("grp") != "ALL")
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.col("grp").alias("stratum"),
+            F.col("n").alias("n_rows"),
+            F.round("slope", SIMPSON_ROUND).alias("slope_qty_per_disc_pt"),
+            F.round("o_slope", SIMPSON_ROUND).alias("overall_slope"),
+            ((F.col("slope") > 0) != (F.col("o_slope") > 0)).alias("sign_reversed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test on daily revenue — the SIGNIFICANCE
+# companion of theil_sen_trend (that op estimates the slope; MK tests
+# whether a monotone trend exists at all), with the exact tie-corrected
+# variance.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev HAVING count(*) > 1)
+)
+SELECT n AS n_days, s_stat,
+       round((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0, 2) + 0.0 AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                  WHEN s_stat < 0 THEN (s_stat + 1)
+                  ELSE 0 END
+             / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0),
+             {W1_ROUND}) + 0.0 AS z_stat,
+       CASE WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing' ELSE 'no_trend' END AS trend
+FROM s CROSS JOIN nn CROSS JOIN ties
+""",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on daily revenue: exact
+    S = Σ_{{i<j}} sign(x_j − x_i) from the day-pair join,
+    tie-corrected Var[S] = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, and the
+    continuity-corrected z. Every operand is an integer; z is one
+    double expression.
+
+    Plan: the pair join is the calendar-bounded daily aggregate
+    against itself (pairs ∝ days², never data volume), the same shape
+    the kendall_tau_daily / theil_sen_trend plans already carry."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).cast("long").alias("tie_term"))
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    n, ss = F.col("n"), F.col("s_stat")
+    var_s = (n * (n - 1.0) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    corr = F.when(ss > 0, ss - 1).when(ss < 0, ss + 1).otherwise(0)
+    return j.select(
+        n.alias("n_days"),
+        "s_stat",
+        F.round(var_s, 2).alias("var_s"),
+        F.round(corr / F.sqrt(var_s), W1_ROUND).alias("z_stat"),
+        F.when(ss > 0, "increasing").when(ss < 0, "decreasing").otherwise("no_trend").alias(
+            "trend"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator on order prices — quantifies HOW heavy the
+# revenue tail is (robust_revenue_stats says the tail is long; Hill
+# says the power-law exponent, the number capacity planning wants).
+# ---------------------------------------------------------------------------
+
+HILL_K = 200  # top-k order statistics used
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey,
+         row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                            o_orderkey) AS rk
+  FROM orders
+), thr AS (
+  SELECT CAST(v AS DOUBLE) AS xk FROM pts WHERE rk = {HILL_K} + 1
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       round(any_value(xk) / 100.0, 2) + 0.0 AS threshold_price,
+       round(sum(ln(CAST(v AS DOUBLE) / xk)) / {HILL_K}, 4) + 0.0 AS hill_inv_alpha,
+       round({HILL_K} / sum(ln(CAST(v AS DOUBLE) / xk)), 4) + 0.0 AS hill_alpha
+FROM pts CROSS JOIN thr
+WHERE rk <= {HILL_K}
+""",
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-price tail index from the top
+    {K} order statistics: 1/α̂ = (1/k)·Σ ln(x_(i)/x_(k+1)). The top-k
+    set is made deterministic by ranking on (cents DESC, orderkey), so
+    boundary ties resolve identically in both engines; the log-sum is
+    rounded at 4 dp (the established IR-family tolerance for libm
+    noise).
+
+    Plan: rank-k selection is a TakeOrdered-shaped filter over the
+    cents projection (row_number is windowed over a single ordered
+    run of ≤ k+1 survivors after AQE pushes the limit); the estimator
+    is a k-row agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"), "o_orderkey"
+    )
+    w = Window.orderBy(F.col("v").desc(), "o_orderkey")
+    pts = orders.select("v", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= HILL_K + 1
+    )
+    thr = pts.where(F.col("rk") == HILL_K + 1).select(F.col("v").cast("double").alias("xk"))
+    top = pts.where(F.col("rk") <= HILL_K).crossJoin(F.broadcast(thr))
+    logsum = F.sum(F.log(F.col("v").cast("double") / F.col("xk")))
+    return top.agg(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.round(F.any_value("xk") / 100.0, 2).alias("threshold_price"),
+        F.round(logsum / HILL_K, 4).alias("hill_inv_alpha"),
+        F.round(HILL_K / logsum, 4).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier statistic on daily revenue: is the single most
+# extreme day a statistical outlier? The single-point sibling of
+# anomaly_zscore / anomaly_mad_daily (those flag all excursions; this
+# scores THE most extreme one with its exact argmax).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grubbs_outlier_daily",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rev) AS BIGINT) AS s,
+         CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev) AS DECIMAL(38,0)) AS ss
+  FROM daily
+), ext AS (
+  SELECT day, rev,
+         abs(n * rev - s) AS dev_scaled
+  FROM daily CROSS JOIN mom
+  ORDER BY abs(n * rev - s) DESC, day
+  LIMIT 1
+)
+SELECT n AS n_days,
+       round(CAST(s AS DOUBLE) / n, 2) + 0.0 AS mean_rev,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                  / (CAST(n AS DOUBLE) * (n - 1))), {W1_ROUND}) + 0.0 AS sd_rev,
+       ext.day AS outlier_day, ext.rev AS outlier_rev,
+       round((CAST(dev_scaled AS DOUBLE) / n)
+             / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                    / (CAST(n AS DOUBLE) * (n - 1))), {W1_ROUND}) + 0.0 AS g_stat
+FROM ext CROSS JOIN mom
+""",
+)
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs statistic G = max|x − x̄|/s over daily revenue, with the
+    argmax day. The argmax is decided on the INTEGER deviation
+    |n·x − S| (ties → earliest day), so both engines pick the same
+    day even when two days are equidistant from the mean; the sample
+    SD comes from the (nΣx² − S²)/(n(n−1)) expansion on
+    integer/decimal sums.
+
+    Plan: calendar-bounded daily agg, 1-row moment agg broadcast
+    back, TakeOrdered(1) for the argmax."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    ext = (
+        daily.crossJoin(F.broadcast(mom))
+        .select(
+            "day",
+            "rev",
+            "n",
+            "s",
+            "ss",
+            F.abs(F.col("n") * F.col("rev") - F.col("s")).alias("dev_scaled"),
+        )
+        .orderBy(F.col("dev_scaled").desc(), "day")
+        .limit(1)
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n.cast("double") * ss.cast("double") - s.cast("double") * s) / (
+        n.cast("double") * (n - 1)
+    )
+    return ext.select(
+        n.alias("n_days"),
+        F.round(s.cast("double") / n, 2).alias("mean_rev"),
+        F.round(F.sqrt(var), W1_ROUND).alias("sd_rev"),
+        F.col("day").alias("outlier_day"),
+        F.col("rev").alias("outlier_rev"),
+        F.round((F.col("dev_scaled").cast("double") / n) / F.sqrt(var), W1_ROUND).alias(
+            "g_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation matrix over the lineitem money triple — does the
+# quantity↔price association survive controlling for discount (and
+# each rotation)? The confounder-controlled sibling of
+# lineitem_corr_matrix (which reports raw pairwise r).
+# ---------------------------------------------------------------------------
+
+_PCORR_VARS = [
+    ("quantity", "CAST(round(l_quantity) AS BIGINT)"),
+    ("discount_pts", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("price_cents", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+]
+
+
+def _pcorr_r_sql(a: str, b: str) -> str:
+    return f"""(CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)
+      - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+     / sqrt((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)
+             - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)
+               - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"""
+
+
+@query(
+    "partial_corr_matrix",
+    oracle=f"""
+WITH pts AS (
+  SELECT {", ".join(f"{e} AS v{i}" for i, (_, e) in enumerate(_PCORR_VARS))}
+  FROM lineitem
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {", ".join(f"CAST(sum(v{i}) AS BIGINT) AS s_{i}" for i in range(3))},
+         {", ".join(f"CAST(sum(CAST(v{i} AS DECIMAL(38,0)) * v{j}) AS DECIMAL(38,0)) AS s_{i}_{j}" for i in range(3) for j in range(3) if i <= j)}
+  FROM pts
+), r AS (
+  SELECT {_pcorr_r_sql("0", "1")} AS r01,
+         {_pcorr_r_sql("0", "2")} AS r02,
+         {_pcorr_r_sql("1", "2")} AS r12
+  FROM mom
+)
+SELECT * FROM (
+  SELECT '{_PCORR_VARS[0][0]}' AS x_var, '{_PCORR_VARS[1][0]}' AS y_var,
+         '{_PCORR_VARS[2][0]}' AS control_var,
+         round(r01, 6) + 0.0 AS r_pair,
+         round((r01 - r02 * r12) / sqrt((1 - r02 * r02) * (1 - r12 * r12)), 6) + 0.0
+           AS r_partial
+  FROM r
+  UNION ALL
+  SELECT '{_PCORR_VARS[0][0]}', '{_PCORR_VARS[2][0]}', '{_PCORR_VARS[1][0]}',
+         round(r02, 6) + 0.0,
+         round((r02 - r01 * r12) / sqrt((1 - r01 * r01) * (1 - r12 * r12)), 6) + 0.0
+  FROM r
+  UNION ALL
+  SELECT '{_PCORR_VARS[1][0]}', '{_PCORR_VARS[2][0]}', '{_PCORR_VARS[0][0]}',
+         round(r12, 6) + 0.0,
+         round((r12 - r01 * r02) / sqrt((1 - r01 * r01) * (1 - r02 * r02)), 6) + 0.0
+  FROM r
+)
+""",
+)
+def partial_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlations over (quantity, discount,
+    extendedprice): r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    for each of the three control rotations, next to the raw pairwise
+    r. All ten cross-moments accumulate as exact integer/DECIMAL(38,0)
+    sums in ONE lineitem pass; the three r's and three partials are
+    scalar double expressions from identical operands.
+
+    Plan: one map-side-combinable agg to a single row, then 3
+    constant-space projections unioned — nothing shuffles after the
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exprs = [
+        F.round("l_quantity").cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    ]
+    pts = li.select(*[e.alias(f"v{i}") for i, e in enumerate(exprs)])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(f"v{i}").cast("long").alias(f"s_{i}") for i in range(3)]
+    aggs += [
+        F.sum(F.col(f"v{i}").cast("decimal(38,0)") * F.col(f"v{j}"))
+        .cast("decimal(38,0)")
+        .alias(f"s_{i}_{j}")
+        for i in range(3)
+        for j in range(3)
+        if i <= j
+    ]
+    mom = pts.agg(*aggs)
+
+    def r_of(i: int, j: int):
+        n = F.col("n").cast("double")
+        si, sj = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
+        sij = F.col(f"s_{i}_{j}").cast("double")
+        sii, sjj = F.col(f"s_{i}_{i}").cast("double"), F.col(f"s_{j}_{j}").cast("double")
+        return (n * sij - si * sj) / F.sqrt((n * sii - si * si) * (n * sjj - sj * sj))
+
+    r = mom.select(r_of(0, 1).alias("r01"), r_of(0, 2).alias("r02"), r_of(1, 2).alias("r12"))
+    names = [v for v, _ in _PCORR_VARS]
+
+    def row(x: int, y: int, z: int, rxy: str, rxz: str, ryz: str) -> DataFrame:
+        p = (F.col(rxy) - F.col(rxz) * F.col(ryz)) / F.sqrt(
+            (1 - F.col(rxz) * F.col(rxz)) * (1 - F.col(ryz) * F.col(ryz))
+        )
+        return r.select(
+            F.lit(names[x]).alias("x_var"),
+            F.lit(names[y]).alias("y_var"),
+            F.lit(names[z]).alias("control_var"),
+            F.round(F.col(rxy), 6).alias("r_pair"),
+            F.round(p, 6).alias("r_partial"),
+        )
+
+    return (
+        row(0, 1, 2, "r01", "r02", "r12")
+        .unionAll(row(0, 2, 1, "r02", "r01", "r12"))
+        .unionAll(row(1, 2, 0, "r12", "r01", "r02"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test: does the gopher keep-rate trend
+# monotonically across document-length quintiles? The ORDERED
+# categorical test the chi-square family can't express (chi-square
+# ignores bin order; CA weights it).
+# ---------------------------------------------------------------------------
+
+CA_BINS = 5
+
+
+def _ca_oracle() -> str:
+    from etl_jlp_spark.operators import quality_rules  # noqa: F401 — registers the gate oracle
+    from etl_jlp_spark.registry import ORACLES
+
+    gopher = ORACLES["gopher_quality_filter"]
+    return f"""
+WITH gopher_rel AS MATERIALIZED ({gopher}),
+sized AS (
+  SELECT d.doc_id, CASE WHEN g.keep THEN 1 ELSE 0 END AS keep,
+         row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM documents d JOIN gopher_rel g ON d.doc_id = g.doc_id
+), binned AS (
+  SELECT CAST(floor(({CA_BINS} * (rk - 1)) / n) AS BIGINT) AS w, keep FROM sized
+), cells AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS ni, CAST(sum(keep) AS BIGINT) AS ri
+  FROM binned GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ri) AS BIGINT) AS r,
+         CAST(sum(w * ri) AS BIGINT) AS t,
+         CAST(sum(w * ni) AS BIGINT) AS swn,
+         CAST(sum(w * w * ni) AS BIGINT) AS swwn
+  FROM cells
+)
+SELECT n AS n_docs, r AS n_keep, t AS t_stat,
+       round(CAST(r AS DOUBLE) / n, 4) + 0.0 AS keep_rate,
+       round((t - CAST(r AS DOUBLE) / n * swn)
+             / sqrt(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (swwn - CAST(swn AS DOUBLE) * swn / n)),
+             {W1_ROUND}) + 0.0 AS z_trend
+FROM agg
+"""
+
+
+@query("cochran_armitage_trend", oracle=_ca_oracle())
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for a monotone trend of the gopher
+    keep-rate across document-length quintiles (scores w = 0..4):
+    z = (T − p̄·Σwn) / √(p̄(1−p̄)(Σw²n − (Σwn)²/N)) with T = Σw·r.
+    Quintile assignment is the EXACT rank rule ⌊5(rank−1)/N⌋ over
+    (n_chars, doc_id), so bin membership is deterministic cross-engine
+    (ntile would tie-break arbitrarily); every sum is an integer.
+
+    Plan: the gate relation is the registered operator's own
+    projection; ranking is one ordered window over (n_chars, doc_id)
+    — at cluster scale this becomes the two-phase rank (partition
+    histogram + offsets) documented in SURVEY §6; cells are ≤ 5."""
+    from etl_jlp_spark.operators.quality_rules import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    gop = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("keep")
+    )
+    sized = docs.join(gop, "doc_id").select(
+        "keep",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    binned = sized.select(
+        F.floor((CA_BINS * (F.col("rk") - 1)) / F.col("n")).cast("long").alias("w"), "keep"
+    )
+    cells = binned.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"), F.sum("keep").cast("long").alias("ri")
+    )
+    agg = cells.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ri").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("ri")).cast("long").alias("t"),
+        F.sum(F.col("w") * F.col("ni")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("ni")).cast("long").alias("swwn"),
+    )
+    n, r, t = F.col("n"), F.col("r"), F.col("t")
+    p = r.cast("double") / n
+    return agg.select(
+        n.alias("n_docs"),
+        r.alias("n_keep"),
+        t.alias("t_stat"),
+        F.round(p, 4).alias("keep_rate"),
+        F.round(
+            (t - p * F.col("swn"))
+            / F.sqrt(p * (1.0 - p) * (F.col("swwn") - F.col("swn").cast("double") * F.col("swn") / n)),
+            W1_ROUND,
+        ).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa across the three curation gates treated as raters —
+# chance-corrected agreement of langid / gopher / repetition on the
+# same corpus (mcnemar_gate_flips tests two gates' asymmetry; kappa
+# scores the whole panel's consistency).
+# ---------------------------------------------------------------------------
+
+
+def _fleiss_oracle() -> str:
+    from etl_jlp_spark.operators import (  # noqa: F401
+        dedup,
+        quality_rules,
+        similarity,
+        textstats,
+    )
+    from etl_jlp_spark.plans.curate import CASCADE_MAX_BIGRAM, CASCADE_MIN_DISTINCT
+    from etl_jlp_spark.registry import ORACLES
+
+    return f"""
+WITH lang_rel AS MATERIALIZED ({ORACLES["text_langid"]}),
+gopher_rel AS MATERIALIZED ({ORACLES["gopher_quality_filter"]}),
+rep_rel AS MATERIALIZED ({ORACLES["text_repetition"]}),
+votes AS (
+  SELECT (CASE WHEN l.lang_pred <> 'unknown' THEN 1 ELSE 0 END
+          + CASE WHEN g.keep THEN 1 ELSE 0 END
+          + CASE WHEN r.distinct_ratio >= {CASCADE_MIN_DISTINCT}
+                  AND r.top_bigram_frac <= {CASCADE_MAX_BIGRAM}
+                 THEN 1 ELSE 0 END) AS k
+  FROM lang_rel l
+  JOIN gopher_rel g ON l.doc_id = g.doc_id
+  JOIN rep_rel r ON l.doc_id = r.doc_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE k = 0) AS BIGINT) AS c0,
+         CAST(count(*) FILTER (WHERE k = 1) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE k = 2) AS BIGINT) AS c2,
+         CAST(count(*) FILTER (WHERE k = 3) AS BIGINT) AS c3,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k + (3 - k) * (3 - k) - 3) AS BIGINT) AS sp
+  FROM votes
+), est AS (
+  SELECT n, c0, c1, c2, c3,
+         CAST(sp AS DOUBLE) / (6.0 * n) AS p_bar,
+         CAST(sk AS DOUBLE) / (3.0 * n) AS p_keep
+  FROM agg
+)
+SELECT n AS n_docs, c0 AS all_drop, c1 AS one_keep, c2 AS two_keep, c3 AS all_keep,
+       round(p_keep, {W1_ROUND}) + 0.0 AS p_keep,
+       round(p_bar, {W1_ROUND}) + 0.0 AS p_bar,
+       round((p_bar - (p_keep * p_keep + (1 - p_keep) * (1 - p_keep)))
+             / (1 - (p_keep * p_keep + (1 - p_keep) * (1 - p_keep))),
+             {W1_ROUND}) + 0.0 AS fleiss_kappa
+FROM est
+""".replace("{W1_ROUND}", str(W1_ROUND))
+
+
+@query("fleiss_kappa_gates", oracle=_fleiss_oracle())
+def fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three curation gates as raters (langid ≠
+    unknown, gopher keep, repetition pass), binary categories: per-doc
+    agreement P_i = (k² + (3−k)² − 3)/6 aggregates to the INTEGER sum
+    Σ(k² + (3−k)² − 3), and P_e = p² + (1−p)² from the integer vote
+    total — κ is one double expression at the end.
+
+    Plan: three registered single-pass gate relations joined on
+    doc_id, one 1-row agg; the vote histogram (c0..c3) rides along
+    for the review table."""
+    from etl_jlp_spark.operators.quality_rules import (
+        gopher_quality_filter,
+        text_repetition,
+    )
+    from etl_jlp_spark.operators.textstats import text_langid
+    from etl_jlp_spark.plans.curate import CASCADE_MAX_BIGRAM, CASCADE_MIN_DISTINCT
+
+    lang = text_langid(spark, sf_dir).select(
+        "doc_id", F.when(F.col("lang_pred") != "unknown", 1).otherwise(0).alias("v1")
+    )
+    gop = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("v2")
+    )
+    rep = text_repetition(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            (F.col("distinct_ratio") >= CASCADE_MIN_DISTINCT)
+            & (F.col("top_bigram_frac") <= CASCADE_MAX_BIGRAM),
+            1,
+        )
+        .otherwise(0)
+        .alias("v3"),
+    )
+    votes = lang.join(gop, "doc_id").join(rep, "doc_id").select(
+        (F.col("v1") + F.col("v2") + F.col("v3")).alias("k")
+    )
+    k = F.col("k")
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(k == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(k == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(k == 2, 1).otherwise(0)).cast("long").alias("c2"),
+        F.sum(F.when(k == 3, 1).otherwise(0)).cast("long").alias("c3"),
+        F.sum(k).cast("long").alias("sk"),
+        F.sum(k * k + (3 - k) * (3 - k) - 3).cast("long").alias("sp"),
+    )
+    p_bar = F.col("sp").cast("double") / (6.0 * F.col("n"))
+    p_keep = F.col("sk").cast("double") / (3.0 * F.col("n"))
+    p_e = p_keep * p_keep + (1 - p_keep) * (1 - p_keep)
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("c0").alias("all_drop"),
+        F.col("c1").alias("one_keep"),
+        F.col("c2").alias("two_keep"),
+        F.col("c3").alias("all_keep"),
+        F.round(p_keep, W1_ROUND).alias("p_keep"),
+        F.round(p_bar, W1_ROUND).alias("p_bar"),
+        F.round((p_bar - p_e) / (1 - p_e), W1_ROUND).alias("fleiss_kappa"),
+    )

@@ -770,3 +770,189 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "rev",
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification: parts ranked by revenue, classified by
+# cumulative-share thresholds (A ≤ 80 %, B ≤ 95 %, C rest) — the
+# merchandising counterpart of pareto_frontier_docs (that op keeps
+# non-dominated rows; this one cuts the cumulative revenue curve).
+# ---------------------------------------------------------------------------
+
+ABC_A_NUM, ABC_A_DEN = 4, 5  # A-class boundary: cum_share ≤ 4/5
+ABC_B_NUM, ABC_B_DEN = 19, 20  # B-class boundary: cum_share ≤ 19/20
+
+
+@query(
+    "abc_inventory_class",
+    oracle=f"""
+WITH part_rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER () AS total
+  FROM part_rev
+), classed AS (
+  SELECT CASE WHEN cum * {ABC_A_DEN} <= total * {ABC_A_NUM} THEN 'A'
+              WHEN cum * {ABC_B_DEN} <= total * {ABC_B_NUM} THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, total
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(rev) / 100.0, 2) + 0.0 AS revenue,
+       round(CAST(sum(rev) AS DOUBLE) / any_value(total), 6) + 0.0 AS rev_share
+FROM classed GROUP BY 1
+""",
+)
+def abc_inventory_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis of parts by discounted revenue: rank parts by
+    exact cents revenue (ties broken by partkey), cut the cumulative
+    curve at 80 %/95 %, and report per class the part count, revenue
+    and share. Class boundaries are decided by INTEGER cross-products
+    (cum·5 ≤ total·4), so a part landing exactly on a boundary
+    classifies identically in both engines — no float cumulative
+    share is ever compared.
+
+    Plan: one map-side-combinable groupBy(l_partkey) reduces the fact
+    table to the PART grain before any window; the global rank window
+    then runs over |parts| rows, not |lineitem|. That window is a
+    single ordered partition — acceptable because parts ≪ facts at
+    every scale (the two-phase partial-cumsum rewrite documented in
+    SURVEY §6 is the 1000-executor fallback); the final agg is 3
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_cum = (
+        Window.orderBy(F.col("rev").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = part_rev.select(
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * ABC_A_DEN <= F.col("total") * ABC_A_NUM, "A")
+        .when(F.col("cum") * ABC_B_DEN <= F.col("total") * ABC_B_NUM, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("rev") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("rev").cast("double") / F.any_value("total"), 6).alias("rev_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price-index report: Laspeyres / Paasche / Fisher year-over-year for
+# the parts traded in both years — the index-number economics the mix-
+# shift decomposition (plans/inference.py) stops short of.
+# ---------------------------------------------------------------------------
+
+PRICE_IDX_Y0, PRICE_IDX_Y1 = 1996, 1997
+PRICE_E4 = 10000  # e4-quantized unit prices (cents·1e-4 resolution)
+
+
+@query(
+    "price_index_report",
+    oracle=f"""
+WITH py AS (
+  SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({PRICE_IDX_Y0}, {PRICE_IDX_Y1})
+  GROUP BY 1, 2
+), priced AS (
+  SELECT l_partkey, yr, qty,
+         CAST(round(CAST(rev AS DOUBLE) * {PRICE_E4} / qty) AS BIGINT) AS p_e4
+  FROM py
+), paired AS (
+  SELECT a.l_partkey,
+         a.p_e4 AS p0, a.qty AS q0, b.p_e4 AS p1, b.qty AS q1
+  FROM priced a JOIN priced b
+    ON a.l_partkey = b.l_partkey AND a.yr = {PRICE_IDX_Y0} AND b.yr = {PRICE_IDX_Y1}
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(CAST(p1 AS DECIMAL(38,0)) * q0) AS DECIMAL(38,0)) AS l_num,
+         CAST(sum(CAST(p0 AS DECIMAL(38,0)) * q0) AS DECIMAL(38,0)) AS l_den,
+         CAST(sum(CAST(p1 AS DECIMAL(38,0)) * q1) AS DECIMAL(38,0)) AS p_num,
+         CAST(sum(CAST(p0 AS DECIMAL(38,0)) * q1) AS DECIMAL(38,0)) AS p_den
+  FROM paired
+)
+SELECT n_parts,
+       round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6) + 0.0 AS laspeyres,
+       round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6) + 0.0 AS paasche,
+       round(sqrt(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                  * CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)), 6) + 0.0 AS fisher
+FROM agg
+""",
+)
+def price_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres (base-year basket), Paasche (current basket) and
+    Fisher (geometric mean) price indices {Y1} vs {Y0} over the parts
+    shipped in both years. Unit prices are e4-quantized integers
+    (round(rev·1e4/qty) — IEEE-deterministic from exact integer
+    operands), basket sums accumulate in DECIMAL(38,0), and each
+    index is one double division.
+
+    Plan: one lineitem scan filtered to the two years (partition-
+    prunable on l_shipdate), one (part, year) groupBy, a part-grain
+    self-join pairing the two years, and a 1-row basket agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = (
+        li.where(F.year("l_shipdate").isin(PRICE_IDX_Y0, PRICE_IDX_Y1))
+        .groupBy("l_partkey", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("rev"),
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    priced = py.select(
+        "l_partkey",
+        "yr",
+        "qty",
+        F.round(F.col("rev").cast("double") * PRICE_E4 / F.col("qty")).cast("long").alias("p_e4"),
+    )
+    a = priced.where(F.col("yr") == PRICE_IDX_Y0).select(
+        "l_partkey", F.col("p_e4").alias("p0"), F.col("qty").alias("q0")
+    )
+    b = priced.where(F.col("yr") == PRICE_IDX_Y1).select(
+        "l_partkey", F.col("p_e4").alias("p1"), F.col("qty").alias("q1")
+    )
+    paired = a.join(b, "l_partkey")
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p1").cast("decimal(38,0)") * F.col("q0")).cast("decimal(38,0)").alias("l_num"),
+        F.sum(F.col("p0").cast("decimal(38,0)") * F.col("q0")).cast("decimal(38,0)").alias("l_den"),
+        F.sum(F.col("p1").cast("decimal(38,0)") * F.col("q1")).cast("decimal(38,0)").alias("p_num"),
+        F.sum(F.col("p0").cast("decimal(38,0)") * F.col("q1")).cast("decimal(38,0)").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+price_index_report.__doc__ = (price_index_report.__doc__ or "").format(
+    Y0=PRICE_IDX_Y0, Y1=PRICE_IDX_Y1
+)
