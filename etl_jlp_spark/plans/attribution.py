@@ -388,6 +388,9 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         coal.join(F.broadcast(masks), F.expr("(mask & s) = mask"), "left")
         .groupBy("s")
         .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
+        # 16-row coalition-worth relation joined against itself (a/b sides)
+        # — checkpoint so the events rollup runs once
+        .localCheckpoint(eager=True)
     )
     chan = spark.createDataFrame(
         list(enumerate(SHAPLEY_CHANNELS)), "i int, name string"

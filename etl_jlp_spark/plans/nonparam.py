@@ -225,11 +225,18 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row type list with the domain, so no fact-table shuffle follows
     the first agg."""
     pts = _events_cents(spark, sf_dir).select("event_type", "v")
-    cnts = pts.groupBy("event_type", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    cnts = cnts.persist()
+    # One fact scan: the (type, cents) counts are DOMAIN-sized (≤ types ×
+    # distinct cents), so eagerly checkpoint them and derive every branch
+    # (baseline counts, type list, merged value domain) from the
+    # checkpointed relation instead of re-scanning events.
+    cnts = (
+        pts.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     base = cnts.where(F.col("event_type") == CLIFF_BASELINE).select("v", F.col("c").alias("cb"))
     types = cnts.where(F.col("event_type") != CLIFF_BASELINE).select("event_type").distinct()
-    dom = pts.select("v").distinct()
+    dom = cnts.select("v").distinct()
     grid = (
         types.crossJoin(dom)
         .join(
@@ -432,6 +439,9 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("s"),
         )
+        # 25-row relation consumed by BOTH the total and the leave-one-out
+        # branches — checkpoint so the orders scan + dim joins run once
+        .localCheckpoint(eager=True)
     )
     tot = groups.agg(
         F.sum("n").cast("long").alias("nt"),
@@ -1068,7 +1078,11 @@ def partial_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sii, sjj = F.col(f"s_{i}_{i}").cast("double"), F.col(f"s_{j}_{j}").cast("double")
         return (n * sij - si * sj) / F.sqrt((n * sii - si * si) * (n * sjj - sj * sj))
 
-    r = mom.select(r_of(0, 1).alias("r01"), r_of(0, 2).alias("r02"), r_of(1, 2).alias("r12"))
+    # 1-row relation projected three times — checkpoint so the lineitem
+    # moment pass runs once, not per output row
+    r = mom.select(
+        r_of(0, 1).alias("r01"), r_of(0, 2).alias("r02"), r_of(1, 2).alias("r12")
+    ).localCheckpoint(eager=True)
     names = [v for v, _ in _PCORR_VARS]
 
     def row(x: int, y: int, z: int, rxy: str, rxz: str, ryz: str) -> DataFrame:

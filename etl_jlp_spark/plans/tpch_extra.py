@@ -928,7 +928,9 @@ def price_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         "qty",
         F.round(F.col("rev").cast("double") * PRICE_E4 / F.col("qty")).cast("long").alias("p_e4"),
-    )
+        # part-grain (≤ |parts|·2 rows) and consumed by both year sides of
+        # the pairing self-join — checkpoint so the fact scan runs once
+    ).localCheckpoint(eager=True)
     a = priced.where(F.col("yr") == PRICE_IDX_Y0).select(
         "l_partkey", F.col("p_e4").alias("p0"), F.col("qty").alias("q0")
     )

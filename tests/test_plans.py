@@ -906,3 +906,75 @@ def test_ivfpq_store_scan_prunes_floats(spark):
     assert store_scans, "expected a scan of the persisted IVF store"
     for l in store_scans:
         assert "v:array" not in l and "nrm_vec_id" not in l, l[-300:]
+
+
+# --- round-7 continuation session (nonparam / sampling / index wave) ---
+
+
+def test_cliffs_delta_single_fact_scan(spark):
+    # the (type, cents) counts are checkpointed; every branch (baseline,
+    # type list, merged domain) must read the checkpoint, not events
+    plan = _plan(QS["cliffs_delta_value"](spark, SF_SMALL))
+    assert "FileScan parquet" not in plan  # checkpoint feeds all branches
+    assert "CartesianProduct" not in plan
+
+
+def test_wasserstein_grid_windows_share_partitioning(spark):
+    plan = _plan(QS["wasserstein_value_drift"](spark, SF_SMALL))
+    # grid windows run on the (type, cents) agg, partitioned by type —
+    # the fact table is scanned once for the agg and once for the 1-row
+    # min-date scalar, never more
+    assert plan.count("FileScan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_reduces_to_part_grain_before_window(spark):
+    plan = _plan(QS["abc_inventory_class"](spark, SF_SMALL))
+    # exactly one fact scan; the rank window consumes the part-grain agg
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_shapley_single_fact_aggregation(spark):
+    plan = _plan(QS["shapley_channel_attribution"](spark, SF_SMALL))
+    # the 16-row coalition-worth relation is checkpointed: the events
+    # rollup ran once at build time; nothing downstream rescans the fact
+    assert "FileScan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jackknife_broadcasts_dims(spark):
+    plan = _plan(QS["jackknife_mean_se"](spark, SF_SMALL))
+    # the 25-row nation relation is checkpointed, so the orders scan and
+    # both broadcast dim joins ran exactly once at build time
+    assert "FileScan parquet" not in plan
+
+
+def test_price_index_pushes_year_filter(spark):
+    df = QS["price_index_report"](spark, SF_SMALL)
+    # part-grain priced relation is checkpointed: the pairing self-join
+    # reads the checkpoint, not a second fact scan (the shipdate filter
+    # pushdown happens inside the checkpoint build, before this plan)
+    assert "FileScan parquet" not in _plan(df)
+
+
+def test_pps_thresholds_broadcast(spark):
+    plan = _plan(QS["pps_systematic_sample"](spark, SF_SMALL))
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # 25-row threshold side is broadcast
+
+
+def test_partial_corr_single_scan_single_agg(spark):
+    plan = _plan(QS["partial_corr_matrix"](spark, SF_SMALL))
+    # the 1-row r relation is checkpointed: ONE moment pass at build time
+    assert "FileScan parquet" not in plan
+    assert "Exchange hashpartitioning" not in plan  # only the checkpoint union remains
+
+
+def test_ql_dirichlet_single_tokenize_pass(spark):
+    plan = _plan(QS["ql_dirichlet_search"](spark, SF_SMALL))
+    # the pivot trick: dl and every per-term tf come from one explode per
+    # pass; like bm25_search, the 1-row corpus-stats branch is the second
+    # (accepted: an index-time statistic at production scale)
+    assert plan.count("Generate explode") <= 2
+    assert "TakeOrderedAndProject" in plan  # top-k is TakeOrdered, not a global sort
