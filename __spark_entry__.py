@@ -137,6 +137,11 @@ _R8_PRIORITY = [
     "fleiss_kappa_gates",
     "pps_systematic_sample",
     "price_index_report",
+    "capture_recapture_pairs",
+    "davies_bouldin_report",
+    "fdr_drift_gate",
+    "winsorized_trimmed_mean",
+    "hurst_rs_exponent",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

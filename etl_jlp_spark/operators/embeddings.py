@@ -1390,3 +1390,148 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Davies–Bouldin index: the scatter/separation cluster-quality score
+# next to centroid_silhouette_report (silhouette grades each POINT's
+# placement; DB grades each CLUSTER by its worst scatter-to-separation
+# ratio against any other cluster — the metric sklearn pairs with
+# silhouette for k selection). Same O(N·k) centroid geometry, never
+# all-pairs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "davies_bouldin_report",
+    oracle="""
+WITH x AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), comps AS (
+  SELECT label, CAST(dim AS INTEGER) AS dim,
+         round(avg(CAST(x AS DOUBLE)), 6) AS m
+  FROM x GROUP BY label, dim
+), cent AS (
+  SELECT label AS cent_label, list(m ORDER BY dim) AS c FROM comps GROUP BY cent_label
+), e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT e.label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(round(sqrt(greatest(list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c), 0.0)), 6)), 4) AS scatter
+  FROM e JOIN cent ON e.label = cent.cent_label
+  GROUP BY e.label
+), m AS (
+  SELECT a.cent_label AS la, b.cent_label AS lb,
+         round(sqrt(greatest(list_dot_product(a.c, a.c)
+               - 2 * list_dot_product(a.c, b.c)
+               + list_dot_product(b.c, b.c), 0.0)), 6) AS sep
+  FROM cent a JOIN cent b ON a.cent_label <> b.cent_label
+), r AS (
+  SELECT m.la AS label, m.lb AS other_label,
+         round((sa.scatter + sb.scatter) / m.sep, 6) AS ratio
+  FROM m JOIN s sa ON m.la = sa.label JOIN s sb ON m.lb = sb.label
+), rmax AS (
+  SELECT label, max(ratio) AS r_max FROM r GROUP BY label
+), worst AS (
+  SELECT r.label, rmax.r_max, CAST(min(r.other_label) AS INTEGER) AS worst_other_label
+  FROM r JOIN rmax ON r.label = rmax.label AND r.ratio = rmax.r_max
+  GROUP BY r.label, rmax.r_max
+), db AS (
+  SELECT round(avg(r_max), 4) AS db_index FROM rmax
+)
+SELECT s.label, s.n_vecs, s.scatter + 0.0 AS scatter,
+       w.worst_other_label, w.r_max + 0.0 AS r_max,
+       db.db_index + 0.0 AS db_index
+FROM s JOIN worst w ON s.label = w.label CROSS JOIN db
+""",
+)
+def davies_bouldin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-quality report over the labeled
+    embeddings: per-label scatter S_i (mean distance to own centroid),
+    the worst ratio R_i = max_j (S_i + S_j)/M_ij against every other
+    centroid (with the offending label, ties → smallest), and the
+    DB index = mean_i R_i. Distance/rounding conventions are
+    centroid_silhouette_report's (6dp centroids and distances, 4dp
+    means — two guard digits over engine summation order); ratios are
+    6dp-rounded before the max so argmax ties are well-defined.
+
+    Plan: one posexplode pass for centroids, one O(N·k) broadcast
+    join for scatters, then everything is k²-sized arithmetic —
+    never an all-pairs vector join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy(F.col("label").alias("cent_label"), "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cent_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+        .localCheckpoint(eager=True)  # k rows, consumed by scatter + k² separation
+    )
+    dot = "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+
+    def dist2(a: str, b: str) -> str:
+        return (
+            f"({dot.format(a=a, b=a)}) - 2 * ({dot.format(a=a, b=b)})"
+            f" + ({dot.format(a=b, b=b)})"
+        )
+
+    s = (
+        e.join(F.broadcast(cent), e.label == cent.cent_label)
+        .select(
+            "label",
+            F.round(F.sqrt(F.greatest(F.expr(dist2("v", "c")), F.lit(0.0))), 6).alias("dist"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("dist"), 4).alias("scatter"),
+        )
+        .localCheckpoint(eager=True)  # k rows, consumed by both ratio sides
+    )
+    a = cent.select(F.col("cent_label").alias("la"), F.col("c").alias("ca"))
+    b = cent.select(F.col("cent_label").alias("lb"), F.col("c").alias("cb"))
+    m = (
+        a.join(b, F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.round(F.sqrt(F.greatest(F.expr(dist2("ca", "cb")), F.lit(0.0))), 6).alias("sep"),
+        )
+    )
+    sa = s.select(F.col("label").alias("la"), F.col("scatter").alias("s_a"))
+    sb = s.select(F.col("label").alias("lb"), F.col("scatter").alias("s_b"))
+    r = (
+        m.join(sa, "la")
+        .join(sb, "lb")
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("other_label"),
+            F.round((F.col("s_a") + F.col("s_b")) / F.col("sep"), 6).alias("ratio"),
+        )
+        .localCheckpoint(eager=True)  # k² rows, consumed by rmax + worst
+    )
+    rmax = r.groupBy("label").agg(F.max("ratio").alias("r_max")).localCheckpoint(eager=True)
+    worst = (
+        r.join(rmax, "label")
+        .where(F.col("ratio") == F.col("r_max"))
+        .groupBy("label", "r_max")
+        .agg(F.min("other_label").cast("int").alias("worst_other_label"))
+    )
+    db = rmax.agg(F.round(F.avg("r_max"), 4).alias("db_index"))
+    return (
+        s.join(worst, "label")
+        .crossJoin(F.broadcast(db))
+        .select(
+            "label", "n_vecs", "scatter", "worst_other_label", "r_max", "db_index"
+        )
+    )

@@ -2377,3 +2377,96 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_split_leakage.__doc__ = (embedding_split_leakage.__doc__ or "").format(
     m=EMB_LEAK_TEST_MOD, tau=EMB_LEAK_TAU
 )
+
+
+# ---------------------------------------------------------------------------
+# Capture–recapture estimate of the near-duplicate pair population:
+# treat the verified pairs surfaced by band family A (bands 0–1) and
+# band family B (bands 2–3) as two independent capture lists and apply
+# the Chapman (bias-corrected Lincoln–Petersen) estimator. This is the
+# scale technique for sizing dedup work WITHOUT running every band —
+# ann_recall_report measures a serving path against the exact answer;
+# this estimates how many true pairs exist from two cheap samples.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "capture_recapture_pairs",
+    oracle=_MINHASH_PAIRS_CTES
+    + f""",
+flags AS (
+  SELECT p.doc_a, p.doc_b,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM bands x JOIN bands y
+             ON x.band = y.band AND x.key = y.key
+           WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b AND x.band < 2)
+           THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM bands x JOIN bands y
+             ON x.band = y.band AND x.key = y.key
+           WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b AND x.band >= 2)
+           THEN 1 ELSE 0 END AS in_b
+  FROM pairs p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(in_a) AS BIGINT) AS n_list_a,
+       CAST(sum(in_b) AS BIGINT) AS n_list_b,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       round((CAST(sum(in_a) + 1 AS DOUBLE) * (sum(in_b) + 1))
+             / (sum(in_a * in_b) + 1) - 1, 4) + 0.0 AS chapman_estimate
+FROM flags
+""",
+)
+def capture_recapture_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate of the TRUE near-dup pair
+    count from two disjoint LSH band families: list A = verified pairs
+    surfaced by bands 0–1, list B = by bands 2–3; N̂ = (|A|+1)(|B|+1)/
+    (|A∩B|+1) − 1, reported next to the actual 4-band verified count
+    (every candidate comes from SOME band, so the union of the two
+    lists is exactly the registered dedup_minhash_lsh pair set). All
+    counts are integers; the estimator is one double expression.
+
+    Plan: one shingle pass feeds the (checkpointed) band index;
+    list-membership flags are two left-semi probes of the SAME bucket
+    self-join shape the dedup op uses — no new all-pairs work
+    anywhere; the verify join is bounded by the candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    bands = _minhash_bands(sh).localCheckpoint(eager=True)
+
+    def cand_of(b: DataFrame) -> DataFrame:
+        a = b.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        c = b.select(F.col("doc_id").alias("doc_b"), "band", "key")
+        return (
+            a.join(c, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+
+    cand_a = cand_of(bands.where(F.col("band") < 2))
+    cand_b = cand_of(bands.where(F.col("band") >= 2))
+    cand_all = cand_a.unionAll(cand_b).distinct()
+    ver = (
+        _jaccard_on_candidates(sh, cand_all, MINHASH_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    flags = (
+        ver.join(cand_a.withColumn("fa", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .join(cand_b.withColumn("fb", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .select(
+            F.coalesce("fa", F.lit(0)).alias("in_a"),
+            F.coalesce("fb", F.lit(0)).alias("in_b"),
+        )
+    )
+    na, nb, nboth = F.sum("in_a"), F.sum("in_b"), F.sum(F.col("in_a") * F.col("in_b"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        na.cast("long").alias("n_list_a"),
+        nb.cast("long").alias("n_list_b"),
+        nboth.cast("long").alias("n_both"),
+        F.round((na + 1).cast("double") * (nb + 1) / (nboth + 1) - 1, 4).alias(
+            "chapman_estimate"
+        ),
+    )

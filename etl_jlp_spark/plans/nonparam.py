@@ -1316,3 +1316,248 @@ def fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_bar, W1_ROUND).alias("p_bar"),
         F.round((p_bar - p_e) / (1 - p_e), W1_ROUND).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized & trimmed mean of order price — the robust location pair
+# to robust_revenue_stats' median/MAD (trimming discards the tails;
+# winsorizing clamps them — reviewers ask for both next to the raw
+# mean when the Hill index says the tail is heavy).
+# ---------------------------------------------------------------------------
+
+TRIM_DEN = 20  # 5 % per tail (k = n // 20)
+
+
+@query(
+    "winsorized_trimmed_mean",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), kk AS (
+  SELECT any_value(n) AS n, any_value(n) // {TRIM_DEN} AS k FROM pts
+), bounds AS (
+  SELECT kk.n, kk.k,
+         (SELECT v FROM pts WHERE rn = kk.k + 1) AS lo,
+         (SELECT v FROM pts WHERE rn = kk.n - kk.k) AS hi
+  FROM kk
+), kept AS (
+  SELECT CAST(sum(p.v) AS BIGINT) AS s_kept,
+         CAST(sum(p.v) FILTER (WHERE p.rn > b.k AND p.rn <= b.n - b.k) AS BIGINT)
+           AS s_mid
+  FROM pts p CROSS JOIN bounds b
+)
+SELECT b.n AS n_orders, b.k AS k_trim,
+       round(CAST(k.s_kept AS DOUBLE) / b.n / 100.0, 4) + 0.0 AS mean_raw,
+       round(CAST(k.s_mid AS DOUBLE) / (b.n - 2 * b.k) / 100.0, 4) + 0.0
+         AS trimmed_mean,
+       round((CAST(k.s_mid AS DOUBLE) + CAST(b.k AS DOUBLE) * b.lo
+              + CAST(b.k AS DOUBLE) * b.hi) / b.n / 100.0, 4) + 0.0
+         AS winsorized_mean
+FROM bounds b CROSS JOIN kept k
+""",
+)
+def winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 %-per-tail trimmed and winsorized means of order totalprice:
+    exact cents ranks (ties → orderkey), k = n // {TRIM_DEN} by pure
+    integer division (no float boundary), tail sums by rank windows —
+    the means are single double divisions from integer sums.
+
+    Plan: one global rank over the cents projection (two-phase rank is
+    the documented cluster-scale fallback), then constant-space
+    arithmetic; the clamp values are two rank lookups."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"), "o_orderkey"
+    )
+    w = Window.orderBy("v", "o_orderkey")
+    pts = orders.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).localCheckpoint(eager=True)  # ranked once; consumed by bounds + sums
+    kk = pts.agg(
+        F.any_value("n").alias("n"), F.expr(f"any_value(n) div {TRIM_DEN}").alias("k")
+    )
+    b = pts.select("v", "rn").crossJoin(F.broadcast(kk))
+    bounds = b.agg(
+        F.any_value("n").alias("n"),
+        F.any_value("k").alias("k"),
+        F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))).alias("hi"),
+        F.sum("v").cast("long").alias("s_kept"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias("s_mid"),
+    )
+    n, k = F.col("n"), F.col("k")
+    return bounds.select(
+        n.alias("n_orders"),
+        k.alias("k_trim"),
+        F.round(F.col("s_kept").cast("double") / n / 100.0, 4).alias("mean_raw"),
+        F.round(F.col("s_mid").cast("double") / (n - 2 * k) / 100.0, 4).alias("trimmed_mean"),
+        F.round(
+            (F.col("s_mid").cast("double") + k.cast("double") * F.col("lo")
+             + k.cast("double") * F.col("hi")) / n / 100.0,
+            4,
+        ).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue —
+# long-range-dependence diagnostics: H ≈ 0.5 for a memoryless series,
+# H > 0.5 for persistent trends (acf_daily_revenue sees short lags;
+# R/S sees the scaling law).
+# ---------------------------------------------------------------------------
+
+HURST_BLOCKS = [16, 32, 64]  # ln-equally-spaced block sizes
+
+
+def _hurst_block_sql(m: int) -> str:
+    return f"""
+  SELECT {m} AS m, blk,
+         CAST(max(dev) - min(dev) AS BIGINT) AS rm,
+         any_value(s_blk) AS s_blk, any_value(ss_blk) AS ss_blk
+  FROM (
+    SELECT blk, {m} * cum - t * s_blk AS dev, s_blk, ss_blk
+    FROM (
+      SELECT rn // {m} AS blk,
+             row_number() OVER (PARTITION BY rn // {m} ORDER BY day) AS t,
+             sum(rev) OVER (PARTITION BY rn // {m} ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(rev) OVER (PARTITION BY rn // {m}) AS s_blk,
+             sum(CAST(rev AS DECIMAL(38,0)) * rev) OVER (PARTITION BY rn // {m})
+               AS ss_blk,
+             count(*) OVER (PARTITION BY rn // {m}) AS bn
+      FROM idx
+    ) WHERE bn = {m}
+  ) GROUP BY blk
+"""
+
+
+@query(
+    "hurst_rs_exponent",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+idx AS (
+  SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS rn FROM daily
+), blocks AS (
+{" UNION ALL ".join(_hurst_block_sql(m) for m in HURST_BLOCKS)}
+), rs AS (
+  SELECT m, blk,
+         CAST(round(1000000.0 * rm
+               / sqrt(CAST(m AS DOUBLE) * CAST(ss_blk AS DOUBLE)
+                      - CAST(s_blk AS DOUBLE) * s_blk)) AS BIGINT) AS rs_e6
+  FROM blocks
+), per_m AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(rs_e6) AS BIGINT) AS srs
+  FROM rs GROUP BY m
+), hurst AS (
+  SELECT round((ln(max(CASE WHEN m = {HURST_BLOCKS[-1]}
+                        THEN CAST(srs AS DOUBLE) / n_blocks END))
+                - ln(max(CASE WHEN m = {HURST_BLOCKS[0]}
+                         THEN CAST(srs AS DOUBLE) / n_blocks END)))
+               / (2 * ln(2.0)), 4) + 0.0 AS h
+  FROM per_m
+)
+SELECT m AS block_size, n_blocks,
+       round(CAST(srs AS DOUBLE) / n_blocks / 1000000.0, 6) + 0.0 AS avg_rs,
+       hurst.h AS hurst_exponent
+FROM per_m CROSS JOIN hurst
+""",
+)
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range Hurst exponent of daily revenue over block sizes
+    {BLOCKS}: within each complete block the cumulative deviation is
+    kept as the INTEGER m·cum_t − t·S (so R·m is an exact integer),
+    the population SD comes from the m·Σx² − S² expansion, each
+    block's R/S is e6-quantized before averaging (no float
+    accumulation across blocks), and H is the endpoint slope
+    (ln RS(64) − ln RS(16)) / (2 ln 2) — the closed form for three
+    ln-equally-spaced sizes, so no 3-point regression float order
+    exists at all.
+
+    Plan: calendar-bounded daily series; the three block groupings
+    are windows over that tiny relation."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    idx = daily.select(
+        "day", "rev", (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
+    ).localCheckpoint(eager=True)  # tiny; consumed by all three block sizes
+    blocks = None
+    for m in HURST_BLOCKS:
+        blk = (F.col("rn") / m).cast("long")  # rn ≥ 0: cast truncation == floor
+        wb = Window.partitionBy(blk)
+        wo = wb.orderBy("day")
+        cum = F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        g = (
+            idx.select(
+                blk.alias("blk"),
+                F.row_number().over(wo).alias("t"),
+                cum.alias("cum"),
+                F.sum("rev").over(wb).alias("s_blk"),
+                F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).over(wb).alias("ss_blk"),
+                F.count(F.lit(1)).over(wb).alias("bn"),
+            )
+            .where(F.col("bn") == m)
+            .select(
+                F.lit(m).alias("m"),
+                "blk",
+                (m * F.col("cum") - F.col("t") * F.col("s_blk")).alias("dev"),
+                "s_blk",
+                "ss_blk",
+            )
+            .groupBy("blk")
+            .agg(
+                F.any_value("m").alias("m"),
+                (F.max("dev") - F.min("dev")).cast("long").alias("rm"),
+                F.any_value("s_blk").alias("s_blk"),
+                F.any_value("ss_blk").alias("ss_blk"),
+            )
+        )
+        blocks = g if blocks is None else blocks.unionByName(g)
+    rs = blocks.select(
+        "m",
+        F.round(
+            1000000.0
+            * F.col("rm")
+            / F.sqrt(
+                F.col("m").cast("double") * F.col("ss_blk").cast("double")
+                - F.col("s_blk").cast("double") * F.col("s_blk")
+            )
+        )
+        .cast("long")
+        .alias("rs_e6"),
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("rs_e6").cast("long").alias("srs"),
+    ).localCheckpoint(eager=True)  # 3 rows; consumed by output + endpoints
+    mean_rs = F.col("srs").cast("double") / F.col("n_blocks")
+    hurst = per_m.agg(
+        F.round(
+            (
+                F.log(F.max(F.when(F.col("m") == HURST_BLOCKS[-1], mean_rs)))
+                - F.log(F.max(F.when(F.col("m") == HURST_BLOCKS[0], mean_rs)))
+            )
+            / (2 * F.log(F.lit(2.0))),
+            4,
+        ).alias("h")
+    )
+    return per_m.crossJoin(F.broadcast(hurst)).select(
+        F.col("m").alias("block_size"),
+        "n_blocks",
+        F.round(mean_rs / 1000000.0, 6).alias("avg_rs"),
+        F.col("h").alias("hurst_exponent"),
+    )
+
+
+hurst_rs_exponent.__doc__ = (hurst_rs_exponent.__doc__ or "").format(BLOCKS=HURST_BLOCKS)

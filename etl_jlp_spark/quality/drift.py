@@ -21,7 +21,7 @@ is "current"."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -348,3 +348,81 @@ def benford_digit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR gate over the per-type KS drift p-values —
+# the multiple-testing hygiene ks_drift_report leaves to the reader:
+# with one test per event type, raw p < 0.05 inflates false alarms;
+# BH controls the false-discovery rate across the family.
+# ---------------------------------------------------------------------------
+
+FDR_Q = 0.10  # target false-discovery rate
+
+
+def _fdr_oracle() -> str:
+    from etl_jlp_spark.registry import ORACLES
+
+    ks = ORACLES["ks_drift_report"]
+    return f"""
+WITH ks_rel AS MATERIALIZED ({ks}),
+ranked AS (
+  SELECT event_type, p_value,
+         CAST(row_number() OVER (ORDER BY p_value, event_type) AS BIGINT) AS bh_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM ks_rel
+), kstar AS (
+  SELECT coalesce(max(bh_rank) FILTER (
+           WHERE p_value <= bh_rank * {FDR_Q} / m), 0) AS k
+  FROM ranked
+)
+SELECT event_type, p_value, bh_rank,
+       round(bh_rank * {FDR_Q} / m, 6) + 0.0 AS bh_threshold,
+       bh_rank <= kstar.k AS rejected
+FROM ranked CROSS JOIN kstar
+"""
+
+
+@query("fdr_drift_gate", oracle=_fdr_oracle())
+def fdr_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-up over the ks_drift_report p-values at
+    q = {Q}: rank the m per-type p-values ascending (ties → type
+    name), find k* = max{{k : p_(k) ≤ k·q/m}}, and reject H0 (declare
+    drift) for every rank ≤ k*. The p-values are the REGISTERED
+    operator's own 6dp-rounded outputs, so both engines rank and
+    compare identical doubles; ranks and k* are integers.
+
+    Plan: the KS relation is ≤ |event_types| rows — everything here
+    is constant-space window arithmetic on top of the one fact pass
+    ks_drift_report already makes."""
+    from etl_jlp_spark.quality.drift import ks_drift_report  # self-module registered op
+
+    ks = ks_drift_report(spark, sf_dir).select("event_type", "p_value")
+    w = Window.orderBy("p_value", "event_type")
+    ranked = ks.select(
+        "event_type",
+        "p_value",
+        F.row_number().over(w).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    ).localCheckpoint(eager=True)  # ≤ |types| rows, consumed twice (k* + output)
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("bh_rank") * FDR_Q / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "p_value",
+        "bh_rank",
+        F.round(F.col("bh_rank") * FDR_Q / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+    )
+
+
+fdr_drift_gate.__doc__ = (fdr_drift_gate.__doc__ or "").format(Q=FDR_Q)
