@@ -447,6 +447,10 @@ mix_shift_decomposition.__doc__ = (mix_shift_decomposition.__doc__ or "").format
 
 
 def _calibration_oracle() -> str:
+    # register the gate oracles this composition embeds, so the module
+    # imports standalone (tests / streaming import plans modules directly)
+    from etl_jlp_spark.operators import quality_rules, textstats  # noqa: F401
+
     score_sql = ORACLES["text_quality_score"]
     gopher_sql = ORACLES["gopher_quality_filter"]
     return f"""

@@ -1561,3 +1561,68 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 hurst_rs_exponent.__doc__ = (hurst_rs_exponent.__doc__ or "").format(BLOCKS=HURST_BLOCKS)
+
+
+# ---------------------------------------------------------------------------
+# Shared W1 core for the streaming twin: the same merged-cents-grid
+# integral as wasserstein_value_drift, but against an EXTERNAL
+# reference count relation (streaming/pipeline.streaming_w1_monitor
+# scores each micro-batch with it; the batch op derives ref/cur from
+# the date split internally).
+# ---------------------------------------------------------------------------
+
+
+def cents_counts(df: DataFrame) -> DataFrame:
+    """(event_type, v, c) exact-cents value counts — the mergeable
+    sufficient statistic for every distributional drift score."""
+    return df.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFrame:
+    """Per-type 1-D Wasserstein distance (dollars) between a current
+    and a reference cents-count relation: the wasserstein_value_drift
+    integral Σ|cumRef·nCur − cumCur·nRef|·Δv / (nRef·nCur·100) over
+    the full-outer merged grid. Integers until the single division."""
+    ref = ref_counts.select("event_type", "v", F.col("c").alias("c_ref"))
+    cur = cur_counts.select("event_type", "v", F.col("c").alias("c_cur"))
+    g = (
+        ref.join(cur, ["event_type", "v"], "full_outer")
+        .select(
+            "event_type",
+            "v",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    grid = g.select(
+        "event_type",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.sum("c_ref").over(t).alias("n_ref"),
+        F.sum("c_cur").over(t).alias("n_cur"),
+        (F.lead("v").over(Window.partitionBy("event_type").orderBy("v")) - F.col("v")).alias(
+            "dv"
+        ),
+    ).where(F.col("dv").isNotNull())
+    term = F.abs(F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")).cast(
+        "decimal(38,0)"
+    ) * F.col("dv")
+    return grid.groupBy("event_type").agg(
+        F.any_value("n_ref").cast("long").alias("n_ref"),
+        F.any_value("n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.sum(term).cast("double")
+            / F.any_value("n_ref")
+            / F.any_value("n_cur")
+            / 100.0,
+            W1_ROUND,
+        ).alias("w1_dollars"),
+    )

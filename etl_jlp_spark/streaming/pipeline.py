@@ -929,3 +929,38 @@ def run_media_metadata_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_w1_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    ref_counts: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous distribution-shift MAGNITUDE alarm: each arriving
+    micro-batch's value distribution is scored with the 1-D
+    Wasserstein distance (dollars of probability mass moved) against
+    a FIXED reference cents-count relation — the streaming half of
+    ``wasserstein_value_drift``, sharing its grid-integral core
+    (plans/nonparam.w1_against_reference), the same pairing
+    streaming_psi_monitor has with psi_drift_report (PSI alarms on
+    significance-ish score; W1 reports how FAR the money moved).
+    Exactly-once via the idempotent per-batch_id overwrite."""
+    from etl_jlp_spark.plans.nonparam import cents_counts, w1_against_reference
+
+    stream = stream_events(spark, src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(
+            w1_against_reference(cents_counts(batch_df), ref_counts),
+            dest_dir,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -545,3 +545,54 @@ def test_streaming_rolling_distinct_matches_batch(spark, tmp_path):
     }
     want = {(r["day"], r["rolling_users"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_w1_monitor_matches_batch(spark, tmp_path):
+    """Per-batch W1 vs a fixed reference must equal the shared helper's
+    batch-side numbers on the same rows; and when the reference is the
+    first-15-days window and the stream carries the rest, the monitor
+    reproduces wasserstein_value_drift's registered output exactly."""
+    from etl_jlp_spark.plans.nonparam import (
+        W1_REF_DAYS,
+        cents_counts,
+        w1_against_reference,
+        wasserstein_value_drift,
+    )
+    from etl_jlp_spark.streaming.pipeline import streaming_w1_monitor
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    ref_rows = ev.filter(F.to_date("ts") < F.date_add(F.lit(d0), W1_REF_DAYS))
+    cur_rows = ev.filter(F.to_date("ts") >= F.date_add(F.lit(d0), W1_REF_DAYS))
+    ref = cents_counts(ref_rows).persist()
+
+    src = str(tmp_path / "src")
+    dest, ckpt = str(tmp_path / "w1"), str(tmp_path / "ckpt")
+    cur_rows.coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_w1_monitor(spark, src, ref, dest, ckpt).awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["n_ref"], r["n_cur"], r["w1_dollars"])
+        for r in spark.read.parquet(dest).drop("batch_id").collect()
+    }
+    want = {
+        (r["event_type"], r["n_ref"], r["n_cur"], r["w1_dollars"])
+        for r in wasserstein_value_drift(spark, SF_SMALL).collect()
+    }
+    assert got == want  # streaming monitor == registered batch op
+
+    # a second batch (same-distribution sample: the reference rows
+    # themselves) scores ~0 and lands idempotently under its batch_id
+    ref_rows.coalesce(1).write.mode("append").parquet(src)
+    streaming_w1_monitor(spark, src, ref, dest, ckpt).awaitTermination(120)
+    out2 = spark.read.parquet(dest).filter(F.col("batch_id") == 1)
+    assert out2.count() == ref_rows.select("event_type").distinct().count()
+    assert out2.agg(F.max("w1_dollars")).collect()[0][0] == 0.0
+    helper = {
+        (r["event_type"], r["w1_dollars"])
+        for r in w1_against_reference(cents_counts(ref_rows), ref).collect()
+    }
+    have = {(r["event_type"], r["w1_dollars"]) for r in out2.collect()}
+    assert helper == have
+    ref.unpersist()
