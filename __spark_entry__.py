@@ -142,6 +142,10 @@ _R8_PRIORITY = [
     "fdr_drift_gate",
     "winsorized_trimmed_mean",
     "hurst_rs_exponent",
+    "energy_distance_drift",
+    "cvm_drift_test",
+    "ab_power_analysis",
+    "quantile_treatment_effect",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

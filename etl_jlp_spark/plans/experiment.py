@@ -1036,3 +1036,176 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hl_shift_usd"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment-design arithmetic: required sample size for the observed
+# effect (the question asked BEFORE the next test ships), and the
+# per-quantile treatment effect (where in the distribution the arms
+# differ — means hide tail effects).
+# ---------------------------------------------------------------------------
+
+Z_ALPHA_2 = 1.959963984540054  # Φ⁻¹(0.975), two-sided α = 0.05
+AB_POWER_CONV_MIN = 300.0  # conversion = any purchase of at least $300
+Z_POWER = 0.8416212335729143  # Φ⁻¹(0.80), power = 0.8
+
+
+@query(
+    "ab_power_analysis",
+    oracle=f"""
+WITH arms AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value >= {AB_POWER_CONV_MIN}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM arms GROUP BY 1
+), wide AS (
+  SELECT max(CASE WHEN variant = 'A' THEN n END) AS na,
+         max(CASE WHEN variant = 'A' THEN c END) AS ca,
+         max(CASE WHEN variant = 'B' THEN n END) AS nb,
+         max(CASE WHEN variant = 'B' THEN c END) AS cb
+  FROM cells
+), est AS (
+  SELECT na, ca, nb, cb,
+         CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
+         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp,
+         abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS delta
+  FROM wide
+)
+SELECT na AS n_a, nb AS n_b,
+       round(pa, 6) + 0.0 AS p_a, round(pb, 6) + 0.0 AS p_b,
+       round(delta, 6) + 0.0 AS abs_effect,
+       round(delta / sqrt(nullif(pp * (1 - pp), 0) * (1.0 / na + 1.0 / nb)), 6) + 0.0
+         AS observed_z,
+       CAST(ceil(power({Z_ALPHA_2} * sqrt(2 * pp * (1 - pp))
+                       + {Z_POWER} * sqrt(pa * (1 - pa) + pb * (1 - pb)), 2)
+                 / nullif(delta * delta, 0)) AS BIGINT) AS required_n_per_arm
+FROM est
+""",
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power arithmetic on the ab_test_report arms
+    (deterministic md5 50/50, conversion = any purchase): observed
+    rates, pooled-variance z, and the required per-arm sample size to
+    detect the OBSERVED effect at α = 0.05 (two-sided) with power
+    0.8 — n = (z_{{α/2}}·√(2p̄q̄) + z_{{β}}·√(p_a q_a + p_b q_b))²/δ².
+    Counts are integers; every statistic is one double expression with
+    the z constants as shared literals.
+
+    Plan: one user-grain rollup (combinable), 2 cells, constant-space
+    arithmetic."""
+    arms = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= AB_POWER_CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX, "A"
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "conv",
+        )
+    )
+    cells = arms.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("c"))).alias("cb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    pa = F.col("ca").cast("double") / na
+    pb = F.col("cb").cast("double") / nb
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (na + nb)
+    delta = F.abs(pa - pb)
+    req = F.ceil(
+        F.pow(
+            Z_ALPHA_2 * F.sqrt(2 * pp * (1 - pp))
+            + Z_POWER * F.sqrt(pa * (1 - pa) + pb * (1 - pb)),
+            2,
+        )
+        / F.nullif(delta * delta, F.lit(0.0))
+    ).cast("long")
+    return wide.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(delta, 6).alias("abs_effect"),
+        F.round(
+            delta / F.sqrt(F.nullif(pp * (1 - pp), F.lit(0.0)) * (1.0 / na + 1.0 / nb)), 6
+        ).alias("observed_z"),
+        req.alias("required_n_per_arm"),
+    )
+
+
+QTE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "quantile_treatment_effect",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE event_type = 'view'
+), qt AS (
+  SELECT unnest(l) AS vt, generate_subscripts(l, 1) AS i
+  FROM (SELECT quantile_cont(v, {QTE_QS}) AS l FROM t)
+), qc AS (
+  SELECT unnest(l) AS vc, generate_subscripts(l, 1) AS i
+  FROM (SELECT quantile_cont(v, {QTE_QS}) AS l FROM c)
+)
+SELECT round(qt.i / 10.0, 1) + 0.0 AS quantile,
+       round(vt / 100.0, 2) + 0.0 AS v_purchase,
+       round(vc / 100.0, 2) + 0.0 AS v_view,
+       round((vt - vc) / 100.0, 2) + 0.0 AS qte
+FROM qt JOIN qc ON qt.i = qc.i
+""",
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect: the purchase-vs-view value gap at
+    each decile of the respective distributions (means hide tail
+    effects; QTE shows WHERE the distributions differ). Exact
+    interpolated percentiles over the cents-integer samples — both
+    engines interpolate linearly at (n−1)·q from identical integer
+    operands — differenced per decile and reported in dollars.
+
+    Plan: two filtered single-pass percentile aggs (one per arm,
+    pushed-down type filters), a 9×9 index equi-join of 1-row-derived
+    relations."""
+    ev = load_table(spark, sf_dir, "events")
+    qarr = "array(" + ", ".join(f"{q}D" for q in QTE_QS) + ")"
+
+    def decs(arm: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == arm)
+            .select(F.round(F.col("value") * 100).cast("long").alias("v"))
+            .agg(F.expr(f"percentile(v, {qarr})").alias("l"))
+            .select(F.posexplode("l").alias("pos", out))
+        )
+
+    qt = decs("purchase", "vt")
+    qc = decs("view", "vc")
+    return qt.join(qc, "pos").select(
+        F.round((F.col("pos") + 1) / 10.0, 1).alias("quantile"),
+        F.round(F.col("vt") / 100.0, 2).alias("v_purchase"),
+        F.round(F.col("vc") / 100.0, 2).alias("v_view"),
+        F.round((F.col("vt") - F.col("vc")) / 100.0, 2).alias("qte"),
+    )

@@ -1626,3 +1626,171 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
             W1_ROUND,
         ).alias("w1_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy distance and Cramér–von Mises: the L2 / characteristic-
+# function members of the two-sample family (KS = sup gap, W1 = L1
+# area, CvM = L2 area, energy = pairwise-distance form sensitive to
+# ALL moments). Same ref/cur split and cents grid as
+# wasserstein_value_drift; every pairwise-distance sum telescopes to
+# integer cumulative algebra — no O(n²) anywhere.
+# ---------------------------------------------------------------------------
+
+_DRIFT_GRID_CTE = f"""
+span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN CAST(ts AS DATE) < d0 + {W1_REF_DAYS} THEN 1 ELSE 0 END AS is_ref
+  FROM events CROSS JOIN span
+), g AS (
+  SELECT event_type, v,
+         CAST(sum(is_ref) AS BIGINT) AS ca,
+         CAST(sum(1 - is_ref) AS BIGINT) AS cb
+  FROM pts GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, ca, cb,
+         sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+         sum(ca) OVER t AS na, sum(cb) OVER t AS nb,
+         lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS dv
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY event_type)
+)"""
+
+
+def _drift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _DRIFT_GRID_CTE: the per-type merged cents grid
+    with per-value counts, inclusive cumulatives, totals and the gap
+    to the next grid value."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.to_date("ts") < F.date_add(F.col("d0"), W1_REF_DAYS), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    g = pts.groupBy("event_type", "v").agg(
+        F.sum("is_ref").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(t).alias("na"),
+        F.sum("cb").over(t).alias("nb"),
+        (F.lead("v").over(Window.partitionBy("event_type").orderBy("v")) - F.col("v")).alias(
+            "dv"
+        ),
+    )
+
+
+@query(
+    "energy_distance_drift",
+    oracle=f"""
+WITH {_DRIFT_GRID_CTE}
+SELECT event_type,
+       CAST(any_value(na) AS BIGINT) AS n_ref,
+       CAST(any_value(nb) AS BIGINT) AS n_cur,
+       round((2.0 * CAST(sum(CAST(cuma * (nb - cumb) + cumb * (na - cuma)
+                                  AS DECIMAL(38,0)) * dv) AS DOUBLE)
+                / any_value(na) / any_value(nb)
+              - 2.0 * CAST(sum(CAST(cuma * (na - cuma) AS DECIMAL(38,0)) * dv) AS DOUBLE)
+                / any_value(na) / any_value(na)
+              - 2.0 * CAST(sum(CAST(cumb * (nb - cumb) AS DECIMAL(38,0)) * dv) AS DOUBLE)
+                / any_value(nb) / any_value(nb)) / 100.0,
+             {W1_ROUND}) + 0.0 AS energy_dollars
+FROM grid WHERE dv IS NOT NULL
+GROUP BY 1
+""",
+)
+def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type two-sample energy distance E = 2·E|X−Y| − E|X−X'| −
+    E|Y−Y'| between the reference and current value samples, in
+    dollars. Each pairwise-distance expectation telescopes over the
+    merged cents grid: Σ_pairs |x−y| = Σ_k dv_k · #pairs straddling
+    interval k — pure integers (DECIMAL(38,0)); the V-statistic
+    normalization (self-pairs included, n² denominators) keeps both
+    engines on identical operands.
+
+    Plan: identical shape to wasserstein_value_drift — one combinable
+    (type, cents) agg bounds everything downstream by the value
+    domain."""
+    grid = _drift_grid(spark, sf_dir).where(F.col("dv").isNotNull())
+    na, nb = F.any_value("na"), F.any_value("nb")
+
+    def tsum(expr):
+        return F.sum(expr.cast("decimal(38,0)") * F.col("dv")).cast("double")
+
+    cross = tsum(F.col("cuma") * (F.col("nb") - F.col("cumb"))
+                 + F.col("cumb") * (F.col("na") - F.col("cuma")))
+    within_a = tsum(F.col("cuma") * (F.col("na") - F.col("cuma")))
+    within_b = tsum(F.col("cumb") * (F.col("nb") - F.col("cumb")))
+    return grid.groupBy("event_type").agg(
+        na.cast("long").alias("n_ref"),
+        nb.cast("long").alias("n_cur"),
+        F.round(
+            (
+                2.0 * cross / na / nb
+                - 2.0 * within_a / na / na
+                - 2.0 * within_b / nb / nb
+            )
+            / 100.0,
+            W1_ROUND,
+        ).alias("energy_dollars"),
+    )
+
+
+@query(
+    "cvm_drift_test",
+    oracle=f"""
+WITH {_DRIFT_GRID_CTE}
+SELECT event_type,
+       CAST(any_value(na) AS BIGINT) AS n_ref,
+       CAST(any_value(nb) AS BIGINT) AS n_cur,
+       round(CAST(sum(CAST((ca + cb) AS DECIMAL(38,0))
+                      * CAST(cuma * nb - cumb * na AS DECIMAL(38,0))
+                      * CAST(cuma * nb - cumb * na AS DECIMAL(38,0))) AS DOUBLE)
+             / (CAST(any_value(na) AS DOUBLE) * any_value(nb)
+                * (any_value(na) + any_value(nb)) * (any_value(na) + any_value(nb))),
+             {W1_ROUND}) + 0.0 AS cvm_t
+FROM grid
+GROUP BY 1
+""",
+)
+def cvm_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic per event type:
+    T = (n_a·n_b/N²)·Σ_z (F_a(z) − F_b(z))² over all N sample points —
+    the L2 companion to ks_drift_report's sup statistic (CvM sees
+    distributed small gaps KS misses). The squared CDF gap is kept as
+    the INTEGER (cuma·nb − cumb·na)² weighted by the value's
+    multiplicity, DECIMAL(38,0)-accumulated; one double division at
+    the end.
+
+    Plan: the same domain-bounded grid as the W1/energy ops — no new
+    fact-side work."""
+    grid = _drift_grid(spark, sf_dir)
+    na, nb = F.any_value("na"), F.any_value("nb")
+    gap = (F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).cast("decimal(38,0)")
+    num = F.sum((F.col("ca") + F.col("cb")).cast("decimal(38,0)") * gap * gap).cast("double")
+    n_tot = na + nb
+    return grid.groupBy("event_type").agg(
+        na.cast("long").alias("n_ref"),
+        nb.cast("long").alias("n_cur"),
+        F.round(
+            num / (na.cast("double") * nb * n_tot * n_tot),
+            W1_ROUND,
+        ).alias("cvm_t"),
+    )
