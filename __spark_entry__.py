@@ -146,6 +146,10 @@ _R8_PRIORITY = [
     "cvm_drift_test",
     "ab_power_analysis",
     "quantile_treatment_effect",
+    "haar_wavelet_energy",
+    "sax_weekly_symbols",
+    "gumbel_block_maxima",
+    "rank_biased_overlap",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -1102,3 +1102,100 @@ def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ql_dirichlet_search.__doc__ = (ql_dirichlet_search.__doc__ or "").format(K=QL_TOP_K, MU=QL_MU)
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the BM25 and query-likelihood rankings —
+# the top-weighted ranking-agreement metric (Webber et al. 2010) for
+# "do my two retrieval scorers agree where it matters?"; Kendall/RBO
+# over full lists over-weights the tail, RBO's geometric weights don't.
+# ---------------------------------------------------------------------------
+
+RBO_P = 0.9
+
+
+def _rbo_oracle() -> str:
+    from etl_jlp_spark.registry import ORACLES
+
+    return f"""
+WITH r1 AS MATERIALIZED ({ORACLES["bm25_search"]}),
+r2 AS MATERIALIZED ({ORACLES["ql_dirichlet_search"]}),
+k1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM r1
+), k2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ql_score DESC, doc_id) AS rk FROM r2
+), common AS (
+  SELECT greatest(k1.rk, k2.rk) AS mr
+  FROM k1 JOIN k2 ON k1.doc_id = k2.doc_id
+), depths AS (
+  SELECT CAST(unnest(range(1, {BM25_TOP_K} + 1)) AS BIGINT) AS d
+), xd AS (
+  SELECT d.d, CAST(count(c.mr) AS BIGINT) AS x
+  FROM depths d LEFT JOIN common c ON c.mr <= d.d
+  GROUP BY d.d
+)
+SELECT CAST({BM25_TOP_K} AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
+       round(max(CASE WHEN d = {BM25_TOP_K}
+                 THEN CAST(x AS DOUBLE) / {BM25_TOP_K} END), 4) + 0.0 AS overlap_at_k,
+       round((1.0 - {RBO_P}) * sum(power({RBO_P}, d - 1) * x / d), 4) + 0.0
+         AS rbo_truncated
+FROM xd
+"""
+
+
+@query("rank_biased_overlap", oracle=_rbo_oracle())
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated rank-biased overlap (p = {P}) between the bm25_search
+    and ql_dirichlet_search top-{K} lists: RBO = (1−p)·Σ_d p^{{d−1}}·
+    X_d/d where X_d is the overlap of the two depth-d prefixes
+    (computed as #common docs whose worse rank ≤ d — integers). Ranks
+    re-derive from the REGISTERED relations' own (score, doc_id)
+    orderings, so the metric can never disagree with the lists it
+    compares.
+
+    Plan: both constituent rankings are bounded top-k relations; the
+    overlap table is a k-row LEFT JOIN against common-doc max-ranks —
+    constant-space beyond the two retrieval passes."""
+    b = bm25_search(spark, sf_dir)
+    q = ql_dirichlet_search(spark, sf_dir)
+    k1 = b.select(
+        "doc_id", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("rk1")
+    )
+    k2 = q.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("ql_score"), "doc_id")).alias("rk2"),
+    )
+    common = (
+        k1.join(k2, "doc_id")
+        .select(F.greatest("rk1", "rk2").alias("mr"))
+        .localCheckpoint(eager=True)  # ≤ k rows; consumed by count + depth join
+    )
+    depths = spark.range(1, BM25_TOP_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.join(F.broadcast(common), F.col("mr") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("mr").cast("long").alias("x"))
+    )
+    ncommon = common.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    agg = xd.agg(
+        F.lit(BM25_TOP_K).cast("long").alias("k"),
+        F.round(
+            F.max(
+                F.when(F.col("d") == BM25_TOP_K, F.col("x").cast("double") / BM25_TOP_K)
+            ),
+            4,
+        ).alias("overlap_at_k"),
+        F.round(
+            (1.0 - RBO_P) * F.sum(F.pow(F.lit(RBO_P), F.col("d") - 1) * F.col("x") / F.col("d")),
+            4,
+        ).alias("rbo_truncated"),
+    )
+    return agg.crossJoin(F.broadcast(ncommon)).select(
+        "k", "n_common", "overlap_at_k", "rbo_truncated"
+    )
+
+
+rank_biased_overlap.__doc__ = (rank_biased_overlap.__doc__ or "").format(
+    P=RBO_P, K=BM25_TOP_K
+)

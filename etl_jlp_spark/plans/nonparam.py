@@ -1794,3 +1794,276 @@ def cvm_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             W1_ROUND,
         ).alias("cvm_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of daily revenue — which time
+# scale carries the variance? (periodogram_daily_revenue answers in
+# frequency; Haar answers in dyadic time scales with EXACT integer
+# coefficients, since Haar details are just differences of integer
+# block sums.)
+# ---------------------------------------------------------------------------
+
+HAAR_LEVELS = 3
+
+
+@query(
+    "haar_wavelet_energy",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+idx AS (
+  SELECT rev AS s, row_number() OVER (ORDER BY day) - 1 AS rn FROM daily
+),
+l1 AS (
+  SELECT rn // 2 AS rn, CAST(sum(CASE WHEN rn % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d,
+         CAST(sum(s) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS np
+  FROM idx GROUP BY rn // 2
+),
+l2 AS (
+  SELECT rn // 2 AS rn, CAST(sum(CASE WHEN rn % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d,
+         CAST(sum(s) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS np
+  FROM (SELECT rn, s FROM l1 WHERE np = 2) GROUP BY rn // 2
+),
+l3 AS (
+  SELECT rn // 2 AS rn, CAST(sum(CASE WHEN rn % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d,
+         CAST(sum(s) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS np
+  FROM (SELECT rn, s FROM l2 WHERE np = 2) GROUP BY rn // 2
+),
+lev AS (
+  SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+         CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS e
+  FROM l1 WHERE np = 2
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))
+  FROM l2 WHERE np = 2
+  UNION ALL
+  SELECT 3, CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))
+  FROM l3 WHERE np = 2
+), tot AS (
+  SELECT sum(CAST(e AS DOUBLE) / power(2.0, level)) AS te FROM lev
+)
+SELECT CAST(level AS BIGINT) AS level, n_coeffs,
+       round(CAST(e AS DOUBLE) / power(2.0, level) / 10000.0, 2) + 0.0 AS energy,
+       round(CAST(e AS DOUBLE) / power(2.0, level) / te, 6) + 0.0 AS energy_share
+FROM lev CROSS JOIN tot
+""",
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized-Haar energy per dyadic scale (levels 1–3 ≈ 2/4/8
+    days) of daily revenue: each level's detail coefficients are
+    DIFFERENCES OF INTEGER BLOCK SUMS (d = Σeven − Σodd), squared in
+    DECIMAL(38,0) and scaled by the 2^level normalization only at
+    reporting time — so the decomposition is exact until the final
+    share division. Incomplete tail blocks are dropped (np = 2 gate),
+    the standard dyadic truncation.
+
+    Plan: three cascaded pair-groupings of the calendar-bounded daily
+    series; each level halves the rows."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    cur = daily.select(
+        F.col("rev").alias("s"), (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
+    )
+    levels = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        nxt = cur.groupBy(F.expr("rn div 2").alias("rn2")).agg(
+            F.sum(F.when(F.col("rn") % 2 == 0, F.col("s")).otherwise(-F.col("s")))
+            .cast("long")
+            .alias("d"),
+            F.sum("s").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("np"),
+        ).withColumnRenamed("rn2", "rn")
+        complete = nxt.where(F.col("np") == 2).localCheckpoint(eager=True)
+        levels.append(
+            complete.agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+                F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+                .cast("decimal(38,0)")
+                .alias("e"),
+            )
+        )
+        cur = complete.select("rn", "s")
+    lev = levels[0]
+    for x in levels[1:]:
+        lev = lev.unionByName(x)
+    lev = lev.localCheckpoint(eager=True)
+    norm = F.col("e").cast("double") / F.pow(F.lit(2.0), F.col("level"))
+    tot = lev.agg(F.sum(norm).alias("te"))
+    return lev.crossJoin(F.broadcast(tot)).select(
+        "level",
+        "n_coeffs",
+        F.round(norm / 10000.0, 2).alias("energy"),
+        F.round(norm / F.col("te"), 6).alias("energy_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of daily revenue — the symbolic time-series
+# representation (Lin/Keogh): z-normalize, cut at the standard-normal
+# quartile breakpoints, emit one letter per day, one word per ISO
+# week. Downstream: motif mining, symbolic anomaly lookup.
+# ---------------------------------------------------------------------------
+
+SAX_BP = 0.6744897501960817  # Φ⁻¹(0.75): alphabet {a,b,c,d} at ±bp and 0
+
+
+@query(
+    "sax_weekly_symbols",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+         CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev) AS DECIMAL(38,0)) AS ss
+  FROM daily
+), z AS (
+  SELECT day,
+         (rev - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                  / (CAST(n AS DOUBLE) * (n - 1))) AS z
+  FROM daily CROSS JOIN mom
+), sym AS (
+  SELECT day,
+         CASE WHEN z < -{SAX_BP} THEN 'a'
+              WHEN z < 0 THEN 'b'
+              WHEN z < {SAX_BP} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM z
+)
+SELECT CAST(isoyear(day) AS BIGINT) AS iso_year,
+       CAST(weekofyear(day) AS BIGINT) AS iso_week,
+       string_agg(sym, '' ORDER BY day) AS sax_word,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM sym GROUP BY 1, 2
+""",
+)
+def sax_weekly_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words per ISO week over daily revenue: z-scores from exact
+    integer moment sums (identical operands ⇒ identical doubles in
+    both engines), cut at the standard-normal quartile breakpoints
+    ±{BP:.4f} into the 4-letter alphabet, concatenated in day order.
+    Symbol assignment compares identical doubles against shared
+    literals, so words match bit-for-bit.
+
+    Plan: calendar-bounded series; one 1-row moment broadcast, one
+    week agg."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    sd = F.sqrt(
+        (n.cast("double") * ss.cast("double") - s.cast("double") * s)
+        / (n.cast("double") * (n - 1))
+    )
+    z = (F.col("rev") - s.cast("double") / n) / sd
+    sym = (
+        F.when(z < -SAX_BP, "a").when(z < 0, "b").when(z < SAX_BP, "c").otherwise("d")
+    )
+    tagged = daily.crossJoin(F.broadcast(mom)).select("day", sym.alias("sym"))
+    return tagged.groupBy(
+        F.expr("extract(yearofweek FROM day)").cast("long").alias("iso_year"),
+        F.weekofyear("day").cast("long").alias("iso_week"),
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "sym"))), lambda r: r["sym"]
+            ),
+            "",
+        ).alias("sax_word"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel fit of weekly revenue maxima (extreme-value theory): the
+# return-level question capacity planning actually asks — "what daily
+# revenue should we expect to exceed only once a year?" — answered
+# with the method-of-moments Gumbel fit over block maxima.
+# ---------------------------------------------------------------------------
+
+EULER_GAMMA = 0.5772156649015329
+GUMBEL_RETURN_WEEKS = 52
+
+
+@query(
+    "gumbel_block_maxima",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+wk AS (
+  SELECT CAST(isoyear(day) AS BIGINT) AS iso_year,
+         CAST(weekofyear(day) AS BIGINT) AS iso_week,
+         CAST(max(rev) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1, 2
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum(CAST(mx AS DECIMAL(38,0)) * mx) AS DECIMAL(38,0)) AS ss
+  FROM wk WHERE nd = 7
+), est AS (
+  SELECT n, CAST(s AS DOUBLE) / n AS mean_mx,
+         sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sd_mx
+  FROM mom
+)
+SELECT n AS n_weeks,
+       round(mean_mx, 2) + 0.0 AS mean_weekly_max,
+       round(sd_mx * sqrt(6.0) / pi(), 4) + 0.0 AS gumbel_beta,
+       round(mean_mx - {EULER_GAMMA} * sd_mx * sqrt(6.0) / pi(), 4) + 0.0 AS gumbel_mu,
+       round(mean_mx - {EULER_GAMMA} * sd_mx * sqrt(6.0) / pi()
+             - sd_mx * sqrt(6.0) / pi()
+               * ln(-ln(1.0 - 1.0 / {GUMBEL_RETURN_WEEKS})), 2) + 0.0
+         AS return_level_52w
+FROM est
+""",
+)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) method-of-moments fit over COMPLETE-week maxima
+    of daily revenue: β̂ = s·√6/π, μ̂ = x̄ − γβ̂, and the
+    {W}-week return level μ̂ − β̂·ln(−ln(1 − 1/{W})). Block maxima are
+    integers; mean/SD come from the exact moment expansion; the fit is
+    scalar double arithmetic with γ as a shared literal.
+
+    Plan: day agg → week-max agg (both combinable) → 1-row fit."""
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    wk = daily.groupBy(
+        F.expr("extract(yearofweek FROM day)").cast("long").alias("iso_year"),
+        F.weekofyear("day").cast("long").alias("iso_week"),
+    ).agg(
+        F.max("rev").cast("long").alias("mx"), F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    mom = wk.where(F.col("nd") == 7).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean_mx = s.cast("double") / n
+    sd_mx = F.sqrt(
+        (n.cast("double") * ss.cast("double") - s.cast("double") * s)
+        / (n.cast("double") * (n - 1))
+    )
+    beta = sd_mx * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean_mx - EULER_GAMMA * beta
+    import math
+
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / GUMBEL_RETURN_WEEKS))
+    return mom.select(
+        n.alias("n_weeks"),
+        F.round(mean_mx, 2).alias("mean_weekly_max"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(rl, 2).alias("return_level_52w"),
+    )
+
+
+gumbel_block_maxima.__doc__ = (gumbel_block_maxima.__doc__ or "").format(
+    W=GUMBEL_RETURN_WEEKS
+)
