@@ -347,6 +347,39 @@ HEADLINE = [
     "l_diversity_report",
     "cms_join_size_estimate",
     "t_closeness_report",
+    "wasserstein_value_drift",
+    "cliffs_delta_value",
+    "runs_test_daily",
+    "jackknife_mean_se",
+    "mcnemar_gate_flips",
+    "brown_forsythe_variance",
+    "simpson_slope_check",
+    "abc_inventory_class",
+    "unpivot_lineitem_metrics",
+    "freedman_diaconis_bins",
+    "ql_dirichlet_search",
+    "shapley_channel_attribution",
+    "mann_kendall_trend",
+    "hill_tail_index",
+    "grubbs_outlier_daily",
+    "partial_corr_matrix",
+    "cochran_armitage_trend",
+    "fleiss_kappa_gates",
+    "pps_systematic_sample",
+    "price_index_report",
+    "capture_recapture_pairs",
+    "davies_bouldin_report",
+    "fdr_drift_gate",
+    "winsorized_trimmed_mean",
+    "hurst_rs_exponent",
+    "energy_distance_drift",
+    "cvm_drift_test",
+    "ab_power_analysis",
+    "quantile_treatment_effect",
+    "haar_wavelet_energy",
+    "sax_weekly_symbols",
+    "gumbel_block_maxima",
+    "rank_biased_overlap",
 ]
 
 
@@ -411,7 +444,7 @@ def main() -> None:
     # full record in-repo where it can be committed and diffed per round.
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r8.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r9.json"),
     )
     try:
         with open(local, "w") as fh:
