@@ -150,6 +150,11 @@ _R8_PRIORITY = [
     "sax_weekly_symbols",
     "gumbel_block_maxima",
     "rank_biased_overlap",
+    "effective_sample_size",
+    "vif_report",
+    "markov_entropy_rate",
+    "vocab_coverage_estimate",
+    "granger_causality_daily",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

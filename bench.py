@@ -380,6 +380,11 @@ HEADLINE = [
     "sax_weekly_symbols",
     "gumbel_block_maxima",
     "rank_biased_overlap",
+    "effective_sample_size",
+    "vif_report",
+    "markov_entropy_rate",
+    "vocab_coverage_estimate",
+    "granger_causality_daily",
 ]
 
 

@@ -917,3 +917,73 @@ def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 oov_rate_curve.__doc__ = (oov_rate_curve.__doc__ or "").format(grid=OOV_K_GRID)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage estimators: Chao1 richness (how many terms exist
+# in the population the corpus samples) and Good–Turing unseen mass
+# (what probability mass the NEXT document will spend on never-seen
+# terms) — the two numbers that decide whether a corpus is big enough
+# for its tokenizer (vocab_growth_curve shows the trend; these are the
+# asymptote estimates).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_coverage_estimate",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+         CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+  FROM tf
+)
+SELECT n AS n_tokens, v AS vocab_seen, f1 AS hapax, f2 AS dis,
+       CAST(v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1_vocab,
+       round(CAST(f1 AS DOUBLE) / n, 6) + 0.0 AS gt_unseen_mass,
+       round(1.0 - CAST(f1 AS DOUBLE) / n, 6) + 0.0 AS gt_coverage
+FROM agg
+""",
+)
+def vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate V̂ = V + F1(F1−1)/(2(F2+1))
+    (bias-corrected, F2=0-safe) and the Good–Turing unseen-probability
+    mass F1/N over the corpus term counts — integer frequency-of-
+    frequency statistics with the Chao1 correction in pure integer
+    division, one double ratio for the GT mass.
+
+    Plan: one tokenize pass → vocab-bounded term counts → 1-row
+    frequency-spectrum agg (the term_freq_spectrum relation collapsed
+    to its two leading cells)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{WORD_PATTERN}', 0)")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    v, n, f1, f2 = F.col("v"), F.col("n"), F.col("f1"), F.col("f2")
+    return agg.select(
+        n.alias("n_tokens"),
+        v.alias("vocab_seen"),
+        f1.alias("hapax"),
+        f2.alias("dis"),
+        (v + F.expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))")).cast("long").alias("chao1_vocab"),
+        F.round(f1.cast("double") / n, 6).alias("gt_unseen_mass"),
+        F.round(1.0 - f1.cast("double") / n, 6).alias("gt_coverage"),
+    )

@@ -1035,3 +1035,321 @@ def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("b2", OLS_ROUND) + 0.0).alias("beta_disc_pct"),
         (F.round("r2", OLS_ROUND) + 0.0).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation-adjusted effective sample size: how many INDEPENDENT
+# observations the daily revenue series is worth — the correction any
+# CI over a time series needs before n goes in the denominator
+# (bootstrap_ci_mean assumes exchangeability; this measures how wrong
+# that is). ESS = n / (1 + 2·Σ_{k≤K} ρ_k), kept EXACT: the ρ sum stays
+# a ratio of DECIMAL(38,0) deviation-product sums.
+# ---------------------------------------------------------------------------
+
+ESS_MAX_LAG = 10
+
+
+@query(
+    "effective_sample_size",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s FROM daily
+), dev AS (
+  SELECT day, CAST(tot.n * daily.rev - tot.s AS DECIMAL(38,0)) AS dv
+  FROM daily CROSS JOIN tot
+), den AS (
+  SELECT sum(dv * dv) AS d FROM dev
+), num AS (
+  SELECT sum(a.dv * b.dv) AS nm
+  FROM (SELECT unnest(generate_series(1, {ESS_MAX_LAG})) AS lag) l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+)
+SELECT tot.n AS n_days,
+       round(CAST(num.nm AS DOUBLE) / CAST(den.d AS DOUBLE), 6) + 0.0 AS acf_sum,
+       round(tot.n * CAST(den.d AS DOUBLE)
+             / (CAST(den.d AS DOUBLE) + 2.0 * CAST(num.nm AS DOUBLE)), 2) + 0.0
+         AS ess,
+       round(CAST(den.d AS DOUBLE)
+             / (CAST(den.d AS DOUBLE) + 2.0 * CAST(num.nm AS DOUBLE)), 6) + 0.0
+         AS ess_ratio
+FROM tot CROSS JOIN den CROSS JOIN num
+""",
+)
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESS of the daily revenue series, truncated at lag {K}:
+    n·D/(D + 2·Σ_k N_k) where D = Σdev² and N_k = Σ dev_t·dev_(t+k)
+    are the acf_daily_revenue DECIMAL(38,0) sums — the entire lag sum
+    stays exact (one decimal total, not a sum of rounded ρ's); the
+    division happens once.
+
+    Plan: the ACF plan with the per-lag split removed — same tiny
+    day-series self-join."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev").cast("long").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("rev") - F.col("s")).cast("decimal(38,0)").alias("dv"),
+    ).localCheckpoint(eager=True)  # day-bounded; consumed by den + the lag join
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("d"), F.any_value("n").alias("n"))
+    lags = spark.range(1, ESS_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = dev.select(F.col("day").alias("da"), F.col("dv").alias("va"))
+    b = dev.select(F.col("day").alias("db"), F.col("dv").alias("vb"))
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.expr("db = date_add(da, lag)"))
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("nm"))
+    )
+    j = den.crossJoin(F.broadcast(num))
+    d, nm, n = F.col("d").cast("double"), F.col("nm").cast("double"), F.col("n")
+    return j.select(
+        n.alias("n_days"),
+        F.round(nm / d, 6).alias("acf_sum"),
+        F.round(n * d / (d + 2.0 * nm), 2).alias("ess"),
+        F.round(d / (d + 2.0 * nm), 6).alias("ess_ratio"),
+    )
+
+
+effective_sample_size.__doc__ = (effective_sample_size.__doc__ or "").format(K=ESS_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# Variance inflation factors for the lineitem money triple — the
+# collinearity gate before any of the OLS estimators in this module
+# are trusted (R²_i of each regressor on the other two, from the same
+# exact cross-moments partial_corr_matrix uses).
+# ---------------------------------------------------------------------------
+
+
+def _vif_oracle() -> str:
+    from etl_jlp_spark.plans.nonparam import _PCORR_VARS, _pcorr_r_sql
+
+    rows = []
+    combos = [(0, "r01", "r02", "r12"), (1, "r01", "r12", "r02"), (2, "r02", "r12", "r01")]
+    for i, rxy, rxz, ryz in combos:
+        rows.append(f"""
+  SELECT '{_PCORR_VARS[i][0]}' AS variable,
+         round(({rxy} * {rxy} + {rxz} * {rxz} - 2 * {rxy} * {rxz} * {ryz})
+               / (1 - {ryz} * {ryz}), 6) + 0.0 AS r_squared,
+         round(1.0 / (1.0 - ({rxy} * {rxy} + {rxz} * {rxz}
+                             - 2 * {rxy} * {rxz} * {ryz}) / (1 - {ryz} * {ryz})),
+               6) + 0.0 AS vif
+  FROM r""")
+    return f"""
+WITH pts AS (
+  SELECT {", ".join(f"{e} AS v{i}" for i, (_, e) in enumerate(_PCORR_VARS))}
+  FROM lineitem
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {", ".join(f"CAST(sum(v{i}) AS BIGINT) AS s_{i}" for i in range(3))},
+         {", ".join(f"CAST(sum(CAST(v{i} AS DECIMAL(38,0)) * v{j}) AS DECIMAL(38,0)) AS s_{i}_{j}" for i in range(3) for j in range(3) if i <= j)}
+  FROM pts
+), r AS (
+  SELECT {_pcorr_r_sql("0", "1")} AS r01,
+         {_pcorr_r_sql("0", "2")} AS r02,
+         {_pcorr_r_sql("1", "2")} AS r12
+  FROM mom
+)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("vif_report", oracle=_vif_oracle())
+def vif_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factor per regressor in the (quantity,
+    discount, price) triple: R²_i of each variable on the other two
+    via the two-predictor closed form (r_xy² + r_xz² − 2·r_xy·r_xz·
+    r_yz)/(1 − r_yz²), VIF = 1/(1 − R²). Shares the
+    partial_corr_matrix moment discipline — one exact-integer/decimal
+    pass, scalar double algebra after.
+
+    Plan: one lineitem scan, 1-row moments (checkpointed), 3
+    constant-space projections."""
+    from etl_jlp_spark.plans.nonparam import _PCORR_VARS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exprs = [
+        F.round("l_quantity").cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    ]
+    pts = li.select(*[e.alias(f"v{i}") for i, e in enumerate(exprs)])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(f"v{i}").cast("long").alias(f"s_{i}") for i in range(3)]
+    aggs += [
+        F.sum(F.col(f"v{i}").cast("decimal(38,0)") * F.col(f"v{j}"))
+        .cast("decimal(38,0)")
+        .alias(f"s_{i}_{j}")
+        for i in range(3)
+        for j in range(3)
+        if i <= j
+    ]
+    mom = pts.agg(*aggs)
+
+    def r_of(i: int, j: int):
+        n = F.col("n").cast("double")
+        si, sj = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
+        sij = F.col(f"s_{i}_{j}").cast("double")
+        sii, sjj = F.col(f"s_{i}_{i}").cast("double"), F.col(f"s_{j}_{j}").cast("double")
+        return (n * sij - si * sj) / F.sqrt((n * sii - si * si) * (n * sjj - sj * sj))
+
+    r = mom.select(
+        r_of(0, 1).alias("r01"), r_of(0, 2).alias("r02"), r_of(1, 2).alias("r12")
+    ).localCheckpoint(eager=True)
+    names = [v for v, _ in _PCORR_VARS]
+    combos = [(0, "r01", "r02", "r12"), (1, "r01", "r12", "r02"), (2, "r02", "r12", "r01")]
+    parts = []
+    for i, rxy, rxz, ryz in combos:
+        a, b, c = F.col(rxy), F.col(rxz), F.col(ryz)
+        r2 = (a * a + b * b - 2 * a * b * c) / (1 - c * c)
+        parts.append(
+            r.select(
+                F.lit(names[i]).alias("variable"),
+                F.round(r2, 6).alias("r_squared"),
+                F.round(1.0 / (1.0 - r2), 6).alias("vif"),
+            )
+        )
+    return parts[0].unionAll(parts[1]).unionAll(parts[2])
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1, both directions) between daily revenue and
+# daily order count: does yesterday's order COUNT improve today's
+# revenue prediction beyond yesterday's revenue (and vice versa)? The
+# lead/lag question the correlation family can't answer.
+# ---------------------------------------------------------------------------
+
+
+def _granger_dir_sql(name: str, y: str, x: str) -> str:
+    return f"""
+  SELECT '{name}' AS direction,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(a) AS BIGINT) AS sa,
+         CAST(sum(b) AS BIGINT) AS sb,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(a AS DECIMAL(38,0)) * a) AS DECIMAL(38,0)) AS saa,
+         CAST(sum(CAST(b AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS sbb,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * a) AS DECIMAL(38,0)) AS sya,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS syb,
+         CAST(sum(CAST(a AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS sab
+  FROM (
+    SELECT c.{y} AS y, p.{y} AS a, p.{x} AS b
+    FROM daily c JOIN daily p ON c.day = p.day + 1
+  )
+"""
+
+
+@query(
+    "granger_causality_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), moms AS (
+{_granger_dir_sql("orders_to_revenue", "rev", "cnt")}
+  UNION ALL
+{_granger_dir_sql("revenue_to_orders", "cnt", "rev")}
+), cent AS (
+  SELECT direction, m,
+         CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy,
+         CAST(m AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa AS caa,
+         CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb AS cbb,
+         CAST(m AS DOUBLE) * CAST(sya AS DOUBLE) - CAST(sy AS DOUBLE) * sa AS cya,
+         CAST(m AS DOUBLE) * CAST(syb AS DOUBLE) - CAST(sy AS DOUBLE) * sb AS cyb,
+         CAST(m AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb AS cab
+  FROM moms
+), fit AS (
+  SELECT direction, m,
+         (cya * cbb - cyb * cab) / (caa * cbb - cab * cab) AS a1,
+         (cyb * caa - cya * cab) / (caa * cbb - cab * cab) AS b1,
+         cyy, caa, cya, cyb
+  FROM cent
+)
+SELECT direction, m AS n_samples,
+       round(a1, 6) + 0.0 AS coef_own_lag,
+       round(b1, 6) + 0.0 AS coef_cross_lag,
+       round(((cyy - cya * cya / caa) - (cyy - a1 * cya - b1 * cyb))
+             / ((cyy - a1 * cya - b1 * cyb) / (m - 3)), 6) + 0.0 AS f_stat
+FROM fit
+""",
+)
+def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality in both directions between daily
+    revenue and daily order count: unrestricted y_t ~ y_{{t−1}} +
+    x_{{t−1}} vs restricted y_t ~ y_{{t−1}}, F = (RSS_r − RSS_u)/
+    (RSS_u/(m−3)). All sufficient statistics are exact integer/
+    DECIMAL(38,0) sums; centering uses the m·Σ − Σ·Σ expansion (the
+    m² scale cancels in every reported quantity), so both engines run
+    identical double algebra.
+
+    Plan: one calendar-bounded day agg; the lag join is day-arithmetic
+    on the tiny series; 2 moment rows → constant-space fit."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)  # tiny; consumed by both directions
+    )
+    c = daily.select(F.col("day").alias("dc"), F.col("rev").alias("c_rev"), F.col("cnt").alias("c_cnt"))
+    p = daily.select(F.col("day").alias("dp"), F.col("rev").alias("p_rev"), F.col("cnt").alias("p_cnt"))
+    pairs = c.join(p, F.expr("dc = date_add(dp, 1)"))
+
+    def moms(name: str, ycol: str, xcol: str) -> DataFrame:
+        yy = F.col(f"c_{ycol}")
+        aa = F.col(f"p_{ycol}")
+        bb = F.col(f"p_{xcol}")
+        dec = lambda u, w: F.sum(u.cast("decimal(38,0)") * w).cast("decimal(38,0)")  # noqa: E731
+        return pairs.agg(
+            F.lit(name).alias("direction"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(yy).cast("long").alias("sy"),
+            F.sum(aa).cast("long").alias("sa"),
+            F.sum(bb).cast("long").alias("sb"),
+            dec(yy, yy).alias("syy"),
+            dec(aa, aa).alias("saa"),
+            dec(bb, bb).alias("sbb"),
+            dec(yy, aa).alias("sya"),
+            dec(yy, bb).alias("syb"),
+            dec(aa, bb).alias("sab"),
+        )
+
+    m_all = moms("orders_to_revenue", "rev", "cnt").unionAll(
+        moms("revenue_to_orders", "cnt", "rev")
+    )
+    m = F.col("m").cast("double")
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    cyy = m * d("syy") - d("sy") * F.col("sy")
+    caa = m * d("saa") - d("sa") * F.col("sa")
+    cbb = m * d("sbb") - d("sb") * F.col("sb")
+    cya = m * d("sya") - d("sy") * F.col("sa")
+    cyb = m * d("syb") - d("sy") * F.col("sb")
+    cab = m * d("sab") - d("sa") * F.col("sb")
+    det = caa * cbb - cab * cab
+    a1 = (cya * cbb - cyb * cab) / det
+    b1 = (cyb * caa - cya * cab) / det
+    rss_u = cyy - a1 * cya - b1 * cyb
+    rss_r = cyy - cya * cya / caa
+    return m_all.select(
+        "direction",
+        F.col("m").alias("n_samples"),
+        F.round(a1, 6).alias("coef_own_lag"),
+        F.round(b1, 6).alias("coef_cross_lag"),
+        F.round((rss_r - rss_u) / (rss_u / (F.col("m") - 3)), 6).alias("f_stat"),
+    )

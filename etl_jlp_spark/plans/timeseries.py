@@ -1487,3 +1487,92 @@ def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.lit(CONF_ALPHA).alias("target"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain — how predictable is the
+# next event given the current one? (event_transition_matrix shows the
+# probabilities; this collapses them into the information-theoretic
+# summary, with the marginal entropy as the no-memory baseline.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "markov_entropy_rate",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), rows_tot AS (
+  SELECT prev_type, CAST(sum(c) AS BIGINT) AS rc FROM trans GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM trans
+), h AS (
+  SELECT sum(CAST(t.c AS DOUBLE) / tot.n
+             * ln(CAST(r.rc AS DOUBLE) / t.c)) AS h_rate,
+         CAST(count(DISTINCT t.prev_type) AS BIGINT) AS n_states,
+         any_value(tot.n) AS n
+  FROM trans t JOIN rows_tot r ON t.prev_type = r.prev_type CROSS JOIN tot
+), hm AS (
+  SELECT sum(CAST(rc AS DOUBLE) / tot.n * ln(CAST(tot.n AS DOUBLE) / rc)) AS h_marg
+  FROM rows_tot CROSS JOIN tot
+)
+SELECT h.n AS n_transitions, h.n_states,
+       round(h.h_rate, 6) + 0.0 AS entropy_rate_nats,
+       round(hm.h_marg, 6) + 0.0 AS marginal_entropy_nats,
+       round(1.0 - h.h_rate / hm.h_marg, 6) + 0.0 AS predictability_gain
+FROM h CROSS JOIN hm
+""",
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate H = −Σ_ij p(i)·p(j|i)·ln p(j|i) of the per-user
+    event-type transition chain (empirical stationary weights), next
+    to the marginal entropy H(π) and the predictability gain
+    1 − H_rate/H_marginal — how much knowing the current event type
+    helps predict the next. Counts are integers; the ≤|types|² cell
+    log-sum is the established cell-relation tolerance (round 6).
+
+    Plan: the event_transition_matrix lag window (one user_id
+    exchange), then constant-space algebra on ≤ 25 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # ≤ |types|² cells; consumed thrice
+    )
+    rows_tot = trans.groupBy("prev_type").agg(F.sum("c").cast("long").alias("rc"))
+    tot = trans.agg(F.sum("c").cast("long").alias("n"))
+    h = (
+        trans.join(F.broadcast(rows_tot), "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("c").cast("double")
+                / F.col("n")
+                * F.log(F.col("rc").cast("double") / F.col("c"))
+            ).alias("h_rate"),
+            F.countDistinct("prev_type").cast("long").alias("n_states"),
+            F.any_value("n").alias("n"),
+        )
+    )
+    hm = rows_tot.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("rc").cast("double") / F.col("n") * F.log(F.col("n").cast("double") / F.col("rc"))
+        ).alias("h_marg")
+    )
+    return h.crossJoin(F.broadcast(hm)).select(
+        F.col("n").alias("n_transitions"),
+        "n_states",
+        F.round("h_rate", 6).alias("entropy_rate_nats"),
+        F.round("h_marg", 6).alias("marginal_entropy_nats"),
+        F.round(1.0 - F.col("h_rate") / F.col("h_marg"), 6).alias("predictability_gain"),
+    )
