@@ -1611,19 +1611,22 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
         (F.lead("v").over(Window.partitionBy("event_type").orderBy("v")) - F.col("v")).alias(
             "dv"
         ),
-    ).where(F.col("dv").isNotNull())
+    )
     term = F.abs(F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")).cast(
         "decimal(38,0)"
     ) * F.col("dv")
     return grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
         F.any_value("n_cur").cast("long").alias("n_cur"),
-        F.round(
-            F.sum(term).cast("double")
-            / F.any_value("n_ref")
-            / F.any_value("n_cur")
-            / 100.0,
-            W1_ROUND,
+        F.coalesce(
+            F.round(
+                F.sum(term).cast("double")
+                / F.any_value("n_ref")
+                / F.any_value("n_cur")
+                / 100.0,
+                W1_ROUND,
+            ),
+            F.lit(0.0),  # single-point grid (identical one-value samples): W1 = 0
         ).alias("w1_dollars"),
     )
 
