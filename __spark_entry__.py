@@ -155,6 +155,10 @@ _R8_PRIORITY = [
     "markov_entropy_rate",
     "vocab_coverage_estimate",
     "granger_causality_daily",
+    "graph_degree_assortativity",
+    "term_dispersion_dp",
+    "stylometry_burrows_delta",
+    "newsvendor_stock_level",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -385,6 +385,10 @@ HEADLINE = [
     "markov_entropy_rate",
     "vocab_coverage_estimate",
     "granger_causality_daily",
+    "graph_degree_assortativity",
+    "term_dispersion_dp",
+    "stylometry_burrows_delta",
+    "newsvendor_stock_level",
 ]
 
 

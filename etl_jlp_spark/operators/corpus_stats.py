@@ -987,3 +987,219 @@ def vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f1.cast("double") / n, 6).alias("gt_unseen_mass"),
         F.round(1.0 - f1.cast("double") / n, 6).alias("gt_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gries' DP (deviation of proportions): how UNEVENLY a term spreads
+# across sources — raw frequency can't tell a corpus-wide term from
+# one source's tic (source_logodds_terms finds source-typical terms;
+# DP scores each top term's burstiness across the whole source mix).
+# ---------------------------------------------------------------------------
+
+DP_TOP_TERMS = 20
+
+
+def _dp_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(nt) AS BIGINT) AS n FROM src
+), tc AS (
+  SELECT term, source, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS ct
+  FROM tc GROUP BY 1
+  ORDER BY sum(c) DESC, term LIMIT {DP_TOP_TERMS}
+), present AS (
+  SELECT t.term, t.ct,
+         sum(abs(CAST(tc.c AS DOUBLE) / t.ct - CAST(s.nt AS DOUBLE) / tot.n))
+           AS sum_present,
+         sum(CAST(s.nt AS DOUBLE) / tot.n) AS e_present
+  FROM top t
+  JOIN tc ON tc.term = t.term
+  JOIN src s ON s.source = tc.source
+  CROSS JOIN tot
+  GROUP BY t.term, t.ct
+)
+SELECT term, ct AS n_occurrences,
+       round((sum_present + (1.0 - e_present)) / 2.0, 4) + 0.0 AS dp
+FROM present
+"""
+
+
+@query("term_dispersion_dp", oracle=_dp_oracle())
+def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP per top-{K} corpus term: Σ_s |obs_share − exp_share|/2
+    where the expected share is the source's token share. Sources
+    where the term is ABSENT contribute |0 − e_s| = e_s, folded in
+    algebraically as (1 − Σ_present e_s) — so only the realized
+    (term, source) cells are ever materialized, no dense grid.
+
+    Plan: one tokenize pass → (term, source) counts (vocab-bounded),
+    TakeOrdered top-k, broadcast source-size join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{WORD_PATTERN}', 0)")).alias(
+            "term"
+        ),
+    )
+    tc = toks.groupBy("term", "source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tc = tc.localCheckpoint(eager=True)  # vocab-bounded; consumed by top + present
+    src = tc.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    tot = src.agg(F.sum("nt").cast("long").alias("n"))
+    top = (
+        tc.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "term")
+        .limit(DP_TOP_TERMS)
+    )
+    present = (
+        top.join(tc, "term")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("term", "ct")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c").cast("double") / F.col("ct")
+                    - F.col("nt").cast("double") / F.col("n")
+                )
+            ).alias("sum_present"),
+            F.sum(F.col("nt").cast("double") / F.col("n")).alias("e_present"),
+        )
+    )
+    return present.select(
+        "term",
+        F.col("ct").alias("n_occurrences"),
+        F.round((F.col("sum_present") + (1.0 - F.col("e_present"))) / 2.0, 4).alias("dp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta: the classic stylometric distance between sources
+# over the most-frequent-term profile — which sources "write alike"
+# (shared boilerplate/template register), upstream of any
+# deduplication (cross_source_neardup_matrix finds shared CONTENT;
+# Delta finds shared STYLE).
+# ---------------------------------------------------------------------------
+
+BD_TOP_TERMS = 20
+BD_F_SCALE = 1_000_000  # e6-quantized per-source relative frequencies
+
+
+def _burrows_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents
+), src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1
+), tc AS (
+  SELECT term, source, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT term FROM tc GROUP BY term
+  ORDER BY sum(c) DESC, term LIMIT {BD_TOP_TERMS}
+), fq AS (
+  SELECT t.term, s.source,
+         CAST(round(CAST(coalesce(tc.c, 0) AS DOUBLE) * {BD_F_SCALE} / s.nt)
+              AS BIGINT) AS f
+  FROM top t CROSS JOIN src s
+  LEFT JOIN tc ON tc.term = t.term AND tc.source = s.source
+), mom AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(f) AS BIGINT) AS s,
+         CAST(sum(CAST(f AS DECIMAL(38,0)) * f) AS DECIMAL(38,0)) AS ss
+  FROM fq GROUP BY 1
+), sd AS (
+  SELECT term,
+         sqrt((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+              / (CAST(k AS DOUBLE) * k)) AS sigma
+  FROM mom
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         round(sum(abs(a.f - b.f) / sd.sigma) / {BD_TOP_TERMS}, 4) + 0.0 AS delta
+  FROM fq a
+  JOIN fq b ON a.term = b.term AND a.source < b.source
+  JOIN sd ON sd.term = a.term
+  GROUP BY 1, 2
+)
+SELECT * FROM pairs
+"""
+
+
+@query("stylometry_burrows_delta", oracle=_burrows_oracle())
+def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair over the {K}
+    most-frequent terms: per-source relative frequencies e6-quantized
+    to integers, per-term σ across sources from the exact kΣf² − (Σf)²
+    expansion (population form), Δ_ab = mean_t |f_ta − f_tb|/σ_t —
+    since z_a − z_b = (f_a − f_b)/σ, the per-term means never enter
+    and the numerator stays an exact integer difference.
+
+    Plan: one tokenize pass; the dense (top-k term × source) grid is
+    k·|sources| rows; the pair join is over that bounded grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{WORD_PATTERN}', 0)")).alias(
+            "term"
+        ),
+    )
+    tc = toks.groupBy("term", "source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tc = tc.localCheckpoint(eager=True)
+    src = tc.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    top = (
+        tc.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "term")
+        .limit(BD_TOP_TERMS)
+        .select("term")
+    )
+    fq = (
+        top.crossJoin(F.broadcast(src))
+        .join(tc, ["term", "source"], "left")
+        .select(
+            "term",
+            "source",
+            F.round(F.coalesce("c", F.lit(0)).cast("double") * BD_F_SCALE / F.col("nt"))
+            .cast("long")
+            .alias("f"),
+        )
+        .localCheckpoint(eager=True)  # k×|sources|; consumed by mom + both pair sides
+    )
+    mom = fq.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("f").cast("long").alias("s"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f")).cast("decimal(38,0)").alias("ss"),
+    )
+    kk = F.col("k").cast("double")
+    sd = mom.select(
+        "term",
+        F.sqrt(
+            (kk * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+            / (kk * F.col("k"))
+        ).alias("sigma"),
+    )
+    a = fq.select("term", F.col("source").alias("source_a"), F.col("f").alias("fa"))
+    b = fq.select("term", F.col("source").alias("source_b"), F.col("f").alias("fb"))
+    return (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(sd), "term")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("fa") - F.col("fb")) / F.col("sigma")) / BD_TOP_TERMS, 4
+            ).alias("delta")
+        )
+    )
+
+
+stylometry_burrows_delta.__doc__ = (stylometry_burrows_delta.__doc__ or "").format(
+    K=BD_TOP_TERMS
+)

@@ -909,3 +909,74 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_peel.__doc__ = (graph_kcore_peel.__doc__ or "").format(
     k=KCORE_K, r=KCORE_ROUNDS, cap=DRIVER_PR_MAX_EDGES
 )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity: do high-degree near-dup documents link to
+# other high-degree documents (template hubs clustering together) or
+# to leaves? The Pearson correlation of endpoint degrees over the
+# edge list — Newman's mixing coefficient, the one-number summary the
+# degree histogram can't give.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=_GRAPH_CTES
+    + """
+, degl AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a
+), epts AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN degl da ON e.a = da.node JOIN degl db ON e.b = db.node
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM epts
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       m // 2 AS n_edges,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) + 0.0 AS assortativity
+FROM mom
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree-assortativity coefficient of the near-dup graph:
+    Pearson r of (deg(a), deg(b)) over every DIRECTED edge of the
+    symmetrized relation. Degrees and all cross-moments are exact
+    integer/DECIMAL(38,0) sums; r is one double expression.
+
+    Plan: edge list is match-bounded (the LSH pair relation); two
+    broadcast degree joins and a 1-row moment agg — never touches the
+    corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _sym_edges(pairs).localCheckpoint(eager=True)  # consumed by deg + endpoints
+    deg = _degrees(edges)
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    epts = edges.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    mom = epts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n_nodes = edges.select("src").distinct().count()
+    m = F.col("m").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (m * d("sxy") - d("sx") * F.col("sy")) / F.sqrt(
+        (m * d("sxx") - d("sx") * F.col("sx")) * (m * d("syy") - d("sy") * F.col("sy"))
+    )
+    return mom.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )

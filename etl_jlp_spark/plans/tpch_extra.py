@@ -958,3 +958,74 @@ def price_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 price_index_report.__doc__ = (price_index_report.__doc__ or "").format(
     Y0=PRICE_IDX_Y0, Y1=PRICE_IDX_Y1
 )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stocking levels: the critical-fractile quantile of daily
+# demand for the highest-volume parts — the inventory answer ABC
+# classification (which parts matter) leads into (how much of them to
+# hold).
+# ---------------------------------------------------------------------------
+
+NV_TOP_PARTS = 5
+NV_CU, NV_CO = 4, 1  # underage:overage cost ratio → critical fractile 0.8
+
+
+@query(
+    "newsvendor_stock_level",
+    oracle=f"""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), top AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+  FROM daily GROUP BY 1
+  ORDER BY sum(qty) DESC, l_partkey LIMIT {NV_TOP_PARTS}
+)
+SELECT t.l_partkey, t.total_qty,
+       CAST(count(*) AS BIGINT) AS n_ship_days,
+       round(avg(d.qty), 4) + 0.0 AS mean_daily_qty,
+       round(quantile_cont(d.qty, {NV_CU} / ({NV_CU} + {NV_CO})), 4) + 0.0
+         AS stock_level
+FROM top t JOIN daily d ON t.l_partkey = d.l_partkey
+GROUP BY 1, 2
+""",
+)
+def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stocking level q* = F⁻¹(c_u/(c_u +
+    c_o)) = the {Q} quantile of observed daily shipped quantity, for
+    the top-{K} parts by volume (shipment days only — zero-demand days
+    are a gap-fill policy choice documented here, not silently
+    assumed). Daily quantities are integers, so the interpolated
+    fractile and the mean are exact-operand doubles.
+
+    Plan: one (part, day) agg (combinable), TakeOrdered top-k,
+    broadcast semi-join back — percentile runs over k parts' day
+    series only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_partkey", F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty")
+    ).localCheckpoint(eager=True)  # part-day grain; consumed by top + quantiles
+    top = (
+        daily.groupBy("l_partkey")
+        .agg(F.sum("qty").cast("long").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "l_partkey")
+        .limit(NV_TOP_PARTS)
+    )
+    frac = NV_CU / (NV_CU + NV_CO)
+    return (
+        F.broadcast(top)
+        .join(daily, "l_partkey")
+        .groupBy("l_partkey", "total_qty")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ship_days"),
+            F.round(F.avg("qty"), 4).alias("mean_daily_qty"),
+            F.round(F.expr(f"percentile(qty, {frac}D)"), 4).alias("stock_level"),
+        )
+    )
+
+
+newsvendor_stock_level.__doc__ = (newsvendor_stock_level.__doc__ or "").format(
+    K=NV_TOP_PARTS, Q=NV_CU / (NV_CU + NV_CO)
+)
