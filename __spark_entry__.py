@@ -159,6 +159,8 @@ _R8_PRIORITY = [
     "term_dispersion_dp",
     "stylometry_burrows_delta",
     "newsvendor_stock_level",
+    "kruskal_wallis_value",
+    "friedman_daily_ranks",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

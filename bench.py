@@ -389,6 +389,8 @@ HEADLINE = [
     "term_dispersion_dp",
     "stylometry_burrows_delta",
     "newsvendor_stock_level",
+    "kruskal_wallis_value",
+    "friedman_daily_ranks",
 ]
 
 

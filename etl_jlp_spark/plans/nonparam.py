@@ -2070,3 +2070,180 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
 gumbel_block_maxima.__doc__ = (gumbel_block_maxima.__doc__ or "").format(
     W=GUMBEL_RETURN_WEEKS
 )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis: rank-based one-way location test across event types
+# — completes the ANOVA family (anova_oneway_value = parametric means,
+# brown_forsythe_variance = robust spread, KW = distribution-free
+# location). Tie-averaged ranks come from the grouped cents grid
+# (×2-scaled to stay integer), never a global row sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kruskal_wallis_value",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), cnts AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), ranks AS (
+  SELECT v, c,
+         2 * (sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS r2
+  FROM cnts
+), grp AS (
+  SELECT p.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r.r2) AS BIGINT) AS sr2
+  FROM pts p JOIN ranks r ON p.v = r.v
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         sum(CAST(sr2 AS DOUBLE) * sr2 / n) / 4.0 AS sum_rsq,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp
+), ties AS (
+  SELECT CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT) AS tsum FROM cnts WHERE c > 1
+)
+SELECT tot.k AS n_groups, tot.nt AS n_rows,
+       round((12.0 / (CAST(tot.nt AS DOUBLE) * (tot.nt + 1)) * tot.sum_rsq
+              - 3.0 * (tot.nt + 1))
+             / (1.0 - CAST(ties.tsum AS DOUBLE)
+                      / (CAST(tot.nt AS DOUBLE) * tot.nt * tot.nt - tot.nt)),
+             {W1_ROUND}) + 0.0 AS h_stat
+FROM tot CROSS JOIN ties
+""",
+)
+def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across event types on cents values, with the
+    tie correction 1 − Σ(t³−t)/(N³−N). Tie-averaged ranks derive from
+    the value-count grid as the INTEGER 2r = 2·cum_below + c + 1, so
+    per-group rank sums are exact (the ÷2 folds into the statistic
+    once); H is a single double expression.
+
+    Plan: one combinable value-count agg bounds the rank window by
+    the cents domain; the rank join back is value-keyed (broadcast
+    domain side); group cells are ≤ |types|."""
+    pts = _events_cents(spark, sf_dir).select("event_type", "v")
+    cnts = pts.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranks = cnts.select(
+        "v", "c", (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("r2")
+    )
+    grp = (
+        pts.join(F.broadcast(ranks.select("v", "r2")), "v")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("r2").cast("long").alias("sr2"))
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nt"),
+        (F.sum(F.col("sr2").cast("double") * F.col("sr2") / F.col("n")) / 4.0).alias(
+            "sum_rsq"
+        ),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ties = cnts.where(F.col("c") > 1).agg(
+        F.coalesce(F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("tsum")
+    )
+    j = tot.crossJoin(F.broadcast(ties))
+    nt = F.col("nt")
+    h = 12.0 / (nt.cast("double") * (nt + 1)) * F.col("sum_rsq") - 3.0 * (nt + 1)
+    corr = 1.0 - F.col("tsum").cast("double") / (nt.cast("double") * nt * nt - nt)
+    return j.select(
+        F.col("k").alias("n_groups"),
+        nt.alias("n_rows"),
+        F.round(h / corr, W1_ROUND).alias("h_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: blocked rank test — within every DAY, rank the event
+# types by their daily value total; do the types hold consistent rank
+# positions across days? The repeated-measures sibling of
+# kruskal_wallis_value (KW pools all rows; Friedman controls for the
+# day effect).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "friedman_daily_ranks",
+    oracle=f"""
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+  FROM events GROUP BY 1, 2
+), full_days AS (
+  SELECT day FROM cell GROUP BY day
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
+), ranked AS (
+  SELECT c.day, c.event_type,
+         2 * (sum(1) OVER (PARTITION BY c.day ORDER BY c.tot, c.event_type
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1
+           AS r2
+  FROM cell c JOIN full_days f ON c.day = f.day
+), grp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(r2) AS BIGINT) AS sr2
+  FROM ranked GROUP BY 1
+), tot AS (
+  SELECT CAST(any_value(n_days) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(sr2 AS DOUBLE) * sr2) / 4.0 AS sum_rsq
+  FROM grp
+)
+SELECT event_type, n_days, round(CAST(sr2 AS DOUBLE) / 2 / n_days, 4) + 0.0 AS mean_rank,
+       round(12.0 / (CAST(tot.n AS DOUBLE) * tot.k * (tot.k + 1)) * tot.sum_rsq
+             - 3.0 * tot.n * (tot.k + 1), {W1_ROUND}) + 0.0 AS friedman_chi2
+FROM grp CROSS JOIN tot
+""",
+)
+def friedman_daily_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman χ² over day-blocked type rankings: within each
+    complete day the types are ranked by exact cents total (ties →
+    type name, so the ×2-scaled rank 2r = 2·row_number − 1 is
+    deterministic), χ² = 12/(nk(k+1))·ΣR_j² − 3n(k+1); per-type mean
+    ranks ride along. Daily totals are integers; the block ranking is
+    a ≤|types|-row window per day.
+
+    Plan: one (day, type) agg (combinable), day-partitioned mini
+    windows, |types| cells; the χ² is a 1-row broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("tot")
+    ).localCheckpoint(eager=True)  # (day, type) grain; consumed twice
+    k_types = ev.select("event_type").distinct().count()
+    full_days = cell.groupBy("day").agg(F.count(F.lit(1)).alias("nc")).where(
+        F.col("nc") == k_types
+    ).select("day")
+    w = (
+        Window.partitionBy("day")
+        .orderBy("tot", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cell.join(full_days, "day").select(
+        "day", "event_type", (2 * F.sum(F.lit(1)).over(w) - 1).alias("r2")
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"), F.sum("r2").cast("long").alias("sr2")
+    )
+    tot = grp.agg(
+        F.any_value("n_days").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum(F.col("sr2").cast("double") * F.col("sr2")) / 4.0).alias("sum_rsq"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    chi2 = (
+        12.0 / (F.col("n").cast("double") * F.col("k") * (F.col("k") + 1)) * F.col("sum_rsq")
+        - 3.0 * F.col("n") * (F.col("k") + 1)
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("sr2").cast("double") / 2 / F.col("n_days"), 4).alias("mean_rank"),
+        F.round(chi2, W1_ROUND).alias("friedman_chi2"),
+    )
