@@ -161,6 +161,7 @@ _R8_PRIORITY = [
     "newsvendor_stock_level",
     "kruskal_wallis_value",
     "friedman_daily_ranks",
+    "scd2_snapshot_asof",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

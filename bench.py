@@ -391,6 +391,7 @@ HEADLINE = [
     "newsvendor_stock_level",
     "kruskal_wallis_value",
     "friedman_daily_ranks",
+    "scd2_snapshot_asof",
 ]
 
 

@@ -153,3 +153,60 @@ def enrich_asof(rows: DataFrame, intervals: DataFrame, ts_col: str = "ts") -> Da
         *[rows[c] for c in rows.columns],
         dim["dim_attr"].alias("attr_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time snapshot: the query SCD2 exists to answer — "what did
+# the dimension look like AS OF timestamp T?" One interval predicate
+# reconstructs the whole dimension state; compared against today, it
+# also reports which keys have since changed.
+# ---------------------------------------------------------------------------
+
+SCD2_ASOF = "2024-01-16 00:00:00"  # snapshot instant (mid-changelog)
+
+
+@query(
+    "scd2_snapshot_asof",
+    oracle=_SCD2_ORACLE.replace(
+        "SELECT user_id, attr, valid_from, valid_to, (valid_to IS NULL) AS is_current\nFROM intervals",
+        f""", snap AS (
+  SELECT user_id, attr AS attr_asof, valid_from
+  FROM intervals
+  WHERE valid_from <= TIMESTAMP '{SCD2_ASOF}'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_ASOF}')
+), cur AS (
+  SELECT user_id, attr AS attr_now FROM intervals WHERE valid_to IS NULL
+)
+SELECT s.user_id, s.attr_asof, s.valid_from AS asof_valid_from,
+       c.attr_now, (s.attr_asof <> c.attr_now) AS changed_since
+FROM snap s JOIN cur c ON s.user_id = c.user_id""",
+    ),
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension state AS OF {T}: the half-open interval predicate
+    valid_from ≤ T < valid_to over the scd2_build relation, one row
+    per key that existed at T, joined to the key's CURRENT attribute
+    with a changed-since flag — the time-travel read that justifies
+    carrying Type-2 history at all.
+
+    Plan: the interval relation's key-partitioned windows, then one
+    key-keyed self-join (same partitioning, no extra exchange
+    class); the snapshot predicate prunes before the join."""
+    iv = scd2_build(spark, sf_dir).localCheckpoint(eager=True)  # built once, read twice
+    t = F.lit(SCD2_ASOF).cast("timestamp")
+    snap = iv.where(
+        (F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", F.col("attr").alias("attr_asof"), F.col("valid_from").alias("asof_valid_from"))
+    cur = iv.where(F.col("valid_to").isNull()).select(
+        "user_id", F.col("attr").alias("attr_now")
+    )
+    return snap.join(cur, "user_id").select(
+        "user_id",
+        "attr_asof",
+        "asof_valid_from",
+        "attr_now",
+        (F.col("attr_asof") != F.col("attr_now")).alias("changed_since"),
+    )
+
+
+scd2_snapshot_asof.__doc__ = (scd2_snapshot_asof.__doc__ or "").format(T=SCD2_ASOF)
