@@ -162,6 +162,8 @@ _R8_PRIORITY = [
     "kruskal_wallis_value",
     "friedman_daily_ranks",
     "scd2_snapshot_asof",
+    "variogram_daily",
+    "taylor_power_law",
     "minhash_band_sweep",
     "cosine_threshold_sweep",
     "customer_order_concurrency",

@@ -392,6 +392,8 @@ HEADLINE = [
     "kruskal_wallis_value",
     "friedman_daily_ranks",
     "scd2_snapshot_asof",
+    "variogram_daily",
+    "taylor_power_law",
 ]
 
 

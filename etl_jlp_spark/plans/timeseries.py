@@ -1576,3 +1576,181 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_marg", 6).alias("marginal_entropy_nats"),
         F.round(1.0 - F.col("h_rate") / F.col("h_marg"), 6).alias("predictability_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal variogram of daily revenue: γ(h) = ½·E[(x_{t+h} − x_t)²]
+# for lags 1..7 — the geostatistics view of temporal structure
+# (acf_daily_revenue normalizes by variance; the variogram keeps
+# absolute dollar² units, so the sill/nugget read off directly).
+# ---------------------------------------------------------------------------
+
+VARIOGRAM_MAX_LAG = 7
+
+
+@query(
+    "variogram_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT unnest(generate_series(1, {VARIOGRAM_MAX_LAG})) AS h
+), pairs AS (
+  SELECT l.h, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(b.rev - a.rev AS DECIMAL(38,0)) * (b.rev - a.rev))
+              AS DECIMAL(38,0)) AS ssd
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.h AS INTEGER)
+  GROUP BY l.h
+)
+SELECT CAST(h AS BIGINT) AS lag_days, n_pairs,
+       round(CAST(ssd AS DOUBLE) / (2.0 * n_pairs), 2) + 0.0 AS semivariance
+FROM pairs
+""",
+)
+def variogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of daily revenue at lags 1..{H} days:
+    γ(h) = Σ(x_{{t+h}} − x_t)² / (2·n_pairs), with the squared
+    differences of whole-dollar integers accumulated in DECIMAL(38,0)
+    — exact until the single division.
+
+    Plan: the acf_daily_revenue shape — calendar-bounded day series,
+    lag self-join by date arithmetic, ≤ {H} output rows."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("rev"))
+        .localCheckpoint(eager=True)  # tiny; both join sides
+    )
+    lags = spark.range(1, VARIOGRAM_MAX_LAG + 1).select(F.col("id").cast("int").alias("h"))
+    a = daily.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.expr("db = date_add(da, h)"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("rb") - F.col("ra")).cast("decimal(38,0)") * (F.col("rb") - F.col("ra")))
+            .cast("decimal(38,0)")
+            .alias("ssd"),
+        )
+    )
+    return pairs.select(
+        F.col("h").cast("long").alias("lag_days"),
+        "n_pairs",
+        F.round(F.col("ssd").cast("double") / (2.0 * F.col("n_pairs")), 2).alias(
+            "semivariance"
+        ),
+    )
+
+
+variogram_daily.__doc__ = (variogram_daily.__doc__ or "").format(H=VARIOGRAM_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# Taylor's power law: does demand variance scale as a power of mean
+# demand across parts (Var ∝ μ^b)? The mean–variance scaling exponent
+# that decides between Poisson (b = 1) and aggregation/clustering
+# (b → 2) — the cross-sectional sibling of event_count_dispersion's
+# per-type index.
+# ---------------------------------------------------------------------------
+
+TPL_MIN_DAYS = 10  # parts with fewer shipment days are too noisy to fit
+TPL_LN_SCALE = 1_000_000  # e6-quantized ln(mean), ln(var)
+
+
+@query(
+    "taylor_power_law",
+    oracle=f"""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), parts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS s,
+         CAST(sum(CAST(qty AS DECIMAL(38,0)) * qty) AS DECIMAL(38,0)) AS ss
+  FROM daily GROUP BY 1 HAVING count(*) >= {TPL_MIN_DAYS}
+), lnpts AS (
+  SELECT CAST(round(ln(CAST(s AS DOUBLE) / n) * {TPL_LN_SCALE}) AS BIGINT) AS x,
+         CAST(round(ln((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                       / (CAST(n AS DOUBLE) * (n - 1))) * {TPL_LN_SCALE}) AS BIGINT) AS y
+  FROM parts
+  WHERE CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s > 0
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+  FROM lnpts
+)
+SELECT m AS n_parts,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
+             6) + 0.0 AS taylor_b,
+       round((CAST(sy AS DOUBLE) - (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * sy)
+                                   / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * sx) * sx)
+             / m / {TPL_LN_SCALE}, 6) + 0.0 AS ln_a
+FROM mom
+""",
+)
+def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power-law exponent across parts: OLS of ln(var) on
+    ln(mean) of daily shipped quantity (parts with ≥ {D} shipment
+    days). The per-part ln points are e6-quantized to integers — so
+    the regression moments are exact integer/DECIMAL(38,0) sums and
+    both engines fit identical operands; slope b and intercept ln(a)
+    are single double expressions.
+
+    Plan: (part, day) agg → part-grain moment agg (both combinable) →
+    1-row fit; nothing larger than the part relation shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_partkey", F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    parts = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty").cast("long").alias("s"),
+            F.sum(F.col("qty").cast("decimal(38,0)") * F.col("qty"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+        .where(F.col("n") >= TPL_MIN_DAYS)
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n.cast("double") * ss.cast("double") - s.cast("double") * s) / (
+        n.cast("double") * (n - 1)
+    )
+    lnpts = parts.where(
+        n.cast("double") * ss.cast("double") - s.cast("double") * s > 0
+    ).select(
+        F.round(F.log(s.cast("double") / n) * TPL_LN_SCALE).cast("long").alias("x"),
+        F.round(F.log(var) * TPL_LN_SCALE).cast("long").alias("y"),
+    )
+    mom = lnpts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (m * d("sxy") - d("sx") * F.col("sy")) / (m * d("sxx") - d("sx") * F.col("sx"))
+    return mom.select(
+        F.col("m").alias("n_parts"),
+        F.round(slope, 6).alias("taylor_b"),
+        F.round((d("sy") - slope * F.col("sx")) / m / TPL_LN_SCALE, 6).alias("ln_a"),
+    )
+
+
+taylor_power_law.__doc__ = (taylor_power_law.__doc__ or "").format(D=TPL_MIN_DAYS)
