@@ -956,7 +956,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast degree joins and a 1-row moment agg — never touches the
     corpus."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = _sym_edges(pairs).localCheckpoint(eager=True)  # consumed by deg + endpoints
+    # lazy checkpoint: materialized once on first action, shared by the
+    # degree, endpoint, and node-count consumers — but building/explaining
+    # the plan stays free of any job
+    edges = _sym_edges(pairs).localCheckpoint(eager=False)
     deg = _degrees(edges)
     da = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
     db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
@@ -969,14 +972,19 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
-    n_nodes = edges.select("src").distinct().count()
+    # n_nodes stays lazy (the oracle's scalar subquery): an eager
+    # .count() here would run the whole LSH job at plan-construction
+    # time, even for callers that only build or explain the plan.
+    nn = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
     m = F.col("m").cast("double")
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     r = (m * d("sxy") - d("sx") * F.col("sy")) / F.sqrt(
         (m * d("sxx") - d("sx") * F.col("sx")) * (m * d("syy") - d("sy") * F.col("sy"))
     )
-    return mom.select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
+    return mom.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
         (F.col("m") / 2).cast("long").alias("n_edges"),
         F.round(r, 6).alias("assortativity"),
     )

@@ -1089,10 +1089,16 @@ def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def term_score(i: int):
-        return F.log(
-            (F.col(f"tf_{i}") + QL_MU * F.col(f"cf_{i}") / F.col("c"))
-            / (F.col("dl") + QL_MU)
-        )
+        # A term absent from the whole corpus (cf = 0) contributes ln(0);
+        # the oracle's cf CTE simply has no row for it, so mirror that
+        # convention: skip the term rather than null every score.
+        return F.when(
+            F.col(f"cf_{i}") > 0,
+            F.log(
+                (F.col(f"tf_{i}") + QL_MU * F.col(f"cf_{i}") / F.col("c"))
+                / (F.col("dl") + QL_MU)
+            ),
+        ).otherwise(F.lit(0.0))
 
     scored = per_doc.crossJoin(F.broadcast(stats)).select(
         "doc_id",

@@ -94,8 +94,8 @@ pts AS (
 SELECT event_type,
        CAST(any_value(n_ref) AS BIGINT) AS n_ref,
        CAST(any_value(n_cur) AS BIGINT) AS n_cur,
-       round(CAST(sum(CAST(abs(cum_ref * n_cur - cum_cur * n_ref)
-                           AS DECIMAL(38,0)) * dv) AS DOUBLE)
+       round(CAST(sum(abs(CAST(cum_ref AS DECIMAL(38,0)) * n_cur
+                          - CAST(cum_cur AS DECIMAL(38,0)) * n_ref) * dv) AS DOUBLE)
              / any_value(n_ref) / any_value(n_cur) / 100.0,
              {W1_ROUND}) + 0.0 AS w1_dollars
 FROM grid
@@ -146,8 +146,11 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dv"
         ),
     ).where(F.col("dv").isNotNull())
-    term = F.abs(F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")).cast(
-        "decimal(38,0)"
+    # Cast BEFORE the multiply: at the 100 TB design point cum*n exceeds
+    # 2^63 and bigint arithmetic would wrap in Spark / raise in DuckDB.
+    term = F.abs(
+        F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
+        - F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
     ) * F.col("dv")
     return grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
@@ -198,14 +201,16 @@ WITH pts AS (
   SELECT event_type,
          CAST(sum(ct) AS BIGINT) AS n_type,
          CAST(sum(cb) AS BIGINT) AS n_base,
-         CAST(sum(ct * b_lt) AS BIGINT) AS gt_pairs,
-         CAST(sum(ct * cb) AS BIGINT) AS tie_pairs
+         CAST(sum(CAST(ct AS DECIMAL(38,0)) * b_lt) AS DECIMAL(38,0)) AS gt_pairs,
+         CAST(sum(CAST(ct AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0)) AS tie_pairs
   FROM w GROUP BY 1
 )
 SELECT event_type, n_type, n_base, gt_pairs,
-       n_type * n_base - gt_pairs - tie_pairs AS lt_pairs,
+       CAST(CAST(n_type AS DECIMAL(38,0)) * n_base - gt_pairs - tie_pairs
+            AS DECIMAL(38,0)) AS lt_pairs,
        tie_pairs,
-       round(CAST(gt_pairs - (n_type * n_base - gt_pairs - tie_pairs) AS DOUBLE)
+       round(CAST(gt_pairs - (CAST(n_type AS DECIMAL(38,0)) * n_base - gt_pairs - tie_pairs)
+                  AS DOUBLE)
              / (CAST(n_type AS DOUBLE) * n_base), {W1_ROUND}) + 0.0 AS cliffs_delta
 FROM agg
 """,
@@ -263,19 +268,30 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         (F.sum("cb").over(w) - F.col("cb")).alias("b_lt"),
     )
+    # Pair counts live in DECIMAL(38,0): at 3e9+ rows/sample the products
+    # ct*b_lt and n_type*n_base exceed 2^63 (bigint would wrap in Spark,
+    # raise in DuckDB); the oracle carries the identical types.
     agg = scored.groupBy("event_type").agg(
         F.sum("ct").cast("long").alias("n_type"),
         F.sum("cb").cast("long").alias("n_base"),
-        F.sum(F.col("ct") * F.col("b_lt")).cast("long").alias("gt_pairs"),
-        F.sum(F.col("ct") * F.col("cb")).cast("long").alias("tie_pairs"),
+        F.sum(F.col("ct").cast("decimal(38,0)") * F.col("b_lt"))
+        .cast("decimal(38,0)")
+        .alias("gt_pairs"),
+        F.sum(F.col("ct").cast("decimal(38,0)") * F.col("cb"))
+        .cast("decimal(38,0)")
+        .alias("tie_pairs"),
     )
-    lt = F.col("n_type") * F.col("n_base") - F.col("gt_pairs") - F.col("tie_pairs")
+    lt = (
+        F.col("n_type").cast("decimal(38,0)") * F.col("n_base")
+        - F.col("gt_pairs")
+        - F.col("tie_pairs")
+    )
     return agg.select(
         "event_type",
         "n_type",
         "n_base",
         "gt_pairs",
-        lt.alias("lt_pairs"),
+        lt.cast("decimal(38,0)").alias("lt_pairs"),
         "tie_pairs",
         F.round(
             (F.col("gt_pairs") - lt).cast("double")
@@ -1612,8 +1628,11 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
             "dv"
         ),
     )
-    term = F.abs(F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")).cast(
-        "decimal(38,0)"
+    # Cast BEFORE the multiply: at the 100 TB design point cum*n exceeds
+    # 2^63 and bigint arithmetic would wrap in Spark / raise in DuckDB.
+    term = F.abs(
+        F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
+        - F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
     ) * F.col("dv")
     return grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
@@ -1707,12 +1726,12 @@ WITH {_DRIFT_GRID_CTE}
 SELECT event_type,
        CAST(any_value(na) AS BIGINT) AS n_ref,
        CAST(any_value(nb) AS BIGINT) AS n_cur,
-       round((2.0 * CAST(sum(CAST(cuma * (nb - cumb) + cumb * (na - cuma)
-                                  AS DECIMAL(38,0)) * dv) AS DOUBLE)
+       round((2.0 * CAST(sum((CAST(cuma AS DECIMAL(38,0)) * (nb - cumb)
+                              + CAST(cumb AS DECIMAL(38,0)) * (na - cuma)) * dv) AS DOUBLE)
                 / any_value(na) / any_value(nb)
-              - 2.0 * CAST(sum(CAST(cuma * (na - cuma) AS DECIMAL(38,0)) * dv) AS DOUBLE)
+              - 2.0 * CAST(sum(CAST(cuma AS DECIMAL(38,0)) * (na - cuma) * dv) AS DOUBLE)
                 / any_value(na) / any_value(na)
-              - 2.0 * CAST(sum(CAST(cumb * (nb - cumb) AS DECIMAL(38,0)) * dv) AS DOUBLE)
+              - 2.0 * CAST(sum(CAST(cumb AS DECIMAL(38,0)) * (nb - cumb) * dv) AS DOUBLE)
                 / any_value(nb) / any_value(nb)) / 100.0,
              {W1_ROUND}) + 0.0 AS energy_dollars
 FROM grid WHERE dv IS NOT NULL
@@ -1735,12 +1754,14 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.any_value("na"), F.any_value("nb")
 
     def tsum(expr):
-        return F.sum(expr.cast("decimal(38,0)") * F.col("dv")).cast("double")
+        # operands arrive pre-cast to decimal(38,0) so the cum*(n-cum)
+        # products never touch 64-bit integer arithmetic (100 TB safe)
+        return F.sum(expr * F.col("dv")).cast("double")
 
-    cross = tsum(F.col("cuma") * (F.col("nb") - F.col("cumb"))
-                 + F.col("cumb") * (F.col("na") - F.col("cuma")))
-    within_a = tsum(F.col("cuma") * (F.col("na") - F.col("cuma")))
-    within_b = tsum(F.col("cumb") * (F.col("nb") - F.col("cumb")))
+    dca, dcb = F.col("cuma").cast("decimal(38,0)"), F.col("cumb").cast("decimal(38,0)")
+    cross = tsum(dca * (F.col("nb") - F.col("cumb")) + dcb * (F.col("na") - F.col("cuma")))
+    within_a = tsum(dca * (F.col("na") - F.col("cuma")))
+    within_b = tsum(dcb * (F.col("nb") - F.col("cumb")))
     return grid.groupBy("event_type").agg(
         na.cast("long").alias("n_ref"),
         nb.cast("long").alias("n_cur"),
@@ -1764,8 +1785,9 @@ SELECT event_type,
        CAST(any_value(na) AS BIGINT) AS n_ref,
        CAST(any_value(nb) AS BIGINT) AS n_cur,
        round(CAST(sum(CAST((ca + cb) AS DECIMAL(38,0))
-                      * CAST(cuma * nb - cumb * na AS DECIMAL(38,0))
-                      * CAST(cuma * nb - cumb * na AS DECIMAL(38,0))) AS DOUBLE)
+                      * (CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)
+                      * (CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na))
+                  AS DOUBLE)
              / (CAST(any_value(na) AS DOUBLE) * any_value(nb)
                 * (any_value(na) + any_value(nb)) * (any_value(na) + any_value(nb))),
              {W1_ROUND}) + 0.0 AS cvm_t
@@ -1786,7 +1808,10 @@ def cvm_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-side work."""
     grid = _drift_grid(spark, sf_dir)
     na, nb = F.any_value("na"), F.any_value("nb")
-    gap = (F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).cast("decimal(38,0)")
+    gap = (
+        F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+    )
     num = F.sum((F.col("ca") + F.col("cb")).cast("decimal(38,0)") * gap * gap).cast("double")
     n_tot = na + nb
     return grid.groupBy("event_type").agg(
@@ -2182,21 +2207,20 @@ WITH cell AS (
   HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
 ), ranked AS (
   SELECT c.day, c.event_type,
-         2 * (sum(1) OVER (PARTITION BY c.day ORDER BY c.tot, c.event_type
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1
-           AS r2
+         sum(1) OVER (PARTITION BY c.day ORDER BY c.tot, c.event_type
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
   FROM cell c JOIN full_days f ON c.day = f.day
 ), grp AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-         CAST(sum(r2) AS BIGINT) AS sr2
+         CAST(sum(r) AS BIGINT) AS sr
   FROM ranked GROUP BY 1
 ), tot AS (
   SELECT CAST(any_value(n_days) AS BIGINT) AS n,
          CAST(count(*) AS BIGINT) AS k,
-         sum(CAST(sr2 AS DOUBLE) * sr2) / 4.0 AS sum_rsq
+         sum(CAST(sr AS DOUBLE) * sr) AS sum_rsq
   FROM grp
 )
-SELECT event_type, n_days, round(CAST(sr2 AS DOUBLE) / 2 / n_days, 4) + 0.0 AS mean_rank,
+SELECT event_type, n_days, round(CAST(sr AS DOUBLE) / n_days, 4) + 0.0 AS mean_rank,
        round(12.0 / (CAST(tot.n AS DOUBLE) * tot.k * (tot.k + 1)) * tot.sum_rsq
              - 3.0 * tot.n * (tot.k + 1), {W1_ROUND}) + 0.0 AS friedman_chi2
 FROM grp CROSS JOIN tot
@@ -2205,7 +2229,7 @@ FROM grp CROSS JOIN tot
 def friedman_daily_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman χ² over day-blocked type rankings: within each
     complete day the types are ranked by exact cents total (ties →
-    type name, so the ×2-scaled rank 2r = 2·row_number − 1 is
+    type name, so the rank IS row_number — tie-free and
     deterministic), χ² = 12/(nk(k+1))·ΣR_j² − 3n(k+1); per-type mean
     ranks ride along. Daily totals are integers; the block ranking is
     a ≤|types|-row window per day.
@@ -2226,15 +2250,15 @@ def friedman_daily_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = cell.join(full_days, "day").select(
-        "day", "event_type", (2 * F.sum(F.lit(1)).over(w) - 1).alias("r2")
+        "day", "event_type", F.sum(F.lit(1)).over(w).alias("r")
     )
     grp = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"), F.sum("r2").cast("long").alias("sr2")
+        F.count(F.lit(1)).cast("long").alias("n_days"), F.sum("r").cast("long").alias("sr")
     )
     tot = grp.agg(
         F.any_value("n_days").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        (F.sum(F.col("sr2").cast("double") * F.col("sr2")) / 4.0).alias("sum_rsq"),
+        F.sum(F.col("sr").cast("double") * F.col("sr")).alias("sum_rsq"),
     )
     j = grp.crossJoin(F.broadcast(tot))
     chi2 = (
@@ -2244,6 +2268,6 @@ def friedman_daily_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type",
         "n_days",
-        F.round(F.col("sr2").cast("double") / 2 / F.col("n_days"), 4).alias("mean_rank"),
+        F.round(F.col("sr").cast("double") / F.col("n_days"), 4).alias("mean_rank"),
         F.round(chi2, W1_ROUND).alias("friedman_chi2"),
     )

@@ -133,3 +133,18 @@ def test_vocab_coverage_identities(spark):
     assert r["chao1_vocab"] >= r["vocab_seen"]
     assert 0.0 <= r["gt_unseen_mass"] <= 1.0
     assert abs(r["gt_unseen_mass"] + r["gt_coverage"] - 1.0) < 1e-6
+
+
+def test_friedman_rank_identities(spark):
+    rows = QS["friedman_daily_ranks"](spark, SF_SMALL).collect()
+    k = len(rows)
+    assert k >= 2
+    # within every complete day the ranks are a permutation of 1..k, so
+    # the per-type mean ranks must average to (k+1)/2 (up to the 4-dp
+    # rounding each mean_rank carries)
+    assert abs(sum(r["mean_rank"] for r in rows) / k - (k + 1) / 2) < k * 1e-4
+    for r in rows:
+        assert 1.0 <= r["mean_rank"] <= k
+        # chi2 = 12n/(k(k+1))·Σ(mean_rank−(k+1)/2)² ≥ 0 — the r7-ADVICE
+        # regression pin (the off-by-0.5 rank made it go negative)
+        assert r["friedman_chi2"] >= 0
