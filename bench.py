@@ -458,7 +458,7 @@ def main() -> None:
     # full record in-repo where it can be committed and diffed per round.
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r9.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r10.json"),
     )
     try:
         with open(local, "w") as fh:
@@ -466,6 +466,22 @@ def main() -> None:
     except OSError as exc:
         print(f"BENCH-WARN could not write {local}: {exc}", file=sys.stderr)
     print(line)
+    # The driver's capture keeps only the TAIL of stdout, so the huge
+    # per-query line above loses its head and fails to parse (r3, r4,
+    # r7). Emit a final SHORT self-contained summary line the tail
+    # always retains intact; the full per-query record lives in the
+    # committed BENCH_LOCAL file.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "reps": REPS,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "full_record": os.path.basename(local),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
