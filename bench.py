@@ -394,6 +394,8 @@ HEADLINE = [
     "scd2_snapshot_asof",
     "variogram_daily",
     "taylor_power_law",
+    # round-8 session additions
+    "store_inventory_report",
 ]
 
 

@@ -478,4 +478,82 @@ GROUP BY user_id
         return out
 
 
+def store_subfamily_inventory(sf_dir: str) -> list[tuple]:
+    """Audit rows for every persisted-index store SUBFAMILY (cc_edges,
+    ivf_centroids, …): generations on disk, whether the generation the
+    CURRENT corpus resolves to is built, orphaned generations (what
+    ``sweep_stale_stores`` would reclaim), crashed ``.build-`` temps,
+    and file/byte footprint. Pure filesystem metadata — the subfamily
+    list derives from the ``live_store_paths`` registry, so the row
+    count is fixed by CODE, not by what happens to be on disk."""
+    import re
+
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    live = live_store_paths([sf_dir])
+    fams: dict[str, set[str]] = {}
+    for p in live:
+        base = os.path.basename(p)
+        fams.setdefault(re.sub(r"_[0-9a-f]{8}$", "", base), set()).add(os.path.abspath(p))
+    on_disk = sorted(os.listdir(wh)) if os.path.isdir(wh) else []
+    rows = []
+    for fam in sorted(fams):
+        gen_pat = re.compile(rf"^{re.escape(fam)}_[0-9a-f]{{8}}$")
+        tmp_pat = re.compile(rf"^{re.escape(fam)}_[0-9a-f]{{8}}\.build-\d+$")
+        gens = [n for n in on_disk if gen_pat.match(n)]
+        temps = [n for n in on_disk if tmp_pat.match(n)]
+        live_paths = fams[fam]
+        built = sum(
+            1 for p in live_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        )
+        orphans = [n for n in gens if os.path.abspath(os.path.join(wh, n)) not in live_paths]
+        n_files = t_bytes = 0
+        for n in gens + temps:
+            f, b = dir_file_stats(os.path.join(wh, n))
+            n_files += f
+            t_bytes += b
+        rows.append(
+            (
+                fam,
+                len(live_paths),
+                built,
+                len(gens),
+                len(orphans),
+                len(temps),
+                n_files,
+                t_bytes,
+            )
+        )
+    return rows
+
+
+def _register_store_inventory() -> None:
+    from etl_jlp_spark.registry import query
+
+    @query("store_inventory_report")  # rows-only: filesystem state isn't a SQL view
+    def store_inventory_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Store-janitor audit over every content-keyed index family:
+        per subfamily, the live-generation count the current corpus
+        resolves to, how many of those are actually built, total
+        generations on disk, orphaned generations (reclaimable by
+        ``sweep_stale_stores`` — stale corpus keys), crashed builder
+        temps, and the file/byte footprint. The vacuum-discipline
+        counterpart of the rollup store's retention: content-keyed
+        stores are abandoned (never mutated) on corpus regeneration,
+        so this report IS the reclaim queue. Row count is fixed by the
+        subfamily registry (one row per ``live_store_paths`` family),
+        so the rows-only gate pins a stable shape. At 100 TB this is
+        one object-store LIST per family prefix — output bounded by
+        #families, never by data."""
+        return spark.createDataFrame(
+            store_subfamily_inventory(sf_dir),
+            "family string, n_live_keys long, n_live_built long, "
+            "n_generations long, n_orphaned long, n_build_temps long, "
+            "n_files long, total_bytes long",
+        )
+
+
 _register_erasure_queries()
+_register_store_inventory()

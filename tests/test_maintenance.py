@@ -303,3 +303,62 @@ def test_delete_propagation_keeps_null_keyed_rows(spark, tmp_path):
     out = spark.read.parquet(src)
     assert out.count() == 4
     assert out.filter(F.col("user_id").isNull()).count() == 2
+
+
+def test_store_inventory_and_vacuum_invariance(spark):
+    """store_inventory_report must surface orphaned generations and
+    crashed builder temps, and vacuuming an orphaned generation must
+    never change any probe result served from the live store."""
+    import os
+    import shutil
+
+    import __spark_entry__ as ent
+    from etl_jlp_spark.ingest.maintenance import sweep_stale_stores
+    from etl_jlp_spark.operators.similarity import ensure_minhash_store
+
+    qs = ent.queries()
+    bands, _sh = ensure_minhash_store(spark, SF_SMALL)
+    wh = os.path.dirname(bands)
+
+    def probe():
+        return sorted(
+            tuple(r) for r in qs["dedup_minhash_prebuilt"](spark, SF_SMALL).collect()
+        )
+
+    before = probe()
+    orphan = os.path.join(wh, "mh_bands_00000000")
+    temp = os.path.join(wh, "mh_shingles_00000000.build-1")
+    shutil.rmtree(orphan, ignore_errors=True)
+    shutil.copytree(bands, orphan)
+    os.makedirs(temp, exist_ok=True)
+    try:
+        inv = {
+            r["family"]: r
+            for r in qs["store_inventory_report"](spark, SF_SMALL).collect()
+        }
+        # fixed subfamily registry: one row per live_store_paths family
+        assert {"mh_bands", "mh_shingles", "ivf_centroids", "ir_postings"} <= set(inv)
+        assert inv["mh_bands"]["n_orphaned"] >= 1
+        assert inv["mh_bands"]["n_live_built"] >= 1
+        assert inv["mh_shingles"]["n_build_temps"] >= 1
+        assert inv["mh_bands"]["total_bytes"] > 0
+
+        # vacuum exactly the orphan + temp; every other dir is declared live
+        live = {
+            os.path.abspath(os.path.join(wh, n)) for n in os.listdir(wh)
+        } - {os.path.abspath(orphan), os.path.abspath(temp)}
+        removed = sweep_stale_stores(wh, live)
+        assert {os.path.basename(p) for p in removed} == {
+            "mh_bands_00000000",
+            "mh_shingles_00000000.build-1",
+        }
+        inv2 = {
+            r["family"]: r
+            for r in qs["store_inventory_report"](spark, SF_SMALL).collect()
+        }
+        assert inv2["mh_bands"]["n_orphaned"] == inv["mh_bands"]["n_orphaned"] - 1
+        # the probe result is served from the live generation, untouched
+        assert probe() == before
+    finally:
+        shutil.rmtree(orphan, ignore_errors=True)
+        shutil.rmtree(temp, ignore_errors=True)
