@@ -396,6 +396,8 @@ HEADLINE = [
     "taylor_power_law",
     # round-8 session additions
     "store_inventory_report",
+    "audio_decode_report",
+    "media_metadata_report",
 ]
 
 
