@@ -184,3 +184,58 @@ def test_id3_roundtrip_property(title, version, encoding):
     d = extract_id3(encode_id3(title=title, version=version, encoding=encoding))
     assert d["version"] == version
     assert d["title"] == title
+
+
+counts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # cents value
+        st.integers(min_value=1, max_value=5),  # count
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_w1_dollars(ref_counts, cur_counts):
+    """Exact 1-D Wasserstein between two cents-count samples via
+    Fraction arithmetic: ∫|F_ref − F_cur| dv over the merged grid."""
+    from fractions import Fraction
+
+    agg_r, agg_c = {}, {}
+    for v, c in ref_counts:
+        agg_r[v] = agg_r.get(v, 0) + c
+    for v, c in cur_counts:
+        agg_c[v] = agg_c.get(v, 0) + c
+    na, nb = sum(agg_r.values()), sum(agg_c.values())
+    grid = sorted(set(agg_r) | set(agg_c))
+    total, ca, cb = Fraction(0), 0, 0
+    for v, nxt in zip(grid, grid[1:]):
+        ca += agg_r.get(v, 0)
+        cb += agg_c.get(v, 0)
+        total += abs(Fraction(ca, na) - Fraction(cb, nb)) * (nxt - v)
+    return float(total) / 100.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(counts_strategy, counts_strategy)
+def test_w1_helper_matches_exact_fraction_reference(spark, ref_counts, cur_counts):
+    """w1_against_reference (the shared drift core, incl. the 100 TB
+    decimal(38,0) pre-cast path) must equal an exact-arithmetic
+    single-machine Wasserstein on arbitrary small inputs."""
+    from pyspark.sql import functions as F
+
+    from etl_jlp_spark.plans.nonparam import w1_against_reference
+
+    schema = "event_type string, v long, c long"
+
+    def counts_df(pairs):
+        return (
+            spark.createDataFrame([("a", v, c) for v, c in pairs], schema)
+            .groupBy("event_type", "v")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    ref, cur = counts_df(ref_counts), counts_df(cur_counts)
+    got = w1_against_reference(cur, ref).collect()[0]["w1_dollars"]
+    want = _ref_w1_dollars(ref_counts, cur_counts)
+    assert abs(got - want) <= 2e-6, (got, want)
