@@ -110,6 +110,10 @@ def audio_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(synth_audio_df(spark, n=N_REAL, kind="flac"))
         .unionByName(synth_audio_df(spark, n=N_FAKE, kind="mp3"))
         .unionByName(synth_audio_df(spark, n=N_FAKE, kind="ogg"))
+        # right-size: 96 tiny rows would otherwise fan out to 4×32
+        # near-empty tasks (pure scheduling overhead; measured best at
+        # ~16); a real media table arrives already file-partitioned
+        .coalesce(16)
     )
     dec = decode_audio(media, fake_decode=True)
     real = F.col("sample_rate") > 0
