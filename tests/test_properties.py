@@ -98,6 +98,23 @@ from etl_jlp_spark.multimodal.gif import decode_gif as _d_gif, encode_gif as _e_
 from etl_jlp_spark.multimodal.jpeg import decode_jpeg as _d_jpeg, encode_jpeg as _e_jpeg
 from etl_jlp_spark.multimodal.tiff import decode_tiff as _d_tiff, encode_tiff as _e_tiff
 
+from etl_jlp_spark.multimodal.containers import (
+    encode_flac_streaminfo as _e_fsi,
+    encode_mp3_frames as _e_mp3,
+    encode_mp4_skeleton as _e_mp4,
+    encode_ogg_vorbis_skeleton as _e_ogg,
+    extract_flac_streaminfo as _x_fsi,
+    extract_mp3_frames as _x_mp3,
+    extract_mp4_meta as _x_mp4,
+    extract_ogg_meta as _x_ogg,
+)
+from etl_jlp_spark.multimodal.exif import (
+    encode_exif_app1 as _e_exif,
+    extract_exif as _x_exif,
+    insert_app1 as _ins_app1,
+)
+from etl_jlp_spark.multimodal.id3 import encode_id3 as _e_id3, extract_id3 as _x_id3
+
 _px = lambda x, y: (x * 20 % 256, y * 30 % 256, 5)  # noqa: E731
 _CODEC_SEEDS = {
     _d_bmp: _e_bmp(9, 7, _px),
@@ -107,6 +124,14 @@ _CODEC_SEEDS = {
     _d_tiff: _e_tiff(9, 7, _px, compression=5, predictor=2),
     _d_wav: _e_wav(8000, (1000 * _np.sin(_np.arange(200) / 5)).astype(_np.int16)),
     _d_avi: _e_avi(4, 6, [_np.full((6, 4, 3), i * 30, dtype=_np.uint8) for i in range(2)]),
+    # container-metadata parsers: same loud-codec contract — they run
+    # inside the driver-gated media_metadata_report dispatch
+    _x_fsi: _e_fsi(22050, 1, 16, 44100),
+    _x_mp4: _e_mp4(2.5, 1000, 2),
+    _x_mp3: _e_mp3(4, 128, 44100),
+    _x_ogg: _e_ogg(22050, 1, 66150, 4),
+    _x_exif: _ins_app1(_e_jpeg(8, 8, _px), _e_exif()),
+    _x_id3: _e_id3(title="T"),
 }
 
 
