@@ -398,6 +398,7 @@ HEADLINE = [
     "store_inventory_report",
     "audio_decode_report",
     "media_metadata_report",
+    "ivf_append_report",
 ]
 
 

@@ -1073,6 +1073,130 @@ def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_rank(cand, dim)
 
 
+# incremental index maintenance: md5(vec_id)[:2] < '14' (~8%) is the
+# "arriving embedding batch"; the rest is the already-indexed corpus
+IVF_BATCH_HEX = "14"
+
+_IVF_APPEND_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{IVF_BATCH_HEX}' AS is_new
+           FROM embeddings),
+samp AS (
+  SELECT vec_id, v FROM e
+  WHERE NOT is_new AND substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '{IVF_SAMPLE_HEX}'
+), seedpick AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM samp ORDER BY h LIMIT {IVF_N_CENTROIDS}
+), seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv FROM seedpick
+), a0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.v, c.cv) DESC, c.cell ASC) AS rnk
+    FROM samp s CROSS JOIN seeds c
+  ) WHERE rnk = 1
+), comp AS (
+  SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS idx FROM a0
+), cent AS (
+  SELECT cell, list(av ORDER BY idx) AS cv FROM (
+    SELECT cell, idx, round(avg(val), {IVF_CENT_ROUND}) AS av FROM comp GROUP BY cell, idx
+  ) GROUP BY cell
+), assigned AS (
+  SELECT vec_id, v, is_new, cell, cv FROM (
+    SELECT e.vec_id, e.v, e.is_new, c.cell, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS rnk
+    FROM e CROSS JOIN cent c
+  ) WHERE rnk = 1
+), fit AS (
+  SELECT cell, is_new,
+         round(list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS f
+  FROM assigned
+)
+SELECT cell,
+       CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_existing,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       round(100.0 * sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN is_new THEN 0 ELSE 1 END), 0), 2) + 0.0 AS growth_pct,
+       round(avg(CASE WHEN NOT is_new THEN f END), 4) + 0.0 AS fit_existing,
+       round(avg(CASE WHEN is_new THEN f END), 4) + 0.0 AS fit_new
+FROM fit GROUP BY cell
+"""
+
+
+@query("ivf_append_report", oracle=_IVF_APPEND_ORACLE)
+def ivf_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance readout — the ANN twin of
+    ``dedup_minhash_prebuilt``'s incremental-batch story: the coarse
+    quantizer trains on (a hash-sample of) the ALREADY-INDEXED corpus
+    only; the arriving batch (md5 split, ~8%) is then assigned to the
+    EXISTING cells without retraining. Per cell: existing/new member
+    counts, growth %, and the mean vector→centroid cosine of each
+    class — the report that decides when a cell is hot enough to split
+    or the batch has drifted off the quantizer (fit_new ≪
+    fit_existing) and a retrain is due.
+
+    At 100 TB this is THE production shape: retraining k-means on every
+    ingest is off the table, so arriving data is assigned to the frozen
+    quantizer (one broadcast-centroid argmax over the batch — the same
+    16-row join every probe uses) and this report is the scheduled
+    health check. Plan: seed pick is TakeOrdered over the old-corpus
+    sample; one Lloyd step materializes only the k×dim centroid table;
+    assignment is a map-side-combinable max_by; the report is a
+    ≤k-cell aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    is_new = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < IVF_BATCH_HEX
+    corpus = widen(spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings").persist()
+    samp = corpus.filter(
+        ~is_new & (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX)
+    ).persist()
+    seed_rows = _ivf_seed_pick(samp).collect()  # bounded: ≤ k rows
+    centroids = [
+        (cell, list(r["v"]))
+        for cell, r in enumerate(sorted(seed_rows, key=lambda r: r["h"]))
+    ]
+    for _ in range(IVF_ITERATIONS):
+        trained = (
+            _ivf_assign(spark, samp, centroids, dim)
+            .groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.col("v").getItem(i)), IVF_CENT_ROUND).alias(f"c{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        centroids = sorted([(int(r["cell"]), list(r["cv"])) for r in trained], key=lambda t: t[0])
+    samp.unpersist()
+    assigned = _ivf_assign(spark, corpus, centroids, dim)
+    cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
+    fit = assigned.join(F.broadcast(cent_df), "cell").select(
+        "cell",
+        is_new.alias("is_new"),  # pure function of vec_id — no re-join needed
+        F.round(
+            static_dot(F.col("v"), F.col("cv"), dim)
+            / (F.col("nrm_vec_id") * F.sqrt(static_dot(F.col("cv"), F.col("cv"), dim))),
+            6,
+        ).alias("f"),
+    )
+    new1 = F.when(F.col("is_new"), 1).otherwise(0)
+    old1 = F.when(~F.col("is_new"), 1).otherwise(0)
+    return fit.groupBy("cell").agg(
+        F.sum(old1).cast("long").alias("n_existing"),
+        F.sum(new1).cast("long").alias("n_new"),
+        F.round(
+            100.0 * F.sum(new1) / F.nullif(F.sum(old1), F.lit(0)), 2
+        ).alias("growth_pct"),
+        F.round(F.avg(F.when(~F.col("is_new"), F.col("f"))), 4).alias("fit_existing"),
+        F.round(F.avg(F.when(F.col("is_new"), F.col("f"))), 4).alias("fit_new"),
+    )
+
+
 ANN_LSH_BANDS = 4
 ANN_LSH_BITS = 6
 

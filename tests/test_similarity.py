@@ -291,3 +291,30 @@ def test_minhash_native_matches_md5_variant(spark):
     if high:
         recall = len(high & set(native_pairs)) / len(high)
         assert recall >= 0.8, f"native recall {recall} on high-sim pairs"
+
+
+def test_ivf_append_report_partitions_corpus_and_fit_bounds(spark):
+    """The append report's per-cell counts must partition the corpus
+    exactly (every vector lands in one frozen cell), fits must be
+    valid cosines, and the batch split must match the md5 convention."""
+    import __spark_entry__ as ent
+    from pyspark.sql import functions as F
+
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.similarity import IVF_BATCH_HEX
+    from tests.conftest import SF_SMALL
+
+    rows = ent.queries()["ivf_append_report"](spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_total = emb.count()
+    n_new = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < IVF_BATCH_HEX
+    ).count()
+    assert sum(r["n_existing"] + r["n_new"] for r in rows) == n_total
+    assert sum(r["n_new"] for r in rows) == n_new
+    for r in rows:
+        for col in ("fit_existing", "fit_new"):
+            if r[col] is not None:
+                assert -1.0 <= r[col] <= 1.0 + 1e-9, (r["cell"], col, r[col])
+        if r["n_existing"] and r["growth_pct"] is not None:
+            assert abs(r["growth_pct"] - 100.0 * r["n_new"] / r["n_existing"]) < 0.01
