@@ -278,7 +278,11 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     )
-    n_docs = toks.select("doc_id").distinct().count()
+    # lazy scalar (the oracle's subquery): an eager distinct().count()
+    # here would run the full corpus tokenize at plan-construction time
+    nd = toks.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
     df_rel = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     cand = (
         toks.join(F.broadcast(seed), "doc_id")
@@ -291,12 +295,12 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("long").alias("df_seed"),
         )
     )
-    scored = cand.join(df_rel, "term").select(
+    scored = cand.join(df_rel, "term").crossJoin(F.broadcast(nd)).select(
         "term",
         "tf_seed",
         "df_seed",
         "df",
-        (F.col("tf_seed").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+        (F.col("tf_seed").cast("double") * F.log(F.col("n_docs") / F.col("df"))).alias(
             "score"
         ),
     )

@@ -358,7 +358,9 @@ def candidate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable); at 100 TB swap approx_count_distinct per candidate
     into ONE pass — same output shape, documented error bound."""
     ev = load_table(spark, sf_dir, "events")
-    total = ev.count()
+    # lazy scalar (the oracle's subquery): an eager ev.count() here
+    # would scan events at plan-construction time
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     out = None
     for combo in KEY_CANDIDATES:
         one = (
@@ -366,14 +368,18 @@ def candidate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .agg(
                 F.lit("+".join(combo)).alias("candidate"),
-                F.lit(total).cast("long").alias("n_rows"),
                 F.count(F.lit(1)).cast("long").alias("n_distinct"),
-                (F.count(F.lit(1)) == total).alias("is_key"),
-                F.round(F.count(F.lit(1)) * 1.0 / total, 6).alias("uniqueness"),
             )
+            .crossJoin(F.broadcast(tot))
         )
         out = one if out is None else out.unionByName(one)
-    return out
+    return out.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+        F.round(F.col("n_distinct") * 1.0 / F.col("n_rows"), 6).alias("uniqueness"),
+    )
 
 
 # ---------------------------------------------------------------------------

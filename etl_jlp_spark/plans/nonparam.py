@@ -2239,11 +2239,19 @@ def friedman_daily_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cell = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("tot")
-    ).localCheckpoint(eager=True)  # (day, type) grain; consumed twice
-    k_types = ev.select("event_type").distinct().count()
-    full_days = cell.groupBy("day").agg(F.count(F.lit(1)).alias("nc")).where(
-        F.col("nc") == k_types
-    ).select("day")
+    ).localCheckpoint(eager=False)  # (day, type) grain; consumed twice
+    # k_types stays lazy (the oracle's scalar subquery) — an eager
+    # distinct().count() here would scan events at plan-construction time
+    kt = cell.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("k_types")
+    )
+    full_days = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .join(F.broadcast(kt))
+        .where(F.col("nc") == F.col("k_types"))
+        .select("day")
+    )
     w = (
         Window.partitionBy("day")
         .orderBy("tot", "event_type")
