@@ -672,8 +672,13 @@ def priority_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.pow(F.col("obs") - exp, 2) / exp,
     ).toDF("priority", "obs", "n", "x2")
-    n_pri = cells.select("priority").distinct().count()
-    n_yr = cells.select("yr").distinct().count()
+    # grid dimensions stay lazy (the oracle's scalar subqueries) — two
+    # eager distinct().count() calls here would scan orders twice at
+    # plan-construction time
+    dims = cells.agg(
+        F.countDistinct("priority").alias("n_pri"),
+        F.countDistinct("yr").alias("n_yr"),
+    )
     per = contrib.groupBy("priority").agg(
         F.sum("obs").cast("long").alias("n_orders"),
         F.round(F.sum("x2"), 4).alias("chi2_contrib"),
@@ -681,14 +686,18 @@ def priority_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_cells"),
         F.max("n").alias("_n"),
     )
-    return per.select(
+    return per.crossJoin(F.broadcast(dims)).select(
         "priority",
         "n_orders",
         "chi2_contrib",
         F.round(F.sum("_x2").over(wall), 4).alias("chi2_total"),
-        ((F.col("_cells") - 1) * (n_pri - 1)).cast("long").alias("dof"),
+        ((F.col("_cells") - 1) * (F.col("n_pri") - 1)).cast("long").alias("dof"),
         F.round(
-            F.sqrt(F.sum("_x2").over(wall) / (F.col("_n") * min(n_pri - 1, n_yr - 1))), 4
+            F.sqrt(
+                F.sum("_x2").over(wall)
+                / (F.col("_n") * F.least(F.col("n_pri") - 1, F.col("n_yr") - 1))
+            ),
+            4,
         ).alias("cramers_v"),
     )
 
