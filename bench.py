@@ -399,6 +399,7 @@ HEADLINE = [
     "audio_decode_report",
     "media_metadata_report",
     "ivf_append_report",
+    "pq_distortion_report",
 ]
 
 

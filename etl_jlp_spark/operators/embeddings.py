@@ -1190,6 +1190,67 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_pq_topk.__doc__ = (ann_pq_topk.__doc__ or "").format(m=PQ_M, k=PQ_K, it=PQ_ITERS)
 
 
+def _pq_distortion_oracle() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        + _pq_train_ctes()
+        + f""",
+asg AS (
+  SELECT cd.m, s.sv, c.cv
+  FROM codes cd
+  JOIN sub s ON s.vec_id = cd.vec_id AND s.m = cd.m
+  JOIN pqc{PQ_ITERS} c ON c.m = cd.m AND c.cl = cd.cl
+), d AS (
+  SELECT m, round({_pq_d2_duck("sv", "cv")}, 6) AS d2,
+         round(list_dot_product(sv, sv), 6) AS en
+  FROM asg
+)
+SELECT CAST(m AS INT) AS m,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(d2), 4) + 0.0 AS mean_d2,
+       round(max(d2), 6) + 0.0 AS max_d2,
+       round(avg(en), 4) + 0.0 AS mean_energy,
+       round(100.0 * avg(d2) / avg(en), 2) + 0.0 AS distortion_pct
+FROM d GROUP BY m
+"""
+    )
+
+
+@query("pq_distortion_report", oracle=_pq_distortion_oracle())
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality gate for the PQ codebooks: per subspace the
+    mean/max squared reconstruction error ‖sv − code‖² and its share of
+    the mean subvector energy — THE number that decides whether
+    M={m}/K={k} code budgets are adequate before an ADC index ships
+    (Jégou et al.'s distortion-vs-code-size trade, measured on the
+    production codebooks rather than assumed). A subspace whose
+    distortion share spikes is where raising K (or re-slicing) pays.
+
+    Reuses ``_pq_model``'s training core verbatim (same codebooks as
+    ann_pq_topk — the gate can never audit different codes than the
+    index serves); per-row d2 is rounded to 6dp in both engines so the
+    per-subspace means are engine-stable. Plan: training is the shared
+    fixed-iteration relational Lloyd loop; the report adds one
+    broadcast codebook join + a ≤M-cell aggregate."""
+    sub, codes, cent = _pq_model(spark, sf_dir)
+    asg = sub.join(codes, ["vec_id", "m"]).join(F.broadcast(cent), ["m", "cl"])
+    d = asg.select(
+        "m",
+        F.round(F.expr(_pq_d2_spark("sv", "cv")), 6).alias("d2"),
+        F.round(F.expr(_PQ_DOT.format(a="sv", b="sv")), 6).alias("en"),
+    )
+    return d.groupBy(F.col("m").cast("int").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("d2"), 4).alias("mean_d2"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+        F.round(F.avg("en"), 4).alias("mean_energy"),
+        F.round(100.0 * F.avg("d2") / F.avg("en"), 2).alias("distortion_pct"),
+    )
+
+
+pq_distortion_report.__doc__ = (pq_distortion_report.__doc__ or "").format(m=PQ_M, k=PQ_K)
+
+
 # ---------------------------------------------------------------------------
 # Embedding drift: per-dimension standardized mean difference between
 # a reference slice and a current slice — the ML-ops check run when a

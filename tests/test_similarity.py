@@ -318,3 +318,23 @@ def test_ivf_append_report_partitions_corpus_and_fit_bounds(spark):
                 assert -1.0 <= r[col] <= 1.0 + 1e-9, (r["cell"], col, r[col])
         if r["n_existing"] and r["growth_pct"] is not None:
             assert abs(r["growth_pct"] - 100.0 * r["n_new"] / r["n_existing"]) < 0.01
+
+
+def test_pq_distortion_report_identities(spark):
+    """Distortion must be a valid energy share per subspace, counts
+    must cover every (vector, subspace) slice, and the audited
+    codebooks must be the ones ann_pq_topk serves (same training
+    core => same PQ_M subspaces)."""
+    import __spark_entry__ as ent
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.embeddings import PQ_M
+    from tests.conftest import SF_SMALL
+
+    rows = ent.queries()["pq_distortion_report"](spark, SF_SMALL).collect()
+    assert sorted(r["m"] for r in rows) == list(range(PQ_M))
+    n_vec = load_table(spark, SF_SMALL, "embeddings").count()
+    for r in rows:
+        assert r["n_vectors"] == n_vec
+        assert 0.0 <= r["mean_d2"] <= r["max_d2"] + 1e-9
+        assert r["mean_energy"] > 0
+        assert 0.0 <= r["distortion_pct"] <= 100.0 + 1e-6
