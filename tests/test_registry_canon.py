@@ -1,0 +1,91 @@
+"""The registry's oracle-driven −0.0 canonicalization layer.
+
+Oracles append ``+ 0.0`` to rounded signed outputs; the registry parses
+those column names out of the oracle SQL and mirrors the canon on the
+Spark side (registry._with_zero_canon). These tests pin the parse, the
+wrap semantics (−0.0 → +0.0 and NOTHING else), and the end-to-end
+guarantee that the round-8 driver incident class — a Spark-side −0.0
+hashing differently from the oracle's canonicalized +0.0 — cannot recur
+for any registered query.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  — populates the registry
+from etl_jlp_spark import registry
+
+
+def test_canon_cols_parses_named_sites():
+    sql = """
+    SELECT a, round(x, 6) + 0.0 AS z_stat,
+           CASE WHEN c THEN round(y, 4) + 0.0 ELSE 0.0 END AS gated,
+           round(w, 2) + 0.0
+             AS wrapped_newline
+    FROM t
+    """
+    cols = registry._canon_cols("nosuch", sql)
+    assert cols == frozenset({"z_stat", "gated", "wrapped_newline"})
+
+
+def test_canon_cols_merges_hand_audited_overrides():
+    cols = registry._canon_cols("theil_sen_trend", "SELECT 1 AS x FROM t")
+    assert {"slope_per_day", "intercept"} <= cols
+
+
+def test_zero_canon_normalizes_only_negative_zero(spark):
+    rows = [(-0.0, -0.0, 1.5, None), (2.25, -3.5, -0.0, -7.125)]
+
+    def fn(spark_, sf_dir_):
+        return spark_.createDataFrame(
+            rows, "canon double, untouched double, other double, nullable double"
+        )
+
+    wrapped = registry._with_zero_canon(fn, frozenset({"canon", "nullable"}))
+    out = wrapped(spark, "ignored")
+    got = [tuple(r) for r in out.orderBy("other").collect()]  # −0.0 < 1.5
+    # canon'd −0.0 → +0.0 (copysign distinguishes); untouched keeps −0.0
+    assert math.copysign(1.0, got[1][0]) == 1.0 and got[1][0] == 0.0
+    assert math.copysign(1.0, got[1][1]) == -1.0
+    # non-zero values bit-identical; NULL stays NULL
+    assert got == [(2.25, -3.5, -0.0, -7.125), (0.0, -0.0, 1.5, None)]
+
+
+def test_zero_canon_skips_non_double_columns(spark):
+    def fn(spark_, sf_dir_):
+        return spark_.createDataFrame([(1, "x")], "n long, s string")
+
+    wrapped = registry._with_zero_canon(fn, frozenset({"n", "s"}))
+    out = wrapped(spark, "ignored")
+    assert out.schema.simpleString() == "struct<n:bigint,s:string>"
+    assert out.collect() == [(1, "x")]
+
+
+def test_every_registered_query_is_canon_wrapped():
+    """Every oracle-backed query whose SQL canonicalizes at least one
+    column must be stored WRAPPED in the registry (closure check — a
+    future register() refactor that drops the wrap fails here)."""
+    needing = [
+        n
+        for n, sql in registry.ORACLES.items()
+        if registry._canon_cols(n, sql)
+    ]
+    assert len(needing) > 100  # the class is systemic, not incidental
+    for n in needing:
+        fn = registry.QUERIES[n]
+        assert getattr(fn, "__wrapped__", None) is not None, n  # wraps marker
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_plus_zero_is_ieee_identity_except_negative_zero(x):
+    """The mathematical fact the whole layer rests on: x + 0.0 == x
+    bit-for-bit for every finite double EXCEPT −0.0 → +0.0."""
+    y = x + 0.0
+    if x == 0.0 and math.copysign(1.0, x) < 0:
+        assert math.copysign(1.0, y) > 0
+    else:
+        assert y == x and math.copysign(1.0, y) == math.copysign(1.0, x)
