@@ -91,16 +91,22 @@ pts AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          t AS (PARTITION BY event_type)
 )
-SELECT event_type,
-       CAST(any_value(n_ref) AS BIGINT) AS n_ref,
-       CAST(any_value(n_cur) AS BIGINT) AS n_cur,
-       round(CAST(sum(abs(CAST(cum_ref AS DECIMAL(38,0)) * n_cur
-                          - CAST(cum_cur AS DECIMAL(38,0)) * n_ref) * dv) AS DOUBLE)
-             / any_value(n_ref) / any_value(n_cur) / 100.0,
-             {W1_ROUND}) + 0.0 AS w1_dollars
-FROM grid
-WHERE dv IS NOT NULL
-GROUP BY 1
+, agg AS (
+  SELECT event_type,
+         CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+         CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+         CAST(sum(abs(CAST(cum_ref AS DECIMAL(38,0)) * n_cur
+                      - CAST(cum_cur AS DECIMAL(38,0)) * n_ref) * dv) AS HUGEINT) AS s_int
+  FROM grid
+  WHERE dv IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, n_ref, n_cur,
+       CAST(({2 * 10**W1_ROUND} * s_int
+             + CAST(n_ref AS HUGEINT) * n_cur * 100)
+            // (2 * CAST(n_ref AS HUGEINT) * n_cur * 100)
+            AS DOUBLE) / {10**W1_ROUND}.0 + 0.0 AS w1_dollars
+FROM agg
 """,
 )
 def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +118,8 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the integral telescopes over the merged grid as
     Σ |cumRef·nCur − cumCur·nRef| · Δv — pure integers (DECIMAL(38,0)
-    accumulated) — divided by nRef·nCur·100 exactly once.
+    accumulated) — then rounded to {W1_ROUND} dp by one INTEGER
+    half-away division (no double round-half ambiguity, no −0.0).
 
     Plan: one map-side-combinable groupBy on (type, cents) bounds the
     window input by the value DOMAIN, not the row count; the min-date
@@ -152,16 +159,27 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
         - F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
     ) * F.col("dv")
-    return grid.groupBy("event_type").agg(
+    # W1 rounds to {W1_ROUND} dp as an INTEGER half-away division (the
+    # cliffs_delta_value discipline): s_int is exact, the denominator
+    # n_ref·n_cur·100 is exact, so both engines produce the identical
+    # w1_e6 integer and the final /1e6 is bit-identical. Headroom: with
+    # N ≤ 3e9 rows/type and a ≤5e6-cent value span, s_int ≤ ~4.5e25 and
+    # 2e6·s_int ≤ ~9e31 — well inside DECIMAL(38,0)/HUGEINT.
+    agg = grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
         F.any_value("n_cur").cast("long").alias("n_cur"),
-        F.round(
-            F.sum(term).cast("double")
-            / F.any_value("n_ref")
-            / F.any_value("n_cur")
-            / 100.0,
-            W1_ROUND,
-        ).alias("w1_dollars"),
+        F.sum(term).cast("decimal(38,0)").alias("s_int"),
+    )
+    scale = 10**W1_ROUND
+    w1_e6 = F.expr(
+        f"({2 * scale} * s_int + CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100) "
+        f"div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100)"
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (w1_e6.cast("double") / float(scale)).alias("w1_dollars"),
     )
 
 
@@ -205,14 +223,21 @@ WITH pts AS (
          CAST(sum(CAST(ct AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0)) AS tie_pairs
   FROM w GROUP BY 1
 )
-SELECT event_type, n_type, n_base, gt_pairs,
-       CAST(CAST(n_type AS DECIMAL(38,0)) * n_base - gt_pairs - tie_pairs
-            AS DECIMAL(38,0)) AS lt_pairs,
-       tie_pairs,
-       round(CAST(gt_pairs - (CAST(n_type AS DECIMAL(38,0)) * n_base - gt_pairs - tie_pairs)
-                  AS DOUBLE)
-             / (CAST(n_type AS DOUBLE) * n_base), {W1_ROUND}) + 0.0 AS cliffs_delta
-FROM agg
+, fin AS (
+  SELECT event_type, n_type, n_base, gt_pairs,
+         CAST(CAST(n_type AS DECIMAL(38,0)) * n_base - gt_pairs - tie_pairs
+              AS DECIMAL(38,0)) AS lt_pairs,
+         tie_pairs,
+         CAST(gt_pairs - (CAST(n_type AS DECIMAL(38,0)) * n_base - gt_pairs - tie_pairs)
+              AS HUGEINT) AS num,
+         CAST(CAST(n_type AS DECIMAL(38,0)) * n_base AS HUGEINT) AS den
+  FROM agg
+)
+SELECT event_type, n_type, n_base, gt_pairs, lt_pairs, tie_pairs,
+       CAST(CASE WHEN num >= 0 THEN ({2 * 10**W1_ROUND} * num + den) // (2 * den)
+                 ELSE -(({2 * 10**W1_ROUND} * (-num) + den) // (2 * den)) END
+            AS DOUBLE) / {10**W1_ROUND}.0 + 0.0 AS cliffs_delta
+FROM fin
 """,
 )
 def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,8 +247,10 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive pair count is O(n²); here both samples are grouped onto
     the shared cents grid and #(x>y) = Σ_v ct(v)·cumB_<(v) — one
-    window over O(domain) rows. All counts are integers; δ is one
-    double division.
+    window over O(domain) rows. All counts are integers; δ is an
+    integer half-away-from-zero division (delta_e6 in DECIMAL(38,0)/
+    HUGEINT, then one exact /1e6) so both engines round identically
+    and −0.0 cannot occur.
 
     Plan: one groupBy(type, cents); the per-type grid is the distinct
     cents domain (≤ ~49k rows/type), built by a broadcast cross of the
@@ -286,18 +313,37 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("gt_pairs")
         - F.col("tie_pairs")
     )
-    return agg.select(
+    # δ is rounded to {W1_ROUND} dp as an INTEGER half-away-from-zero
+    # division in DECIMAL(38,0) — round(double, 6) is the one step where
+    # Spark (HALF_UP on the shortest-repr decimal) and other engines can
+    # disagree on exact half-way ties, and a negative δ rounding to zero
+    # would emit IEEE −0.0 (the round-8 driver-hash incident). The final
+    # integer/1e6 division is bit-identical in any IEEE engine.
+    fin = agg.select(
         "event_type",
         "n_type",
         "n_base",
         "gt_pairs",
         lt.cast("decimal(38,0)").alias("lt_pairs"),
         "tie_pairs",
-        F.round(
-            (F.col("gt_pairs") - lt).cast("double")
-            / (F.col("n_type").cast("double") * F.col("n_base")),
-            W1_ROUND,
-        ).alias("cliffs_delta"),
+        (F.col("gt_pairs") - lt).cast("decimal(38,0)").alias("num"),
+        (F.col("n_type").cast("decimal(38,0)") * F.col("n_base"))
+        .cast("decimal(38,0)")
+        .alias("den"),
+    )
+    scale = 10**W1_ROUND
+    delta_e6 = F.expr(
+        f"CASE WHEN num >= 0 THEN ({2 * scale} * num + den) div (2 * den) "
+        f"ELSE -(({2 * scale} * (-num) + den) div (2 * den)) END"
+    )
+    return fin.select(
+        "event_type",
+        "n_type",
+        "n_base",
+        "gt_pairs",
+        "lt_pairs",
+        "tie_pairs",
+        (delta_e6.cast("double") / float(scale)).alias("cliffs_delta"),
     )
 
 
@@ -1600,7 +1646,9 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
     """Per-type 1-D Wasserstein distance (dollars) between a current
     and a reference cents-count relation: the wasserstein_value_drift
     integral Σ|cumRef·nCur − cumCur·nRef|·Δv / (nRef·nCur·100) over
-    the full-outer merged grid. Integers until the single division."""
+    the full-outer merged grid. Integers all the way: the {W1_ROUND}-dp
+    round is the same integer half-away division the registered
+    wasserstein_value_drift uses (engine-version-proof, no −0.0)."""
     ref = ref_counts.select("event_type", "v", F.col("c").alias("c_ref"))
     cur = cur_counts.select("event_type", "v", F.col("c").alias("c_cur"))
     g = (
@@ -1634,17 +1682,22 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
         F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
         - F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
     ) * F.col("dv")
-    return grid.groupBy("event_type").agg(
+    agg = grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
         F.any_value("n_cur").cast("long").alias("n_cur"),
+        F.sum(term).cast("decimal(38,0)").alias("s_int"),
+    )
+    scale = 10**W1_ROUND
+    w1_e6 = F.expr(
+        f"({2 * scale} * s_int + CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100) "
+        f"div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100)"
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
         F.coalesce(
-            F.round(
-                F.sum(term).cast("double")
-                / F.any_value("n_ref")
-                / F.any_value("n_cur")
-                / 100.0,
-                W1_ROUND,
-            ),
+            w1_e6.cast("double") / float(scale),
             F.lit(0.0),  # single-point grid (identical one-value samples): W1 = 0
         ).alias("w1_dollars"),
     )
@@ -1749,7 +1802,14 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: identical shape to wasserstein_value_drift — one combinable
     (type, cents) agg bounds everything downstream by the value
-    domain."""
+    domain.
+
+    Rounding: stays a double round (NOT the cliffs/W1 integer-e6
+    discipline) — the three terms have distinct denominators, and the
+    common-denominator integer numerator (2·(cross·na·nb − wa·nb² −
+    wb·na²)) would exceed DECIMAL(38,0)/HUGEINT already at bench scale
+    (~1e43). E ≥ 0 always, and the oracle/Spark ``+ 0.0`` canon covers
+    the sign class; identical operand text keeps the doubles aligned."""
     grid = _drift_grid(spark, sf_dir).where(F.col("dv").isNotNull())
     na, nb = F.any_value("na"), F.any_value("nb")
 
@@ -1805,7 +1865,13 @@ def cvm_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end.
 
     Plan: the same domain-bounded grid as the W1/energy ops — no new
-    fact-side work."""
+    fact-side work.
+
+    Rounding: stays a double round (NOT the cliffs/W1 integer-e6
+    discipline) — scaling the numerator by 2e6 would tighten the
+    documented DECIMAL(38,0) accumulation bound (num ≲ N⁵) by 10×,
+    breaking at sf≈1 sample sizes. T ≥ 0 always, and the oracle/Spark
+    ``+ 0.0`` canon covers the sign class."""
     grid = _drift_grid(spark, sf_dir)
     na, nb = F.any_value("na"), F.any_value("nb")
     gap = (

@@ -148,3 +148,24 @@ def test_friedman_rank_identities(spark):
         # chi2 = 12n/(k(k+1))·Σ(mean_rank−(k+1)/2)² ≥ 0 — the r7-ADVICE
         # regression pin (the off-by-0.5 rank made it go negative)
         assert r["friedman_chi2"] >= 0
+
+
+def test_cliffs_delta_matches_exact_fraction_reference(spark):
+    """cliffs_delta itself (not just the pair partition) must equal the
+    exact-Fraction half-away rounding of (gt−lt)/(n·n_base) — the
+    engine-version-proof integer discipline adopted after the round-8
+    driver-hash incident on this exact query."""
+    import math
+    from fractions import Fraction
+
+    from etl_jlp_spark.plans.nonparam import W1_ROUND
+
+    scale = 10**W1_ROUND
+    for r in QS["cliffs_delta_value"](spark, SF_SMALL).collect():
+        num = int(r["gt_pairs"]) - int(r["lt_pairs"])
+        den = int(r["n_type"]) * int(r["n_base"])
+        x = Fraction(num * scale, den)
+        e6 = math.floor(x + Fraction(1, 2)) if x >= 0 else -math.floor(-x + Fraction(1, 2))
+        assert r["cliffs_delta"] == e6 / scale, (r, e6)
+        # and the canon guarantee: never IEEE −0.0
+        assert math.copysign(1.0, r["cliffs_delta"]) > 0 or r["cliffs_delta"] != 0.0

@@ -264,3 +264,56 @@ def test_w1_helper_matches_exact_fraction_reference(spark, ref_counts, cur_count
     got = w1_against_reference(cur, ref).collect()[0]["w1_dollars"]
     want = _ref_w1_dollars(ref_counts, cur_counts)
     assert abs(got - want) <= 2e-6, (got, want)
+
+
+def _half_away_e6(num: int, den: int, scale: int = 10**6) -> int:
+    """Exact round-half-away-from-zero of scale·num/den (den > 0)."""
+    from fractions import Fraction
+    import math
+
+    x = Fraction(num * scale, den)
+    if x >= 0:
+        return math.floor(x + Fraction(1, 2))
+    return -math.floor(-x + Fraction(1, 2))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),  # num (signed)
+            st.integers(min_value=1, max_value=10**9),  # den
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_signed_integer_half_away_div_matches_fraction(spark, pairs):
+    """The cliffs/W1 integer-rounding expression — CASE-split half-away
+    floor division in DECIMAL(38,0) — must equal exact-Fraction
+    half-away rounding, INCLUDING negative near-zero numerators (the
+    round-8 driver-hash class: signed statistics rounding to ±0 at the
+    decimal boundary). Exercises exact half ties explicitly."""
+    from pyspark.sql import functions as F
+    # salt in exact tie cases: num/den = ±1/(2e6) rounds half-away to ±1
+    pairs = pairs + [(1, 2 * 10**6), (-1, 2 * 10**6), (3, 2 * 10**6), (-3, 2 * 10**6)]
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(pairs)],
+        "i long, num_l long, den_l long",
+    ).select(
+        "i",
+        F.col("num_l").cast("decimal(38,0)").alias("num"),
+        F.col("den_l").cast("decimal(38,0)").alias("den"),
+    )
+    got = {
+        r["i"]: r["e6"]
+        for r in df.select(
+            "i",
+            F.expr(
+                "CASE WHEN num >= 0 THEN (2000000 * num + den) div (2 * den) "
+                "ELSE -((2000000 * (-num) + den) div (2 * den)) END"
+            ).alias("e6"),
+        ).collect()
+    }
+    for i, (n, d) in enumerate(pairs):
+        assert got[i] == _half_away_e6(n, d), (n, d, got[i])
