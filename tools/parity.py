@@ -5,7 +5,16 @@ DuckDB against the same sf dir, then compares row count, column names,
 and an order-insensitive value hash (columns sorted by name, rows
 sorted, values stringified with stable float formatting).
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [--strict] [sf_dir] [query ...]
+
+``--strict`` switches the float canon from ``.6f`` to ``repr`` (shortest
+round-trip representation, up to 17 significant digits, −0.0 distinct
+from +0.0). The driver's own float canon proved STRICTER than the
+default ``.6f`` in round 8 (``cliffs_delta_value`` hashed differently at
+the driver while matching here), so a green strict sweep is the stronger
+guarantee: it requires bit-identical doubles, which the repo's
+identical-expression-text / integer-rounding disciplines are designed to
+deliver.
 """
 
 from __future__ import annotations
@@ -18,6 +27,8 @@ import traceback
 ROOT = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, ROOT)
 
+STRICT = False
+
 
 def canon(val: object) -> str:
     if val is None:
@@ -27,6 +38,9 @@ def canon(val: object) -> str:
     if isinstance(val, float):
         if math.isnan(val):
             return "nan"
+        if STRICT:
+            # bit-exact: shortest round-trip repr, −0.0 ≠ +0.0
+            return repr(val)
         # round to 6 significant-ish decimals to absorb engine noise
         return f"{val:.6f}"
     return str(val)
@@ -45,8 +59,13 @@ def main() -> int:
     import __spark_entry__ as ent
     from etl_jlp_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if "--strict" in args:
+        global STRICT
+        STRICT = True
+        args = [a for a in args if a != "--strict"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("parity")
     con = duckdb.connect()
