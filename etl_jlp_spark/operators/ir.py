@@ -1073,7 +1073,14 @@ def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every per-term tf; corpus stats (|C|, per-term cf) are a 1-row
     broadcast; the score is a fixed-order 3-term expression (no row-
     wise float accumulation on the Spark side) and top-K is
-    TakeOrdered, never a global sort."""
+    TakeOrdered, never a global sort.
+
+    Degenerate-corpus note: the cf=0 guard matches the oracle for
+    PARTIALLY-absent query terms (skip == add 0). If EVERY query term
+    were corpus-absent the oracle's empty cf CTE would yield 0 rows
+    while this side would return {K} docs scored 0.0 — accepted because
+    BM25_QUERY_TERMS are corpus-present by construction (they are drawn
+    from the documents generator's fixed vocabulary)."""
     docs = load_table(spark, sf_dir, "documents")
     terms = list(BM25_QUERY_TERMS)
     per_doc = _words(docs, spark, sf_dir).groupBy("doc_id").agg(

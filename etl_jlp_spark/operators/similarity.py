@@ -1186,7 +1186,7 @@ def ivf_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new1 = F.when(F.col("is_new"), 1).otherwise(0)
     old1 = F.when(~F.col("is_new"), 1).otherwise(0)
-    return fit.groupBy("cell").agg(
+    report = fit.groupBy("cell").agg(
         F.sum(old1).cast("long").alias("n_existing"),
         F.sum(new1).cast("long").alias("n_new"),
         F.round(
@@ -1195,6 +1195,13 @@ def ivf_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(~F.col("is_new"), F.col("f"))), 4).alias("fit_existing"),
         F.round(F.avg(F.when(F.col("is_new"), F.col("f"))), 4).alias("fit_new"),
     )
+    # Materialize the ≤k-cell report eagerly so the widened corpus cache
+    # can be released NOW — otherwise it stays pinned in executor storage
+    # for the rest of a long bench/parity session (the samp/unpersist
+    # teardown convention used by ivf_index's callers above).
+    report = report.localCheckpoint(eager=True)
+    corpus.unpersist()
+    return report
 
 
 ANN_LSH_BANDS = 4

@@ -33,6 +33,12 @@ def main() -> int:
     for r, n in movers:
         print(f"SLOWER {n}: {old[n]:.3f}s -> {new[n]:.3f}s ({r:.2f}x)")
     s_new, s_old = sum(new[n] for n in shared), sum(old[n] for n in shared)
+    if not ratios or s_old == 0:
+        print(
+            f"no shared queries with nonzero old timings "
+            f"(shared={len(shared)}) — records not comparable"
+        )
+        return 1
     print(
         f"shared={len(shared)} sum_ratio={s_new / s_old:.3f} "
         f"median_ratio={statistics.median(ratios.values()):.3f} "
