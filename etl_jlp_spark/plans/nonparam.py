@@ -1891,6 +1891,110 @@ def cvm_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Anderson–Darling: the tail-weighted member of the drift
+# family (KS = sup gap, W1 = L1 area, CvM = L2 area, energy = all
+# moments; AD = L2 area weighted by 1/(F(1−F)), so gaps in the TAILS —
+# where CvM barely looks — dominate). Same ref/cur split, same merged
+# cents grid, same telescoping cumulative algebra.
+# ---------------------------------------------------------------------------
+
+AD_TERM_SCALE = 10**12  # per-grid-row term quantization (exact-sum trick)
+
+
+@query(
+    "anderson_darling_drift",
+    oracle=f"""
+WITH {_DRIFT_GRID_CTE}
+, terms AS (
+  SELECT event_type,
+         CAST(any_value(na) AS BIGINT) AS n_ref,
+         CAST(any_value(nb) AS BIGINT) AS n_cur,
+         CAST(sum(
+           (2 * {AD_TERM_SCALE} * CAST((ca + cb) AS HUGEINT)
+              * (CAST(cuma AS HUGEINT) * (na + nb) - (cuma + cumb) * na)
+              * (CAST(cuma AS HUGEINT) * (na + nb) - (cuma + cumb) * na)
+            + CAST((cuma + cumb) AS HUGEINT) * (na + nb - cuma - cumb))
+           // (2 * CAST((cuma + cumb) AS HUGEINT) * (na + nb - cuma - cumb))
+         ) AS HUGEINT) AS s_t
+  FROM grid
+  WHERE dv IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, n_ref, n_cur,
+       CAST((2 * s_t + CAST(n_ref AS HUGEINT) * n_cur * {AD_TERM_SCALE // 10**W1_ROUND})
+            // (2 * CAST(n_ref AS HUGEINT) * n_cur * {AD_TERM_SCALE // 10**W1_ROUND})
+            AS DOUBLE) / {10**W1_ROUND}.0 + 0.0 AS ad_stat
+FROM terms
+""",
+)
+def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample Anderson–Darling statistic between the
+    reference (first {W1_REF_DAYS} days) and current value samples:
+    A² = (1/na + 1/nb)·Σ_j c_j·D_j² / (N·B_j·(N−B_j)) with
+    D_j = cuma_j·N − B_j·na (the scaled CDF gap), B_j the pooled
+    cumulative count and c_j the pooled multiplicity — the Pettitt
+    right-continuous-CDF form with ties grouped on the cents grid;
+    for untied data it reduces exactly to Scholz–Stephens k=2. The
+    last grid point (B=N) contributes 0/0 and is excluded — exactly
+    the rows the W1 family already drops via ``dv IS NOT NULL``
+    (B_j is strictly increasing, so B=N only at the last point).
+
+    Exactness: per-row denominators vary (B·(N−B)), so a naive double
+    sum would be accumulation-order-sensitive across engines. Instead
+    each term quantizes to an e12 INTEGER by the cliffs/W1 half-away
+    div discipline, the sum is exact integer addition, and the final
+    /(na·nb) rounds to {W1_ROUND} dp by one more integer half-away div
+    (the algebra: (1/na+1/nb)/N = 1/(na·nb), so A² = S/(na·nb·1e12)).
+    Headroom: 2e12·c·D² needs c·N⁴ ≲ 5e25 → N ≲ 2.6e6 rows/type in
+    DECIMAL(38,0)/HUGEINT; past that drop AD_TERM_SCALE (same
+    documented accumulation-bound class as cvm_drift_test).
+
+    Plan: identical to the W1/CvM/energy siblings — one combinable
+    (type, cents) agg; everything downstream is bounded by the value
+    DOMAIN, not the row count."""
+    grid = _drift_grid(spark, sf_dir).where(F.col("dv").isNotNull())
+    na, nb = F.any_value("na"), F.any_value("nb")
+    scored = grid.select(
+        "event_type",
+        "na",
+        "nb",
+        (F.col("ca") + F.col("cb")).cast("decimal(38,0)").alias("c"),
+        (
+            F.col("cuma").cast("decimal(38,0)") * (F.col("na") + F.col("nb"))
+            - (F.col("cuma") + F.col("cumb")).cast("decimal(38,0)") * F.col("na")
+        ).alias("gap"),
+        ((F.col("cuma") + F.col("cumb")).cast("decimal(38,0)")
+         * (F.col("na") + F.col("nb") - F.col("cuma") - F.col("cumb"))).alias("dnm"),
+    )
+    # Per-row halfaway div in DECIMAL, NOT `div`: Spark's IntegralDivide
+    # returns LONG and a concentrated-mass row's term (≤ 1e12·c·na·nb)
+    # exceeds 2^63 well before the documented N bound. pmod-then-exact-
+    # divide stays in decimal; the quotient is an exact integer, so the
+    # decimal division cannot round it.
+    scored = scored.withColumn(
+        "tnum",
+        F.expr(f"2 * {AD_TERM_SCALE} * c * gap * gap + dnm").cast("decimal(38,0)"),
+    ).withColumn("tden", F.expr("2 * dnm").cast("decimal(38,0)"))
+    t_int = F.expr("CAST((tnum - pmod(tnum, tden)) / tden AS DECIMAL(38,0))")
+    agg = scored.groupBy("event_type").agg(
+        na.cast("long").alias("n_ref"),
+        nb.cast("long").alias("n_cur"),
+        F.sum(t_int.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_t"),
+    )
+    rem = AD_TERM_SCALE // 10**W1_ROUND
+    ad_e6 = F.expr(
+        f"(2 * s_t + CAST(n_ref AS DECIMAL(38,0)) * n_cur * {rem}) "
+        f"div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur * {rem})"
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (ad_e6.cast("double") / float(10**W1_ROUND)).alias("ad_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Haar wavelet energy decomposition of daily revenue — which time
 # scale carries the variance? (periodogram_daily_revenue answers in
 # frequency; Haar answers in dyadic time scales with EXACT integer

@@ -890,6 +890,79 @@ def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test on daily revenue — "is there ANY serial
+# correlation left?", the one-number companion to acf/pacf (those chart
+# per-lag structure; Q aggregates lags 1..h into the χ²_h diagnostic
+# every forecast-residual gate reads).
+# ---------------------------------------------------------------------------
+
+LB_LAGS = (7, 14)  # weekly and fortnight horizons; 14 = ACF_MAX_LAG
+
+
+def _lb_q_expr(h: int) -> str:
+    """Q(h) = n(n+2)·Σ_{k=1..h} acf_k²/(n−k) as ONE expression string
+    over columns n, a1..ah — parsed by both DuckDB and Spark's expr()
+    so the float tree (and the doubles) are identical (the PACF
+    discipline). Fixed textual order: ascending k."""
+    terms = " + ".join(f"a{k} * a{k} / (n - {k})" for k in range(1, h + 1))
+    return f"n * (n + 2.0) * ({terms})"
+
+
+@query(
+    "ljung_box_daily",
+    oracle="WITH acf_rel AS ("
+    + _ACF_ORACLE_BODY
+    + """), av AS (
+  SELECT """
+    + ", ".join(
+        f"max(CASE WHEN lag = {k} THEN acf END) AS a{k}" for k in range(1, max(LB_LAGS) + 1)
+    )
+    + """ FROM acf_rel
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT CAST(o_orderdate AS DATE) AS day FROM orders GROUP BY 1)
+)
+SELECT n AS n_days,
+"""
+    + ",\n".join(
+        f"       round({_lb_q_expr(h)}, 6) + 0.0 AS q_stat_{h}" for h in LB_LAGS
+    )
+    + "\nFROM av CROSS JOIN nn",
+)
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q on the daily order-revenue series at h ∈ {7, 14}:
+    Q(h) = n(n+2)·Σ_{k≤h} r_k²/(n−k), χ²_h under the no-autocorrelation
+    null. Consumes the REGISTERED acf_daily_revenue outputs (6-dp
+    rounded — the PACF convention), so both engines square and sum
+    bit-identical operands; n is the exact day count. Q(7) reads the
+    weekly structure, Q(14) the fortnight; a Q far above the χ²
+    quantile says the series is not white noise and seasonal models
+    (weekday_seasonality_index, holt_winters_eval) have signal to fit.
+
+    Plan: the ACF pipeline (one groupBy(day) + a broadcast lag join of
+    the ~2.4k-row daily series) plus a 1-row pivot and one fixed-order
+    scalar expression — no new fact-table work."""
+    h_max = max(LB_LAGS)
+    acf = acf_daily_revenue(spark, sf_dir).filter(F.col("lag") <= h_max)
+    av = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"a{k}")
+            for k in range(1, h_max + 1)
+        ]
+    )
+    nn = load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct(F.to_date("o_orderdate")).cast("long").alias("n")
+    )
+    return av.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        *[
+            (F.round(F.expr(_lb_q_expr(h)), 6) + 0.0).alias(f"q_stat_{h}")
+            for h in LB_LAGS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ridge regression path via the normal equations — the p²-sufficient-
 # statistics multivariate fit (one pass, no gradient iterations).
 # ---------------------------------------------------------------------------

@@ -169,3 +169,51 @@ def test_cliffs_delta_matches_exact_fraction_reference(spark):
         assert r["cliffs_delta"] == e6 / scale, (r, e6)
         # and the canon guarantee: never IEEE −0.0
         assert math.copysign(1.0, r["cliffs_delta"]) > 0 or r["cliffs_delta"] != 0.0
+
+
+def test_anderson_darling_matches_exact_reference(spark):
+    """anderson_darling_drift must equal an exact arbitrary-precision
+    single-machine evaluation of its declared spec (e12 per-term
+    half-away quantization, exact integer sum, e6 final half-away) —
+    including the W1-family ref/cur split and tie grouping."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from etl_jlp_spark.plans.nonparam import AD_TERM_SCALE, W1_REF_DAYS, W1_ROUND
+
+    rows = load_table(spark, SF_SMALL, "events").select("event_type", "ts", "value").collect()
+    d0 = min(r["ts"].date() for r in rows)
+    cut = d0 + dt.timedelta(days=W1_REF_DAYS)
+    counts = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # type -> v -> [ca, cb]
+    for r in rows:
+        v = round(r["value"] * 100)
+        side = 0 if r["ts"].date() < cut else 1
+        counts[r["event_type"]][v][side] += 1
+
+    def halfaway(num: int, den: int) -> int:
+        assert num >= 0 and den > 0
+        return (2 * num + den) // (2 * den)
+
+    want = {}
+    for ty, grid in counts.items():
+        na = sum(c[0] for c in grid.values())
+        nb = sum(c[1] for c in grid.values())
+        n_tot = na + nb
+        cuma = cumn = 0
+        s_t = 0
+        for v in sorted(grid):
+            ca, cb = grid[v]
+            cuma += ca
+            cumn += ca + cb
+            if cumn == n_tot:  # last grid point: 0/0 term, excluded
+                continue
+            gap = cuma * n_tot - cumn * na
+            s_t += halfaway(AD_TERM_SCALE * (ca + cb) * gap * gap, cumn * (n_tot - cumn))
+        rem = AD_TERM_SCALE // 10**W1_ROUND
+        want[ty] = halfaway(s_t, na * nb * rem) / 10**W1_ROUND
+
+    got = {r["event_type"]: r for r in QS["anderson_darling_drift"](spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for ty in want:
+        assert got[ty]["ad_stat"] == want[ty], (ty, got[ty]["ad_stat"], want[ty])
+        assert got[ty]["ad_stat"] >= 0.0

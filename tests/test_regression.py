@@ -372,3 +372,22 @@ def test_spearman_matches_scipy_style_numpy(spark):
     for (x, y), rho in got.items():
         expect = np.corrcoef(cols[x], cols[y])[0, 1]
         assert math.isclose(rho, expect, rel_tol=0, abs_tol=1e-6), (x, y)
+
+
+def test_ljung_box_recomputes_from_registered_acf(spark):
+    """ljung_box_daily must equal the fixed-order expression over the
+    REGISTERED (6-dp rounded) acf values and the exact day count — the
+    PACF composition discipline — and be monotone in the horizon."""
+    from etl_jlp_spark.plans.regression import LB_LAGS
+
+    acf = {r["lag"]: r["acf"] for r in QS["acf_daily_revenue"](spark, SF_SMALL).collect()}
+    row = QS["ljung_box_daily"](spark, SF_SMALL).collect()[0]
+    n = row["n_days"]
+    for h in LB_LAGS:
+        s = 0.0
+        for k in range(1, h + 1):  # ascending k == the expression's textual order
+            s = s + acf[k] * acf[k] / (n - k)
+        want = round(n * (n + 2.0) * s, 6)
+        assert abs(row[f"q_stat_{h}"] - want) < 1e-9, (h, row[f"q_stat_{h}"], want)
+        assert row[f"q_stat_{h}"] >= 0.0
+    assert row[f"q_stat_{max(LB_LAGS)}"] >= row[f"q_stat_{min(LB_LAGS)}"]
