@@ -51,6 +51,22 @@ BF_ROUND = 6
 SIMPSON_ROUND = 6
 
 
+def halfaway_div_expr(num: str, den: str, scale: int) -> str:
+    """Spark/ANSI expression string for round-half-away-from-zero of
+    ``scale·num/den`` in exact integer arithmetic: floor((2·scale·num +
+    den)/(2·den)) for num ≥ 0, mirrored for num < 0 (operands stay
+    non-negative so `div`'s truncation IS floor). The ONE spelling of
+    the repo's integer rounding discipline — every signed/unsigned
+    rounded ratio (cliffs δ, W1, AD) uses this helper so a headroom or
+    scale change cannot drift between siblings. Oracle twins inline the
+    same algebra with HUGEINT `//` (which floors; DuckDB's DECIMAL `//`
+    ROUNDS — the HUGEINT cast there is load-bearing)."""
+    n, d = f"({num})", f"({den})"
+    pos = f"(2 * {scale} * {n} + {d}) div (2 * {d})"
+    neg = f"-((2 * {scale} * (-{n}) + {d}) div (2 * {d}))"
+    return f"CASE WHEN {n} >= 0 THEN {pos} ELSE {neg} END"
+
+
 def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, ts, v) with v = value in exact cents."""
     return load_table(spark, sf_dir, "events").select(
@@ -172,8 +188,7 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scale = 10**W1_ROUND
     w1_e6 = F.expr(
-        f"({2 * scale} * s_int + CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100) "
-        f"div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100)"
+        halfaway_div_expr("s_int", "CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100", scale)
     )
     return agg.select(
         "event_type",
@@ -332,10 +347,7 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("den"),
     )
     scale = 10**W1_ROUND
-    delta_e6 = F.expr(
-        f"CASE WHEN num >= 0 THEN ({2 * scale} * num + den) div (2 * den) "
-        f"ELSE -(({2 * scale} * (-num) + den) div (2 * den)) END"
-    )
+    delta_e6 = F.expr(halfaway_div_expr("num", "den", scale))
     return fin.select(
         "event_type",
         "n_type",
@@ -1689,8 +1701,7 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
     )
     scale = 10**W1_ROUND
     w1_e6 = F.expr(
-        f"({2 * scale} * s_int + CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100) "
-        f"div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100)"
+        halfaway_div_expr("s_int", "CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100", scale)
     )
     return agg.select(
         "event_type",
@@ -1975,16 +1986,25 @@ def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tnum",
         F.expr(f"2 * {AD_TERM_SCALE} * c * gap * gap + dnm").cast("decimal(38,0)"),
     ).withColumn("tden", F.expr("2 * dnm").cast("decimal(38,0)"))
-    t_int = F.expr("CAST((tnum - pmod(tnum, tden)) / tden AS DECIMAL(38,0))")
+    t_int = F.expr("CAST((tnum - pmod(tnum, tden)) / tden AS DECIMAL(38,0))").cast(
+        "decimal(38,0)"
+    )
+    # NULL-poison past the documented headroom: non-ANSI Spark turns a
+    # DECIMAL(38,0) overflow into NULL, and a bare F.sum would SKIP it —
+    # silently under-reporting the very tail drift this gate exists to
+    # catch. If any per-row term overflowed, emit NULL (loud: rows/hash
+    # diverge from the oracle, which errors outright on HUGEINT overflow)
+    # rather than a plausible-but-small statistic.
     agg = scored.groupBy("event_type").agg(
         na.cast("long").alias("n_ref"),
         nb.cast("long").alias("n_cur"),
-        F.sum(t_int.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_t"),
+        F.when(F.count(F.lit(1)) == F.count(t_int), F.sum(t_int))
+        .cast("decimal(38,0)")
+        .alias("s_t"),
     )
     rem = AD_TERM_SCALE // 10**W1_ROUND
     ad_e6 = F.expr(
-        f"(2 * s_t + CAST(n_ref AS DECIMAL(38,0)) * n_cur * {rem}) "
-        f"div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur * {rem})"
+        halfaway_div_expr("s_t", f"CAST(n_ref AS DECIMAL(38,0)) * n_cur * {rem}", 1)
     )
     return agg.select(
         "event_type",

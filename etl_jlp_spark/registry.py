@@ -39,8 +39,17 @@ ORACLES: dict[str, str] = {}
 # ---------------------------------------------------------------------------
 
 _CANON_AS = re.compile(
-    r"\+\s*0\.0(?:\s+ELSE\s+[\d.eE+-]+)?(?:\s+END)?\s+AS\s+(\w+)", re.IGNORECASE
+    # ELSE is restricted to NUMERIC literals: an ELSE column-ref could emit
+    # −0.0 identically in both engines, where one-sided canon would diverge.
+    r"\+\s*0\.0(?:\s+ELSE\s+[\d.eE+-]+)?(?:\s+END)?\s*\)?\s+AS\s+(\w+)",
+    re.IGNORECASE,
 )
+
+# Matches ANY oracle canon site, named or not — tests/test_registry_canon.py
+# asserts every occurrence is either captured by _CANON_AS or accounted for
+# in its hand-audited unnamed-site table, so an oracle spelling the canon in
+# a form the alias regex misses cannot silently lose Spark-side mirroring.
+_CANON_ANY = re.compile(r"\+\s*0\.0")
 
 # Final-output columns whose oracle canonicalization the regex cannot see
 # (renamed CTE refs, scalar subqueries) — audited by hand; see each oracle.

@@ -181,12 +181,17 @@ def test_anderson_darling_matches_exact_reference(spark):
 
     from etl_jlp_spark.plans.nonparam import AD_TERM_SCALE, W1_REF_DAYS, W1_ROUND
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     rows = load_table(spark, SF_SMALL, "events").select("event_type", "ts", "value").collect()
     d0 = min(r["ts"].date() for r in rows)
     cut = d0 + dt.timedelta(days=W1_REF_DAYS)
     counts = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # type -> v -> [ca, cb]
     for r in rows:
-        v = round(r["value"] * 100)
+        # the ENGINES' cents binning (F.round / DuckDB round): HALF_UP on
+        # the shortest-repr decimal — Python round() is half-to-EVEN and
+        # would shift the grid one bin on exact half-cent doubles
+        v = int(Decimal(repr(r["value"] * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
         side = 0 if r["ts"].date() < cut else 1
         counts[r["event_type"]][v][side] += 1
 
