@@ -1714,6 +1714,77 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
     )
 
 
+def ad_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFrame:
+    """Per-type two-sample Anderson–Darling between a current and a
+    reference cents-count relation — the count-relation twin of the
+    registered ``anderson_darling_drift`` (identical algebra: e12
+    per-term half-away quantization, exact integer sum, e6 final
+    half-away, NULL-poison on overflow), so the streaming monitor and
+    the batch query cannot drift. A type whose merged grid has a single
+    distinct value drops out (every term row is the excluded B=N point
+    — mirroring the registered query's ``dv IS NOT NULL``)."""
+    ref = ref_counts.select("event_type", "v", F.col("c").alias("ca"))
+    cur = cur_counts.select("event_type", "v", F.col("c").alias("cb"))
+    g = ref.join(cur, ["event_type", "v"], "full_outer").select(
+        "event_type",
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    grid = g.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(t).alias("na"),
+        F.sum("cb").over(t).alias("nb"),
+    ).where(F.col("cuma") + F.col("cumb") < F.col("na") + F.col("nb"))
+    scored = grid.select(
+        "event_type",
+        "na",
+        "nb",
+        (F.col("ca") + F.col("cb")).cast("decimal(38,0)").alias("c"),
+        (
+            F.col("cuma").cast("decimal(38,0)") * (F.col("na") + F.col("nb"))
+            - (F.col("cuma") + F.col("cumb")).cast("decimal(38,0)") * F.col("na")
+        ).alias("gap"),
+        (
+            (F.col("cuma") + F.col("cumb")).cast("decimal(38,0)")
+            * (F.col("na") + F.col("nb") - F.col("cuma") - F.col("cumb"))
+        ).alias("dnm"),
+    ).withColumn(
+        "tnum",
+        F.expr(f"2 * {AD_TERM_SCALE} * c * gap * gap + dnm").cast("decimal(38,0)"),
+    ).withColumn("tden", F.expr("2 * dnm").cast("decimal(38,0)"))
+    t_int = F.expr("CAST((tnum - pmod(tnum, tden)) / tden AS DECIMAL(38,0))").cast(
+        "decimal(38,0)"
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.any_value("na").cast("long").alias("n_ref"),
+        F.any_value("nb").cast("long").alias("n_cur"),
+        F.when(F.count(F.lit(1)) == F.count(t_int), F.sum(t_int))
+        .cast("decimal(38,0)")
+        .alias("s_t"),
+    )
+    rem = AD_TERM_SCALE // 10**W1_ROUND
+    ad_e6 = F.expr(
+        halfaway_div_expr("s_t", f"CAST(n_ref AS DECIMAL(38,0)) * n_cur * {rem}", 1)
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (ad_e6.cast("double") / float(10**W1_ROUND)).alias("ad_stat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Energy distance and Cramér–von Mises: the L2 / characteristic-
 # function members of the two-sample family (KS = sup gap, W1 = L1

@@ -964,3 +964,38 @@ def streaming_w1_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ad_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    ref_counts: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous TAIL-drift alarm: each micro-batch's value
+    distribution is scored with the two-sample Anderson–Darling
+    statistic against a FIXED reference cents-count relation — the
+    streaming half of ``anderson_darling_drift``, sharing its exact
+    integer core (plans/nonparam.ad_against_reference) the same way
+    streaming_w1_monitor shares w1_against_reference. W1 alarms on how
+    much mass moved; AD alarms when the TAILS move (where W1/CvM barely
+    look — precisely the failure mode of a value-capping regression).
+    Exactly-once via the idempotent per-batch_id overwrite."""
+    from etl_jlp_spark.plans.nonparam import ad_against_reference, cents_counts
+
+    stream = stream_events(spark, src_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(
+            ad_against_reference(cents_counts(batch_df), ref_counts),
+            dest_dir,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -596,3 +596,54 @@ def test_streaming_w1_monitor_matches_batch(spark, tmp_path):
     have = {(r["event_type"], r["w1_dollars"]) for r in out2.collect()}
     assert helper == have
     ref.unpersist()
+
+
+def test_streaming_ad_monitor_matches_batch(spark, tmp_path):
+    """Per-batch Anderson–Darling vs a fixed reference must reproduce
+    the registered anderson_darling_drift exactly when the reference is
+    the first-15-days window and the stream carries the rest (the
+    streaming_w1_monitor contract, for the tail-weighted member); a
+    same-distribution second batch scores exactly 0."""
+    from etl_jlp_spark.plans.nonparam import (
+        W1_REF_DAYS,
+        ad_against_reference,
+        anderson_darling_drift,
+        cents_counts,
+    )
+    from etl_jlp_spark.streaming.pipeline import streaming_ad_monitor
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    ref_rows = ev.filter(F.to_date("ts") < F.date_add(F.lit(d0), W1_REF_DAYS))
+    cur_rows = ev.filter(F.to_date("ts") >= F.date_add(F.lit(d0), W1_REF_DAYS))
+    ref = cents_counts(ref_rows).persist()
+
+    src = str(tmp_path / "src")
+    dest, ckpt = str(tmp_path / "ad"), str(tmp_path / "ckpt")
+    cur_rows.coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_ad_monitor(spark, src, ref, dest, ckpt).awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["n_ref"], r["n_cur"], r["ad_stat"])
+        for r in spark.read.parquet(dest).drop("batch_id").collect()
+    }
+    want = {
+        (r["event_type"], r["n_ref"], r["n_cur"], r["ad_stat"])
+        for r in anderson_darling_drift(spark, SF_SMALL).collect()
+    }
+    assert got == want  # streaming monitor == registered batch op
+
+    # same-distribution second batch: every CDF gap is identically 0,
+    # so A² = 0 exactly (integer algebra, not approximately)
+    ref_rows.coalesce(1).write.mode("append").parquet(src)
+    streaming_ad_monitor(spark, src, ref, dest, ckpt).awaitTermination(120)
+    out2 = spark.read.parquet(dest).filter(F.col("batch_id") == 1)
+    helper = {
+        (r["event_type"], r["ad_stat"])
+        for r in ad_against_reference(cents_counts(ref_rows), ref).collect()
+    }
+    have = {(r["event_type"], r["ad_stat"]) for r in out2.collect()}
+    assert helper == have and have  # non-empty, helper-consistent
+    assert out2.agg(F.max("ad_stat")).collect()[0][0] == 0.0
+    ref.unpersist()
