@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.algebra import exact_sum
 from etl_jlp_spark.plans.inference import _DAILY_CTE, _daily
 from etl_jlp_spark.registry import query
 
@@ -180,11 +181,12 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_ref·n_cur·100 is exact, so both engines produce the identical
     # w1_e6 integer and the final /1e6 is bit-identical. Headroom: with
     # N ≤ 3e9 rows/type and a ≤5e6-cent value span, s_int ≤ ~4.5e25 and
-    # 2e6·s_int ≤ ~9e31 — well inside DECIMAL(38,0)/HUGEINT.
+    # 2e6·s_int ≤ ~9e31 — well inside DECIMAL(38,0)/HUGEINT. exact_sum
+    # NULL-poisons past that bound instead of silently under-reporting.
     agg = grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
         F.any_value("n_cur").cast("long").alias("n_cur"),
-        F.sum(term).cast("decimal(38,0)").alias("s_int"),
+        exact_sum(term).cast("decimal(38,0)").alias("s_int"),
     )
     scale = 10**W1_ROUND
     w1_e6 = F.expr(
@@ -316,10 +318,10 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("event_type").agg(
         F.sum("ct").cast("long").alias("n_type"),
         F.sum("cb").cast("long").alias("n_base"),
-        F.sum(F.col("ct").cast("decimal(38,0)") * F.col("b_lt"))
+        exact_sum(F.col("ct").cast("decimal(38,0)") * F.col("b_lt"))
         .cast("decimal(38,0)")
         .alias("gt_pairs"),
-        F.sum(F.col("ct").cast("decimal(38,0)") * F.col("cb"))
+        exact_sum(F.col("ct").cast("decimal(38,0)") * F.col("cb"))
         .cast("decimal(38,0)")
         .alias("tie_pairs"),
     )
@@ -1690,14 +1692,22 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
     )
     # Cast BEFORE the multiply: at the 100 TB design point cum*n exceeds
     # 2^63 and bigint arithmetic would wrap in Spark / raise in DuckDB.
-    term = F.abs(
-        F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
-        - F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
-    ) * F.col("dv")
+    # The last grid row's dv is NULL (no successor): contribute an
+    # explicit ZERO there rather than a NULL for F.sum to skip — that
+    # keeps exact_sum's NULL ⇔ overflow invariant (and single-point
+    # types, whose only row is that one, still report W1 = 0).
+    term = F.when(
+        F.col("dv").isNotNull(),
+        F.abs(
+            F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
+            - F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
+        )
+        * F.col("dv"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
     agg = grid.groupBy("event_type").agg(
         F.any_value("n_ref").cast("long").alias("n_ref"),
         F.any_value("n_cur").cast("long").alias("n_cur"),
-        F.sum(term).cast("decimal(38,0)").alias("s_int"),
+        exact_sum(term).cast("decimal(38,0)").alias("s_int"),
     )
     scale = 10**W1_ROUND
     w1_e6 = F.expr(
@@ -1769,9 +1779,7 @@ def ad_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
     agg = scored.groupBy("event_type").agg(
         F.any_value("na").cast("long").alias("n_ref"),
         F.any_value("nb").cast("long").alias("n_cur"),
-        F.when(F.count(F.lit(1)) == F.count(t_int), F.sum(t_int))
-        .cast("decimal(38,0)")
-        .alias("s_t"),
+        exact_sum(t_int).cast("decimal(38,0)").alias("s_t"),
     )
     rem = AD_TERM_SCALE // 10**W1_ROUND
     ad_e6 = F.expr(
@@ -1897,8 +1905,10 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tsum(expr):
         # operands arrive pre-cast to decimal(38,0) so the cum*(n-cum)
-        # products never touch 64-bit integer arithmetic (100 TB safe)
-        return F.sum(expr * F.col("dv")).cast("double")
+        # products never touch 64-bit integer arithmetic (100 TB safe);
+        # exact_sum NULL-poisons a decimal overflow instead of letting
+        # F.sum skip the NULLed row (silent under-report)
+        return exact_sum(expr * F.col("dv")).cast("double")
 
     dca, dcb = F.col("cuma").cast("decimal(38,0)"), F.col("cumb").cast("decimal(38,0)")
     cross = tsum(dca * (F.col("nb") - F.col("cumb")) + dcb * (F.col("na") - F.col("cuma")))
@@ -1960,7 +1970,9 @@ def cvm_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cuma").cast("decimal(38,0)") * F.col("nb")
         - F.col("cumb").cast("decimal(38,0)") * F.col("na")
     )
-    num = F.sum((F.col("ca") + F.col("cb")).cast("decimal(38,0)") * gap * gap).cast("double")
+    num = exact_sum((F.col("ca") + F.col("cb")).cast("decimal(38,0)") * gap * gap).cast(
+        "double"
+    )
     n_tot = na + nb
     return grid.groupBy("event_type").agg(
         na.cast("long").alias("n_ref"),
@@ -2069,9 +2081,7 @@ def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("event_type").agg(
         na.cast("long").alias("n_ref"),
         nb.cast("long").alias("n_cur"),
-        F.when(F.count(F.lit(1)) == F.count(t_int), F.sum(t_int))
-        .cast("decimal(38,0)")
-        .alias("s_t"),
+        exact_sum(t_int).cast("decimal(38,0)").alias("s_t"),
     )
     rem = AD_TERM_SCALE // 10**W1_ROUND
     ad_e6 = F.expr(

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
+from etl_jlp_spark.functions.algebra import exact_sum
 from etl_jlp_spark.registry import query
 
 OLS_ROUND = 6
@@ -183,7 +184,9 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.col("n") * F.col("rev") - F.col("s")).cast("decimal(38,0)").alias("dv"),
     )
-    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("d"))
+    # exact_sum: a DECIMAL(38,0) overflow (possible at extreme daily-revenue
+    # magnitudes) must NULL the statistic, not shrink it via sum-skip
+    den = dev.agg(exact_sum(F.col("dv") * F.col("dv")).alias("d"))
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
     a, b = dev.alias("a"), dev.alias("b")
     num = (
@@ -193,7 +196,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum(F.col("a.dv") * F.col("b.dv")).alias("nm"),
+            exact_sum(F.col("a.dv") * F.col("b.dv")).alias("nm"),
         )
     )
     return num.crossJoin(F.broadcast(den)).select(

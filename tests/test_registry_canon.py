@@ -124,3 +124,39 @@ def test_plus_zero_is_ieee_identity_except_negative_zero(x):
         assert math.copysign(1.0, y) > 0
     else:
         assert y == x and math.copysign(1.0, y) == math.copysign(1.0, x)
+
+
+def test_exact_sum_null_poisons_instead_of_skipping(spark):
+    """exact_sum (functions/algebra.py): under ansi=false (the common
+    perf-tuned cluster config — ANSI sessions already THROW on decimal
+    overflow, loud by itself) a plain F.sum SKIPS an overflow-NULLed
+    decimal row, silently shrinking the statistic; exact_sum NULLs the
+    whole aggregate instead. Overflow is a real DECIMAL(38,0) multiply
+    overflow, not a literal NULL."""
+    from pyspark.sql import functions as F
+
+    from etl_jlp_spark.functions.algebra import exact_sum
+
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = spark.createDataFrame([(1, 2), (1, 9), (2, 9)], "grp int, x long").select(
+            "grp", F.col("x").cast("decimal(38,0)").alias("x")
+        )
+        # x * 2*10^37: the MULTIPLY overflows decimal(38,0) for x=9
+        # (1.8e38), survives for x=2 (4e37)
+        prod = F.col("x") * F.expr(f"CAST('{2 * 10**37}' AS DECIMAL(38,0))")
+        out = {
+            r["grp"]: (r["skipping"], r["poisoned"])
+            for r in df.groupBy("grp")
+            .agg(
+                F.sum(prod).alias("skipping"),
+                exact_sum(prod).alias("poisoned"),
+            )
+            .collect()
+        }
+        assert out[1][0] is not None  # F.sum silently kept only the x=2 row
+        assert out[1][1] is None  # exact_sum poisons the whole group
+        assert out[2] == (None, None)  # every row overflowed: both NULL
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
