@@ -400,6 +400,9 @@ HEADLINE = [
     "media_metadata_report",
     "ivf_append_report",
     "pq_distortion_report",
+    # round 9
+    "anderson_darling_drift",
+    "ljung_box_daily",
 ]
 
 
