@@ -403,6 +403,7 @@ HEADLINE = [
     # round 9
     "anderson_darling_drift",
     "ljung_box_daily",
+    "seasonal_mann_kendall",
 ]
 
 

@@ -918,6 +918,116 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seasonal Mann–Kendall: the weekly-seasonality-robust variant — pairs
+# are compared only WITHIN the same weekday, so the strong day-of-week
+# cycle (ljung_box_daily's Q(7) signal, weekday_seasonality_index's
+# profile) cannot masquerade as or mask a monotone trend. Hirsch–Slack
+# aggregation: S = Σ_w S_w, Var = Σ_w Var_w (tie-corrected per season).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_mann_kendall",
+    oracle=f"""
+WITH daily AS ({_DAILY_CTE}),
+wk AS (
+  SELECT day, rev, CAST(isodow(day) - 1 AS INT) AS weekday FROM daily
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM wk a JOIN wk b ON a.weekday = b.weekday AND a.day < b.day
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(DISTINCT weekday) AS BIGINT) AS n_seasons
+  FROM wk
+), vr AS (
+  SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS base_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM wk GROUP BY weekday)
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM wk GROUP BY weekday, rev HAVING count(*) > 1)
+)
+SELECT n_days, n_seasons, s_stat,
+       round((base_term - tie_term) / 18.0, 2) + 0.0 AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                  WHEN s_stat < 0 THEN (s_stat + 1) ELSE 0 END
+             / sqrt((base_term - tie_term) / 18.0), {W1_ROUND}) + 0.0 AS z_stat,
+       CASE WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing' ELSE 'no_trend' END AS trend
+FROM s CROSS JOIN nn CROSS JOIN vr CROSS JOIN ties
+""",
+)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hirsch–Slack seasonal Mann–Kendall on daily revenue with
+    weekday seasons (0=Monday, the weekday_seasonality_index
+    convention): S = Σ_w Σ_{{i<j in w}} sign(x_j − x_i), Var[S] =
+    Σ_w (n_w(n_w−1)(2n_w+5) − Σ_t t(t−1)(2t+5))/18 with ties counted
+    within each season, continuity-corrected z. mann_kendall_trend
+    answers "is there a monotone trend?"; this answers it while immune
+    to the weekly cycle (which its Q(7) companion shows is real).
+    Every operand up to the final z is an exact integer.
+
+    Plan: the pair join is within-weekday over the calendar-bounded
+    daily aggregate (pairs ≈ days²/7, never data volume) — the
+    mann_kendall_trend shape with a tighter join key that also
+    co-partitions the self-join on weekday."""
+    daily = _daily(spark, sf_dir).select(
+        "day", "rev", F.weekday("day").cast("int").alias("weekday")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, (F.col("a.weekday") == F.col("b.weekday")) & (F.col("a.day") < F.col("b.day")))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.countDistinct("weekday").cast("long").alias("n_seasons"),
+    )
+    n = F.col("n")
+    vr = (
+        daily.groupBy("weekday")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum(n * (n - 1) * (2 * n + 5)).cast("long").alias("base_term"))
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("weekday", "rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).cast("long").alias("tie_term")
+        )
+    )
+    j = (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(vr))
+        .crossJoin(F.broadcast(ties))
+    )
+    ss = F.col("s_stat")
+    var_s = (F.col("base_term") - F.col("tie_term")) / 18.0
+    corr = F.when(ss > 0, ss - 1).when(ss < 0, ss + 1).otherwise(0)
+    return j.select(
+        "n_days",
+        "n_seasons",
+        "s_stat",
+        F.round(var_s, 2).alias("var_s"),
+        F.round(corr / F.sqrt(var_s), W1_ROUND).alias("z_stat"),
+        F.when(ss > 0, "increasing").when(ss < 0, "decreasing").otherwise("no_trend").alias(
+            "trend"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hill tail-index estimator on order prices — quantifies HOW heavy the
 # revenue tail is (robust_revenue_stats says the tail is long; Hill
 # says the power-law exponent, the number capacity planning wants).

@@ -222,3 +222,44 @@ def test_anderson_darling_matches_exact_reference(spark):
     for ty in want:
         assert got[ty]["ad_stat"] == want[ty], (ty, got[ty]["ad_stat"], want[ty])
         assert got[ty]["ad_stat"] >= 0.0
+
+
+def test_seasonal_mann_kendall_matches_exact_reference(spark):
+    """seasonal_mann_kendall's S, variance terms and z must equal an
+    exact single-machine Hirsch–Slack computation over the collected
+    daily series (weekday = Python date.weekday(), 0=Monday — the same
+    convention as F.weekday / isodow-1)."""
+    import math
+    from collections import defaultdict
+
+    from etl_jlp_spark.plans.nonparam import W1_ROUND
+    from etl_jlp_spark.plans.inference import _daily
+
+    rows = _daily(spark, SF_SMALL).select("day", "rev").collect()
+    by_w = defaultdict(list)
+    for r in rows:
+        by_w[r["day"].weekday()].append((r["day"], r["rev"]))
+    s_stat = 0
+    base = 0
+    tie = 0
+    for days in by_w.values():
+        days.sort()
+        n = len(days)
+        base += n * (n - 1) * (2 * n + 5)
+        cnt = defaultdict(int)
+        for _, rev in days:
+            cnt[rev] += 1
+        tie += sum(t * (t - 1) * (2 * t + 5) for t in cnt.values() if t > 1)
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = days[j][1] - days[i][1]
+                s_stat += (d > 0) - (d < 0)
+    row = QS["seasonal_mann_kendall"](spark, SF_SMALL).collect()[0]
+    assert row["s_stat"] == s_stat
+    assert row["n_days"] == len(rows)
+    assert row["n_seasons"] == len(by_w)
+    var = (base - tie) / 18.0
+    assert row["var_s"] == round(var, 2)
+    corr = s_stat - 1 if s_stat > 0 else (s_stat + 1 if s_stat < 0 else 0)
+    assert abs(row["z_stat"] - round(corr / math.sqrt(var), W1_ROUND)) < 1e-12
+    assert row["trend"] in ("increasing", "decreasing", "no_trend")
