@@ -132,3 +132,49 @@ def normalize_bool_strings(df: DataFrame) -> DataFrame:
         if stats[f"nonnull__{c}"] and not stats[f"bad__{c}"]:
             out = out.withColumn(c, F.lower(F.col(c)) == "true")
     return out
+
+
+def normalize_uuid_binary(df: DataFrame) -> DataFrame:
+    """Reference convert_uuid (general_lib.py:45-48): python UUID values
+    are stringified before landing (applymap in the ClickHouse ingest
+    scripts). Spark has no UUID type — UUIDs arrive from JDBC/Arrow
+    sources as BINARY(16) — so the Spark-first counterpart converts any
+    binary column whose non-null values are all 16 bytes to the
+    canonical lowercase-hyphenated string form.
+
+    Same discipline as normalize_bool_strings: the decision scans the
+    FULL column (one aggregate job over all candidates, map-side
+    combined) so later rows can't be silently mis-coerced; the convert
+    itself is a pure projection (hex + substring, whole-stage codegen,
+    no UDF)."""
+    bin_cols = [c for c, t in df.dtypes if t == "binary"]
+    if not bin_cols:
+        return df
+    aggs = []
+    for c in bin_cols:
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & (F.length(c) != 16)).cast("long")
+            ).alias(f"bad__{c}")
+        )
+        aggs.append(F.sum(F.col(c).isNotNull().cast("long")).alias(f"nonnull__{c}"))
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in bin_cols:
+        if stats[f"nonnull__{c}"] and not stats[f"bad__{c}"]:
+            h = F.lower(F.hex(F.col(c)))
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.concat_ws(
+                        "-",
+                        F.substring(h, 1, 8),
+                        F.substring(h, 9, 4),
+                        F.substring(h, 13, 4),
+                        F.substring(h, 17, 4),
+                        F.substring(h, 21, 12),
+                    ),
+                ),
+            )
+    return out

@@ -250,7 +250,10 @@ WITH pts AS (
          CAST(CAST(n_type AS DECIMAL(38,0)) * n_base AS HUGEINT) AS den
   FROM agg
 )
-SELECT event_type, n_type, n_base, gt_pairs, lt_pairs, tie_pairs,
+SELECT event_type, n_type, n_base,
+       CAST(gt_pairs AS BIGINT) AS gt_pairs,
+       CAST(lt_pairs AS BIGINT) AS lt_pairs,
+       CAST(tie_pairs AS BIGINT) AS tie_pairs,
        CAST(CASE WHEN num >= 0 THEN ({2 * 10**W1_ROUND} * num + den) // (2 * den)
                  ELSE -(({2 * 10**W1_ROUND} * (-num) + den) // (2 * den)) END
             AS DOUBLE) / {10**W1_ROUND}.0 + 0.0 AS cliffs_delta
@@ -350,13 +353,19 @@ def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scale = 10**W1_ROUND
     delta_e6 = F.expr(halfaway_div_expr("num", "den", scale))
+    # OUTPUT carries the pair counts as BIGINT: the driver's pandas/Arrow
+    # materialization of DECIMAL(38,0) is engine-asymmetric (DuckDB fetchdf
+    # → float64 "2019952.0" vs Spark → Decimal "2019952" — the r08/r09
+    # hash mismatch with bit-identical values). Exact while each sample
+    # stays under ~3e9 rows (n_type·n_base < 2^63); the internal math
+    # above keeps DECIMAL(38,0) so the products never wrap.
     return fin.select(
         "event_type",
         "n_type",
         "n_base",
-        "gt_pairs",
-        "lt_pairs",
-        "tie_pairs",
+        F.col("gt_pairs").cast("long").alias("gt_pairs"),
+        F.col("lt_pairs").cast("long").alias("lt_pairs"),
+        F.col("tie_pairs").cast("long").alias("tie_pairs"),
         (delta_e6.cast("double") / float(scale)).alias("cliffs_delta"),
     )
 
@@ -860,11 +869,13 @@ s AS (
 )
 SELECT n AS n_days, s_stat,
        round((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0, 2) + 0.0 AS var_s,
-       round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
-                  WHEN s_stat < 0 THEN (s_stat + 1)
-                  ELSE 0 END
-             / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0),
-             {W1_ROUND}) + 0.0 AS z_stat,
+       CASE WHEN n * (n - 1.0) * (2 * n + 5) - tie_term > 0 THEN
+         round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                    WHEN s_stat < 0 THEN (s_stat + 1)
+                    ELSE 0 END
+               / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0),
+               {W1_ROUND}) + 0.0
+       END AS z_stat,
        CASE WHEN s_stat > 0 THEN 'increasing'
             WHEN s_stat < 0 THEN 'decreasing' ELSE 'no_trend' END AS trend
 FROM s CROSS JOIN nn CROSS JOIN ties
@@ -910,7 +921,10 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_days"),
         "s_stat",
         F.round(var_s, 2).alias("var_s"),
-        F.round(corr / F.sqrt(var_s), W1_ROUND).alias("z_stat"),
+        # var_s = 0 (n < 2 or all days tied): Spark's /0 yields NULL but
+        # DuckDB yields inf/nan — gate z to NULL identically in both
+        # engines (oracle carries the matching CASE WHEN ... > 0).
+        F.when(var_s > 0, F.round(corr / F.sqrt(var_s), W1_ROUND)).alias("z_stat"),
         F.when(ss > 0, "increasing").when(ss < 0, "decreasing").otherwise("no_trend").alias(
             "trend"
         ),
@@ -950,9 +964,11 @@ wk AS (
 )
 SELECT n_days, n_seasons, s_stat,
        round((base_term - tie_term) / 18.0, 2) + 0.0 AS var_s,
-       round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
-                  WHEN s_stat < 0 THEN (s_stat + 1) ELSE 0 END
-             / sqrt((base_term - tie_term) / 18.0), {W1_ROUND}) + 0.0 AS z_stat,
+       CASE WHEN base_term - tie_term > 0 THEN
+         round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                    WHEN s_stat < 0 THEN (s_stat + 1) ELSE 0 END
+               / sqrt((base_term - tie_term) / 18.0), {W1_ROUND}) + 0.0
+       END AS z_stat,
        CASE WHEN s_stat > 0 THEN 'increasing'
             WHEN s_stat < 0 THEN 'decreasing' ELSE 'no_trend' END AS trend
 FROM s CROSS JOIN nn CROSS JOIN vr CROSS JOIN ties
@@ -1020,7 +1036,9 @@ def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seasons",
         "s_stat",
         F.round(var_s, 2).alias("var_s"),
-        F.round(corr / F.sqrt(var_s), W1_ROUND).alias("z_stat"),
+        # Same var_s = 0 gate as mann_kendall_trend (every weekday season
+        # fully tied or <2 obs): NULL in both engines, never inf/nan.
+        F.when(var_s > 0, F.round(corr / F.sqrt(var_s), W1_ROUND)).alias("z_stat"),
         F.when(ss > 0, "increasing").when(ss < 0, "decreasing").otherwise("no_trend").alias(
             "trend"
         ),
@@ -1823,14 +1841,17 @@ def w1_against_reference(cur_counts: DataFrame, ref_counts: DataFrame) -> DataFr
     w1_e6 = F.expr(
         halfaway_div_expr("s_int", "CAST(n_ref AS DECIMAL(38,0)) * n_cur * 100", scale)
     )
+    # No coalesce: single-point grids already yield s_int = 0 (explicit
+    # zero term above) and a positive denominator, so W1 = 0.0 arrives
+    # naturally. A NULL here means exact_sum NULL-poisoned an overflow
+    # (or an empty side made the division undefined) — propagate it, as
+    # ad_against_reference does, so streaming_w1_monitor surfaces the
+    # poisoned group instead of silently reporting "no drift".
     return agg.select(
         "event_type",
         "n_ref",
         "n_cur",
-        F.coalesce(
-            w1_e6.cast("double") / float(scale),
-            F.lit(0.0),  # single-point grid (identical one-value samples): W1 = 0
-        ).alias("w1_dollars"),
+        (w1_e6.cast("double") / float(scale)).alias("w1_dollars"),
     )
 
 

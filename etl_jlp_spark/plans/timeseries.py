@@ -978,7 +978,7 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT cur.month, cur.rev_cents,
-       prev.rev_cents AS prev_year_cents,
+       CAST(prev.rev_cents AS DOUBLE) AS prev_year_cents,
        CASE WHEN prev.rev_cents > 0
             THEN round((CAST(cur.rev_cents AS DOUBLE) - prev.rev_cents)
                        / prev.rev_cents, 6) END AS yoy_growth
@@ -1007,7 +1007,11 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.join(F.broadcast(prev), "month", "left").select(
         "month",
         "rev_cents",
-        "prev_year_cents",
+        # DOUBLE, not BIGINT: the first 12 months have no prior year, and a
+        # NULL-bearing int64 column goes float64 through any pandas
+        # materialization — as double in BOTH engines the column is
+        # identical no matter how the driver fetches (exact to 2^53 cents).
+        F.col("prev_year_cents").cast("double").alias("prev_year_cents"),
         F.when(
             F.col("prev_year_cents") > 0,
             F.round(

@@ -8,6 +8,7 @@ from etl_jlp_spark.catalog import load_table
 from etl_jlp_spark.ingest.writers import (
     archive_parquet,
     normalize_bool_strings,
+    normalize_uuid_binary,
     write_entity,
 )
 
@@ -52,6 +53,28 @@ def test_normalize_bool_strings(spark):
     assert dict(out.dtypes)["id"] == "string"
     vals = [r["flag"] for r in out.orderBy("id").collect()]
     assert vals == [True, False, None]
+
+
+def test_normalize_uuid_binary(spark):
+    """Reference convert_uuid parity: BINARY(16) UUID columns land as
+    canonical lowercase-hyphenated strings; non-16-byte binary columns
+    and NULLs are untouched."""
+    import uuid
+
+    u1 = uuid.UUID("12345678-9abc-def0-1234-56789abcdef0")
+    u2 = uuid.uuid5(uuid.NAMESPACE_DNS, "spark")
+    df = spark.createDataFrame(
+        [(u1.bytes, b"\x01\x02", "a"), (u2.bytes, b"\x03", "b"), (None, None, "c")],
+        "uid binary, blob binary, id string",
+    )
+    out = normalize_uuid_binary(df)
+    assert dict(out.dtypes)["uid"] == "string"
+    assert dict(out.dtypes)["blob"] == "binary"  # not UUID-shaped
+    vals = [r["uid"] for r in out.orderBy("id").collect()]
+    assert vals == [str(u1), str(u2), None]
+    # all-NULL binary column: no evidence of UUID shape → untouched
+    df2 = spark.createDataFrame([(None,), (None,)], "uid binary")
+    assert dict(normalize_uuid_binary(df2).dtypes)["uid"] == "binary"
 
 
 def test_jsonline_roundtrip_sniffed(spark, tmp_path):
