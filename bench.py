@@ -404,6 +404,11 @@ HEADLINE = [
     "anderson_darling_drift",
     "ljung_box_daily",
     "seasonal_mann_kendall",
+    # round 10
+    "matryoshka_truncation_eval",
+    "enrichment_null_pattern",
+    "topic_coherence_report",
+    "compaction_packing_plan",
 ]
 
 

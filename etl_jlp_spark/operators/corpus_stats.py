@@ -1203,3 +1203,146 @@ def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 stylometry_burrows_delta.__doc__ = (stylometry_burrows_delta.__doc__ or "").format(
     K=BD_TOP_TERMS
 )
+
+
+# ---------------------------------------------------------------------------
+# UMass topic coherence per source: do a source's top terms actually
+# CO-OCCUR in its documents, or is its vocabulary a grab bag? The
+# standard intrinsic coherence score (Mimno et al. 2011) applied with
+# each source's top-m document-frequency terms as its "topic" — low
+# coherence flags scraped/boilerplate feeds whose frequent terms never
+# appear together, the corpus-level smell neither TF-IDF nor
+# log-odds surfaces.
+# ---------------------------------------------------------------------------
+
+COHERENCE_TOP_M = 10  # terms per source forming the pseudo-topic
+
+
+@query(
+    "topic_coherence_report",
+    oracle=f"""
+WITH tokd AS (
+  SELECT DISTINCT source, doc_id, term FROM (
+    SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '{{WORD_PATTERN}}')) AS term
+    FROM documents
+  )
+), df AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS df FROM tokd GROUP BY 1, 2
+), topm AS (
+  SELECT source, term, df,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, term ASC) AS BIGINT) AS rk
+  FROM df QUALIFY rk <= {{M}}
+), dt AS (
+  SELECT t.source, t.term, t.df, t.rk, d.doc_id
+  FROM topm t JOIN tokd d ON d.source = t.source AND d.term = t.term
+), cooc AS (
+  SELECT a.source, a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM dt a JOIN dt b ON a.source = b.source AND a.doc_id = b.doc_id AND a.rk < b.rk
+  GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.source, a.term AS term_a, a.df AS df_a, b.term AS term_b,
+         coalesce(c.c_ab, 0) AS c_ab
+  FROM topm a
+  JOIN topm b ON a.source = b.source AND a.rk < b.rk
+  LEFT JOIN cooc c ON c.source = a.source AND c.term_a = a.term AND c.term_b = b.term
+), scored AS (
+  SELECT source, round(ln((c_ab + 1.0) / df_a), 6) AS s FROM pairs
+), nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), terms AS (
+  SELECT source, string_agg(term, ',' ORDER BY rk) AS top_terms,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM topm GROUP BY source
+)
+SELECT n.source, n.n_docs, t.n_terms, t.top_terms,
+       round(avg(sc.s), 4) + 0.0 AS coherence
+FROM nd n JOIN terms t ON t.source = n.source
+JOIN scored sc ON sc.source = n.source
+GROUP BY 1, 2, 3, 4
+""".format(WORD_PATTERN=WORD_PATTERN, M=COHERENCE_TOP_M),
+)
+def topic_coherence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass coherence of each source's top-{M} document-frequency
+    terms: C = avg over ranked pairs (a more frequent than b) of
+    ln((D(a,b) + 1) / D(a)), with D = within-source document
+    frequencies. Per-pair scores are rounded to 6 dp before the
+    {M}·({M}−1)/2-term average so both engines aggregate identical
+    values.
+
+    Scale shape: one distinct-(source, doc, term) scan feeds both the
+    document-frequency aggregate and the co-occurrence counts; the
+    co-occurrence self-join runs only over postings of the top-m terms
+    (m·sources keys — broadcast onto the postings), so pair volume is
+    bounded by m² per source plus the top-term posting lists, never
+    vocabulary²."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = (
+        widen(spark, docs, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    df = tokd.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("term").asc())
+    topm = (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= COHERENCE_TOP_M)
+        .localCheckpoint(eager=True)  # m×sources rows, consumed 4 ways
+    )
+    dt = tokd.join(
+        F.broadcast(topm.select("source", "term", "rk")), ["source", "term"]
+    ).select("source", "term", "rk", "doc_id")
+    cooc = (
+        dt.alias("a")
+        .join(
+            dt.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.rk") < F.col("b.rk")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    a = topm.select(
+        "source", F.col("term").alias("term_a"), F.col("df").alias("df_a"), F.col("rk").alias("rk_a")
+    )
+    b = topm.select("source", F.col("term").alias("term_b"), F.col("rk").alias("rk_b"))
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .join(cooc, ["source", "term_a", "term_b"], "left")
+        .select(
+            "source",
+            F.round(
+                F.log((F.coalesce("c_ab", F.lit(0)) + F.lit(1.0)) / F.col("df_a")), 6
+            ).alias("s"),
+        )
+    )
+    coh = pairs.groupBy("source").agg(F.round(F.avg("s"), 4).alias("coherence"))
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    terms = topm.groupBy("source").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.struct("rk", "term"))).getField("term")).alias(
+            "top_terms"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    return (
+        nd.join(terms, "source")
+        .join(coh, "source")
+        .select("source", "n_docs", "n_terms", "top_terms", "coherence")
+    )
+
+
+topic_coherence_report.__doc__ = (topic_coherence_report.__doc__ or "").format(
+    M=COHERENCE_TOP_M
+)

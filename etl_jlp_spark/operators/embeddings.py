@@ -1605,3 +1605,150 @@ def davies_bouldin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "n_vecs", "scatter", "worst_other_label", "r_max", "db_index"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval: how much retrieval quality survives when
+# the served index keeps only the first d components of each embedding
+# (MRL-style prefix truncation — the standard lever for shrinking a
+# vector index 2-8× without retraining). For each truncation dim the
+# report scores recall@k and top-1 agreement of truncated-cosine
+# retrieval against full-dim retrieval over a fixed query sample — the
+# number that decides which d the production ANN store can serve.
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # prefix dims evaluated (full dim is the reference)
+MRL_QUERY_MOD = 50  # query sample: vec_id % MOD == 0 (matches the ANN evals)
+MRL_TOP_K = 5
+
+
+@query(
+    "matryoshka_truncation_eval",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % {MRL_QUERY_MOD} = 0),
+dims AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS d),
+full_scored AS (
+  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+               6) AS c6
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+), full_k AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, nid ASC) AS rk
+  FROM full_scored QUALIFY rk <= {MRL_TOP_K}
+), tr_scored AS (
+  SELECT dm.d, q.vec_id AS qid, e.vec_id AS nid,
+         round(list_dot_product(q.v[1:dm.d], e.v[1:dm.d]) /
+               (sqrt(list_dot_product(q.v[1:dm.d], q.v[1:dm.d]))
+                * sqrt(list_dot_product(e.v[1:dm.d], e.v[1:dm.d]))),
+               6) AS c6
+  FROM q JOIN e ON q.vec_id <> e.vec_id CROSS JOIN dims dm
+), tr_k AS (
+  SELECT d, qid, nid,
+         row_number() OVER (PARTITION BY d, qid ORDER BY c6 DESC, nid ASC) AS rk
+  FROM tr_scored QUALIFY rk <= {MRL_TOP_K}
+), ov AS (
+  SELECT t.d, t.qid,
+         CAST(count(f.nid) AS BIGINT) AS hits,
+         CAST(max(CASE WHEN t.rk = 1 AND f.rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1
+  FROM tr_k t LEFT JOIN full_k f ON f.qid = t.qid AND f.nid = t.nid
+  GROUP BY t.d, t.qid
+)
+SELECT CAST(d AS BIGINT) AS trunc_dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(hits) AS DOUBLE) / ({MRL_TOP_K} * count(*)), 4) AS avg_recall_at_k,
+       round(CAST(sum(top1) AS DOUBLE) / count(*), 4) AS top1_rate
+FROM ov GROUP BY d
+""",
+)
+def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} and top-1 agreement of prefix-truncated cosine
+    retrieval (dims {MRL_DIMS}) against full-dim retrieval over the
+    mod-{MRL_QUERY_MOD} query sample.
+
+    The four cosines per pair (one per dim, sequential-sum prefix dots
+    matching DuckDB's sliced list_dot_product bit-for-bit, rounded to
+    6 dp before ranking) come out of ONE broadcast-join pass — the
+    corpus streams once, never once per dim. Recall/top-1 are exact
+    integer sums with a single final division, so the averages cannot
+    drift between engines.
+
+    Scale: an EVAL op on the bounded query sample (like
+    knn_loo_accuracy / ann_recall_report) — pairs = |sample| × N, one
+    narrow codegen stage plus k-row-per-query windows; the production
+    serving path at the chosen d is the prebuilt IVF/PQ store."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(emb)
+    # dedupe: a trunc dim equal to the full dim must not double a column
+    all_dims = tuple(dict.fromkeys((*MRL_DIMS, dim)))
+    v = as_double_array(F.col("embedding"))
+
+    def sides(id_alias: str, v_alias: str) -> DataFrame:
+        cols = [F.col("vec_id").alias(id_alias), v.alias(v_alias)]
+        cols += [
+            F.sqrt(static_dot(v, v, d)).alias(f"n{d}_{id_alias}") for d in all_dims
+        ]
+        return emb.select(*cols)
+
+    corpus = widen(spark, sides("nid", "cv"), sf_dir, "embeddings")
+    queries = sides("qid", "qv").filter(F.col("qid") % MRL_QUERY_MOD == 0)
+    # constant-key equi join (see ann_topk_cosine): BroadcastHashJoin
+    # keeps the expanded prefix dots inside whole-stage codegen.
+    pairs = (
+        corpus.withColumn("bk", F.pmod(F.col("nid"), F.lit(1)))
+        .join(F.broadcast(queries.withColumn("bk", F.pmod(F.col("qid"), F.lit(1)))), "bk")
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    scored = pairs.select(
+        "qid",
+        "nid",
+        *[
+            F.round(
+                static_dot(F.col("qv"), F.col("cv"), d)
+                / (F.col(f"n{d}_qid") * F.col(f"n{d}_nid")),
+                6,
+            ).alias(f"c{d}")
+            for d in all_dims
+        ],
+    ).localCheckpoint(eager=True)  # sample×N rows, consumed by |dims|+1 windows
+
+    def topk(d: int) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.col(f"c{d}").desc(), F.col("nid").asc())
+        return (
+            scored.select("qid", "nid", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= MRL_TOP_K)
+        )
+
+    full_k = topk(dim)
+    tr_k = None
+    for d in MRL_DIMS:
+        part = topk(d).select(F.lit(d).cast("long").alias("trunc_dim"), "qid", "nid", "rk")
+        tr_k = part if tr_k is None else tr_k.unionByName(part)
+    ov = (
+        tr_k.join(
+            full_k.select("qid", "nid", F.col("rk").alias("f_rk")), ["qid", "nid"], "left"
+        )
+        .groupBy("trunc_dim", "qid")
+        .agg(
+            F.count("f_rk").cast("long").alias("hits"),
+            F.max(
+                F.when((F.col("rk") == 1) & (F.col("f_rk") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("top1"),
+        )
+    )
+    return ov.groupBy("trunc_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("hits").cast("double") / (MRL_TOP_K * F.count(F.lit(1))), 4
+        ).alias("avg_recall_at_k"),
+        F.round(F.sum("top1").cast("double") / F.count(F.lit(1)), 4).alias("top1_rate"),
+    )
+
+
+matryoshka_truncation_eval.__doc__ = (matryoshka_truncation_eval.__doc__ or "").format(
+    MRL_DIMS=MRL_DIMS, MRL_QUERY_MOD=MRL_QUERY_MOD, k=MRL_TOP_K
+)

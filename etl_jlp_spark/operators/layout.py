@@ -22,7 +22,7 @@ The reference ships data ordered however the extract produced it
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_jlp_spark.catalog import load_table
@@ -481,4 +481,90 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("span_supp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction packing plan: partition_size_advisor says which ingest
+# partitions are mis-sized; this op produces the actual small-file
+# compaction GROUPS a rewrite job executes — cumulative-volume packing
+# (size-desc first-fit-by-volume) of the (day × event_type) file
+# inventory into target-sized bins. Each bin is one output file of the
+# compaction rewrite; fill_ratio shows how close the plan lands to the
+# target, and oversized inventory entries isolate into their own bins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "compaction_packing_plan",
+    oracle=f"""
+WITH inv AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(sum(32 + length(event_type) + length(coalesce(props, ''))) AS BIGINT)
+           AS est_bytes
+  FROM events GROUP BY 1, 2
+), ordered AS (
+  SELECT day, event_type, est_bytes,
+         sum(est_bytes) OVER (ORDER BY est_bytes DESC, day ASC, event_type ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM inv
+), binned AS (
+  SELECT day, event_type, est_bytes,
+         CAST((cum - est_bytes) // {TARGET_FILE_BYTES} AS BIGINT) AS bin_id
+  FROM ordered
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(est_bytes) AS BIGINT) AS total_bytes,
+       round(CAST(sum(est_bytes) AS DOUBLE) / {TARGET_FILE_BYTES}, 4) AS fill_ratio,
+       CAST(max(est_bytes) AS BIGINT) AS max_file_bytes,
+       CAST(min(est_bytes) AS BIGINT) AS min_file_bytes
+FROM binned GROUP BY bin_id
+""",
+)
+def compaction_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packed compaction groups over the (day × event_type) file
+    inventory: order files by estimated bytes descending (ties by day,
+    type — fully deterministic), take the running cumulative volume,
+    and cut a bin every TARGET_FILE_BYTES of it (bin = pre-file cum //
+    target). Size-desc ordering keeps each bin's contents homogeneous
+    and lets an oversized partition occupy its bins alone.
+
+    Scale shape: the inventory is ONE map-side-combinable aggregate of
+    the fact table (the same width model as partition_size_advisor —
+    swap in real file metadata when the table format exposes it); the
+    packing window runs over the days×types-bounded inventory relation
+    (a few thousand rows at any corpus size), so the single-partition
+    cumulative window is domain-bounded by construction. All packing
+    arithmetic is exact integers."""
+    inv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.sum(
+                F.lit(32) + F.length("event_type") + F.length(F.coalesce("props", F.lit("")))
+            )
+            .cast("long")
+            .alias("est_bytes")
+        )
+    )
+    w = (
+        Window.orderBy(F.col("est_bytes").desc(), F.col("day").asc(), F.col("event_type").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = inv.select(
+        "day",
+        "event_type",
+        "est_bytes",
+        ((F.sum("est_bytes").over(w) - F.col("est_bytes")) / F.lit(TARGET_FILE_BYTES))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("est_bytes").cast("long").alias("total_bytes"),
+        F.round(F.sum("est_bytes").cast("double") / TARGET_FILE_BYTES, 4).alias("fill_ratio"),
+        F.max("est_bytes").cast("long").alias("max_file_bytes"),
+        F.min("est_bytes").cast("long").alias("min_file_bytes"),
     )

@@ -1008,3 +1008,154 @@ def freedman_diaconis_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil((F.col("vmax") - F.col("vmin")) / width).cast("long").alias("fd_bins"),
         (F.ceil(F.log2("n")) + 1).cast("long").alias("sturges_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Missingness co-occurrence on the enriched customer-360: when a LEFT
+# JOIN enrichment layer is built (events activity, purchase recency,
+# returns history onto the customer dim), which enrichments are missing
+# TOGETHER? The phi coefficient between nullity indicators separates
+# "one upstream feed is the common cause" (phi → 1, fix one ingest)
+# from independent coverage gaps (phi ≈ 0, fix each) — the first
+# question a missing-data triage asks, asked of the join layer itself.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "enrichment_null_pattern",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         max(ts) AS last_event_ts,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts
+  FROM events GROUP BY user_id
+), ret AS (
+  SELECT o.o_custkey, min(o.o_orderdate) AS first_return_order_date
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' GROUP BY o.o_custkey
+), c360 AS (
+  SELECT CASE WHEN ev.last_event_ts IS NULL THEN 1 ELSE 0 END AS a,
+         CASE WHEN ev.last_purchase_ts IS NULL THEN 1 ELSE 0 END AS b,
+         CASE WHEN ret.first_return_order_date IS NULL THEN 1 ELSE 0 END AS c
+  FROM customer cu
+  LEFT JOIN ev ON ev.user_id = cu.c_custkey
+  LEFT JOIN ret ON ret.o_custkey = cu.c_custkey
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+         CAST(sum(c) AS BIGINT) AS nc,
+         CAST(sum(a * b) AS BIGINT) AS nab,
+         CAST(sum(a * c) AS BIGINT) AS nac,
+         CAST(sum(b * c) AS BIGINT) AS nbc
+  FROM c360
+), pairs AS (
+  SELECT 'last_event_ts' AS col_a, 'last_purchase_ts' AS col_b,
+         n, na AS null_a, nb AS null_b, nab AS both_null FROM s
+  UNION ALL
+  SELECT 'last_event_ts', 'first_return_order_date', n, na, nc, nac FROM s
+  UNION ALL
+  SELECT 'last_purchase_ts', 'first_return_order_date', n, nb, nc, nbc FROM s
+)
+SELECT col_a, col_b, n, null_a, null_b, both_null,
+       CASE WHEN null_a > 0 AND null_a < n AND null_b > 0 AND null_b < n THEN
+         round((CAST(n AS DOUBLE) * both_null - CAST(null_a AS DOUBLE) * null_b)
+               / sqrt(CAST(null_a AS DOUBLE) * (n - null_a) * null_b * (n - null_b)),
+               6) + 0.0
+       END AS phi,
+       CASE WHEN null_a + null_b - both_null > 0 THEN
+         round(CAST(both_null AS DOUBLE) / (null_a + null_b - both_null), 6)
+       END AS jaccard_null
+FROM pairs
+""",
+)
+def enrichment_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise nullity co-occurrence (phi coefficient + missing-set
+    Jaccard) of the three customer-360 enrichment columns: events
+    activity (``last_event_ts``), purchase recency
+    (``last_purchase_ts``) and returns history
+    (``first_return_order_date``).
+
+    Scale shape: two map-side-combinable fact aggregates (events by
+    user — BOTH recency columns from the one scan; returned lineitems
+    joined to orders, grouped by customer) LEFT-JOINed onto the
+    customer dim co-keyed on the customer key, then ONE 1-row
+    indicator-sum aggregate; the 3 output pair rows are projections of
+    that single row (no second scan). Counts are exact integers; phi
+    and Jaccard are one guarded division each, so both engines emit
+    identical doubles (NULL when an indicator is constant)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_event_ts"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "last_purchase_ts"
+            ),
+        )
+    )
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_return_order_date"))
+    )
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c360 = (
+        cu.join(ev, cu["c_custkey"] == ev["user_id"], "left")
+        .join(ret, cu["c_custkey"] == ret["o_custkey"], "left")
+        .select(
+            F.col("last_event_ts").isNull().cast("long").alias("a"),
+            F.col("last_purchase_ts").isNull().cast("long").alias("b"),
+            F.col("first_return_order_date").isNull().cast("long").alias("c"),
+        )
+    )
+    s = c360.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+        F.sum("c").cast("long").alias("nc"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("nab"),
+        F.sum(F.col("a") * F.col("c")).cast("long").alias("nac"),
+        F.sum(F.col("b") * F.col("c")).cast("long").alias("nbc"),
+    ).localCheckpoint(eager=True)  # 1 row, projected into 3 pair rows
+    pair_specs = [
+        ("last_event_ts", "last_purchase_ts", "na", "nb", "nab"),
+        ("last_event_ts", "first_return_order_date", "na", "nc", "nac"),
+        ("last_purchase_ts", "first_return_order_date", "nb", "nc", "nbc"),
+    ]
+    out = None
+    for col_a, col_b, a_, b_, ab_ in pair_specs:
+        part = s.select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            "n",
+            F.col(a_).alias("null_a"),
+            F.col(b_).alias("null_b"),
+            F.col(ab_).alias("both_null"),
+        )
+        out = part if out is None else out.unionByName(part)
+    n, na, nb, ab = (F.col(x) for x in ("n", "null_a", "null_b", "both_null"))
+    phi = (n.cast("double") * ab - na.cast("double") * nb) / F.sqrt(
+        na.cast("double") * (n - na) * nb * (n - nb)
+    )
+    return out.select(
+        "col_a",
+        "col_b",
+        "n",
+        "null_a",
+        "null_b",
+        "both_null",
+        F.when(
+            (na > 0) & (na < n) & (nb > 0) & (nb < n), F.round(phi, 6)
+        ).alias("phi"),
+        F.when(
+            na + nb - ab > 0, F.round(ab.cast("double") / (na + nb - ab), 6)
+        ).alias("jaccard_null"),
+    )
