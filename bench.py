@@ -409,6 +409,8 @@ HEADLINE = [
     "enrichment_null_pattern",
     "topic_coherence_report",
     "compaction_packing_plan",
+    "skew_salting_plan",
+    "ngram_novelty_report",
 ]
 
 

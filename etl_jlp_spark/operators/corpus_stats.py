@@ -1270,24 +1270,23 @@ def topic_coherence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     {M}·({M}−1)/2-term average so both engines aggregate identical
     values.
 
-    Scale shape: one distinct-(source, doc, term) scan feeds both the
-    document-frequency aggregate and the co-occurrence counts; the
-    co-occurrence self-join runs only over postings of the top-m terms
-    (m·sources keys — broadcast onto the postings), so pair volume is
-    bounded by m² per source plus the top-term posting lists, never
-    vocabulary²."""
+    Scale shape: the corpus is tokenized twice but FULLY shuffled only
+    once — the document-frequency branch pays the one corpus-wide
+    distinct; the postings branch broadcast-joins the m·sources top-term
+    list onto the RAW token stream BEFORE its (tiny, top-m-only)
+    distinct, so the second derivation never shuffles the vocabulary.
+    The co-occurrence self-join then runs only over top-m postings —
+    pair volume is bounded by m² per source plus posting-list sizes,
+    never vocabulary²."""
     docs = load_table(spark, sf_dir, "documents")
-    tokd = (
-        widen(spark, docs, sf_dir, "documents")
-        .select(
-            "source",
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)
-            ).alias("term"),
-        )
-        .distinct()
+    raw_toks = widen(spark, docs, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
     )
+    tokd = raw_toks.distinct()
     df = tokd.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("term").asc())
     topm = (
@@ -1295,9 +1294,13 @@ def topic_coherence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= COHERENCE_TOP_M)
         .localCheckpoint(eager=True)  # m×sources rows, consumed 4 ways
     )
-    dt = tokd.join(
-        F.broadcast(topm.select("source", "term", "rk")), ["source", "term"]
-    ).select("source", "term", "rk", "doc_id")
+    # filter raw tokens by the broadcast top-m list FIRST, then distinct:
+    # the corpus-wide distinct shuffle is paid only in the df branch above.
+    dt = (
+        raw_toks.join(F.broadcast(topm.select("source", "term", "rk")), ["source", "term"])
+        .select("source", "term", "rk", "doc_id")
+        .distinct()
+    )
     cooc = (
         dt.alias("a")
         .join(
@@ -1336,9 +1339,10 @@ def topic_coherence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
+    # all three are sources-bounded — broadcast, no sort-merge exchanges
     return (
-        nd.join(terms, "source")
-        .join(coh, "source")
+        nd.join(F.broadcast(terms), "source")
+        .join(F.broadcast(coh), "source")
         .select("source", "n_docs", "n_terms", "top_terms", "coherence")
     )
 

@@ -1728,7 +1728,10 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr_k = part if tr_k is None else tr_k.unionByName(part)
     ov = (
         tr_k.join(
-            full_k.select("qid", "nid", F.col("rk").alias("f_rk")), ["qid", "nid"], "left"
+            # sample×k rows — broadcast, not a sort-merge on (qid, nid)
+            F.broadcast(full_k.select("qid", "nid", F.col("rk").alias("f_rk"))),
+            ["qid", "nid"],
+            "left",
         )
         .groupBy("trunc_dim", "qid")
         .agg(

@@ -2601,3 +2601,100 @@ def capture_recapture_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chapman_estimate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty of the held-out split vs train: the memorization-risk
+# report. decontaminate_docs protects BENCHMARKS from the corpus;
+# this protects the EVAL SPLIT from the train split at shingle
+# granularity — a test doc whose 3-gram shingles mostly appear
+# somewhere in train is measuring recall of the training set, not
+# generalization. Per-source aggregate of per-doc novelty (share of a
+# doc's distinct shingles unseen in train), with the sub-50%-novelty
+# doc count as the actionable "re-draw the split" signal.
+# ---------------------------------------------------------------------------
+
+from etl_jlp_spark.operators.sampling import (  # noqa: E402
+    split_case_sql as _split_case_sql,
+    split_expr as _split_expr,
+)
+
+NOVELTY_MEMORIZED_TAU = 0.5  # a test doc below this novelty is "seen"
+
+
+@query(
+    "ngram_novelty_report",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+lab AS (
+  SELECT doc_id, source, {_split_case_sql("doc_id")} AS split FROM documents
+), shl AS (
+  SELECT s.doc_id, l.source, l.split, s.sh
+  FROM shingles s JOIN lab l ON l.doc_id = s.doc_id
+), train_sh AS (
+  SELECT DISTINCT sh FROM shl WHERE split = 'train'
+), per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM shl t LEFT JOIN train_sh tr ON tr.sh = t.sh
+  WHERE t.split = 'test'
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       round(avg(round(CAST(n_novel AS DOUBLE) / n_sh, 6)), 4) AS avg_novelty,
+       round(min(round(CAST(n_novel AS DOUBLE) / n_sh, 6)), 4) AS min_novelty,
+       CAST(sum(CASE WHEN CAST(n_novel AS DOUBLE) / n_sh < {NOVELTY_MEMORIZED_TAU}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized
+FROM per_doc GROUP BY source
+""",
+)
+def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty of the md5 'test' split against the 'train'
+    split: per test doc, the share of its distinct word-3-gram shingles
+    absent from the train shingle set (THE split rule —
+    sampling.split_expr — so this cannot drift from dataset_split).
+    Reports doc count, average/minimum novelty, and the count of docs
+    below {TAU} novelty (memorization risk → re-draw or dedup the
+    split).
+
+    Scale shape: one shingle pass feeds both sides; the train set is
+    reduced to DISTINCT shingles before the shingle-keyed equi join
+    (never doc×doc), and only test-split postings probe it. Per-doc
+    ratios are single divisions rounded to 6 dp before the per-source
+    average."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    lab = docs.select("doc_id", "source").withColumn("split", _split_expr(F.col("doc_id")))
+    shl = sh.join(lab, "doc_id")
+    train_sh = shl.where(F.col("split") == "train").select("sh").distinct()
+    marked = (
+        shl.where(F.col("split") == "test")
+        .join(train_sh.withColumn("seen", F.lit(1)), "sh", "left")
+    )
+    ratio = F.round(F.col("n_novel").cast("double") / F.col("n_sh"), 6)
+    per_doc = (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(F.col("seen").isNull().cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.round(F.avg(ratio), 4).alias("avg_novelty"),
+        F.round(F.min(ratio), 4).alias("min_novelty"),
+        F.sum(
+            (F.col("n_novel").cast("double") / F.col("n_sh") < NOVELTY_MEMORIZED_TAU).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_memorized"),
+    )
+
+
+ngram_novelty_report.__doc__ = (ngram_novelty_report.__doc__ or "").format(
+    TAU=NOVELTY_MEMORIZED_TAU
+)

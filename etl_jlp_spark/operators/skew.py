@@ -127,3 +127,85 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(SKEW_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Salting plan: key_skew_report diagnoses WHICH keys are hot; this op
+# emits the actual per-key salt factors a salted aggregation/join uses
+# (events_by_type_day_salted is the mitigation in action — this is the
+# plan that parameterizes it). Factor = how many sub-keys the hot key
+# splits into so no reducer sees more than ~1/P of the data.
+# ---------------------------------------------------------------------------
+
+SALT_PLAN_PARTITIONS = 32  # design shuffle width the plan salts for
+
+
+@query(
+    "skew_salting_plan",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST((sum(n) + {SALT_PLAN_PARTITIONS} - 1) // {SALT_PLAN_PARTITIONS} AS BIGINT)
+           AS target
+  FROM c
+), p AS (
+  SELECT c.key, c.n, t.total, t.target,
+         CASE WHEN c.n > t.target
+              THEN (c.n + t.target - 1) // t.target ELSE CAST(1 AS BIGINT) END
+           AS salt_factor
+  FROM c CROSS JOIN t
+)
+SELECT key, n,
+       round(CAST(n AS DOUBLE) / total, 4) AS share,
+       CAST(salt_factor AS BIGINT) AS salt_factor,
+       CAST((n + salt_factor - 1) // salt_factor AS BIGINT) AS rows_per_salt,
+       n > target AS needs_salt
+FROM p
+""",
+)
+def skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key salt factors for the event_type aggregation key: with a
+    design shuffle width of P={P}, a key carrying more than ⌈total/P⌉
+    rows is split into ⌈n/target⌉ salted sub-keys, capping any single
+    reducer's share at ~1/P of the table. All-integer ceilings (`div`
+    with +denominator−1 — no float ceil, exact at any count), one
+    share division.
+
+    Scale shape: one map-side-combinable per-key count; the total and
+    target are a 1-row broadcast. At 100 TB this plan feeds the salt
+    column expression (pmod(hash, salt_factor)) of the salted agg
+    (operators/skew.py events_by_type_day_salted) and the two-phase
+    re-agg width."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.expr(f"(sum(n) + {SALT_PLAN_PARTITIONS} - 1) div {SALT_PLAN_PARTITIONS}")
+        .cast("long")
+        .alias("target"),
+    )
+    p = c.crossJoin(F.broadcast(t)).withColumn(
+        "salt_factor",
+        F.when(
+            F.col("n") > F.col("target"),
+            F.expr("(n + target - 1) div target"),
+        )
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+    return p.select(
+        "key",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
+        "salt_factor",
+        F.expr("(n + salt_factor - 1) div salt_factor").cast("long").alias("rows_per_salt"),
+        (F.col("n") > F.col("target")).alias("needs_salt"),
+    )
+
+
+skew_salting_plan.__doc__ = (skew_salting_plan.__doc__ or "").format(P=SALT_PLAN_PARTITIONS)

@@ -128,3 +128,36 @@ def test_compaction_plan_packs_everything_once(spark):
         # cumulative-volume packing: a bin only exceeds the target by
         # less than its own last file (no bin is gratuitously overfull)
         assert r["total_bytes"] < TARGET_FILE_BYTES + r["max_file_bytes"]
+
+
+def test_salting_plan_integer_algebra(spark):
+    rows = QS["skew_salting_plan"](spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert r["salt_factor"] >= 1
+        assert r["needs_salt"] == (r["salt_factor"] > 1)
+        # rows_per_salt is the exact ceiling of n / salt_factor
+        assert r["rows_per_salt"] == -(-r["n"] // r["salt_factor"])
+        # salting may not over-split: factor-1 sub-keys would overflow
+        assert (r["salt_factor"] - 1) * r["rows_per_salt"] < r["n"] + r["salt_factor"]
+
+
+def test_ngram_novelty_bounds_and_doc_count(spark):
+    from etl_jlp_spark.catalog import load_table
+    from etl_jlp_spark.operators.sampling import split_expr
+
+    rows = QS["ngram_novelty_report"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["min_novelty"] <= r["avg_novelty"] <= 1.0
+        assert 0 <= r["n_memorized"] <= r["n_test_docs"]
+    # every test-split doc with >= 3 whitespace tokens is scored, none twice
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = (
+        docs.withColumn("split", split_expr(F.col("doc_id")))
+        .where(F.col("split") == "test")
+        .where(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3)
+        .count()
+    )
+    assert sum(r["n_test_docs"] for r in rows) == want
