@@ -411,6 +411,8 @@ HEADLINE = [
     "compaction_packing_plan",
     "skew_salting_plan",
     "ngram_novelty_report",
+    "isotonic_calibration",
+    "sprt_ab_monitor",
 ]
 
 

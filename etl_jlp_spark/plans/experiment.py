@@ -1218,3 +1218,127 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vc") / 100.0, 2).alias("v_view"),
         F.round((F.col("vt") - F.col("vc")) / 100.0, 2).alias("qte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT) monitor: ab_test_report
+# and ab_power_analysis answer the FIXED-horizon questions; this is the
+# anytime-valid daily monitor — per arm, the cumulative log-likelihood
+# ratio of "purchase rate lifted 10% over the control benchmark"
+# against the benchmark itself, with Wald's α=β=0.05 decision
+# boundaries. The day a trajectory crosses ln 19 the experiment can
+# stop early; the control arm doubles as the null calibration (its
+# trajectory should drift to accept_h0/continue).
+# ---------------------------------------------------------------------------
+
+SPRT_LIFT_NUM, SPRT_LIFT_DEN = 11, 10  # H1: p1 = 1.1 · p0 (exact rational)
+SPRT_ALPHA_INV = 19  # α = β = 0.05 ⇒ boundaries ±ln((1−β)/α) = ±ln 19
+
+
+@query(
+    "sprt_ab_monitor",
+    oracle=f"""
+WITH pts AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), daily AS (
+  SELECT arm, day, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS conv
+  FROM pts GROUP BY 1, 2
+), bench AS (
+  SELECT CAST(sum(conv) AS BIGINT) AS bc, CAST(sum(n) AS BIGINT) AS bn
+  FROM daily WHERE arm = 'A'
+), hyp AS (
+  SELECT (2 * 1000000 * bc + bn) // (2 * bn) AS p0_e6,
+         (2 * {SPRT_LIFT_NUM} * 100000 * bc + bn) // (2 * bn) AS p1_e6
+  FROM bench
+), cum AS (
+  SELECT arm, day, n, conv,
+         sum(n) OVER (PARTITION BY arm ORDER BY day) AS cum_n,
+         sum(conv) OVER (PARTITION BY arm ORDER BY day) AS cum_conv
+  FROM daily
+), scored AS (
+  SELECT c.arm, c.day, c.n, c.conv, c.cum_n, c.cum_conv,
+         CASE WHEN h.p1_e6 < 1000000 AND h.p0_e6 > 0 THEN
+           c.cum_conv * ln(CAST(h.p1_e6 AS DOUBLE) / h.p0_e6)
+           + (c.cum_n - c.cum_conv)
+             * ln(CAST(1000000 - h.p1_e6 AS DOUBLE) / (1000000 - h.p0_e6))
+         END AS llr
+  FROM cum c CROSS JOIN hyp h
+)
+SELECT arm, day, n, conv, CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(cum_conv AS BIGINT) AS cum_conv,
+       round(llr, 6) + 0.0 AS llr,
+       CASE WHEN llr >= ln({SPRT_ALPHA_INV}.0) THEN 'reject_h0'
+            WHEN llr <= -ln({SPRT_ALPHA_INV}.0) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM scored
+""",
+)
+def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Wald SPRT trajectories per md5 arm: cumulative LLR of
+    H1: p = 1.1·p0 vs H0: p = p0, where p0 is the control arm's
+    full-period purchase rate. The hypotheses are exact integer e6
+    rationals (half-away `div`, the repo's one rounding spelling), the
+    LLR is two integer-scaled ln terms, and the ±ln 19 boundaries are
+    the identical expression text in both engines — so day-level
+    decisions cannot drift.
+
+    Scale shape: one map-side-combinable (arm, day) aggregate; the
+    benchmark is a 1-row broadcast; cumulative windows run per arm over
+    the days-bounded relation."""
+    pts = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "purchase").cast("long").alias("conv"),
+    )
+    daily = pts.groupBy("arm", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("conv"),
+    )
+    bench = daily.where(F.col("arm") == "A").agg(
+        F.sum("conv").cast("long").alias("bc"), F.sum("n").cast("long").alias("bn")
+    )
+    hyp = bench.select(
+        F.expr("(2 * 1000000 * bc + bn) div (2 * bn)").alias("p0_e6"),
+        F.expr("(2 * 1100000 * bc + bn) div (2 * bn)").alias("p1_e6"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        "n",
+        "conv",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("conv").over(w).alias("cum_conv"),
+    )
+    llr = F.when(
+        (F.col("p1_e6") < 1000000) & (F.col("p0_e6") > 0),
+        F.col("cum_conv") * F.log(F.col("p1_e6").cast("double") / F.col("p0_e6"))
+        + (F.col("cum_n") - F.col("cum_conv"))
+        * F.log((1000000 - F.col("p1_e6")).cast("double") / (1000000 - F.col("p0_e6"))),
+    )
+    bound = F.log(F.lit(float(SPRT_ALPHA_INV)))
+    return cum.crossJoin(F.broadcast(hyp)).select(
+        "arm",
+        "day",
+        "n",
+        "conv",
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_conv").cast("long").alias("cum_conv"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= bound, "reject_h0")
+        .when(llr <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -721,3 +721,131 @@ def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators): calibration_report
+# DIAGNOSES miscalibration; this fits the monotone calibrated keep
+# probability a sampler would actually use. PAV over the 10 score bins
+# via the exact minimax identity iso(i) = max_{j≤i} min_{k≥i}
+# rate(j..k) — no sequential pooling loop, just segment sums over the
+# bins relation, so the whole fit is relational and engine-portable.
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    from etl_jlp_spark.operators import quality_rules, textstats  # noqa: F401
+
+    score_sql = ORACLES["text_quality_score"]
+    gopher_sql = ORACLES["gopher_quality_filter"]
+    return f"""
+WITH score AS ({score_sql}),
+gopher AS ({gopher_sql}),
+joined AS (
+  SELECT CAST(least(floor(s.quality_score * {CAL_BINS}), {CAL_BINS - 1}) AS BIGINT) AS bin,
+         CAST(g.keep AS INTEGER) AS kept
+  FROM score s JOIN gopher g ON s.doc_id = g.doc_id
+), bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_keep
+  FROM joined GROUP BY 1
+), pre AS (
+  SELECT bin, n_docs, n_keep,
+         sum(n_docs) OVER (ORDER BY bin) AS cum_n,
+         sum(n_keep) OVER (ORDER BY bin) AS cum_k
+  FROM bins
+), seg AS (
+  SELECT j.bin AS bj, k.bin AS bk,
+         CAST(k.cum_k - j.cum_k + j.n_keep AS DOUBLE)
+           / (k.cum_n - j.cum_n + j.n_docs) AS rate
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+), lower_env AS (
+  SELECT b.bin, s.bj, min(s.rate) AS m
+  FROM bins b JOIN seg s ON s.bj <= b.bin AND s.bk >= b.bin
+  GROUP BY 1, 2
+), iso AS (
+  SELECT bin, max(m) AS iso_rate FROM lower_env GROUP BY bin
+)
+SELECT b.bin, b.n_docs,
+       round(CAST(b.n_keep AS DOUBLE) / b.n_docs, 4) AS raw_rate,
+       round(i.iso_rate, 4) AS iso_rate
+FROM bins b JOIN iso i ON i.bin = b.bin
+"""
+
+
+@query("isotonic_calibration", oracle=_isotonic_oracle())
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAV-calibrated keep probability per score bin: the isotonic
+    regression of the gopher keep rate on the text-quality score bins,
+    computed by the exact minimax identity iso(i) = max over j ≤ i of
+    (min over k ≥ i of rate(j..k)) over contiguous bin segments
+    (segment rates are one exact-integer division each, so min/max pick
+    identical doubles in both engines; monotone non-decreasing by
+    construction — pinned in tests).
+
+    Plan: the per-doc passes collapse into a ≤B-row bins relation
+    (B = CAL_BINS = 10); prefix sums, the B² segment grid and the ≤B³
+    minimax joins are all broadcast-sized. At 100 TB only the two
+    per-doc scans cost anything — the fit itself is free."""
+    from etl_jlp_spark.operators.quality_rules import gopher_quality_filter
+    from etl_jlp_spark.operators.textstats import text_quality_score
+
+    score = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    keep = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    joined = score.join(keep, "doc_id").select(
+        F.least(F.floor(F.col("quality_score") * CAL_BINS), F.lit(CAL_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+        F.col("keep").cast("integer").alias("kept"),
+    )
+    bins = (
+        joined.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_keep"),
+        )
+        .localCheckpoint(eager=True)  # ≤ CAL_BINS rows, consumed 3 ways
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = bins.select(
+        "bin",
+        "n_docs",
+        "n_keep",
+        F.sum("n_docs").over(wcum).alias("cum_n"),
+        F.sum("n_keep").over(wcum).alias("cum_k"),
+    )
+    j = pre.select(
+        F.col("bin").alias("bj"),
+        F.col("n_docs").alias("nj"),
+        F.col("n_keep").alias("kj"),
+        F.col("cum_n").alias("cnj"),
+        F.col("cum_k").alias("ckj"),
+    )
+    k = pre.select(
+        F.col("bin").alias("bk"), F.col("cum_n").alias("cnk"), F.col("cum_k").alias("ckk")
+    )
+    seg = j.join(F.broadcast(k), F.col("bj") <= F.col("bk")).select(
+        "bj",
+        "bk",
+        (
+            (F.col("ckk") - F.col("ckj") + F.col("kj")).cast("double")
+            / (F.col("cnk") - F.col("cnj") + F.col("nj"))
+        ).alias("rate"),
+    )
+    env = (
+        bins.select("bin")
+        .join(F.broadcast(seg), (F.col("bj") <= F.col("bin")) & (F.col("bk") >= F.col("bin")))
+        .groupBy("bin", "bj")
+        .agg(F.min("rate").alias("m"))
+    )
+    iso = env.groupBy("bin").agg(F.max("m").alias("iso_rate"))
+    return (
+        bins.join(F.broadcast(iso), "bin")
+        .select(
+            "bin",
+            "n_docs",
+            F.round(F.col("n_keep").cast("double") / F.col("n_docs"), 4).alias("raw_rate"),
+            F.round("iso_rate", 4).alias("iso_rate"),
+        )
+    )
+
+

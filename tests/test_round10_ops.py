@@ -161,3 +161,49 @@ def test_ngram_novelty_bounds_and_doc_count(spark):
         .count()
     )
     assert sum(r["n_test_docs"] for r in rows) == want
+
+
+def test_isotonic_calibration_is_monotone_and_mean_preserving(spark):
+    rows = sorted(QS["isotonic_calibration"](spark, SF_SMALL).collect(), key=lambda r: r["bin"])
+    assert rows
+    iso = [r["iso_rate"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in iso)
+    assert iso == sorted(iso)  # PAV output is non-decreasing by construction
+    # PAV preserves the count-weighted mean (within per-bin rounding)
+    n = sum(r["n_docs"] for r in rows)
+    raw_mean = sum(r["raw_rate"] * r["n_docs"] for r in rows) / n
+    iso_mean = sum(r["iso_rate"] * r["n_docs"] for r in rows) / n
+    assert abs(raw_mean - iso_mean) < 1e-3
+    # where the raw rates are already monotone, PAV must not move them
+    raw = [r["raw_rate"] for r in rows]
+    if raw == sorted(raw):
+        assert all(abs(a - b) < 2e-4 for a, b in zip(raw, iso))
+
+
+def test_sprt_decisions_match_boundaries(spark):
+    import math as m
+
+    rows = QS["sprt_ab_monitor"](spark, SF_SMALL).collect()
+    assert rows
+    bound = m.log(19.0)
+    per_arm = {}
+    for r in sorted(rows, key=lambda r: (r["arm"], r["day"])):
+        assert 0 <= r["conv"] <= r["n"]
+        want = (
+            "reject_h0"
+            if r["llr"] >= bound - 1e-6
+            else "accept_h0"
+            if r["llr"] <= -bound + 1e-6
+            else "continue"
+        )
+        # rounded llr vs unrounded decision can only disagree inside
+        # a 1e-6 band of the boundary
+        if abs(abs(r["llr"]) - bound) > 1e-5:
+            assert r["decision"] == want, (r["arm"], r["day"])
+        prev = per_arm.get(r["arm"])
+        if prev is not None:
+            assert r["cum_n"] > prev["cum_n"]  # strictly accumulating
+        per_arm[r["arm"]] = r
+    # the control arm is tested against its own full-period rate: H0 is
+    # true by construction, so it must never cross the reject boundary
+    assert all(r["decision"] != "reject_h0" for r in rows if r["arm"] == "A")
