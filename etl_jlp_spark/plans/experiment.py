@@ -1235,6 +1235,30 @@ SPRT_LIFT_NUM, SPRT_LIFT_DEN = 11, 10  # H1: p1 = 1.1 · p0 (exact rational)
 SPRT_ALPHA_INV = 19  # α = β = 0.05 ⇒ boundaries ±ln((1−β)/α) = ±ln 19
 
 
+def sprt_score(cum: DataFrame, hyp: DataFrame) -> DataFrame:
+    """Attach ``llr`` and ``decision`` to a relation carrying integer
+    ``cum_n``/``cum_conv`` columns, given the 1-row ``(p0_e6, p1_e6)``
+    hypothesis relation (exact e6 rationals). THE SPRT scoring core —
+    the registered ``sprt_ab_monitor`` and the streaming twin
+    (streaming/pipeline.streaming_sprt_monitor) both call it, so a
+    boundary or guard change cannot drift between the two."""
+    llr = F.when(
+        (F.col("p1_e6") < 1000000) & (F.col("p0_e6") > 0),
+        F.col("cum_conv") * F.log(F.col("p1_e6").cast("double") / F.col("p0_e6"))
+        + (F.col("cum_n") - F.col("cum_conv"))
+        * F.log((1000000 - F.col("p1_e6")).cast("double") / (1000000 - F.col("p0_e6"))),
+    )
+    bound = F.log(F.lit(float(SPRT_ALPHA_INV)))
+    return cum.crossJoin(F.broadcast(hyp)).withColumns(
+        {
+            "llr": F.round(llr, 6),
+            "decision": F.when(llr >= bound, "reject_h0")
+            .when(llr <= -bound, "accept_h0")
+            .otherwise("continue"),
+        }
+    ).drop("p0_e6", "p1_e6")
+
+
 @query(
     "sprt_ab_monitor",
     oracle=f"""
@@ -1322,23 +1346,14 @@ def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("cum_n"),
         F.sum("conv").over(w).alias("cum_conv"),
     )
-    llr = F.when(
-        (F.col("p1_e6") < 1000000) & (F.col("p0_e6") > 0),
-        F.col("cum_conv") * F.log(F.col("p1_e6").cast("double") / F.col("p0_e6"))
-        + (F.col("cum_n") - F.col("cum_conv"))
-        * F.log((1000000 - F.col("p1_e6")).cast("double") / (1000000 - F.col("p0_e6"))),
-    )
-    bound = F.log(F.lit(float(SPRT_ALPHA_INV)))
-    return cum.crossJoin(F.broadcast(hyp)).select(
-        "arm",
-        "day",
-        "n",
-        "conv",
-        F.col("cum_n").cast("long").alias("cum_n"),
-        F.col("cum_conv").cast("long").alias("cum_conv"),
-        F.round(llr, 6).alias("llr"),
-        F.when(llr >= bound, "reject_h0")
-        .when(llr <= -bound, "accept_h0")
-        .otherwise("continue")
-        .alias("decision"),
-    )
+    return sprt_score(
+        cum.select(
+            "arm",
+            "day",
+            "n",
+            "conv",
+            F.col("cum_n").cast("long").alias("cum_n"),
+            F.col("cum_conv").cast("long").alias("cum_conv"),
+        ),
+        hyp,
+    ).select("arm", "day", "n", "conv", "cum_n", "cum_conv", "llr", "decision")

@@ -999,3 +999,107 @@ def streaming_ad_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sprt_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    p0_e6: int,
+    p1_e6: int,
+    dest_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous anytime-valid experiment monitor: the streaming half
+    of ``sprt_ab_monitor``. Each arriving micro-batch's per-arm
+    (trials, conversions) counts are folded into a CUMULATIVE state and
+    re-scored with the shared Wald SPRT core
+    (plans/experiment.sprt_score — identical LLR expression and ±ln 19
+    boundaries, so the streaming decision can never drift from the
+    registered batch query). Hypotheses arrive as the same exact e6
+    integer rationals the batch query derives.
+
+    Unlike the stateless W1/AD monitors, SPRT needs running totals:
+    state is versioned per batch (``state_dir/batch_id=N`` holds the
+    cumulative counts THROUGH batch N, idempotent overwrite) and each
+    batch reads the newest state STRICTLY BELOW its own id — so a
+    crash-replay of batch N re-reads N−1's state and rewrites the same
+    N state and output (exactly-once end-to-end, same protocol as
+    write_batch_idempotent)."""
+    import os
+
+    from etl_jlp_spark.plans.experiment import AB_SPLIT_HEX, sprt_score
+
+    stream = stream_events(spark, src_dir)
+    hyp = spark.createDataFrame([(int(p0_e6), int(p1_e6))], "p0_e6 long, p1_e6 long")
+
+    def _prior_state(batch_id: int) -> DataFrame | None:
+        try:
+            ids = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(state_dir)
+                if d.startswith("batch_id=")
+            ]
+        except FileNotFoundError:
+            return None
+        prior = [i for i in ids if i < int(batch_id)]
+        if not prior:
+            return None
+        return spark.read.parquet(os.path.join(state_dir, f"batch_id={max(prior)}"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_counts = (
+            batch_df.select(
+                F.when(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                    < AB_SPLIT_HEX,
+                    "A",
+                )
+                .otherwise("B")
+                .alias("arm"),
+                (F.col("event_type") == "purchase").cast("long").alias("conv"),
+            )
+            .groupBy("arm")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("conv").cast("long").alias("conv"),
+            )
+        )
+        prior = _prior_state(batch_id)
+        merged = (
+            batch_counts
+            if prior is None
+            else batch_counts.unionByName(
+                prior.select("arm", F.col("cum_n").alias("n"), F.col("cum_conv").alias("conv"))
+            )
+        )
+        cum = merged.groupBy("arm").agg(
+            F.sum("n").cast("long").alias("cum_n"),
+            F.sum("conv").cast("long").alias("cum_conv"),
+        )
+        # state THROUGH this batch — overwrite is replay-idempotent
+        # (localCheckpoint first: the write below must not lazily
+        # re-read the prior-state dir while a replay overwrites it)
+        cum = cum.localCheckpoint(eager=True)
+        cum.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={int(batch_id)}")
+        )
+        out = sprt_score(cum, hyp).join(
+            batch_counts.select("arm", "n", "conv"), "arm", "left"
+        ).select(
+            "arm",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("conv", F.lit(0)).alias("conv"),
+            "cum_n",
+            "cum_conv",
+            "llr",
+            "decision",
+        )
+        write_batch_idempotent(out, dest_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -647,3 +647,63 @@ def test_streaming_ad_monitor_matches_batch(spark, tmp_path):
     assert helper == have and have  # non-empty, helper-consistent
     assert out2.agg(F.max("ad_stat")).collect()[0][0] == 0.0
     ref.unpersist()
+
+
+def test_streaming_sprt_monitor_matches_batch(spark, tmp_path):
+    """Cumulative SPRT over two micro-batches must land exactly on the
+    registered batch query's final-day row per arm (same hypotheses),
+    and a re-run with the same checkpoint must not move state or
+    output (exactly-once)."""
+    import os
+
+    from etl_jlp_spark.plans.experiment import AB_SPLIT_HEX, sprt_ab_monitor
+    from etl_jlp_spark.streaming.pipeline import streaming_sprt_monitor
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    # the batch query's hypotheses: exact e6 rationals off arm A totals
+    a = ev.where(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX
+    )
+    bn = a.count()
+    bc = a.where(F.col("event_type") == "purchase").count()
+    p0_e6 = (2 * 1000000 * bc + bn) // (2 * bn)
+    p1_e6 = (2 * 1100000 * bc + bn) // (2 * bn)
+
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    half1 = ev.filter(F.to_date("ts") < F.date_add(F.lit(d0), 15))
+    half2 = ev.filter(F.to_date("ts") >= F.date_add(F.lit(d0), 15))
+
+    src = str(tmp_path / "src")
+    dest, state, ckpt = (
+        str(tmp_path / "sprt"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_sprt_monitor(spark, src, p0_e6, p1_e6, dest, state, ckpt).awaitTermination(120)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    streaming_sprt_monitor(spark, src, p0_e6, p1_e6, dest, state, ckpt).awaitTermination(120)
+
+    out = spark.read.parquet(dest)
+    assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == {0, 1}
+    # batch-0 cumulative == half1 totals; batch-1 cumulative == full totals
+    final = {r["arm"]: r for r in out.filter(F.col("batch_id") == 1).collect()}
+    batch_rows = sprt_ab_monitor(spark, SF_SMALL).collect()
+    last_day = max(r["day"] for r in batch_rows)
+    want = {r["arm"]: r for r in batch_rows if r["day"] == last_day}
+    assert set(final) == set(want)
+    for arm in want:
+        assert final[arm]["cum_n"] == want[arm]["cum_n"]
+        assert final[arm]["cum_conv"] == want[arm]["cum_conv"]
+        assert final[arm]["llr"] == want[arm]["llr"]
+        assert final[arm]["decision"] == want[arm]["decision"]
+    # the null-calibrated control arm never rejects
+    assert final["A"]["decision"] != "reject_h0"
+
+    # exactly-once: a third run with no new files changes nothing
+    before = sorted(map(tuple, out.collect()))
+    streaming_sprt_monitor(spark, src, p0_e6, p1_e6, dest, state, ckpt).awaitTermination(120)
+    after = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    assert after == before
+    assert sorted(os.listdir(state)) == ["batch_id=0", "batch_id=1"]
