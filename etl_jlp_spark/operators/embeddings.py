@@ -1630,24 +1630,31 @@ q AS (SELECT vec_id, v FROM e WHERE vec_id % {MRL_QUERY_MOD} = 0),
 dims AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS d),
 full_scored AS (
   SELECT q.vec_id AS qid, e.vec_id AS nid,
-         round(list_dot_product(q.v, e.v) /
-               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
-               6) AS c6
+         CASE WHEN list_dot_product(q.v, q.v) > 0
+               AND list_dot_product(e.v, e.v) > 0 THEN
+           round(list_dot_product(q.v, e.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                 6)
+         END AS c6
   FROM q JOIN e ON q.vec_id <> e.vec_id
 ), full_k AS (
   SELECT qid, nid,
-         row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, nid ASC) AS rk
+         row_number() OVER (PARTITION BY qid ORDER BY c6 DESC NULLS LAST, nid ASC) AS rk
   FROM full_scored QUALIFY rk <= {MRL_TOP_K}
 ), tr_scored AS (
   SELECT dm.d, q.vec_id AS qid, e.vec_id AS nid,
-         round(list_dot_product(q.v[1:dm.d], e.v[1:dm.d]) /
-               (sqrt(list_dot_product(q.v[1:dm.d], q.v[1:dm.d]))
-                * sqrt(list_dot_product(e.v[1:dm.d], e.v[1:dm.d]))),
-               6) AS c6
+         CASE WHEN list_dot_product(q.v[1:dm.d], q.v[1:dm.d]) > 0
+               AND list_dot_product(e.v[1:dm.d], e.v[1:dm.d]) > 0 THEN
+           round(list_dot_product(q.v[1:dm.d], e.v[1:dm.d]) /
+                 (sqrt(list_dot_product(q.v[1:dm.d], q.v[1:dm.d]))
+                  * sqrt(list_dot_product(e.v[1:dm.d], e.v[1:dm.d]))),
+                 6)
+         END AS c6
   FROM q JOIN e ON q.vec_id <> e.vec_id CROSS JOIN dims dm
 ), tr_k AS (
   SELECT d, qid, nid,
-         row_number() OVER (PARTITION BY d, qid ORDER BY c6 DESC, nid ASC) AS rk
+         row_number() OVER (PARTITION BY d, qid
+                            ORDER BY c6 DESC NULLS LAST, nid ASC) AS rk
   FROM tr_scored QUALIFY rk <= {MRL_TOP_K}
 ), ov AS (
   SELECT t.d, t.qid,
@@ -1681,6 +1688,14 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving path at the chosen d is the prebuilt IVF/PQ store."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
+    if dim < max(MRL_DIMS):
+        # static_dot past the array end would yield NULL cosines while
+        # the oracle's v[1:d] slice silently truncates — fail fast
+        # instead of silently diverging on a narrower embedding table.
+        raise ValueError(
+            f"matryoshka_truncation_eval: embedding dim {dim} < max trunc dim "
+            f"{max(MRL_DIMS)}; shrink MRL_DIMS for this corpus"
+        )
     # dedupe: a trunc dim equal to the full dim must not double a column
     all_dims = tuple(dict.fromkeys((*MRL_DIMS, dim)))
     v = as_double_array(F.col("embedding"))
@@ -1705,17 +1720,25 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         *[
-            F.round(
-                static_dot(F.col("qv"), F.col("cv"), d)
-                / (F.col(f"n{d}_qid") * F.col(f"n{d}_nid")),
-                6,
+            # gate on BOTH prefix norms > 0: an all-zero d-prefix would
+            # make Spark emit NULL but DuckDB inf/nan — NULL in both
+            # engines (ranked last) keeps the top-k identical.
+            F.when(
+                (F.col(f"n{d}_qid") > 0) & (F.col(f"n{d}_nid") > 0),
+                F.round(
+                    static_dot(F.col("qv"), F.col("cv"), d)
+                    / (F.col(f"n{d}_qid") * F.col(f"n{d}_nid")),
+                    6,
+                ),
             ).alias(f"c{d}")
             for d in all_dims
         ],
     ).localCheckpoint(eager=True)  # sample×N rows, consumed by |dims|+1 windows
 
     def topk(d: int) -> DataFrame:
-        w = Window.partitionBy("qid").orderBy(F.col(f"c{d}").desc(), F.col("nid").asc())
+        w = Window.partitionBy("qid").orderBy(
+            F.col(f"c{d}").desc_nulls_last(), F.col("nid").asc()
+        )
         return (
             scored.select("qid", "nid", F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= MRL_TOP_K)

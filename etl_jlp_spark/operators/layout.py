@@ -553,13 +553,16 @@ def compaction_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("est_bytes").desc(), F.col("day").asc(), F.col("event_type").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    binned = inv.select(
+    # exact integer floor-div (`div`), mirroring the oracle's `//`: a
+    # double division only floors identically while cum < 2^53 and the
+    # target is a power of two — neither is a contract worth relying on.
+    binned = inv.withColumn(
+        "cum", F.sum("est_bytes").over(w)
+    ).select(
         "day",
         "event_type",
         "est_bytes",
-        ((F.sum("est_bytes").over(w) - F.col("est_bytes")) / F.lit(TARGET_FILE_BYTES))
-        .cast("long")
-        .alias("bin_id"),
+        F.expr(f"(cum - est_bytes) div {TARGET_FILE_BYTES}").cast("long").alias("bin_id"),
     )
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),

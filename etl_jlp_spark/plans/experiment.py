@@ -1232,6 +1232,9 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SPRT_LIFT_NUM, SPRT_LIFT_DEN = 11, 10  # H1: p1 = 1.1 · p0 (exact rational)
+# e6 numerator of the lifted rate: p1_e6 = round(P1_SCALE_E6 · conv / n).
+# Derived ONCE so plan, oracle and tests share the same hypothesis.
+SPRT_P1_SCALE_E6 = SPRT_LIFT_NUM * 1000000 // SPRT_LIFT_DEN
 SPRT_ALPHA_INV = 19  # α = β = 0.05 ⇒ boundaries ±ln((1−β)/α) = ±ln 19
 
 
@@ -1276,7 +1279,7 @@ WITH pts AS (
   FROM daily WHERE arm = 'A'
 ), hyp AS (
   SELECT (2 * 1000000 * bc + bn) // (2 * bn) AS p0_e6,
-         (2 * {SPRT_LIFT_NUM} * 100000 * bc + bn) // (2 * bn) AS p1_e6
+         (2 * {SPRT_P1_SCALE_E6} * bc + bn) // (2 * bn) AS p1_e6
   FROM bench
 ), cum AS (
   SELECT arm, day, n, conv,
@@ -1331,7 +1334,7 @@ def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hyp = bench.select(
         F.expr("(2 * 1000000 * bc + bn) div (2 * bn)").alias("p0_e6"),
-        F.expr("(2 * 1100000 * bc + bn) div (2 * bn)").alias("p1_e6"),
+        F.expr(f"(2 * {SPRT_P1_SCALE_E6} * bc + bn) div (2 * bn)").alias("p1_e6"),
     )
     w = (
         Window.partitionBy("arm")

@@ -1096,6 +1096,14 @@ def streaming_sprt_monitor(
             "decision",
         )
         write_batch_idempotent(out, dest_dir, batch_id)
+        # garbage-collect superseded state AFTER the output commit (the
+        # same discipline as streaming_cc_maintain's version pruning): a
+        # replay of batch N only ever reads N−1, so ids < N−1 are dead.
+        import shutil
+
+        for d in os.listdir(state_dir):
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < int(batch_id) - 1:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(handle)

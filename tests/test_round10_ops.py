@@ -121,7 +121,12 @@ def test_compaction_plan_packs_everything_once(spark):
     )
     # conservation: every inventory byte lands in exactly one bin
     assert sum(r["total_bytes"] for r in plan) == inv_bytes
-    assert sorted(r["bin_id"] for r in plan) == list(range(len(plan)))
+    # bin ids are unique and start at 0; they need NOT be contiguous —
+    # an entry larger than the target occupies a multi-target cum span,
+    # skipping the intermediate ids (documented oversized-entry behavior)
+    ids = sorted(r["bin_id"] for r in plan)
+    assert len(set(ids)) == len(ids)
+    assert ids[0] == 0
     for r in plan:
         assert r["n_files"] >= 1
         assert r["min_file_bytes"] <= r["max_file_bytes"] <= r["total_bytes"]
@@ -207,3 +212,35 @@ def test_sprt_decisions_match_boundaries(spark):
     # the control arm is tested against its own full-period rate: H0 is
     # true by construction, so it must never cross the reject boundary
     assert all(r["decision"] != "reject_h0" for r in rows if r["arm"] == "A")
+
+
+def test_matryoshka_zero_prefix_and_narrow_dim_guards(spark, tmp_path):
+    """A vector whose first-8 prefix is all zero must not crash or
+    diverge (NULL cosine, ranked last — the engine-symmetric choice);
+    an embedding table narrower than max(MRL_DIMS) must fail fast."""
+    import pytest
+
+    from etl_jlp_spark.operators.embeddings import matryoshka_truncation_eval
+
+    dim = 33
+    rows = []
+    for i in range(12):
+        vec = [0.0] * 8 + [float(i + j + 1) for j in range(dim - 8)] if i == 0 else [
+            float((i * 7 + j) % 5 + 1) for j in range(dim)
+        ]
+        rows.append((i, vec, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    out = matryoshka_truncation_eval(spark, sf).collect()
+    assert out  # vec_id 0 (the zero-prefix vector) is the query sample
+    for r in out:
+        assert 0.0 <= r["avg_recall_at_k"] <= 1.0
+
+    narrow = spark.createDataFrame(
+        [(0, [1.0] * 16, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    sf2 = str(tmp_path / "sf2")
+    narrow.coalesce(1).write.parquet(f"{sf2}/embeddings.parquet")
+    with pytest.raises(ValueError, match="matryoshka"):
+        matryoshka_truncation_eval(spark, sf2)

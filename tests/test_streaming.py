@@ -656,7 +656,11 @@ def test_streaming_sprt_monitor_matches_batch(spark, tmp_path):
     output (exactly-once)."""
     import os
 
-    from etl_jlp_spark.plans.experiment import AB_SPLIT_HEX, sprt_ab_monitor
+    from etl_jlp_spark.plans.experiment import (
+        AB_SPLIT_HEX,
+        SPRT_P1_SCALE_E6,
+        sprt_ab_monitor,
+    )
     from etl_jlp_spark.streaming.pipeline import streaming_sprt_monitor
     from tests.conftest import SF_SMALL
 
@@ -668,7 +672,7 @@ def test_streaming_sprt_monitor_matches_batch(spark, tmp_path):
     bn = a.count()
     bc = a.where(F.col("event_type") == "purchase").count()
     p0_e6 = (2 * 1000000 * bc + bn) // (2 * bn)
-    p1_e6 = (2 * 1100000 * bc + bn) // (2 * bn)
+    p1_e6 = (2 * SPRT_P1_SCALE_E6 * bc + bn) // (2 * bn)
 
     d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
     half1 = ev.filter(F.to_date("ts") < F.date_add(F.lit(d0), 15))
@@ -690,8 +694,12 @@ def test_streaming_sprt_monitor_matches_batch(spark, tmp_path):
     # batch-0 cumulative == half1 totals; batch-1 cumulative == full totals
     final = {r["arm"]: r for r in out.filter(F.col("batch_id") == 1).collect()}
     batch_rows = sprt_ab_monitor(spark, SF_SMALL).collect()
-    last_day = max(r["day"] for r in batch_rows)
-    want = {r["arm"]: r for r in batch_rows if r["day"] == last_day}
+    # each arm's final cumulative row is at ITS OWN last active day
+    last_day = {}
+    for r in batch_rows:
+        if r["arm"] not in last_day or r["day"] > last_day[r["arm"]]:
+            last_day[r["arm"]] = r["day"]
+    want = {r["arm"]: r for r in batch_rows if r["day"] == last_day[r["arm"]]}
     assert set(final) == set(want)
     for arm in want:
         assert final[arm]["cum_n"] == want[arm]["cum_n"]
