@@ -40,13 +40,27 @@ def normalized(col: Column) -> Column:
     return F.transform(col, lambda x: x / n)
 
 
-def static_dot(a: Column, b: Column, dim: int) -> Column:
+def _col_sql(c: Column | str) -> str:
+    """The SQL text of a Column (PySpark renders it in repr). Only used
+    for the simple operand shapes static_dot receives (named columns,
+    casts); F.expr re-parses it into the identical expression tree."""
+    if isinstance(c, str):
+        return c
+    s = str(c)  # "Column<'...'>"
+    return s[s.index("'") + 1 : s.rindex("'")]
+
+
+def static_dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product expanded to an explicit `a[0]*b[0] + … + a[d-1]*b[d-1]`
     expression. Unlike the higher-order ``aggregate`` form (interpreted
     per row), this compiles into whole-stage codegen — ~50× faster on
-    pairwise workloads. Requires a statically-known dimension."""
-    terms = [a.getItem(i) * b.getItem(i) for i in range(dim)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    pairwise workloads. Requires a statically-known dimension.
+
+    Built as ONE parsed SQL string, not getItem/multiply Column calls:
+    the Column-API loop costs ~4 py4j round trips per term (~0.7 s of
+    driver latency per 64-dim call — measured r10), which dominated
+    plan construction for the whole embedding family. The parsed tree
+    (left-deep adds, index-sequential terms) is identical, so values
+    stay bit-for-bit."""
+    a_sql, b_sql = _col_sql(a), _col_sql(b)
+    return F.expr(" + ".join(f"({a_sql})[{i}] * ({b_sql})[{i}]" for i in range(dim)))

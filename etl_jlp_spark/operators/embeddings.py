@@ -472,28 +472,35 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    x = as_double_array(F.col("embedding"))
+    x_sql = "CAST(embedding AS ARRAY<DOUBLE>)"
+    # mean AND count in ONE aggregate job (was two scans); expression
+    # built as parsed SQL — the per-dimension Column-API loops cost
+    # ~4 py4j round trips per term and dominated this operator's
+    # driver-side build time (measured r10)
     mu_row = emb.agg(
-        *[F.avg(x[j]).alias(f"m{j}") for j in range(dim)]
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(f"avg({x_sql}[{j}])").alias(f"m{j}") for j in range(dim)],
     ).first()
     mu = [mu_row[f"m{j}"] for j in range(dim)]
-    n = emb.count()
+    n = mu_row["n"]
+    # exact double literals: repr() round-trips, CAST('…' AS DOUBLE)
+    # parses back the identical IEEE value the old F.lit carried
+    centered_sql = "array(" + ", ".join(
+        f"{x_sql}[{j}] - CAST('{mu[j]!r}' AS DOUBLE)" for j in range(dim)
+    ) + ")"
     # centered array materialized ONCE: each iteration re-reads the
     # cached d-double rows, not the parquet scan; and the per-dimension
     # recombine is a posexplode + (pos) agg — d×n skinny rows through a
     # shallow codegen expression, NOT d sum columns each inlining the
     # d-term dot product (that shape compiles a d²-term stage per
     # iteration and measured 2.6× slower at sf0.1)
-    centered = emb.select(
-        F.array(*[x[j] - F.lit(mu[j]) for j in range(dim)]).alias("c")
-    ).persist()
+    centered = emb.select(F.expr(centered_sql).alias("c")).persist()
     v = [1.0 / math.sqrt(dim)] * dim
     nrm = 0.0
     for _ in range(PCA_ITERS):
-        dot = None
-        for j in range(dim):
-            term = F.col("c")[j] * F.lit(v[j])
-            dot = term if dot is None else dot + term
+        dot = F.expr(
+            " + ".join(f"c[{j}] * CAST('{v[j]!r}' AS DOUBLE)" for j in range(dim))
+        )
         y_rows = (
             centered.withColumn("dot", dot)
             .select(F.posexplode("c").alias("pos", "val"), "dot")
@@ -1413,6 +1420,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, vector), TakeOrdered top-k."""
     from etl_jlp_spark.operators.similarity import (
         _ivf_probes,
+        _load_centroids,
         _with_norm,
         ensure_ivf_store,
     )
@@ -1420,11 +1428,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
     assigned_path, cent_path = ensure_ivf_store(spark, sf_dir)
-    cent_df = spark.read.parquet(cent_path)
+    cent_rows = _load_centroids(spark, cent_path)
     queries = _with_norm(
         emb.filter(F.col("vec_id") % _ANN_QUERY_MOD == 0), dim, "query_id", "qv"
     ).withColumnRenamed("nrm_query_id", "nrm_q")
-    probes = _ivf_probes(queries, cent_df, dim).select("query_id", "cell")
+    probes = _ivf_probes(queries, cent_rows, dim).select("query_id", "cell")
     probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     # candidate ids from the probed cells' directory partitions only;
     # the stored float vectors are never read (column pruning)

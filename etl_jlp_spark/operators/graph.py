@@ -319,9 +319,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Graphs ≤ {DRIVER_LPA_MAX_EDGES:,} measured edges short-circuit to
     the driver (the count is paid anyway to size the shuffle). The
     oracle unrolls the same {LPA_ITERS} rounds as chained CTEs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _lpa_from_pairs(spark, pairs)
+
+
+def _lpa_from_pairs(spark: SparkSession, pairs) -> DataFrame:
+    """LPA over an already-built pair relation — split out so composite
+    reports (graph_modularity) can compute the near-dup pairs ONCE,
+    persist them, and feed both the label loop and their own
+    aggregations instead of re-running the full MinHash pipeline for
+    each consumer (the labels materialize eagerly — driver shortcut or
+    localCheckpoint — so plan-fragment reuse can never bridge the two)."""
     from pyspark.sql import Window
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     cached = _sym_edges(pairs).persist()
     n_edges = cached.count()
     if n_edges <= DRIVER_LPA_MAX_EDGES:
@@ -615,8 +625,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: labels ride the LPA machinery (driver shortcut / distributed
     loop); modularity itself is two joins + two aggregates over the
     match-bounded edge and label relations."""
-    labels = graph_label_propagation(spark, sf_dir).select("node", "community")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE pair materialization for both consumers: the label loop ends
+    # in an eager materialization (driver shortcut / localCheckpoint),
+    # so without the persist the MinHash pipeline would run twice —
+    # once inside LPA, once for intra/deg below.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    labels = _lpa_from_pairs(spark, pairs).select("node", "community")
     deg = _degrees(_sym_edges(pairs))
     m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
     la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
@@ -697,7 +711,18 @@ def _hits_frames(spark: SparkSession, sf_dir: str):
     from etl_jlp_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t")).distinct()
+    # repartition("u") BEFORE the distinct: hashpartitioning(u) satisfies
+    # the (u, t) dedup's clustering AND every u-keyed operation in the
+    # loop — so each round's e⋈h join and the groupBy("u") hub aggregate
+    # reuse the checkpointed layout and plan NO exchange; the only
+    # per-round shuffle left is the ≤|types|-row authority aggregate.
+    # (The old shape re-exchanged the full user-keyed edge relation
+    # twice per round.)
+    e = (
+        ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+        .repartition("u")
+        .distinct()
+    )
     # Eagerly materialize: the callers return a LAZY DataFrame, so a
     # persist() here would never populate before their pre-return
     # unpersist — each of the HITS_ITERS rounds plus the degree branch

@@ -48,7 +48,11 @@ ANN_QUERY_MOD = 50  # query set = vec_id % 50 == 0
 
 
 def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingle strings per doc (JVM array ops)."""
+    """Distinct word n-gram shingle strings per doc (JVM array ops).
+    All shingles of a doc live in ONE array before the explode, so the
+    per-doc dedup is array_distinct — a map-side op. The old global
+    .distinct() shuffled the full (doc_id, sh) relation a second time
+    for the same set (rows only ever collide within a doc)."""
     arr = F.split(F.trim(F.lower("text")), r"\s+")
     return (
         docs.select("doc_id", arr.alias("arr"))
@@ -58,12 +62,13 @@ def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(arr) - {n}), j -> concat_ws(' ', slice(arr, j + 1, {n})))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(arr) - {n}), j -> concat_ws(' ', slice(arr, j + 1, {n})))"
+                    )
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
 
 
@@ -751,7 +756,16 @@ def _ivf_assign(
     score every (vector, centroid) pair, keep the argmax row per vector
     (ties → lowest cell id). The pmod constant key forces a codegen
     BroadcastHashJoin — a `lit(True)` cross join would plan as an
-    interpreted BroadcastNestedLoopJoin (~50× slower dot products)."""
+    interpreted BroadcastNestedLoopJoin (~50× slower dot products).
+
+    A literal-centroid argmax PROJECTION (k×dim multiply-adds folded
+    into one array_max expression) was tried in r10 and measured 5-7×
+    SLOWER: the single expression exceeds janino's 64 KB method limit
+    (16 cells × 64 dims ≈ 1k inlined terms), codegen fails and the
+    whole stage falls back to interpreted evaluation. The join shape
+    keeps each pair's dot inside whole-stage codegen; the groupBy's
+    exchange is instead removed by hash-partitioning the corpus on
+    vec_id at widen time (see ivf_index), which this argmax reuses."""
     cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
     # norm columns (if present) ride along so downstream cosine reuses
     # them instead of re-expanding sqrt(dot(v,v)) in generated code
@@ -811,7 +825,15 @@ def ivf_index(
     FAISS coarse quantizer keeps in RAM."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    corpus = widen(spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings").persist()
+    # widen KEYED ON vec_id (not round-robin): hashpartitioning(vec_id)
+    # is reused by every vec_id/query_id-keyed operation downstream —
+    # the argmax groupBy of each Lloyd step, the full-corpus assignment
+    # argmax, and the probe-rank window over the filtered query sample —
+    # so the same single widening shuffle serves all of them and the
+    # plans carry no further corpus-sized Exchange.
+    corpus = widen(
+        spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings", "vec_id"
+    ).persist()
     if n_centroids == "scaled":
         k = scaled_n_centroids(corpus.count())
     else:
@@ -830,26 +852,39 @@ def ivf_index(
         trained = (
             _ivf_assign(spark, samp, centroids, dim)
             .groupBy("cell")
+            # one parsed expr, not dim getItem/avg/round Column calls:
+            # same tree, ~300 fewer py4j round trips per Lloyd step
             .agg(
-                F.array(
-                    *[
-                        F.round(F.avg(F.col("v").getItem(i)), IVF_CENT_ROUND).alias(f"c{i}")
-                        for i in range(dim)
-                    ]
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"round(avg(v[{i}]), {IVF_CENT_ROUND})" for i in range(dim)
+                    )
+                    + ")"
                 ).alias("cv")
             )
             .collect()
         )
         centroids = sorted([(int(r["cell"]), list(r["cv"])) for r in trained], key=lambda t: t[0])
 
-    assigned = _ivf_assign(spark, corpus, centroids, dim).persist()
+    # assignment is now a pure projection off the persisted corpus —
+    # persisting it again would only double-cache the vectors
+    assigned = _ivf_assign(spark, corpus, centroids, dim)
     return corpus, assigned, centroids, dim
 
 
-def _ivf_probes(queries: DataFrame, cent_df: DataFrame, dim: int) -> DataFrame:
-    """(query_id, qv, nrm_q, cell): each query's IVF_N_PROBE nearest
-    cells via a broadcast 16-row centroid join (pmod key forces a
-    codegen-capable BroadcastHashJoin for the cross product)."""
+def _ivf_probe_ranks(
+    queries: DataFrame, cent_rows: list[tuple[int, list[float]]], dim: int
+) -> DataFrame:
+    """(query_id, qv, nrm_q, cell, prn): every cell ranked per query by
+    (psim desc, cell asc) via the broadcast 16-row centroid join (pmod
+    key → codegen BroadcastHashJoin; a literal-centroid ranking
+    expression blows the janino method limit — see _ivf_assign). When
+    the query relation is already hash-partitioned by query_id (it is a
+    filter of the vec_id-widened corpus), the rank window reuses that
+    partitioning and plans NO exchange."""
+    spark = queries.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
     probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
     return (
         queries.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
@@ -859,6 +894,17 @@ def _ivf_probes(queries: DataFrame, cent_df: DataFrame, dim: int) -> DataFrame:
             static_dot(F.col("qv"), F.col("cv"), dim).alias("psim"),
         )
         .withColumn("prn", F.row_number().over(probe_w))
+        .select("query_id", "qv", "nrm_q", "cell", "prn")
+    )
+
+
+def _ivf_probes(
+    queries: DataFrame, cent_rows: list[tuple[int, list[float]]], dim: int
+) -> DataFrame:
+    """(query_id, qv, nrm_q, cell): each query's IVF_N_PROBE nearest
+    cells."""
+    return (
+        _ivf_probe_ranks(queries, cent_rows, dim)
         .filter(F.col("prn") <= IVF_N_PROBE)
         .select("query_id", "qv", "nrm_q", "cell")
     )
@@ -964,13 +1010,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity.py asserts the bucket-pruned probe read);
     probes scan only matching buckets."""
     corpus, assigned, centroids, dim = ivf_index(spark, sf_dir)
-    cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
     queries = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm_vec_id").alias("nrm_q"),
     )
-    probes = _ivf_probes(queries, cent_df, dim)
+    probes = _ivf_probes(queries, centroids, dim)
     cand = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
@@ -1039,6 +1084,18 @@ def ensure_ivf_store(
 _CENTROID_CACHE: dict[str, list] = {}
 
 
+def _load_centroids(spark: SparkSession, cent_path: str) -> list[tuple[int, list[float]]]:
+    """Centroid rows from a persisted store, process-cached (bounded:
+    ≤ IVF_N_CENTROIDS rows; content-keyed path → never stale)."""
+    cent_rows = _CENTROID_CACHE.get(cent_path)
+    if cent_rows is None:
+        cent_rows = sorted(
+            (int(r["cell"]), list(r["cv"])) for r in spark.read.parquet(cent_path).collect()
+        )
+        _CENTROID_CACHE[cent_path] = cent_rows
+    return cent_rows
+
+
 @query("ann_ivf_topk_prebuilt", oracle=_IVF_ORACLE)
 def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The amortized production shape of ``ann_ivf_topk``: k-means
@@ -1050,19 +1107,13 @@ def ann_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity.py asserts both). Same answer as the
     in-query-trained variant, so the same DuckDB oracle applies."""
     assigned_path, cent_path = ensure_ivf_store(spark, sf_dir)
-    cent_rows = _CENTROID_CACHE.get(cent_path)
-    if cent_rows is None:
-        cent_rows = sorted(
-            (int(r["cell"]), list(r["cv"])) for r in spark.read.parquet(cent_path).collect()
-        )  # bounded: ≤ IVF_N_CENTROIDS rows; content-keyed path → never stale
-        _CENTROID_CACHE[cent_path] = cent_rows
-    cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
+    cent_rows = _load_centroids(spark, cent_path)
     dim = len(cent_rows[0][1])
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _with_norm(
         emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0), dim, "query_id", "qv"
     ).withColumnRenamed("nrm_query_id", "nrm_q")
-    probes = _ivf_probes(queries, cent_df, dim)
+    probes = _ivf_probes(queries, cent_rows, dim)
     # bounded collect (≤ IVF_N_CENTROIDS values): literal cell list makes
     # the store scan partition-prune to the probed cells only
     probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
@@ -1148,7 +1199,11 @@ def ivf_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
     is_new = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < IVF_BATCH_HEX
-    corpus = widen(spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings").persist()
+    # vec_id-keyed widen: same rationale as ivf_index — both argmax
+    # groupBys below reuse the partitioning instead of re-exchanging
+    corpus = widen(
+        spark, _with_norm(emb, dim, "vec_id", "v"), sf_dir, "embeddings", "vec_id"
+    ).persist()
     samp = corpus.filter(
         ~is_new & (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < IVF_SAMPLE_HEX)
     ).persist()
@@ -1161,12 +1216,15 @@ def ivf_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         trained = (
             _ivf_assign(spark, samp, centroids, dim)
             .groupBy("cell")
+            # one parsed expr, not dim getItem/avg/round Column calls:
+            # same tree, ~300 fewer py4j round trips per Lloyd step
             .agg(
-                F.array(
-                    *[
-                        F.round(F.avg(F.col("v").getItem(i)), IVF_CENT_ROUND).alias(f"c{i}")
-                        for i in range(dim)
-                    ]
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"round(avg(v[{i}]), {IVF_CENT_ROUND})" for i in range(dim)
+                    )
+                    + ")"
                 ).alias("cv")
             )
             .collect()
@@ -2314,23 +2372,12 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer hit-counts over {k}·|Q|; the brute-force branch is
     the eval cost, as in ann_recall_report."""
     corpus, assigned, centroids, dim = ivf_index(spark, sf_dir)
-    cent_df = spark.createDataFrame(centroids, "cell int, cv array<double>")
     q = corpus.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm_vec_id").alias("nrm_q"),
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cell").asc())
-    pr = (
-        q.withColumn("bk", F.pmod(F.col("query_id"), F.lit(1)))
-        .join(F.broadcast(cent_df.withColumn("bk", F.pmod(F.col("cell"), F.lit(1)))), "bk")
-        .select(
-            "query_id", "qv", "nrm_q", "cell",
-            static_dot(F.col("qv"), F.col("cv"), dim).alias("psim"),
-        )
-        .withColumn("prn", F.row_number().over(probe_w))
-        .select("query_id", "qv", "nrm_q", "cell", "prn")
-    )
+    pr = _ivf_probe_ranks(q, centroids, dim)
     np_df = spark.createDataFrame([(n,) for n in NPROBE_SWEEP], "np int")
     cand = (
         F.broadcast(np_df)

@@ -670,16 +670,47 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     drop_b = dedup_minhash_lsh(spark, sf_dir).select(F.col("doc_b").alias("doc_id"))
-    n_total = docs.count()
-    survivors = docs
+    # ONE job instead of eleven: each stage's keep set becomes a boolean
+    # flag (left join on the deduped per-doc id set — set semantics
+    # identical to the old left_semi), and every funnel count is a
+    # conditional sum over prefix conjunctions in a single aggregation.
+    # The old shape ran 6 sequential .count() actions with 4 eager
+    # localCheckpoints between them, serializing five independent stage
+    # pipelines; here Spark schedules them as concurrent stages of one
+    # job. Intersection counts are order-independent, so the numbers are
+    # unchanged.
+    flagged = docs
+    flag_cols = []
+    for i, (_name, keep) in enumerate(keep_sets, start=1):
+        fc = f"f{i}"
+        flagged = flagged.join(
+            keep.distinct().withColumn(fc, F.lit(1)), "doc_id", "left"
+        )
+        flag_cols.append(fc)
+    flagged = flagged.join(
+        drop_b.distinct().withColumn("fdrop", F.lit(1)), "doc_id", "left"
+    )
+    prefix = []
+    survived = []  # survived[k] = docs passing stages 1..k+1
+    for fc in flag_cols:
+        prefix.append(F.col(fc).isNotNull())
+        cond = prefix[0]
+        for p in prefix[1:]:
+            cond = cond & p
+        survived.append(cond)
+    neardup_keep = survived[-1] & F.col("fdrop").isNull()
+    agg_row = flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[F.sum(F.when(c, 1).otherwise(0)).alias(f"s{i}") for i, c in enumerate(survived)],
+        F.sum(F.when(neardup_keep, 1).otherwise(0)).alias("s_neardup"),
+    ).first()
+    n_total = agg_row["n_total"]
+    kept = [agg_row[f"s{i}"] for i in range(len(keep_sets))] + [agg_row["s_neardup"]]
+    names = [name for name, _ in keep_sets] + ["neardup"]
     counts = []
-    for name, keep in keep_sets:
-        n_in = survivors.count() if counts else n_total
-        survivors = survivors.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
-        counts.append((name, n_in, survivors.count()))
-    n_in = counts[-1][2]
-    survivors = survivors.join(drop_b, "doc_id", "left_anti")
-    counts.append(("neardup", n_in, survivors.count()))
+    for i, (name, n_kept) in enumerate(zip(names, kept)):
+        n_in = n_total if i == 0 else kept[i - 1]
+        counts.append((name, n_in, n_kept))
     rows = [
         (i + 1, name, n_in, n_kept)
         for i, (name, n_in, n_kept) in enumerate(counts)
