@@ -477,7 +477,7 @@ def main() -> None:
     # full record in-repo where it can be committed and diffed per round.
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r12.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r13.json"),
     )
     try:
         with open(local, "w") as fh:

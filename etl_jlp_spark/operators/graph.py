@@ -650,7 +650,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("deg").cast("long").alias("degree_sum"),
         )
     )
-    return (
+    report = (
         degs.join(intra, "community", "left")
         .crossJoin(F.broadcast(m))
         .select(
@@ -671,6 +671,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+    # Materialize the ≤|communities|-row report eagerly and RELEASE the
+    # pair cache NOW (the ivf_append_report teardown convention). A
+    # lingering CacheManager entry for the pair subtree hijacks every
+    # later dedup_minhash_lsh consumer in the session into an
+    # InMemoryRelation whose blocks may long be evicted —
+    # graph_link_prediction measured 2× slower across a full bench
+    # sweep with the entry left behind.
+    report = report.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return report
 
 
 # ---------------------------------------------------------------------------
@@ -711,18 +721,12 @@ def _hits_frames(spark: SparkSession, sf_dir: str):
     from etl_jlp_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    # repartition("u") BEFORE the distinct: hashpartitioning(u) satisfies
-    # the (u, t) dedup's clustering AND every u-keyed operation in the
-    # loop — so each round's e⋈h join and the groupBy("u") hub aggregate
-    # reuse the checkpointed layout and plan NO exchange; the only
-    # per-round shuffle left is the ≤|types|-row authority aggregate.
-    # (The old shape re-exchanged the full user-keyed edge relation
-    # twice per round.)
-    e = (
-        ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
-        .repartition("u")
-        .distinct()
-    )
+    # (r10 note: repartition("u") before the distinct was tried so the
+    # loop's u-keyed joins/aggregates could reuse the layout — but
+    # localCheckpoint under AQE reports UnknownPartitioning, so nothing
+    # downstream can reuse it and the swap measured net-neutral at
+    # best; reverted.)
+    e = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t")).distinct()
     # Eagerly materialize: the callers return a LAZY DataFrame, so a
     # persist() here would never populate before their pre-return
     # unpersist — each of the HITS_ITERS rounds plus the degree branch

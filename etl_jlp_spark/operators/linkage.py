@@ -72,22 +72,54 @@ transform(sequence(0, {FUZZY_SEGS - 1}), i -> named_struct(
             (length(pfx) div {FUZZY_SEGS}) + if(i < length(pfx) % {FUZZY_SEGS}, 1, 0))))
 """
 
-_PROBE_SEGS = f"""
-array_distinct(flatten(transform(
-  sequence(greatest({FUZZY_MIN_LEN}, length(pfx) - {FUZZY_K}), length(pfx) + {FUZZY_K}),
-  lb -> flatten(transform(sequence(0, {FUZZY_SEGS - 1}), i ->
-    transform(
-      filter(sequence(-{FUZZY_K}, {FUZZY_K}), d ->
-        1 + i * (lb div {FUZZY_SEGS}) + least(i, lb % {FUZZY_SEGS}) + d >= 1
-        AND i * (lb div {FUZZY_SEGS}) + least(i, lb % {FUZZY_SEGS}) + d
-            + (lb div {FUZZY_SEGS}) + if(i < lb % {FUZZY_SEGS}, 1, 0) <= length(pfx)),
-      d -> named_struct(
-        'seg_id', i,
-        'lb', lb,
-        'seg', substring(pfx,
-                  1 + i * (lb div {FUZZY_SEGS}) + least(i, lb % {FUZZY_SEGS}) + d,
-                  (lb div {FUZZY_SEGS}) + if(i < lb % {FUZZY_SEGS}, 1, 0)))))))))
-"""
+# static (seg_id, lb-offset, shift) grid: (K+1)·(2K+1)² combos. The
+# probe used to be one nested transform/filter/flatten/array_distinct
+# higher-order expression over these — interpreted PER ELEMENT, and
+# measured as ~5 s of the query's 8 s at sf0.1. Exploding the constant
+# grid first and computing the substring per exploded row keeps every
+# op inside whole-stage codegen; the trailing dropDuplicates replays
+# array_distinct's per-doc (seg_id, lb, seg) dedup so the candidate
+# join sees the identical probe set.
+_PROBE_COMBOS = ", ".join(
+    f"named_struct('seg_id', {i}, 'dl', {dl}, 'd', {d})"
+    for i in range(FUZZY_SEGS)
+    for dl in range(-FUZZY_K, FUZZY_K + 1)
+    for d in range(-FUZZY_K, FUZZY_K + 1)
+)
+
+
+def _probe_segments(keys, id_alias: str):
+    """(id, seg_id, lb, seg): every PassJoin probe substring of each
+    key — all shifted segment windows for every plausible partner
+    length lb ∈ [max(MIN_LEN, len−K), len+K]."""
+    s = FUZZY_SEGS
+    start0 = F.expr(f"seg_id * (lb div {s}) + least(seg_id, lb % {s}) + d")
+    seglen = F.expr(f"(lb div {s}) + if(seg_id < lb % {s}, 1, 0)")
+    return (
+        keys.select(
+            F.col("doc_id").alias(id_alias),
+            "pfx",
+            F.explode(F.expr(f"array({_PROBE_COMBOS})")).alias("c"),
+        )
+        .select(
+            id_alias,
+            "pfx",
+            F.col("c.seg_id").alias("seg_id"),
+            (F.length("pfx") + F.col("c.dl")).alias("lb"),
+            F.col("c.d").alias("d"),
+        )
+        .filter(F.col("lb") >= FUZZY_MIN_LEN)
+        .withColumn("p0", start0)
+        .withColumn("sl", seglen)
+        .filter((F.col("p0") >= 0) & (F.col("p0") + F.col("sl") <= F.length("pfx")))
+        .select(
+            id_alias,
+            "seg_id",
+            "lb",
+            F.expr("substring(pfx, 1 + p0, sl)").alias("seg"),
+        )
+        .dropDuplicates([id_alias, "seg_id", "lb", "seg"])
+    )
 
 
 @query(
@@ -117,9 +149,7 @@ def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = keys.select(
         F.col("doc_id").alias("doc_b"), F.explode(F.expr(_INDEX_SEGS)).alias("s")
     ).select("doc_b", "s.seg_id", "s.lb", "s.seg")
-    probe = keys.select(
-        F.col("doc_id").alias("doc_a"), F.explode(F.expr(_PROBE_SEGS)).alias("s")
-    ).select("doc_a", "s.seg_id", "s.lb", "s.seg")
+    probe = _probe_segments(keys, "doc_a")
     cand = (
         probe.join(idx, ["seg_id", "lb", "seg"])
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -233,9 +263,7 @@ def fuzzy_join_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = _keys(spark, sf_dir).filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < FUZZY_BATCH_HEX
     )
-    probe = batch.select(
-        F.col("doc_id").alias("doc_new"), F.explode(F.expr(_PROBE_SEGS)).alias("s")
-    ).select("doc_new", "s.seg_id", "s.lb", "s.seg")
+    probe = _probe_segments(batch, "doc_new")
     idx = spark.read.parquet(segs_path).withColumnRenamed("doc_id", "doc_old")
     cand = probe.join(idx, ["seg_id", "lb", "seg"]).select("doc_new", "doc_old").distinct()
     kn = batch.select(F.col("doc_id").alias("doc_new"), F.col("pfx").alias("pfx_n"))

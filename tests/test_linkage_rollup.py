@@ -63,14 +63,14 @@ def test_fuzzy_join_keys_are_data_independent_and_rare(spark):
         FUZZY_K,
         FUZZY_SEGS,
         _INDEX_SEGS,
-        _PROBE_SEGS,
         _keys,
+        _probe_segments,
     )
 
     keys = _keys(spark, SF_SMALL)
-    probe_per_doc = keys.select(F.size(F.expr(_PROBE_SEGS)).alias("n"))
+    probe_per_doc = _probe_segments(keys, "doc_a").groupBy("doc_a").count()
     bound = (2 * FUZZY_K + 1) * FUZZY_SEGS * (2 * FUZZY_K + 1)
-    assert probe_per_doc.agg(F.max("n")).collect()[0][0] <= bound
+    assert probe_per_doc.agg(F.max("count")).collect()[0][0] <= bound
     idx = keys.select(F.explode(F.expr(_INDEX_SEGS)).alias("s")).select("s.seg_id", "s.lb", "s.seg")
     max_df = idx.groupBy("seg_id", "lb", "seg").count().agg(F.max("count")).collect()[0][0]
     assert max_df <= 32  # segment values are rare even on the tiny-vocab corpus
