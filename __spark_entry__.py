@@ -80,405 +80,74 @@ from etl_jlp_spark.quality import drift, report  # noqa: E402, F401
 # the in-repo replica of the driver gate — now with --pandas, the
 # driver-materialization replica that reproduced the r09 cliffs red row).
 # ---------------------------------------------------------------------------
-# Round-10 window (recorded as CORRECTNESS_r10): first the 3 queries whose
-# plan/SQL changed this session (cliffs_delta_value — the r08/r09 red row,
-# now BIGINT-cast pair counts in plan+oracle; the two Mann–Kendall twins —
-# var_s=0 z-gate added in both engines), then the four flagships (in-window
-# every round), the three newest ANN-store paths (r9-green, keep pinned),
-# then the 77 never-driver-checked names — the judge's warehouse-daily
-# picks first, the remainder in registry order. ~40 of the 77 fit this
-# round's ~50-row window; the ROUND-11 QUEUE is the overflow, roughly
-# `priority_mix_chisq` (see marker comment below) onward through
-# `benford_digit_report` — rotate those to the front next round.
-_R11_PRIORITY = [
-    # Changed this session (round 10).
-    "cliffs_delta_value",
-    "mann_kendall_trend",
-    "seasonal_mann_kendall",
+# Round-11 window (will be recorded as CORRECTNESS_r11): first the ten
+# round-10 rewrite clusters the r10 driver window did not sample (VERDICT
+# r10 item 4 — their equivalence rests on the builder's own sweeps until
+# the driver oracles them), then every query rewritten THIS round, the
+# four flagships, and as much of the never-driver-checked tail (45 names
+# as of r11) as fits the ~50-row window.
+_R12_PRIORITY = [
+    # Round-10 rewrite clusters the driver has NOT yet oracle-verified
+    # (VERDICT r10 "What's wrong" #4) — lead the round-11 window.
+    "fuzzy_join_editdist",
+    "dedup_minhash_lsh",
+    "graph_modularity",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "filter_cascade_report",
+    "embedding_pca_power",
+    "ann_ivf_topk",
+    "ivf_nprobe_sweep",
+    "semantic_dedup",
+    # Queries rewritten THIS round (11) — must be driver-verified.
+    "doc_similarity_tfidf_topk",
+    "winnowing_fingerprint_stats",
+    "contrastive_triplets",
+    "knn_loo_accuracy",
+    "spearman_corr_matrix",
+    "theil_sen_trend",
+    "audio_decode_report",
     # Flagships — in-window every round.
     "preprocess_pipeline",
     "curate_documents",
     "training_data_pipeline",
     "corpus_index_pipeline",
-    # Newest ANN store paths — keep pinned in-window (VERDICT r9 task 4).
-    "pq_distortion_report",
-    "ivf_append_report",
-    "ann_ivfpq_topk",
-    # NEW in round 10 — first driver row.
-    "matryoshka_truncation_eval",
-    "enrichment_null_pattern",
-    "topic_coherence_report",
-    "compaction_packing_plan",
-    "skew_salting_plan",
-    "ngram_novelty_report",
-    "isotonic_calibration",
-    "sprt_ab_monitor",
-    # Never-driver-checked: judge's warehouse-daily priority picks.
-    "ks_drift_report",
-    "mv_join_incremental",
-    "mv_retraction_refresh",
-    "acf_daily_revenue",
-    "pacf_daily_revenue",
-    "k_anonymity_report",
-    "revenue_rollup_shares",
-    "zorder_layout_report",
-    "hilbert_layout_report",
-    "join_strategy_advisor",
-    "order_reconciliation_report",
-    # Never-driver-checked: remainder, registry order.
-    "partition_size_advisor",
-    "fellegi_sunter_weights",
-    "fd_profile_report",
-    "column_entropy_report",
-    "user_event_entropy",
-    "equidepth_histogram",
-    "event_weekday_mi",
-    "candidate_key_report",
-    "value_mask_profile",
-    "cramers_v_matrix",
-    "quality_score_pr_curve",
-    "pareto_frontier_docs",
-    "weighted_sample_es",
-    "hll_distinct_daily",
-    "bloom_join_prune_report",
-    "winnowing_fingerprint_stats",
-    "session_paths_topk",
-    "time_to_convert_stats",
-    "calendar_dim",
-    "ship_delay_profile",
-    "dataset_card_report",
-    "curriculum_shard_plan",
-    "rfm_segmentation",
-    "assoc_rules_events",
-    "window_funnel_steps",
-    "revenue_concentration_curve",
-    "robust_revenue_stats",
+    # Never-driver-checked remainder (45 as of r11), first ~29;
+    # overflow (conformal_forecast_interval onward) rotates next.
     "mann_whitney_ab",
-    "bootstrap_ci_mean",
-    # ---- ROUND-11 QUEUE starts about here (window edge ~50 rows) ----
-    "priority_mix_chisq",
-    "bayesian_ab_conversion",
-    "welch_ttest_by_type",
-    "kendall_tau_daily",
-    "ar1_forecast_eval",
-    "target_encoding_kfold",
-    "mix_shift_decomposition",
-    "calibration_report",
-    "anova_oneway_value",
-    "pettitt_changepoint",
-    "gini_split_finder",
-    "score_lift_deciles",
-    "lm_quality_correlation",
-    "revenue_gini_by_nation",
-    "open_orders_timeline",
-    "order_lines_histogram",
-    "topk_movers_wow",
-    "new_vs_returning_daily",
-    "ols_discount_elasticity",
-    "did_lift_report",
-    "lineitem_corr_matrix",
     "event_transition_matrix",
     "interarrival_burstiness",
+    "rfm_segmentation",
+    "assoc_rules_events",
+    "benford_digit_report",
     "holt_linear_eval",
     "weekday_seasonality_index",
     "anomaly_mad_daily",
+    "window_funnel_steps",
     "stl_decompose_daily",
+    "revenue_gini_by_nation",
+    "open_orders_timeline",
+    "ols_discount_elasticity",
+    "did_lift_report",
+    "lineitem_corr_matrix",
+    "bootstrap_ci_mean",
     "markov_next_event_eval",
+    "part_copurchase_lift",
+    "revenue_concentration_curve",
     "orders_monthly_yoy",
     "events_dau_wau_mau",
+    "order_lines_histogram",
+    "topk_movers_wow",
+    "new_vs_returning_daily",
     "user_active_streaks",
+    "priority_mix_chisq",
+    "bayesian_ab_conversion",
     "periodogram_daily_revenue",
-    "conformal_forecast_interval",
-    "part_copurchase_lift",
-    "customer_repeat_cohorts",
-    "revenue_grouping_sets",
-    "benford_digit_report",
-    # Previously checked, oldest driver-round first.
-    "ingest_jdbc_derby",
-    "doc_chunk",
-    "paragraph_dedup",
-    "ann_ivf_topk_prebuilt",
-    "semantic_dedup",
-    "dedup_cluster_representative",
-    "dedup_exact",
-    "keywords_ngrams",
-    "exact_keywords_set",
-    "keywords_extract",
-    "dataset_split",
-    "session_window_stats",
-    "window_time",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q13_order_distribution",
-    "q18_large_orders",
-    "q10_returned_items",
-    "approx_sketch_stats",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "tfidf_top_terms",
-    "bm25_search",
-    "ngram_lm_score",
-    "bpe_merge_candidates",
-    "bm25_search_prebuilt",
-    "embedding_quantize",
-    "asof_join",
-    "quality_report",
-    "quality_report_lineitem",
-    "quality_array_fields",
-    "quality_report_flat",
-    "quality_clean_rate",
-    "quality_format_check",
-    "sessionize",
-    "session_stats",
-    "session_merge_records",
-    "time_on_page",
-    "q14_promo_revenue",
-    "q19_brand_discounts",
-    "events_by_type_day",
-    "top_customers_by_revenue",
-    "events_rollup_report",
-    "props_extract",
-    "user_enrichment",
-    "rolling_user_stats",
-    "cumulative_daily_revenue",
-    "value_histogram",
-    "session_funnel",
-    "sliding_weekly_revenue",
-    "percentile_stats",
-    "pivot_event_counts",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_quantity",
-    "q20_excess_shippers",
-    "q21_suppliers_waiting",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q12_ship_speed",
-    "audit_columns",
-    "ingest_full_load",
-    "ingest_incremental_watermark",
-    "watermark_update",
-    "decontaminate_docs",
-    "ann_topk_cosine",
-    "ann_recall_report",
-    "doc_containment",
-    "dedup_connected_components",
-    "softdedup_weights",
-    "dedup_cc_incremental",
-    "dsir_select",
-    "bpe_encode",
-    "bigram_lm_score",
-    "pmi_collocations",
-    "lexical_diversity",
-    "token_count",
-    "text_quality_score",
-    "text_langid",
-    "doc_fingerprint",
-    "dedup_exact_docs",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
-    "nearest_centroid_assign",
-    "embedding_random_projection",
-    "range_band_join",
-    "referential_integrity_report",
-    "text_repetition",
-    "gopher_quality_filter",
-    "pii_scrub",
-    "domain_mix_report",
-    "source_keep_rate",
-    "stratified_sample",
-    "balance_source_mix",
-    "source_mix_temperature",
-    "sequence_packing",
-    "per_source_sample_k",
-    "heavy_hitters_cms",
-    "events_by_type_day_salted",
-    "dup_span_report",
-    "split_leakage_check",
-    "seasonal_naive_eval",
-    "anomaly_zscore",
-    "ewma_daily_revenue",
-    "ingest_full_load_jsonl",
-    "ingest_full_load_csv",
-    "ingest_full_load_orc",
-    "compare_with_source",
-    "gdpr_erasure_audit",
-    "propagate_deletes_report",
-    "cdc_merge",
-    "dedup_minhash_prebuilt",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "semantic_dedup_scaled",
-    "contamination_ngram_overlap",
-    "minhash_spark_native",
-    "tokenizer_fertility_report",
-    "doc_similarity_tfidf_topk",
-    "docs_length_histogram",
-    "percentile_bucket_assign",
-    "nb_langid_confusion",
-    "script_char_profile",
-    "ann_quantized_topk",
-    "embedding_pca_power",
-    "graph_pagerank",
-    "graph_triangle_stats",
-    "fuzzy_join_editdist",
-    "fuzzy_join_prebuilt",
-    "entity_resolution_blocking",
-    "quality_percentile_gate",
-    "quality_isolation_outliers",
-    "rollup_incremental",
-    "scd2_build",
-    "scd2_apply",
-    "time_on_page_incremental",
-    "hll_weekly_union",
-    "key_skew_report",
-    "events_cube_report",
-    "session_conversion_attribution",
-    "ab_test_report",
-    "cohort_ltv",
-    "spearman_corr_matrix",
-    "timeseries_gapfill",
-    "user_retention_cohorts",
-    "session_survival_km",
-    "cusum_changepoint",
-    "psi_drift_report",
-    "ingest_full_load_xml",
-    "ingest_full_load_fixedwidth",
-    "schema_evolution_report",
-    "capture_recapture_pairs",
-    "golden_record_merge",
-    "doc_lang_consistency",
-    "davies_bouldin_report",
-    "hits_authorities",
-    "hits_top_hubs",
-    "kmv_distinct_by_type",
-    "kmv_type_overlap",
-    "l_diversity_report",
-    "t_closeness_report",
-    "freedman_diaconis_bins",
-    "code_prose_ratio",
-    "neyman_allocation_plan",
-    "pps_systematic_sample",
-    "cms_join_size_estimate",
-    "dup_span_excise",
-    "rolling_distinct_users_exact",
-    "position_attribution_ushape",
-    "shapley_channel_attribution",
-    "filter_cascade_report",
-    "unpivot_lineitem_metrics",
-    "hodges_lehmann_shift",
-    "woe_iv_report",
-    "runs_test_daily",
-    "jackknife_mean_se",
-    "brown_forsythe_variance",
-    "simpson_slope_check",
-    "hill_tail_index",
-    "grubbs_outlier_daily",
-    "cochran_armitage_trend",
-    "fleiss_kappa_gates",
-    "data_freshness_report",
-    "ols_cv_eval",
-    "ridge_regression_path",
-    "abc_inventory_class",
-    "price_index_report",
-    "store_inventory_report",
-    "audio_decode_report",
-    "media_metadata_report",
-    "minhash_band_sweep",
-    "cosine_threshold_sweep",
-    "cross_source_neardup_matrix",
-    "ql_dirichlet_search",
-    "rank_biased_overlap",
-    "term_freq_spectrum",
-    "source_vocab_overlap",
-    "vocab_coverage_estimate",
-    "term_dispersion_dp",
-    "stylometry_burrows_delta",
-    "embedding_fisher_separation",
-    "graph_degree_assortativity",
-    "contrastive_triplets",
-    "scd2_snapshot_asof",
-    "session_gap_sweep",
-    "hll_rolling_7d",
-    "ab_power_analysis",
-    "quantile_treatment_effect",
-    "winsorized_trimmed_mean",
-    "hurst_rs_exponent",
-    "haar_wavelet_energy",
-    "sax_weekly_symbols",
-    "gumbel_block_maxima",
-    "kruskal_wallis_value",
-    "friedman_daily_ranks",
-    "customer_order_concurrency",
-    "event_count_dispersion",
-    "hour_of_day_profile",
-    "effective_sample_size",
-    "vif_report",
-    "granger_causality_daily",
-    "holt_winters_eval",
-    "markov_entropy_rate",
-    "variogram_daily",
-    "taylor_power_law",
-    "newsvendor_stock_level",
-    "fdr_drift_gate",
-    # Checked in the r09 window (newest driver rows).
-    "wasserstein_value_drift",
-    "cvm_drift_test",
-    "energy_distance_drift",
-    "theil_sen_trend",
-    "mcnemar_gate_flips",
-    "partial_corr_matrix",
-    "knn_loo_accuracy",
-    "anderson_darling_drift",
-    "ljung_box_daily",
-    "skey_collision_audit",
-    "neardup_rate_by_source",
-    "minhash_recall_report",
-    "ivf_nprobe_sweep",
-    "embedding_split_leakage",
-    "dup_cluster_size_histogram",
-    "source_logodds_terms",
-    "zipf_rank_slope",
-    "vocab_growth_curve",
-    "char_coverage_report",
-    "oov_rate_curve",
-    "char_bigram_entropy",
-    "langid_confusion_report",
-    "readability_report",
-    "textrank_keywords",
-    "js_divergence_sources",
-    "quantile_normalize_scores",
-    "feature_hash_collisions",
-    "dedup_prefix",
-    "snapshot_diff",
-    "kmeans_lloyd_assign",
-    "centroid_silhouette_report",
-    "ann_pq_topk",
-    "embedding_drift_report",
-    "rrf_fusion_topk",
-    "ann_ndcg_eval",
-    "prf_expansion_terms",
-    "kwic_snippets",
-    "graph_label_propagation",
-    "graph_khop_reach",
-    "graph_link_prediction",
-    "graph_modularity",
-    "graph_kcore_peel",
-    "bottomk_sample_quantiles",
 ]
 
 
 def _rotated() -> None:
-    registry.reorder([n for n in _R11_PRIORITY if n in registry.QUERIES])
+    registry.reorder([n for n in _R12_PRIORITY if n in registry.QUERIES])
 
 
 def entry(spark: SparkSession) -> DataFrame:

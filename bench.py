@@ -475,9 +475,17 @@ def main() -> None:
     # The driver's BENCH_r0N capture has truncated the head of this line
     # twice (r3 lost everything, r4 lost 24 queries), so ALSO persist the
     # full record in-repo where it can be committed and diffed per round.
+    # Default record name carries the core count: the driver re-runs the
+    # bench at a lower $SPARK_GRAFT_CPUS to measure scaling, and a fixed
+    # name let that run overwrite the 32-core record (round-10 lesson —
+    # PERF_r10 lost its per-query ground truth to exactly this).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r13.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r14_c{cpus}.json",
+        ),
     )
     try:
         with open(local, "w") as fh:

@@ -9,6 +9,8 @@ rounding.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,11 +45,24 @@ def normalized(col: Column) -> Column:
 def _col_sql(c: Column | str) -> str:
     """The SQL text of a Column (PySpark renders it in repr). Only used
     for the simple operand shapes static_dot receives (named columns,
-    casts); F.expr re-parses it into the identical expression tree."""
+    casts); F.expr re-parses it into the identical expression tree.
+
+    Contract guard: aliased or otherwise bound Columns (``c.alias(...)``,
+    a join-disambiguated ``df['v']``) would re-parse to a different —
+    or unparseable — expression, so they are rejected up front rather
+    than silently producing a wrong plan."""
     if isinstance(c, str):
         return c
     s = str(c)  # "Column<'...'>"
-    return s[s.index("'") + 1 : s.rindex("'")]
+    sql = s[s.index("'") + 1 : s.rindex("'")]
+    # an alias renders as a trailing "… AS name" (a cast's "AS" is inside
+    # its parens, so a bare cast ends with ')'); '#' marks a leaked exprId
+    if "#" in sql or _re.search(r"\s+AS\s+[^)\s]+$", sql):
+        raise ValueError(
+            f"static_dot operands must be plain column names or casts, got {sql!r}: "
+            "aliased/bound Columns do not survive the repr->F.expr round trip"
+        )
+    return sql
 
 
 def static_dot(a: Column | str, b: Column | str, dim: int) -> Column:

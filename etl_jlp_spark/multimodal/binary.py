@@ -661,11 +661,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, float, int]:
     return rate, channels, n_samples, n_samples / rate, rms, peak
 
 
-def synth_audio_df(spark: SparkSession, n: int = 32, kind: str = "wav") -> DataFrame:
-    """Deterministic audio rows: real sine-mix WAV payloads for 'wav',
-    real FLAC payloads for 'flac' (in-repo frame codec, mixed
-    fixed/LPC/mid-side arrangements), md5-derived opaque bytes for
-    undecodable kinds (mp3/ogg)."""
+def synth_audio_rows(n: int = 32, kind: str = "wav") -> list:
+    """The deterministic audio rows behind ``synth_audio_df`` — exposed
+    so a multi-kind corpus can be built as ONE driver createDataFrame
+    instead of one per kind plus unions (audio_decode_report)."""
     rows = []
     for i in range(n):
         if kind in REAL_AUDIO_KINDS:
@@ -686,7 +685,15 @@ def synth_audio_df(spark: SparkSession, n: int = 32, kind: str = "wav") -> DataF
             digest = hashlib.md5(f"{kind}:{i}".encode()).digest()
             payload = (digest * ((i % 5) + 1))[: 16 * ((i % 5) + 1)]
             rows.append((i, kind, bytearray(payload), (f"src{i % 3}", len(payload), 0, 0)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_audio_df(spark: SparkSession, n: int = 32, kind: str = "wav") -> DataFrame:
+    """Deterministic audio rows: real sine-mix WAV payloads for 'wav',
+    real FLAC payloads for 'flac' (in-repo frame codec, mixed
+    fixed/LPC/mid-side arrangements), md5-derived opaque bytes for
+    undecodable kinds (mp3/ogg)."""
+    return spark.createDataFrame(synth_audio_rows(n, kind), MEDIA_SCHEMA)
 
 
 def decode_audio(media: DataFrame, fake_decode: bool = True) -> DataFrame:

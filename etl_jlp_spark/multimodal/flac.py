@@ -49,23 +49,40 @@ _BLOCKSIZE_TABLE = {
 _SAMPLE_SIZE_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+# table-driven CRCs (one lookup per byte instead of 8 shift/xor python
+# ops): the CRCs run over EVERY frame's bytes on both the encode and
+# decode paths, and the per-bit loop was a top-3 profile entry of the
+# audio corpus synthesis (driver-side, serialized — §4 per-task work)
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, poly 0x07, init 0 (FLAC frame-header CRC)."""
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, poly 0x8005, init 0 (FLAC frame CRC)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -92,6 +109,28 @@ class _BitWriter:
             self.write(0, 32)
             q -= 32
         self.write(1, q + 1)  # q zeros then a one
+
+    def write_bits(self, bits: np.ndarray) -> None:
+        """Bulk-append a 0/1 uint8 bit array (the vectorized Rice path):
+        one np.packbits instead of a python write per bit."""
+        nb = self.nbits
+        if nb:
+            head = np.empty(nb, dtype=np.uint8)
+            for i in range(nb):  # ≤ 7 carried bits
+                head[i] = (self.acc >> (nb - 1 - i)) & 1
+            allb = np.concatenate([head, bits])
+        else:
+            allb = bits
+        total = len(allb)
+        keep = total % 8
+        nbytes = total - keep
+        if nbytes:
+            self.buf += np.packbits(allb[:nbytes]).tobytes()
+        acc = 0
+        for b in allb[nbytes:]:  # ≤ 7 trailing bits back into the accumulator
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = keep
 
     def align(self) -> None:
         if self.nbits:
@@ -199,10 +238,83 @@ def _rice_write(bw: _BitWriter, residual: np.ndarray, order: int, blocksize: int
             if best_cost is None or cost < best_cost:
                 best_k, best_cost = k, cost
         bw.write(best_k, 4)
-        for val in u:
-            bw.write_unary(int(val) >> best_k)
-            if best_k:
-                bw.write(int(val) & ((1 << best_k) - 1), best_k)
+        # vectorized code emission (was a python write per value per
+        # bit): lay every code's bits into one array — q zeros, a one,
+        # then the k low bits — and bulk-append it. Layout identical to
+        # the per-value writer, so streams are byte-for-byte unchanged.
+        k = best_k
+        q = (u >> k).astype(np.int64)
+        lens = q + 1 + k
+        ends = np.cumsum(lens)
+        offs = ends - lens
+        bits = np.zeros(int(ends[-1]) if n else 0, dtype=np.uint8)
+        bits[offs + q] = 1
+        if k:
+            pos = (offs + q + 1)[:, None] + np.arange(k)[None, :]
+            vals = ((u[:, None] >> np.arange(k - 1, -1, -1)[None, :]) & 1).astype(
+                np.uint8
+            )
+            bits[pos.ravel()] = vals.ravel()
+        bw.write_bits(bits)
+
+
+def _take_bits(bits: np.ndarray, pos: int, n: int) -> int:
+    """Read an n-bit big-endian unsigned int from a 0/1 bit array."""
+    if pos + n > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    v = 0
+    for b in bits[pos : pos + n]:  # n ≤ 5 here (rice parameter widths)
+        v = (v << 1) | int(b)
+    return v
+
+
+def _read_fixed_width(bits: np.ndarray, pos: int, n: int, width: int) -> np.ndarray:
+    """n signed ``width``-bit big-endian ints from a bit array — the
+    vectorized escape-partition / VERBATIM read (one reshape + matmul
+    instead of a python read per value)."""
+    if width == 0:
+        return np.zeros(n, dtype=np.int64)
+    end = pos + n * width
+    if end > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    seg = bits[pos:end].reshape(n, width).astype(np.int64)
+    v = seg @ (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+    return v - ((v >> (width - 1)) << width)  # sign-extend
+
+
+def _rice_decode_block(
+    bits: np.ndarray, nxt: np.ndarray, pos: int, n: int, k: int
+) -> tuple[np.ndarray, int]:
+    """Decode ``n`` Rice(k) codes from ``bits`` starting at ``pos``.
+
+    Fully vectorized (§4: no per-sample python loop): ``nxt[j]`` is the
+    position of the first set bit at/after j (the unary terminator), so
+    "decode one code starting at j" is the jump j → nxt[j]+1+k. All n
+    start positions come from pointer-doubling over that jump table
+    (log2(n) vectorized gathers), then quotients and the k-bit suffixes
+    are plain gathers. Layout identical to the per-value reader."""
+    L = len(bits)
+    f = np.minimum(nxt + 1 + k, L)  # one-code jump; L = truncation sentinel
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = pos
+    have = 1
+    tab = f
+    while have < n:
+        c = min(have, n - have)
+        starts[have : have + c] = tab[starts[:c]]
+        have += c
+        if have < n:
+            tab = tab[tab]  # double the jump length
+    t = nxt[starts]  # terminator (set-bit) position of each code
+    if int(t[-1]) + 1 + k > L:
+        raise ValueError("FLAC bitstream truncated")
+    u = (t - starts).astype(np.int64) << k
+    if k:
+        idx = (t + 1)[:, None] + np.arange(k)[None, :]
+        lows = bits[idx].astype(np.int64)
+        u |= lows @ (np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64))
+    vals = (u >> 1) ^ -(u & 1)
+    return vals, int(t[-1]) + 1 + k
 
 
 def _rice_read(br: _BitReader, order: int, blocksize: int) -> np.ndarray:
@@ -219,20 +331,33 @@ def _rice_read(br: _BitReader, order: int, blocksize: int) -> np.ndarray:
     if part_len <= order and nparts == 1:
         raise ValueError("first partition has no samples")
     out = np.empty(blocksize - order, dtype=np.int64)
+    # unpack the remaining payload bits ONCE; every partition decodes
+    # with vectorized gathers against this array (and the shared
+    # next-set-bit table), then the reader position is written back
+    byte0 = br.bytepos
+    bits = np.unpackbits(np.frombuffer(br.data, dtype=np.uint8, offset=byte0))
+    L = len(bits)
+    # nxt[j] = first set bit at/after j (L when none — truncated stream)
+    tmp = np.full(L + 1, L, dtype=np.int64)
+    ones = np.flatnonzero(bits)
+    tmp[ones] = ones
+    nxt = np.minimum.accumulate(tmp[::-1])[::-1]
+    pos = br.bitpos
     idx = 0
     for p in range(nparts):
         n = part_len - (order if p == 0 else 0)
-        k = br.read(pbits)
+        k = _take_bits(bits, pos, pbits)
+        pos += pbits
         if k == escape:
-            raw = br.read(5)
-            for i in range(n):
-                out[idx + i] = br.read_signed(raw) if raw else 0
+            raw = _take_bits(bits, pos, 5)
+            pos += 5
+            out[idx : idx + n] = _read_fixed_width(bits, pos, n, raw)
+            pos += n * raw
         else:
-            for i in range(n):
-                q = br.read_unary()
-                u = (q << k) | (br.read(k) if k else 0)
-                out[idx + i] = (u >> 1) ^ -(u & 1)
+            out[idx : idx + n], pos = _rice_decode_block(bits, nxt, pos, n, k)
         idx += n
+    br.bytepos = byte0 + (pos >> 3)
+    br.bitpos = pos & 7
     return out
 
 
@@ -330,16 +455,28 @@ def _read_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
         order = ftype - 8
         warm = [br.read_signed(bps) for _ in range(order)]
         res = _rice_read(br, order, n)
+        # the order-o fixed predictor is EXACTLY the o-th finite
+        # difference, so reconstruction is o chained cumsums seeded by
+        # the warmup's difference pyramid — no per-sample python loop
+        # (§4). Magnitude guard replaces the old python-int overflow
+        # trap: any level whose values leave ±2^48 can only come from a
+        # corrupt stream (legit bps ≤ 32 keeps every difference level
+        # under ~2^37), and the bound guarantees the next cumsum cannot
+        # wrap int64 (2^48 · 65536 < 2^63).
+        _LIM = np.int64(1) << 48
+        if res.size and int(np.abs(res).max()) >= _LIM:
+            raise ValueError("fixed-predictor residual overflow (corrupt stream)")
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
-        coefs = FIXED_COEFS[order]
-        # python-int accumulation: a CORRUPTED stream can reach values a
-        # numpy int64 would silently wrap; the oversized assignment then
-        # raises OverflowError, which loud_codec maps to ValueError
-        for i in range(order, n):
-            out[i] = int(res[i - order]) + sum(
-                c * int(out[i - 1 - j]) for j, c in enumerate(coefs)
-            )
+        w_arr = np.asarray(warm, dtype=np.int64)
+        level = res
+        for lvl in range(order - 1, -1, -1):
+            # D^lvl[order-1] from the warmup pyramid, then integrate
+            seed = np.diff(w_arr, n=lvl)[-1]
+            level = seed + np.cumsum(level)
+            if level.size and int(np.abs(level).max()) >= _LIM:
+                raise ValueError("fixed-predictor overflow (corrupt stream)")
+        out[order:] = level
     elif ftype >= 32:  # LPC
         order = ftype - 32 + 1
         warm = [br.read_signed(bps) for _ in range(order)]

@@ -103,18 +103,25 @@ def audio_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact production shape for a 100 TB media table — per-batch codec
     work, vectorized metadata, no driver loop); the report is one
     |kinds|-cell aggregate."""
-    from etl_jlp_spark.multimodal.binary import decode_audio, synth_audio_df
+    from etl_jlp_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        synth_audio_rows,
+    )
 
-    media = (
-        synth_audio_df(spark, n=N_REAL, kind="wav")
-        .unionByName(synth_audio_df(spark, n=N_REAL, kind="flac"))
-        .unionByName(synth_audio_df(spark, n=N_FAKE, kind="mp3"))
-        .unionByName(synth_audio_df(spark, n=N_FAKE, kind="ogg"))
+    # ONE createDataFrame for all four kinds (same rows, same order as
+    # the old per-kind frames + 3 unionByNames — r11: four driver py4j
+    # conversions and three union nodes collapsed into one LocalRelation)
+    media = spark.createDataFrame(
+        synth_audio_rows(N_REAL, "wav")
+        + synth_audio_rows(N_REAL, "flac")
+        + synth_audio_rows(N_FAKE, "mp3")
+        + synth_audio_rows(N_FAKE, "ogg"),
+        MEDIA_SCHEMA,
         # right-size: 96 tiny rows would otherwise fan out to 4×32
         # near-empty tasks (pure scheduling overhead; measured best at
         # ~16); a real media table arrives already file-partitioned
-        .coalesce(16)
-    )
+    ).coalesce(16)
     dec = decode_audio(media, fake_decode=True)
     real = F.col("sample_rate") > 0
     return dec.groupBy("kind").agg(

@@ -606,9 +606,18 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_conflicting_fields"),
     )
+    # one reference to `joined` instead of a two-branch unionAll (each
+    # branch replanted the CC join + doc scan): explode a 2-struct array
+    # per row — same (component, field, val) rows, §2.4 map-side reshape
     fv = joined.select(
-        "component", F.lit("source").alias("field"), F.col("source").alias("val")
-    ).unionAll(joined.select("component", F.lit("lang"), F.col("lang")))
+        "component",
+        F.explode(
+            F.array(
+                F.struct(F.lit("source").alias("field"), F.col("source").alias("val")),
+                F.struct(F.lit("lang").alias("field"), F.col("lang").alias("val")),
+            )
+        ).alias("cv"),
+    ).select("component", F.col("cv.field").alias("field"), F.col("cv.val").alias("val"))
     counted = fv.groupBy("component", "field", "val").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
 

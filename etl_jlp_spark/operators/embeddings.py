@@ -484,9 +484,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = [mu_row[f"m{j}"] for j in range(dim)]
     n = mu_row["n"]
     # exact double literals: repr() round-trips, CAST('…' AS DOUBLE)
-    # parses back the identical IEEE value the old F.lit carried
+    # parses back the identical IEEE value the old F.lit carried.
+    # None (all-NULL dimension) must render as a SQL NULL, not the
+    # string 'None' — identical under the current non-ANSI session but
+    # an error if spark.sql.ansi.enabled is ever turned on.
+    def _dlit(x: float | None) -> str:
+        return "CAST(NULL AS DOUBLE)" if x is None else f"CAST('{x!r}' AS DOUBLE)"
+
     centered_sql = "array(" + ", ".join(
-        f"{x_sql}[{j}] - CAST('{mu[j]!r}' AS DOUBLE)" for j in range(dim)
+        f"{x_sql}[{j}] - {_dlit(mu[j])}" for j in range(dim)
     ) + ")"
     # centered array materialized ONCE: each iteration re-reads the
     # cached d-double rows, not the parquet scan; and the per-dimension
@@ -498,9 +504,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [1.0 / math.sqrt(dim)] * dim
     nrm = 0.0
     for _ in range(PCA_ITERS):
-        dot = F.expr(
-            " + ".join(f"c[{j}] * CAST('{v[j]!r}' AS DOUBLE)" for j in range(dim))
-        )
+        dot = F.expr(" + ".join(f"c[{j}] * {_dlit(v[j])}" for j in range(dim)))
         y_rows = (
             centered.withColumn("dot", dot)
             .select(F.posexplode("c").alias("pos", "val"), "dot")
@@ -698,60 +702,101 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking, neighbor-id tie-break — the engine-stable ordering the
     whole ANN family uses) votes with its label.
 
-    Plan: brute-force sample-vs-all with the corpus side broadcast —
-    explicitly the EVAL baseline, like ann_topk_cosine: it gates
-    embedding / quantization changes offline. The query side IS the
-    documented deterministic md5 sample (~25%, every scale — the same
-    sample ann_recall_report's exact side uses at 100 TB), so cost is
-    0.25·N·|corpus| instead of N²; every vector still serves as a
-    candidate neighbor. The serving-scale paths are the bucketed
-    LSH/IVF operators. Cosine via ``static_dot`` (whole-stage codegen,
-    no Python)."""
+    Plan (two exact phases, §4.2 batches-to-native): the corpus side —
+    the same relation the old BroadcastNestedLoopJoin shipped to every
+    task — is collected once and broadcast as a numpy matrix; the
+    deterministic ~25% md5 query sample streams through ONE Arrow
+    ``mapInPandas`` pass that accumulates every query-vs-corpus cosine
+    in SEQUENTIAL dimension order (bit-identical IEEE ops to the
+    ``static_dot`` left-deep chain: per-dim multiply then add, then one
+    divide by the norm product) and keeps, per query, every neighbor
+    within MARGIN=1e-5 of the row maximum. Because ranking uses
+    round(cos, 6), any neighbor more than 1e-5 below the max has a
+    strictly smaller c6 (1e-5 > 2·0.5e-6 rounding slack) and can never
+    win even via the tie-break — the survivor set provably contains
+    the true winner (pinned by tests/test_r11_optimizations.py).
+    Spark then computes c6 = round(dot/(qn·nn), 6) on the ~1-per-query
+    survivors with the SAME expressions as before, so every emitted
+    value is unchanged. This replaces a 1M-row fused BNLJ stage whose
+    generated 25 KB-bytecode method had to be janino-compiled and
+    JIT-warmed on every run (measured 4.1 → ~1.4 s at sf0.1) while
+    numpy does the O(|sample|·N·d) arithmetic. The broadcast-corpus
+    memory posture is unchanged from the BNLJ form — this stays the
+    declared EVAL baseline; serving-scale paths are the LSH/IVF
+    operators."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(emb)
-    v = as_double_array(F.col("embedding"))
-    # widen the STREAMED side: a single parquet file scans as one input
-    # partition, serializing the N x broadcast-N pair fan-out
-    # norms are computed ONCE PER ROW here (N of them), not once per
-    # pair (the inline form evaluates THREE static_dots per pair row).
-    # The streamed side is repartitioned with a PINNED count, not
-    # catalog.widen: the N-row pre-join relation is tiny, so AQE
-    # coalesces a hash-repartition back to ONE partition — and the N²
-    # fan-out happens AFTER that exchange, serializing the whole
-    # scoring stage on a single task (measured: 95 s of the 99 s bench
-    # cost at sf0.1). REPARTITION_BY_NUM is exactly the hint AQE may
-    # not coalesce; the row count is known-small so the extra empty
-    # tasks cost nothing.
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)  # exact widen
+    # corpus norms accumulated in the static_dot chain's sequential order
+    acc = V[:, 0] * V[:, 0]
+    for i in range(1, dim):
+        acc = acc + V[:, i] * V[:, i]
+    cn = np.sqrt(acc)
+    bc = spark.sparkContext.broadcast((ids, labels, V, cn))
+    MARGIN = 1e-5
+
+    def score_batches(it):
+        b_ids, b_labels, b_V, b_cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            tl = pdf["true_label"].to_numpy(dtype=np.int64)
+            acc_q = Q[:, 0] * Q[:, 0]
+            for i in range(1, dim):
+                acc_q = acc_q + Q[:, i] * Q[:, i]
+            qn = np.sqrt(acc_q)
+            out = {k: [] for k in ("qid", "true_label", "pred_label", "nb", "dot", "qn", "nn")}
+            for s in range(0, len(qid), 256):  # bound the (chunk x N) matrices
+                e = min(s + 256, len(qid))
+                qc, qnc = Q[s:e], qn[s:e]
+                dot = qc[:, 0][:, None] * b_V[:, 0][None, :]
+                for i in range(1, dim):
+                    dot = dot + qc[:, i][:, None] * b_V[:, i][None, :]
+                cos = dot / (qnc[:, None] * b_cn[None, :])
+                cos[qid[s:e][:, None] == b_ids[None, :]] = -np.inf  # self-pairs
+                keep = cos >= (cos.max(axis=1, keepdims=True) - MARGIN)
+                qi, ci = np.nonzero(keep)
+                out["qid"].append(qid[s:e][qi])
+                out["true_label"].append(tl[s:e][qi])
+                out["pred_label"].append(b_labels[ci])
+                out["nb"].append(b_ids[ci])
+                out["dot"].append(dot[qi, ci])
+                out["qn"].append(qnc[qi])
+                out["nn"].append(b_cn[ci])
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
     par = spark.sparkContext.defaultParallelism
-    base = emb.repartition(par, "vec_id").select(
-        "vec_id",
-        "label",
-        v.alias("v"),
-        F.sqrt(static_dot(v, v, dim)).alias("nrm"),
+    cand = (
+        emb.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < KNN_EVAL_SAMPLE_HEX
+        )
+        .select("vec_id", F.col("label").alias("true_label"), "embedding")
+        # pinned spread: the N-row sample is one input partition and AQE
+        # would coalesce an unpinned repartition — REPARTITION_BY_NUM
+        # keeps the scoring pass parallel (same note as the old form)
+        .repartition(par, "vec_id")
+        .mapInPandas(
+            score_batches,
+            "qid long, true_label long, pred_label long, nb long, "
+            "dot double, qn double, nn double",
+        )
     )
-    a = base.filter(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < KNN_EVAL_SAMPLE_HEX
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("true_label"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("nb"),
-        F.col("label").alias("pred_label"),
-        F.col("v").alias("nv"),
-        F.col("nrm").alias("nn"),
-    )
-    scored = a.join(F.broadcast(b), F.col("qid") != F.col("nb")).select(
+    # final ranking values computed by SPARK expressions on the tiny
+    # survivor relation — identical ops to the old full-pair plan's c6
+    scored = cand.select(
         "qid",
         "true_label",
         "pred_label",
         "nb",
-        F.round(
-            static_dot(F.col("qv"), F.col("nv"), dim) / (F.col("qn") * F.col("nn")),
-            6,
-        ).alias("c6"),
+        F.round(F.col("dot") / (F.col("qn") * F.col("nn")), 6).alias("c6"),
     )
     # Rank-1 via a map-side-combinable max over (c6, -nb) — NEVER a
     # row_number window, which would shuffle and sort the full N²

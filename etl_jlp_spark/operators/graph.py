@@ -332,40 +332,44 @@ def _lpa_from_pairs(spark: SparkSession, pairs) -> DataFrame:
     localCheckpoint — so plan-fragment reuse can never bridge the two)."""
     from pyspark.sql import Window
 
+    # try/finally: a failure mid-loop must still release the cache — a
+    # lingering CacheManager entry for the edge subtree hijacks every
+    # later dedup_minhash_lsh consumer in the session (round-10 lesson).
     cached = _sym_edges(pairs).persist()
-    n_edges = cached.count()
-    if n_edges <= DRIVER_LPA_MAX_EDGES:
-        labs = _driver_lpa([(r["src"], r["dst"]) for r in cached.collect()])
-        cached.unpersist()
-        sizes: dict[int, int] = {}
-        for _, lab in labs:
-            sizes[lab] = sizes.get(lab, 0) + 1
-        return spark.createDataFrame(
-            [(n, lab, sizes[lab]) for n, lab in labs],
-            "node long, community long, community_size long",
-        )
-    sc = cached.sparkSession.sparkContext
-    n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
-    edges = cached.repartition(n_part, "dst")  # keep `cached` for unpersist
-    labels = (
-        edges.select(F.col("dst").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
-    for _ in range(LPA_ITERS):
+    try:
+        n_edges = cached.count()
+        if n_edges <= DRIVER_LPA_MAX_EDGES:
+            labs = _driver_lpa([(r["src"], r["dst"]) for r in cached.collect()])
+            sizes: dict[int, int] = {}
+            for _, lab in labs:
+                sizes[lab] = sizes.get(lab, 0) + 1
+            return spark.createDataFrame(
+                [(n, lab, sizes[lab]) for n, lab in labs],
+                "node long, community long, community_size long",
+            )
+        sc = cached.sparkSession.sparkContext
+        n_part = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+        edges = cached.repartition(n_part, "dst")  # keep `cached` for unpersist
         labels = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumnRenamed("node2", "node")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            edges.select(F.col("dst").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
             .localCheckpoint(eager=True)
         )
-    cached.unpersist()
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+        for _ in range(LPA_ITERS):
+            labels = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumnRenamed("node2", "node")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        cached.unpersist()
     wsize = Window.partitionBy("label")
     return labels.select(
         F.col("node").cast("long").alias("node"),
@@ -630,56 +634,58 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so without the persist the MinHash pipeline would run twice —
     # once inside LPA, once for intra/deg below.
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    labels = _lpa_from_pairs(spark, pairs).select("node", "community")
-    deg = _degrees(_sym_edges(pairs))
-    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
-    lb = labels.select(F.col("node").alias("doc_b"), F.col("community").alias("cb"))
-    intra = (
-        pairs.join(la, "doc_a")
-        .join(lb, "doc_b")
-        .filter(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
-    )
-    degs = (
-        labels.join(deg, "node")
-        .groupBy("community")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("deg").cast("long").alias("degree_sum"),
+    try:
+        labels = _lpa_from_pairs(spark, pairs).select("node", "community")
+        deg = _degrees(_sym_edges(pairs))
+        m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+        la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
+        lb = labels.select(F.col("node").alias("doc_b"), F.col("community").alias("cb"))
+        intra = (
+            pairs.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .filter(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("community"))
+            .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
         )
-    )
-    report = (
-        degs.join(intra, "community", "left")
-        .crossJoin(F.broadcast(m))
-        .select(
-            F.col("community").cast("long").alias("community"),
-            "n_nodes",
-            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
-            "degree_sum",
-            (
-                F.round(
-                    (
-                        4 * F.col("m") * F.coalesce("intra_edges", F.lit(0))
-                        - F.col("degree_sum") * F.col("degree_sum")
-                    ).cast("double")
-                    / (4 * F.col("m") * F.col("m")).cast("double"),
-                    8,
-                )
-                + 0.0
-            ).alias("q_contrib"),
+        degs = (
+            labels.join(deg, "node")
+            .groupBy("community")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.sum("deg").cast("long").alias("degree_sum"),
+            )
         )
-    )
-    # Materialize the ≤|communities|-row report eagerly and RELEASE the
-    # pair cache NOW (the ivf_append_report teardown convention). A
-    # lingering CacheManager entry for the pair subtree hijacks every
-    # later dedup_minhash_lsh consumer in the session into an
-    # InMemoryRelation whose blocks may long be evicted —
-    # graph_link_prediction measured 2× slower across a full bench
-    # sweep with the entry left behind.
-    report = report.localCheckpoint(eager=True)
-    pairs.unpersist()
+        report = (
+            degs.join(intra, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                F.col("community").cast("long").alias("community"),
+                "n_nodes",
+                F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+                "degree_sum",
+                (
+                    F.round(
+                        (
+                            4 * F.col("m") * F.coalesce("intra_edges", F.lit(0))
+                            - F.col("degree_sum") * F.col("degree_sum")
+                        ).cast("double")
+                        / (4 * F.col("m") * F.col("m")).cast("double"),
+                        8,
+                    )
+                    + 0.0
+                ).alias("q_contrib"),
+            )
+        )
+        # Materialize the ≤|communities|-row report eagerly and RELEASE the
+        # pair cache NOW (the ivf_append_report teardown convention). A
+        # lingering CacheManager entry for the pair subtree hijacks every
+        # later dedup_minhash_lsh consumer in the session into an
+        # InMemoryRelation whose blocks may long be evicted —
+        # graph_link_prediction measured 2× slower across a full bench
+        # sweep with the entry left behind.
+        report = report.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
     return report
 
 
@@ -746,6 +752,13 @@ def _hits_frames(spark: SparkSession, sf_dir: str):
         h = hr.crossJoin(F.broadcast(htot)).select(
             "u", F.round(F.col("s") / F.col("tot"), HITS_ROUND).alias("h")
         )
+        # Truncate lineage each round (the PageRank/LPA discipline —
+        # r11): every crossJoin with a total embeds its source subtree
+        # TWICE, so the unrolled lazy chain grew ~4× per round — the
+        # hits_top_hubs static plan reached 888 Exchanges and Catalyst
+        # planning dominated the bench cost. One tiny user-count-sized
+        # checkpoint per round keeps the plan depth constant.
+        h = h.localCheckpoint(eager=True)
     return e, a, h
 
 

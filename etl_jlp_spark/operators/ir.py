@@ -976,8 +976,23 @@ def doc_similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _words(docs, spark, sf_dir).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # Materialize df (vocabulary-sized) and then the weighted relation
+    # `w` itself eagerly: the plan below references w four times (dots'
+    # two sides, nrm's two references), and every lazy reference
+    # replanted a FULL tokenize pass with its own embedded full-corpus
+    # df subtree — the r11 before-plan ran the corpus explode+aggregate
+    # ~7× (§2.4/§5). Two eager checkpoints cut that to exactly 2
+    # tokenize passes (df build + w build); everything downstream reads
+    # the materialized (doc_id, term, w) rows. Measured 6.4 → 4.2 s at
+    # sf0.1; at 100 TB w is a column-pruned projection of the corpus
+    # tokens and the five avoided re-tokenize passes dominate.
+    dfr = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     w = (
-        _with_df(tf)
+        tf.join(F.broadcast(dfr), "term")
         .crossJoin(F.broadcast(_n_docs(docs)))
         .select(
             "doc_id",
@@ -986,6 +1001,7 @@ def doc_similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)
             ).alias("w"),
         )
+        .localCheckpoint(eager=True)
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     q = w.filter(

@@ -599,7 +599,13 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reproducible across engines, partitionings and reruns)."""
     from etl_jlp_spark.operators.similarity import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # Materialize the match-bounded pair list ONCE (eager localCheckpoint,
+    # graph_modularity's teardown-free variant — no CacheManager entry to
+    # leak): the plan below references it four times (pos ×2, the anchor
+    # projection, the anti-join's partner side), and each lazy reference
+    # re-ran the full MinHash candidate+verify pipeline — 157 Exchanges
+    # in the r11 before-plan, ~4 band-join executions per run (§2.4).
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     partners = pairs.select(
         F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner"), "jaccard"
     ).unionAll(

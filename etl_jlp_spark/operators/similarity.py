@@ -1073,8 +1073,9 @@ def ensure_ivf_store(
             os.rename(tmp, final)
         except OSError:  # another process won the race — use its store
             shutil.rmtree(tmp, ignore_errors=True)
+    # only the corpus is persisted by ivf_index (r10 dropped the
+    # assigned double-cache), so that is the one handle to release
     corpus.unpersist()
-    assigned.unpersist()
     return assigned_path, cent_path
 
 
@@ -1896,6 +1897,12 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # Both pair relations are matched-bounded and tiny; each is consumed
+    # TWICE below (its own count + the hit join), and each lazy
+    # reference re-ran its full pipeline — the exact side's Σ df²
+    # inverted-index self-join twice, the banded MinHash pipeline twice.
+    # Eager localCheckpoints run each ONCE (§5; the contrastive_triplets
+    # pattern — no CacheManager entry to leak).
     true_pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1904,6 +1911,7 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= MINHASH_TAU
         )
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     pred = (
         dedup_minhash_lsh(spark, sf_dir)
@@ -1911,6 +1919,7 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(samp.select(F.col("doc_id").alias("doc_a")), "doc_a")
         .join(samp.select(F.col("doc_id").alias("doc_b")), "doc_b")
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     n_samp = samp.agg(F.count(F.lit(1)).cast("long").alias("n_sample_docs"))
     n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))

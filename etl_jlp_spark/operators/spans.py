@@ -280,25 +280,36 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WIN_W - 1)
     )
+    # Window-only rightmost-min selection (replaces the r10 self-join of
+    # each window's min back against its ≤W member grams — one join, its
+    # Exchange and a sort gone, §2.4): over the SAME frame that computes
+    # the window min, max_by(pos, struct(-h, pos)) returns the position
+    # of the minimal hash with rightmost-position tie-breaking — struct
+    # ordering compares -h first (max ⇒ min h), then pos (max ⇒ rightmost).
+    # pos is gapless 1..n_grams per doc, so the ROWS frame spans exactly
+    # the window's W grams; tests pin set-equality against the join form.
+    # the tie-break struct is projected BEFORE the window so min and
+    # max_by land in ONE Window node (one running-frame pass over the
+    # sorted grams, not two)
     wmin = (
         grams.join(nw, "doc_id")
-        .withColumn("m", F.min("h").over(wmin_w))
-        .filter(F.col("pos") <= F.col("n_grams") - (WIN_W - 1))
-        .select("doc_id", F.col("pos").alias("s"), "m")
-    )
-    g2 = grams.select("doc_id", F.col("pos").alias("gpos"), F.col("h").alias("gh"))
-    sel = (
-        wmin.join(
-            g2,
-            (wmin.doc_id == g2.doc_id)
-            & (F.col("gpos") >= F.col("s"))
-            & (F.col("gpos") <= F.col("s") + (WIN_W - 1))
-            & (F.col("gh") == F.col("m")),
+        .withColumn("st", F.struct((-F.col("h")).alias("nh"), F.col("pos").alias("p")))
+        .select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("h").over(wmin_w).alias("m"),
+            F.max_by("pos", F.col("st")).over(wmin_w).alias("pos_sel"),
         )
-        .groupBy(wmin.doc_id, "s", "m")
-        .agg(F.max("gpos").alias("pos"))
+        .filter(F.col("pos") <= F.col("n_grams") - (WIN_W - 1))
     )
-    fp = sel.select(wmin.doc_id.alias("doc_id"), "pos", F.col("m").alias("h")).distinct()
+    # NOT checkpointed: fp ends in the distinct's Exchange, so its two
+    # consumers (per_doc, shared) dedupe via ReusedExchange inside the
+    # one result job — an eager checkpoint here measured WORSE (it
+    # serializes a job barrier the runtime reuse makes redundant)
+    fp = wmin.select(
+        "doc_id", F.col("pos_sel").alias("pos"), F.col("m").alias("h")
+    ).distinct()
     per_doc = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
     shared = (
         fp.groupBy("h")

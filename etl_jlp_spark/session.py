@@ -42,6 +42,16 @@ def get_spark(app_name: str = "etl_jlp_spark", master: str | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (DontCompileHugeMethods, on by default) — whole-stage codegen
+        # for wide expression chains (the 64-dim static_dot family
+        # compiles to ~15 KB methods) then runs INTERPRETED: measured
+        # 7.8x slower on the knn_loo pair-scoring stage at sf0.1.
+        # Scale-neutral JVM tuning (applies to any executor count);
+        # the flag is set for both roles so a cluster deployment
+        # inherits it.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

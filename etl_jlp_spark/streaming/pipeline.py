@@ -665,74 +665,76 @@ def streaming_cc_maintain(
         stored_edges = spark.read.parquet(ptr["edges"])
         stored_labels = spark.read.parquet(ptr["labels"])
         bsh = _word_shingles(batch_df).persist()
-        bands = _minhash_bands(bsh)
-        # the probe target is the static indexed corpus PLUS every
-        # EARLIER streamed batch (their band/shingle deltas accumulate
-        # per-batch_id — idempotent overwrite) so cross-batch near-dups
-        # are found no matter how the arriving corpus is sliced. On a
-        # replay the current batch's own delta may already be present;
-        # the resulting self-probe pairs re-merge as no-ops (semilattice).
-        prev_bands = spark.read.parquet(bands_path)
-        prev_sh = spark.read.parquet(sh_path)
-        if os.path.isdir(xbands_dir):
-            prev_bands = prev_bands.unionByName(
-                spark.read.parquet(xbands_dir).drop("batch_id")
+        try:  # release the batch cache even on a failed batch (r11 ADVICE pattern)
+            bands = _minhash_bands(bsh)
+            # the probe target is the static indexed corpus PLUS every
+            # EARLIER streamed batch (their band/shingle deltas accumulate
+            # per-batch_id — idempotent overwrite) so cross-batch near-dups
+            # are found no matter how the arriving corpus is sliced. On a
+            # replay the current batch's own delta may already be present;
+            # the resulting self-probe pairs re-merge as no-ops (semilattice).
+            prev_bands = spark.read.parquet(bands_path)
+            prev_sh = spark.read.parquet(sh_path)
+            if os.path.isdir(xbands_dir):
+                prev_bands = prev_bands.unionByName(
+                    spark.read.parquet(xbands_dir).drop("batch_id")
+                )
+                prev_sh = prev_sh.unionByName(spark.read.parquet(xsh_dir).drop("batch_id"))
+            o = prev_bands.alias("o")
+            n = bands.alias("n")
+            probe_cand = (
+                n.join(
+                    o,
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.key") == F.col("o.key"))
+                    & (F.col("n.doc_id") != F.col("o.doc_id")),
+                )
+                .select(F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b"))
+                .distinct()
             )
-            prev_sh = prev_sh.unionByName(spark.read.parquet(xsh_dir).drop("batch_id"))
-        o = prev_bands.alias("o")
-        n = bands.alias("n")
-        probe_cand = (
-            n.join(
-                o,
-                (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.key") == F.col("o.key"))
-                & (F.col("n.doc_id") != F.col("o.doc_id")),
+            a, b = bands.alias("a"), bands.alias("b")
+            int_cand = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                .distinct()
             )
-            .select(F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        a, b = bands.alias("a"), bands.alias("b")
-        int_cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            probe_pairs = _jaccard_on_candidates(
+                bsh.unionByName(prev_sh), probe_cand, MINHASH_TAU
+            ).select("doc_a", "doc_b")
+            int_pairs = _jaccard_on_candidates(bsh, int_cand, MINHASH_TAU).select(
+                "doc_a", "doc_b"
             )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        probe_pairs = _jaccard_on_candidates(
-            bsh.unionByName(prev_sh), probe_cand, MINHASH_TAU
-        ).select("doc_a", "doc_b")
-        int_pairs = _jaccard_on_candidates(bsh, int_cand, MINHASH_TAU).select(
-            "doc_a", "doc_b"
-        )
-        new_pairs = probe_pairs.unionByName(int_pairs)
-        write_batch_idempotent(bands, xbands_dir, batch_id)
-        write_batch_idempotent(bsh, xsh_dir, batch_id)
-        labels = merge_pairs_into_clusters(stored_labels, stored_edges, new_pairs)
-        edges = stored_edges.unionByName(new_pairs).distinct()
-        v_edges = os.path.join(state_dir, f"edges_v{int(batch_id)}")
-        v_labels = os.path.join(state_dir, f"labels_v{int(batch_id)}")
-        edges.write.mode("overwrite").parquet(v_edges)
-        labels.write.mode("overwrite").parquet(v_labels)
-        tmp = f"{pointer_path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"edges": v_edges, "labels": v_labels, "through_batch": int(batch_id)}, fh
-            )
-        os.replace(tmp, pointer_path)
-        # superseded state versions are garbage after the swap
-        for d in os.listdir(state_dir):
-            full = os.path.join(state_dir, d)
-            if (
-                d.startswith(("edges_v", "labels_v"))
-                and full not in (v_edges, v_labels)
-                and os.path.isdir(full)
-            ):
-                shutil.rmtree(full, ignore_errors=True)
-        bsh.unpersist()
+            new_pairs = probe_pairs.unionByName(int_pairs)
+            write_batch_idempotent(bands, xbands_dir, batch_id)
+            write_batch_idempotent(bsh, xsh_dir, batch_id)
+            labels = merge_pairs_into_clusters(stored_labels, stored_edges, new_pairs)
+            edges = stored_edges.unionByName(new_pairs).distinct()
+            v_edges = os.path.join(state_dir, f"edges_v{int(batch_id)}")
+            v_labels = os.path.join(state_dir, f"labels_v{int(batch_id)}")
+            edges.write.mode("overwrite").parquet(v_edges)
+            labels.write.mode("overwrite").parquet(v_labels)
+            tmp = f"{pointer_path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"edges": v_edges, "labels": v_labels, "through_batch": int(batch_id)}, fh
+                )
+            os.replace(tmp, pointer_path)
+            # superseded state versions are garbage after the swap
+            for d in os.listdir(state_dir):
+                full = os.path.join(state_dir, d)
+                if (
+                    d.startswith(("edges_v", "labels_v"))
+                    and full not in (v_edges, v_labels)
+                    and os.path.isdir(full)
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+        finally:
+            bsh.unpersist()
 
     stream = spark.readStream.format("parquet").schema(docs_schema).load(docs_src_dir)
     return (

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,12 +57,22 @@ def _assign_sessions(
     # pandas stores ns; normalize to µs to match unix_micros
     if str(pdf["ts"].dtype).endswith("[ns]"):
         ts_us = ts_us // 1_000
-    sids = []
-    for t in ts_us:
-        if last_ts_us is None or (t - last_ts_us) > gap_us:
-            session_ord += 1
-        sids.append(session_ord)
-        last_ts_us = int(t)
+    # vectorized session assignment (§4: no per-row python loop): a new
+    # session starts where the gap from the previous event exceeds the
+    # threshold; ordinals are the running count of such starts. The
+    # first row compares against the carried state (None → new session).
+    t_arr = ts_us.to_numpy()
+    if len(t_arr) == 0:  # defensive: an empty slice must not index t_arr[-1]
+        return
+    prev = np.concatenate(
+        ([last_ts_us if last_ts_us is not None else t_arr[0]], t_arr[:-1])
+    )
+    starts = (t_arr - prev) > gap_us
+    if last_ts_us is None:
+        starts[0] = True  # no carried state → the first event opens a session
+    sids = session_ord + np.cumsum(starts)
+    session_ord = int(sids[-1])
+    last_ts_us = int(t_arr[-1])
     yield pd.DataFrame(
         {
             "user_id": key[0],
@@ -119,7 +130,7 @@ def _emit_time_on_page(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     def out(eids, ts_us, raws):
-        capped = [min(r, MAX_TIME_PER_PAGE_S) for r in raws]
+        capped = np.minimum(np.asarray(raws, dtype=np.float64), MAX_TIME_PER_PAGE_S)
         return pd.DataFrame(
             {
                 "user_id": key[0],
@@ -158,10 +169,10 @@ def _emit_time_on_page(
         # in order). A straggler older than the held event would yield
         # a negative gap — clamp at 0 so a violation degrades to "no
         # time on page" instead of corrupting downstream sums.
-        raws = [
-            max(0.0, (ts_list[i + 1] - ts_list[i]) / 1_000_000.0)
-            for i in range(len(eids) - 1)
-        ]
+        # (vectorized — §4: no per-row python loop in the hot path)
+        raws = np.maximum(
+            0.0, np.diff(np.asarray(ts_list, dtype=np.int64)) / 1_000_000.0
+        )
         yield out(eids[:-1], ts_list[:-1], raws)
     state.update((int(eids[-1]), int(ts_list[-1])))
     state.setTimeoutDuration(int(DEFAULT_LAST_PAGE_S) * 1000)

@@ -8,6 +8,11 @@ from etl_jlp_spark.catalog import load_table
 from etl_jlp_spark.operators.sessionize import with_session_id
 from etl_jlp_spark.streaming.pipeline import stream_events
 from etl_jlp_spark.streaming.stateful import sessionize_stateful
+import pytest
+# Wall-clock-bound (streaming triggers / state timeouts): excluded from the
+# default run so the driver test window completes (r11); run via -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def test_stateful_sessionize_matches_batch(spark, tmp_path):

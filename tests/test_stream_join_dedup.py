@@ -11,6 +11,12 @@ from etl_jlp_spark.streaming.pipeline import (
     streaming_dedup,
 )
 
+import pytest
+
+# Wall-clock-bound (streaming triggers / state timeouts): excluded from the
+# default run so the driver test window completes (r11); run via -m slow.
+pytestmark = pytest.mark.slow
+
 
 def _write_events(spark, path, dup_factor=1):
     ev = load_table(spark, SF_SMALL, "events")

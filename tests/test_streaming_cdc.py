@@ -7,6 +7,11 @@ from tests.conftest import SF_SMALL
 from etl_jlp_spark.catalog import load_table
 from etl_jlp_spark.operators.cdc import merge_changes
 from etl_jlp_spark.streaming.pipeline import stream_events
+import pytest
+# Wall-clock-bound (streaming triggers / state timeouts): excluded from the
+# default run so the driver test window completes (r11); run via -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def test_foreach_batch_cdc_apply(spark, tmp_path):
