@@ -546,11 +546,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ deg(v)² over the match-bounded graph, NOT the corpus), an
     anti-join against existing edges, then two degree joins against
     the node-count-sized degree table. No all-pairs anywhere."""
-    # No persist: this function returns a lazy plan (no action before
-    # return), so the repeated pair/edge subtrees are left as IDENTICAL
-    # plan fragments for ReusedExchange to dedupe at runtime — same
-    # rationale as ab_test_report.
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the match-bounded pair list ONCE (eager localCheckpoint
+    # — the contrastive_triplets r11 pattern, no CacheManager entry to
+    # leak): the plan references it five ways (wedge join's two edge
+    # sides, the degree table's two sides, the anti-join) and runtime
+    # ReusedExchange only dedupes the subset with byte-identical
+    # exchanges — measured 6.4 s lazy vs 2.6 s materialized at sf0.1.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
     edges = _sym_edges(pairs)
     deg = _degrees(edges)
     e1 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("a"))

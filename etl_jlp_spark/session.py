@@ -42,16 +42,21 @@ def get_spark(app_name: str = "etl_jlp_spark", master: str | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # HotSpot refuses to JIT methods over 8000 bytecodes
-        # (DontCompileHugeMethods, on by default) — whole-stage codegen
-        # for wide expression chains (the 64-dim static_dot family
-        # compiles to ~15 KB methods) then runs INTERPRETED: measured
-        # 7.8x slower on the knn_loo pair-scoring stage at sf0.1.
-        # Scale-neutral JVM tuning (applies to any executor count);
-        # the flag is set for both roles so a cluster deployment
-        # inherits it.
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
-        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # NEGATIVE RESULT pinned (r11): -XX:-DontCompileHugeMethods was
+        # tried here. HotSpot refuses to JIT methods over 8000 bytecodes,
+        # so codegen'd wide expression chains (the 64-dim static_dot
+        # family compiles to 15-25 KB methods) run INTERPRETED — and the
+        # flag made an isolated 1M-row scoring stage 7.8x faster. But
+        # fleet-wide it measured a NET LOSS (full-sweep geomean 0.93 vs
+        # the unflagged tree in adjacent sessions): every bench rep
+        # rebuilds its plan, generated class names never repeat, so C2
+        # recompiles each huge method from scratch per run — and on the
+        # many short queries that compile time exceeds the interpreted
+        # savings. The durable fix is structural (keep generated methods
+        # small, or move wide arithmetic to numpy like knn_loo's
+        # mapInPandas scorer); on a long-lived production cluster where
+        # plans are reused the flag may still pay — revisit there, not
+        # here.
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
